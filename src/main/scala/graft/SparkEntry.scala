@@ -1,13 +1,174 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.sources.Fixtures
+import graft.functions.EmdCols
+import graft.operators.EmdJoins
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query reads only the driver-generated parquet under `dir` and has
+  * (where SQL-expressible) a DuckDB oracle over the same tables producing
+  * identical columns. Doubles are rounded to 6 decimals on output in BOTH
+  * systems so value hashes match.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * EMD distance-threshold self-join over quantity histograms. */
+  def entry(spark: SparkSession): DataFrame = {
+    val hists = Fixtures.quantityHists(spark, "/root/testdata/sf0.001")
+    EmdJoins.emd1dThresholdJoin(hists, 0.153)
+  }
+
+  private val Theta = 0.153
+  private val RubnerTheta = 0.0401
+  private val TopK = 20
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans + aggregation smoke (S1, A1-analog) ---
+    "q1_agg" -> ((s, dir) => {
+      Fixtures.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 6).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- histogram build (P1 normalize; the canonical fixture) ---
+    "q_hist_build" -> ((s, dir) => {
+      Fixtures.quantityHistLong(s, dir)
+        .select(col("id"), col("bin").cast("long").as("bin"),
+          round(col("w"), 6).as("w"))
+    }),
+
+    // --- 1-D EMD threshold self-join (D2 + J1 semantics, banded blocking) ---
+    "q_emd1d_pairs" -> ((s, dir) => {
+      val hists = Fixtures.quantityHists(s, dir)
+      EmdJoins.emd1dThresholdJoin(hists, Theta)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // --- top-k closest pairs by 1-D EMD (J2/A7/O1 semantics) ---
+    "q_emd1d_topk" -> ((s, dir) => {
+      val hists = Fixtures.quantityHists(s, dir)
+      EmdJoins.emd1dTopK(hists, TopK)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("dist"), col("rid"), col("sid"))
+    }),
+
+    // --- Rubner (centroid) lower-bound threshold join (D10/P9) ---
+    "q_rubner_pairs" -> ((s, dir) => {
+      val hists = Fixtures.quantityHists(s, dir)
+        .withColumn("_mean", EmdCols.histMean(col("weights")))
+      EmdJoins.bandedSelfPairs(hists, "id", "_mean", RubnerTheta)
+        .select(col("id_a").as("rid"), col("id_b").as("sid"),
+          round(abs(col("_mean_a") - col("_mean_b")), 6).as("dist"))
+    }),
+
+    // --- normal fit + Hough + uniform grid cell id (P4/P5/P8/A1) ---
+    "q_cell_assign" -> ((s, dir) => {
+      val hists = Fixtures.quantityHists(s, dir)
+      val fitted = hists.select(
+        col("id"),
+        EmdCols.histMean(col("weights")).as("mu"),
+        sqrt(greatest(EmdCols.histMoment2(col("weights")) -
+          EmdCols.histMean(col("weights")) * EmdCols.histMean(col("weights")),
+          lit(1e-8))).as("sigma"))
+      val hough = fitted.select(col("id"), col("mu"), col("sigma"),
+        (lit(1.0) / col("sigma")).as("m"),
+        (-col("mu") / col("sigma")).as("b"))
+      val dom = hough.agg(
+        min(col("m")).as("min_m"), max(col("m")).as("max_m"),
+        min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+      val g = 4
+      hough.crossJoin(broadcast(dom))
+        .select(col("id"),
+          round(col("mu"), 6).as("mu"), round(col("sigma"), 6).as("sigma"),
+          (least(floor((col("m") - col("min_m")) /
+              ((col("max_m") - col("min_m")) / g)), lit(g - 1.0)) * g +
+            least(floor((col("b") - col("min_b")) /
+              ((col("max_b") - col("min_b")) / g)), lit(g - 1.0)))
+            .cast("long").as("cell"))
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (tables registered from the same
+    * parquet dir by the driver). Shared hist CTE mirrors
+    * Fixtures.quantityHistLong exactly. */
+  private val HistCte: String =
+    """WITH binned AS (
+      |  SELECT l_partkey AS id,
+      |         least(greatest(cast(floor((l_quantity - 1.0) / 6.25) AS INTEGER), 0), 7) AS bin
+      |  FROM lineitem
+      |), counts AS (
+      |  SELECT id, bin, cast(count(*) AS DOUBLE) AS c FROM binned GROUP BY id, bin
+      |), ids AS (SELECT DISTINCT id FROM binned
+      |), dense AS (
+      |  SELECT i.id, b.bin, coalesce(c.c, 0.0) AS c
+      |  FROM ids i
+      |  CROSS JOIN (SELECT cast(range AS INTEGER) AS bin FROM range(8)) b
+      |  LEFT JOIN counts c ON c.id = i.id AND c.bin = b.bin
+      |), hist AS (
+      |  SELECT id, bin, c / sum(c) OVER (PARTITION BY id) AS w FROM dense
+      |)""".stripMargin
+
+  private val EmdCte: String =
+    HistCte +
+      """, diffs AS (
+        |  SELECT a.id AS rid, b.id AS sid, a.bin AS bin, a.w - b.w AS d
+        |  FROM hist a JOIN hist b ON a.bin = b.bin AND a.id < b.id
+        |), cums AS (
+        |  SELECT rid, sid,
+        |         sum(d) OVER (PARTITION BY rid, sid ORDER BY bin) AS cum
+        |  FROM diffs
+        |), emds AS (
+        |  SELECT rid, sid, sum(abs(cum)) AS dist FROM cums GROUP BY rid, sid
+        |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, round(cast(sum(l_quantity) AS DOUBLE), 6) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_hist_build" ->
+      (HistCte +
+        " SELECT id, cast(bin AS BIGINT) AS bin, round(w, 6) AS w FROM hist"),
+
+    "q_emd1d_pairs" ->
+      (EmdCte +
+        s" SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= $Theta"),
+
+    "q_emd1d_topk" ->
+      (EmdCte +
+        s""" SELECT rid, sid, round(dist, 6) AS dist FROM emds
+           | ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
+
+    "q_rubner_pairs" ->
+      (HistCte +
+        s""", means AS (
+           |  SELECT id, sum(w * bin) AS mean FROM hist GROUP BY id
+           |)
+           |SELECT a.id AS rid, b.id AS sid, round(abs(a.mean - b.mean), 6) AS dist
+           |FROM means a JOIN means b ON a.id < b.id
+           |WHERE abs(a.mean - b.mean) <= $RubnerTheta""".stripMargin),
+
+    "q_cell_assign" ->
+      (HistCte +
+        """, fitted AS (
+          |  SELECT id, sum(w * bin) AS mu,
+          |         sqrt(greatest(sum(w * bin * bin) - sum(w * bin) * sum(w * bin), 1e-8)) AS sigma
+          |  FROM hist GROUP BY id
+          |), hough AS (
+          |  SELECT id, mu, sigma, 1.0 / sigma AS m, -mu / sigma AS b FROM fitted
+          |), dom AS (
+          |  SELECT min(m) AS min_m, max(m) AS max_m,
+          |         min(b) AS min_b, max(b) AS max_b FROM hough
+          |)
+          |SELECT h.id, round(h.mu, 6) AS mu, round(h.sigma, 6) AS sigma,
+          |       cast(least(floor((h.m - d.min_m) / ((d.max_m - d.min_m) / 4)), 3.0) * 4 +
+          |            least(floor((h.b - d.min_b) / ((d.max_b - d.min_b) / 4)), 3.0) AS BIGINT) AS cell
+          |FROM hough h CROSS JOIN dom d""".stripMargin)
+  )
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import graft.functions.EmdCols
+
+/** Scalable EMD similarity self-joins over 1-D histogram datasets.
+  *
+  * The scale-out strategy replaces the reference's hand-rolled
+  * block-replicate-join MapReduce (mr/normal/QNEProcessMapper.java:238-369)
+  * with *band blocking on a cheap lower bound*: records are hashed into
+  * radius-width bands of their centroid (Rubner value — a valid EMD lower
+  * bound), one side is replicated into the 3 adjacent bands, and the band
+  * id becomes an ordinary shuffle-hash equijoin key. Candidates then pass
+  * the exact distance filter. No cartesian product, no driver loops; every
+  * step is a Catalyst-planned shuffle that AQE can re-balance, so the plan
+  * survives 1000-executor scale-out.
+  */
+object EmdJoins {
+
+  /** Candidate self-pairs on a scalar blocking key: all (a, b) pairs with
+    * a.id < b.id whose keys differ by at most `radius`, produced by a
+    * band equijoin (each qualifying pair emitted exactly once).
+    *
+    * Input must have columns (idCol, keyCol, ...). Output: all left columns
+    * suffixed _a / _b.
+    */
+  def bandedSelfPairs(df: DataFrame, idCol: String, keyCol: String,
+                      radius: Double): DataFrame = {
+    require(radius > 0, "radius must be positive")
+    val banded = df.withColumn("_band", floor(col(keyCol) / lit(radius)))
+    val left = banded.select(banded.columns.map(c => col(c).as(c + "_a")): _*)
+    val right = banded
+      .withColumn("_bands", array(col("_band") - 1, col("_band"), col("_band") + 1))
+      .withColumn("_band", explode(col("_bands")))
+      .drop("_bands")
+    val rightR = right.select(right.columns.map(c => col(c).as(c + "_b")): _*)
+    left.join(rightR, col("_band_a") === col("_band_b") &&
+        col(idCol + "_a") < col(idCol + "_b"))
+      .filter(abs(col(keyCol + "_a") - col(keyCol + "_b")) <= lit(radius))
+      .drop("_band_a", "_band_b")
+  }
+
+  /** Distance-threshold self-join on 1-D EMD over unit-spaced bins:
+    * all pairs with EMD(a, b) <= theta, a.id < b.id.
+    *
+    * hists: (id, weights ARRAY<DOUBLE>) with L1-normalized weights.
+    * Blocking: centroid bands (|mean(a)-mean(b)| <= EMD, so radius = theta
+    * loses no result). Filter cascade is all codegen — no UDFs.
+    * Output: (rid, sid, dist).
+    */
+  def emd1dThresholdJoin(hists: DataFrame, theta: Double): DataFrame = {
+    val withMean = hists.withColumn("_mean", EmdCols.histMean(col("weights")))
+    val pairs = bandedSelfPairs(withMean, "id", "_mean", theta)
+    pairs
+      .withColumn("dist", EmdCols.emd1d(col("weights_a"), col("weights_b")))
+      .filter(col("dist") <= lit(theta))
+      .select(col("id_a").as("rid"), col("id_b").as("sid"), col("dist"))
+  }
+
+  /** Top-k closest pairs by 1-D EMD with deterministic tie-break
+    * (dist, rid, sid).
+    *
+    * Two-pass rank strategy mirroring the reference's sampled global upper
+    * bound (mr/normal/QNEPreReducer.java:96-109 + utils/HistUtil.java:641-652):
+    * pass 1 computes the k-th smallest pairwise distance among a
+    * deterministic sample — a valid global upper bound on the k-th best
+    * distance; pass 2 runs the banded threshold join at that bound and takes
+    * the global top-k (Spark's TakeOrderedAndProject = distributed bounded
+    * heap merge, the analog of the reference's TreeSet+KReducer
+    * mr/normal/KReducer.java:25-38).
+    */
+  def emd1dTopK(hists: DataFrame, k: Int, sampleSize: Int = 128): DataFrame = {
+    val sample = hists.orderBy(col("id")).limit(sampleSize)
+      .select(col("id"), col("weights"))
+    val sPairs = sample.select(col("id").as("id_a"), col("weights").as("weights_a"))
+      .crossJoin(sample.select(col("id").as("id_b"), col("weights").as("weights_b")))
+      .filter(col("id_a") < col("id_b"))
+      .select(EmdCols.emd1d(col("weights_a"), col("weights_b")).as("dist"))
+    val ub = sPairs.orderBy(col("dist")).limit(k)
+      .agg(max(col("dist")).as("ub")).head().getDouble(0)
+    emd1dThresholdJoin(hists, ub + 1e-9)
+      .orderBy(round(col("dist"), 6), col("rid"), col("sid"))
+      .limit(k)
+  }
+}

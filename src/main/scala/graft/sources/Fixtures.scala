@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Histogram derivation from the driver-generated TPC-H-ish parquet tables.
+  *
+  * The reference engine consumes external histogram text files
+  * (/root/reference README.md:24-31); this rebuild derives equivalent
+  * histogram datasets from `/root/testdata` parquet so every query has a
+  * DuckDB-checkable input. The canonical derivation (used by the declared
+  * queries AND their oracle SQL, so both sides see identical data):
+  *
+  *   quantity histograms: one record per l_partkey; weights = normalized
+  *   counts of l_quantity binned into `NumBins` equal-width bins over
+  *   [1, 50]; 1-D bin positions are the integers 0..NumBins-1.
+  *
+  * All derivations are single-shuffle groupBy aggregations with
+  * whole-stage-codegen expressions only (no UDFs), so at 100 TB they scan
+  * parquet once with column pruning (only the 2 needed columns are read).
+  */
+object Fixtures {
+  val NumBins = 8
+  val QMin = 1.0
+  val QMax = 50.0
+  val BinWidth: Double = (QMax - QMin + 1.0) / NumBins // 6.25
+
+  /** Bin index of a quantity value: floor((q - 1) / 6.25) clamped to [0, 7]. */
+  def quantityBin(q: Column): Column =
+    least(greatest(floor((q - lit(QMin)) / lit(BinWidth)).cast("int"), lit(0)),
+      lit(NumBins - 1))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** Long-format histograms: (id, bin, w) with dense bins and normalized
+    * weights (sum to 1 per id). Deterministic; zero bins included. */
+  def quantityHistLong(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_partkey").as("id"), quantityBin(col("l_quantity")).as("bin"))
+    val counts = li.groupBy(col("id"), col("bin")).agg(count(lit(1)).as("c"))
+    val ids = li.select(col("id")).distinct()
+    val bins = spark.range(NumBins).select(col("id").cast("int").as("bin"))
+    val dense = ids.crossJoin(bins)
+      .join(counts, Seq("id", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val totals = counts.groupBy(col("id")).agg(sum(col("c")).as("total"))
+    dense.join(totals, "id")
+      .select(col("id"), col("bin"), (col("c").cast("double") / col("total")).as("w"))
+  }
+
+  /** Wide-format histograms: (id, weights ARRAY<DOUBLE>[NumBins]),
+    * L1-normalized. One scan + one shuffle; all-codegen. */
+  def quantityHists(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+      .select(col("l_partkey").as("id"), quantityBin(col("l_quantity")).as("bin"))
+    val countCols = (0 until NumBins).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agged = li.groupBy(col("id")).agg(countCols.head, countCols.tail: _*)
+    val total = (0 until NumBins).map(b => col(s"c$b")).reduce(_ + _).cast("double")
+    val weights = array((0 until NumBins).map(b => col(s"c$b").cast("double") / total): _*)
+    agged.select(col("id"), weights.as("weights"))
+  }
+
+  /** 3-D histograms for the exact-EMD engines: per l_partkey, 2x2x2 = 8
+    * corner bins of the unit cube over (quantity, extendedprice, discount),
+    * each coordinate split at a fixed pivot. Bin locations: corners of
+    * [0,1]^3, row-major bit order (qbit*4 + pbit*2 + dbit). */
+  val Bins3d: Array[Double] = Array(
+    0, 0, 0, 0, 0, 1, 0, 1, 0, 0, 1, 1,
+    1, 0, 0, 1, 0, 1, 1, 1, 0, 1, 1, 1)
+  val Dim3 = 3
+
+  def tripleHists(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val qbit = (col("l_quantity") > 25.0).cast("int")
+    val pbit = (col("l_extendedprice") > 30000.0).cast("int")
+    val dbit = (col("l_discount") > 0.05).cast("int")
+    val bin = (qbit * 4 + pbit * 2 + dbit).as("bin")
+    val binned = li.select(col("l_partkey").as("id"), bin)
+    val countCols = (0 until 8).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agged = binned.groupBy(col("id")).agg(countCols.head, countCols.tail: _*)
+    val total = (0 until 8).map(b => col(s"c$b")).reduce(_ + _).cast("double")
+    val weights = array((0 until 8).map(b => col(s"c$b").cast("double") / total): _*)
+    agged.select(col("id"), weights.as("weights"))
+  }
+}
