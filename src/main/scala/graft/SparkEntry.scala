@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.Fixtures
 import graft.functions.EmdCols
-import graft.operators.EmdJoins
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,6 +25,26 @@ object SparkEntry {
   private val Theta = 0.153
   private val RubnerTheta = 0.0401
   private val TopK = 20
+  private val Theta3d = 0.08
+
+  /** 1-D melody config: with integer bins and one identity vector, exact
+    * LP-EMD reduces to the closed-form 1-D EMD, making the whole
+    * grid-pruned engine DuckDB-checkable. */
+  def melodyCfg1d: MelodyJoin.Config = MelodyJoin.Config(
+    dimension = 1,
+    bins = Array.tabulate(Fixtures.NumBins)(_.toDouble),
+    vectors = Array(Array(1.0)),
+    numDuals = 4, numReductions = 4, reducedDim = 4)
+
+  /** 3-D melody config over the unit-cube corner bins of tripleHists. */
+  def melodyCfg3d: MelodyJoin.Config = MelodyJoin.Config(
+    dimension = 3,
+    bins = Fixtures.Bins3d,
+    vectors = Array(
+      Array(1.0, 1.0, 1.0),
+      Array(1.0, -1.0, 0.0),
+      Array(1.0, 1.0, -2.0)),
+    numDuals = 4, numReductions = 4, reducedDim = 4)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scans + aggregation smoke (S1, A1-analog) ---
@@ -64,6 +84,30 @@ object SparkEntry {
       EmdJoins.bandedSelfPairs(hists, "id", "_mean", RubnerTheta)
         .select(col("id_a").as("rid"), col("id_b").as("sid"),
           round(abs(col("_mean_a") - col("_mean_b")), 6).as("dist"))
+    }),
+
+    // --- grid-pruned melody engine, 1-D (J1: full DuckDB oracle since
+    //     exact EMD == closed-form 1-D EMD on integer bins) ---
+    "q_melody1d_pairs" -> ((s, dir) => {
+      val hists = Fixtures.quantityHists(s, dir)
+      MelodyJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // --- grid-pruned melody engine, 3-D exact LP-EMD (J1; rows-only
+    //     check: LP not expressible in DuckDB, equivalence covered by
+    //     MelodyJoinSpec against the brute-force oracle) ---
+    "q_emd3d_pairs" -> ((s, dir) => {
+      val hists = Fixtures.tripleHists(s, dir)
+      MelodyJoin.thresholdJoin(s, hists, Theta3d, melodyCfg3d)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // --- 3-D exact EMD top-k (J2/A7) ---
+    "q_emd3d_topk" -> ((s, dir) => {
+      val hists = Fixtures.tripleHists(s, dir)
+      MelodyJoin.topKJoin(s, hists, TopK, melodyCfg3d)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
     }),
 
     // --- normal fit + Hough + uniform grid cell id (P4/P5/P8/A1) ---
@@ -144,6 +188,10 @@ object SparkEntry {
       (EmdCte +
         s""" SELECT rid, sid, round(dist, 6) AS dist FROM emds
            | ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
+
+    "q_melody1d_pairs" ->
+      (EmdCte +
+        s" SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= $Theta"),
 
     "q_rubner_pairs" ->
       (HistCte +

@@ -108,7 +108,12 @@ object Emd {
     * shortest augmenting paths with Johnson potentials (dense Dijkstra).
     * Exact optimum for the min-cost flow LP; property-tested equal to the
     * reference's simplex formulation (utils/DistanceUtil.java:112-146).
-    * Hot-path solver: O((n+m) * n*m) worst case, microseconds at n<=64. */
+    * Hot-path solver: O((n+m) * n*m) worst case, microseconds at n<=64.
+    *
+    * IMPORTANT: uses the net-flow reduction (only surplus mass moves),
+    * which equals the full transportation optimum ONLY for ground costs
+    * satisfying the triangle inequality (L1/L2/L3 are fine). For arbitrary
+    * cost matrices (e.g. min-linkage reduced costs) use exactGeneral. */
   def exact(histA: Array[Double], histB: Array[Double], cost: Array[Double]): Double = {
     val n = histA.length
     val a = HistOps.normalize(histA)
@@ -128,6 +133,19 @@ object Emd {
     if (supplyIdx.isEmpty) return 0.0
     transport(supplyAmt.toArray, demandAmt.toArray,
       (si, dj) => cost(supplyIdx(si) * n + demandIdx(dj)))
+  }
+
+  /** Exact EMD for ARBITRARY non-negative cost matrices: solves the full
+    * transportation problem (every bin is both a source with mass a_i and
+    * a sink with mass b_i, diagonal assumed zero-cost), which permits the
+    * pass-through routings that the net-flow reduction forbids. Matches
+    * the reference LP formulation exactly (outflow<=a, inflow<=b, net
+    * equality — utils/DistanceUtil.java:129-141). */
+  def exactGeneral(histA: Array[Double], histB: Array[Double], cost: Array[Double]): Double = {
+    val n = histA.length
+    val a = HistOps.normalize(histA)
+    val b = HistOps.normalize(histB)
+    transport(a, b, (i, j) => cost(i * n + j))
   }
 
   /** Balanced transportation min-cost via successive shortest augmenting

@@ -91,11 +91,11 @@ object NormalModel {
       var j = 0
       while (j < cdf.length) {
         val (k, cum) = cdf(j)
-        if (start < k && k < end) {
+        if (start < k && k < end && j + 1 < cdf.length) {
           pts += k
           val p = math.min(math.max(cum, Eps), 1 - Eps)
           val potential = normal.inverseCumulativeProbability(p)
-          val nextKey = cdf(j + 1)._1 // k < end <= last so j+1 exists
+          val nextKey = cdf(j + 1)._1
           if (potential > k && potential < end && potential < last && potential < nextKey)
             pts += potential
         }

@@ -54,7 +54,10 @@ final class ReductionBound(numBins: Int, reducedDim: Int, bins: Array[Double],
   }
 
   /** Lower bound: exact EMD between reduced histograms under min-linkage
-    * reduced costs. Reference behavior: ReductionBound.getReducedEmd:57-69. */
+    * reduced costs. Min-linkage costs violate the triangle inequality, so
+    * this MUST use the general transportation solver (pass-through
+    * routings allowed) — the net-flow fast path would overestimate and
+    * break bound validity. Reference: ReductionBound.getReducedEmd:57-69. */
   def reducedEmd(histA: Array[Double], histB: Array[Double]): Double =
-    Emd.exact(reduce(histA), reduce(histB), reducedCost)
+    Emd.exactGeneral(reduce(histA), reduce(histB), reducedCost)
 }

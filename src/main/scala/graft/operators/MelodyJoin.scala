@@ -1,0 +1,427 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Grid-pruned EMD similarity self-join — the Spark-native rebuild of the
+  * reference's flagship 4-phase "melody" MapReduce engine
+  * (mr/normal/QuantileNormalEmd.java:126-247).
+  *
+  * One Spark job replaces the 4 chained MR jobs:
+  *   - Phases 1-2 (fit normals, domains, quantile grids, cell summaries)
+  *     become two aggregations + a driver-side collect of O(cells) rows,
+  *     broadcast to executors (no DistributedCache, no side files).
+  *   - Phase 3 (replicate records to candidate cells, per-cell nested-loop
+  *     with bound cascade) becomes candidate explode + shuffled equijoin on
+  *     the cell key + a mapPartitions filter cascade.
+  *   - Phase 4 (top-k merge) is orderBy(dist).limit(k).
+  *
+  * Scale design: the only data-sized shuffles are the cell-summary groupBy
+  * and the candidate equijoin (both keyed by cell combination). Cell count
+  * is bounded by grid^(2*numVectors), independent of data size, so the
+  * collected summary stays tiny at any scale; records are replicated only
+  * to cells that survive three cell-level prunes (dual range, EMD_BR,
+  * Rubner box). AQE handles skewed cells.
+  */
+object MelodyJoin {
+
+  /** Engine configuration. Every stochastic choice is seed-explicit
+    * (the reference's unseeded Random / first-two-hists duals are
+    * reproducibility bugs we do not inherit — ReductionBound.java:11,
+    * NEPreMapper.java:123-128). */
+  final case class Config(
+      dimension: Int,
+      bins: Array[Double],
+      vectors: Array[Array[Double]],
+      sideNum: Int = 4,
+      numIntervals: Int = 5,
+      numDuals: Int = 10,
+      numReductions: Int = 10,
+      reducedDim: Int = 8,
+      seed: Long = 42L) extends Serializable {
+    val numBins: Int = bins.length / dimension
+    val numVectors: Int = vectors.length
+    /** Centered projected bins per vector (driver-side precompute;
+      * reference: NEPreMapper.java:99, HistUtil.projectBins). */
+    val projBins: Array[Array[Double]] = vectors.map { v =>
+      HistOps.subtractAvg(HistOps.projectBins(bins, dimension, HistOps.unitArray(v)))
+    }
+    /** (tMin, tMax) per vector. */
+    val tRange: Array[(Double, Double)] = projBins.map(pb => (pb.min, pb.max))
+    val cost: Array[Double] = Emd.costMatrix(bins, dimension, GroundDist.L2)
+  }
+
+  private val ErrLen: Config => Int = cfg => 2 * cfg.numIntervals + 1
+
+  /** Per-record enrichment: Hough points, error envelopes, dual keys,
+    * centroid. (= reference Phase 1 map + Phase 2 map,
+    * NEPreMapper.java:83-135 + QNESpaceMapper.java:52-220.) */
+  final case class Enriched(
+      id: Long,
+      weights: Array[Double],
+      mb: Array[Double],       // 2 * numVectors: (m, b) per vector
+      errors: Array[Double],   // numVectors * (2I+1): envelope + full
+      dualKeys: Array[Double], // numDuals: key(h) per dual
+      dualCKeys: Array[Double],
+      rubner: Array[Double])   // dimension
+
+  /** Summary of one cell combination (= Phase 2 reduce,
+    * NESpaceReducer.java:73-219). */
+  final case class CellSummary(
+      combo: Long,
+      count: Long,
+      cells: Array[Int],          // per-vector cell id
+      gridErrs: Array[Array[Double]], // per vector, length 2I+2
+      dualKeyMin: Array[Double],
+      dualKeyMax: Array[Double],
+      rubnerLo: Array[Double],
+      rubnerHi: Array[Double]) extends Serializable
+
+  /** Pack per-vector cell ids into one long (cells < 2^16 per vector). */
+  def packCombo(cells: Array[Int]): Long =
+    cells.foldLeft(0L)((acc, c) => (acc << 16) | (c & 0xffffL))
+
+  def unpackCombo(combo: Long, numVectors: Int): Array[Int] = {
+    val out = new Array[Int](numVectors)
+    var c = combo
+    var i = numVectors - 1
+    while (i >= 0) { out(i) = (c & 0xffffL).toInt; c >>= 16; i -= 1 }
+    out
+  }
+
+  /** Build the per-vector quantile grids:
+    * pass 1 aggregates the Hough domain per vector, pass 2 the percentile
+    * boundaries of the edge projections (= Phase 1 reduce,
+    * QNEPreReducer.java:112-189, with Spark's exact `percentile` replacing
+    * the in-memory Percentile over a single reducer's spill). */
+  def buildGrids(spark: SparkSession, hists: DataFrame, cfg: Config): Array[SkewedGrid] = {
+    import spark.implicits._
+    val cfgB = spark.sparkContext.broadcast(cfg)
+    val mbDf = hists.select("id", "weights").as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val c = cfgB.value
+        it.map { case (id, w0) =>
+          val w = HistOps.normalize(w0)
+          val mb = new Array[Double](2 * c.numVectors)
+          var j = 0
+          while (j < c.numVectors) {
+            val (mu, sig) = HistOps.fitNormal(w, c.projBins(j))
+            mb(2 * j) = 1.0 / sig
+            mb(2 * j + 1) = -mu / sig
+            j += 1
+          }
+          (id, mb)
+        }
+      }.toDF("id", "mb")
+    // domains per vector
+    val domAgg = (0 until cfg.numVectors).flatMap { j =>
+      Seq(min(col("mb")(2 * j)).as(s"minM$j"), max(col("mb")(2 * j)).as(s"maxM$j"),
+        min(col("mb")(2 * j + 1)).as(s"minB$j"), max(col("mb")(2 * j + 1)).as(s"maxB$j"))
+    }
+    val dom = mbDf.agg(domAgg.head, domAgg.tail: _*).head()
+    val uniformGrids = (0 until cfg.numVectors).map { j =>
+      val domain = Array(dom.getDouble(4 * j), dom.getDouble(4 * j + 1),
+        dom.getDouble(4 * j + 2), dom.getDouble(4 * j + 3))
+      val slopes = Array(-cfg.tRange(j)._2, -cfg.tRange(j)._1)
+      SkewedGrid.uniform(domain, slopes, cfg.sideNum)
+    }.toArray
+    val gridsB = spark.sparkContext.broadcast(uniformGrids)
+    // percentile boundaries of SW/SE edge projections per vector
+    val distDf = mbDf.as[(Long, Array[Double])].mapPartitions { it =>
+      val gs = gridsB.value
+      it.map { case (_, mb) =>
+        val out = new Array[Double](2 * gs.length)
+        var j = 0
+        while (j < gs.length) {
+          val (dsw, dse) = gs(j).projectionDistances(Array(mb(2 * j), mb(2 * j + 1)))
+          out(2 * j) = dsw; out(2 * j + 1) = dse
+          j += 1
+        }
+        out
+      }
+    }.toDF("d")
+    val pcts = (1 until cfg.sideNum).map(_.toDouble / cfg.sideNum)
+    val pctAgg = (0 until cfg.numVectors).flatMap { j =>
+      Seq(
+        min(col("d")(2 * j)).as(s"minSW$j"), max(col("d")(2 * j)).as(s"maxSW$j"),
+        percentile_approx(col("d")(2 * j),
+          array(pcts.map(lit): _*), lit(10000)).as(s"pSW$j"),
+        min(col("d")(2 * j + 1)).as(s"minSE$j"), max(col("d")(2 * j + 1)).as(s"maxSE$j"),
+        percentile_approx(col("d")(2 * j + 1),
+          array(pcts.map(lit): _*), lit(10000)).as(s"pSE$j"))
+    }
+    val q = distDf.agg(pctAgg.head, pctAgg.tail: _*).head()
+    (0 until cfg.numVectors).map { j =>
+      val base = uniformGrids(j)
+      val sw = (q.getDouble(6 * j) - 1e-9) +:
+        q.getSeq[Double](6 * j + 2).toArray :+ (q.getDouble(6 * j + 1) + 1e-9)
+      val se = (q.getDouble(6 * j + 3) - 1e-9) +:
+        q.getSeq[Double](6 * j + 5).toArray :+ (q.getDouble(6 * j + 4) + 1e-9)
+      SkewedGrid.quantile(base.domain, base.slopes, cfg.sideNum, sw, se)
+    }.toArray
+  }
+
+  /** Deterministic dual-bound construction from the lowest-id sample
+    * records (seeded; replaces the reference's per-task first-two-hists). */
+  def buildDuals(spark: SparkSession, hists: DataFrame, cfg: Config): Array[DualBound] = {
+    import spark.implicits._
+    val sample = hists.select("id", "weights").as[(Long, Array[Double])]
+      .orderBy(col("id")).limit(2 * cfg.numDuals + 2).collect()
+    val rnd = new scala.util.Random(cfg.seed)
+    (0 until cfg.numDuals).map { _ =>
+      val i = rnd.nextInt(sample.length)
+      var j = rnd.nextInt(sample.length)
+      while (j == i) j = rnd.nextInt(sample.length)
+      DualBound.fromPair(HistOps.normalize(sample(i)._2),
+        HistOps.normalize(sample(j)._2), cfg.dimension, cfg.bins)
+    }.toArray
+  }
+
+  /** Enrich every record (one narrow mapPartitions, no shuffle). */
+  def enrich(spark: SparkSession, hists: DataFrame, cfg: Config,
+             grids: Array[SkewedGrid], duals: Array[DualBound]): DataFrame = {
+    import spark.implicits._
+    val cfgB = spark.sparkContext.broadcast(cfg)
+    val gridsB = spark.sparkContext.broadcast(grids)
+    val dualsB = spark.sparkContext.broadcast(duals)
+    hists.select("id", "weights").as[(Long, Array[Double])].mapPartitions { it =>
+      val c = cfgB.value
+      val gs = gridsB.value
+      val ds = dualsB.value
+      val el = ErrLen(c)
+      it.map { case (id, w0) =>
+        val w = HistOps.normalize(w0)
+        val mb = new Array[Double](2 * c.numVectors)
+        val errors = new Array[Double](c.numVectors * el)
+        val cells = new Array[Int](c.numVectors)
+        var j = 0
+        while (j < c.numVectors) {
+          val (mu, sig) = HistOps.fitNormal(w, c.projBins(j))
+          mb(2 * j) = 1.0 / sig
+          mb(2 * j + 1) = -mu / sig
+          val cdf = HistOps.discreteCdfNormalized(w, c.projBins(j))
+          val env = NormalModel.minMaxError(mu, sig, cdf, c.numIntervals)
+          System.arraycopy(env, 0, errors, j * el, env.length)
+          errors(j * el + 2 * c.numIntervals) =
+            NormalModel.fullError(mu, sig, cdf, cdf.head._1, cdf.last._1)
+          cells(j) = gs(j).gridId(Array(mb(2 * j), mb(2 * j + 1)))
+          j += 1
+        }
+        val dk = ds.map(_.key(w))
+        val dck = ds.map(_.ckey(w))
+        val rub = HistOps.rubnerValue(w, c.dimension, c.bins)
+        (id, w, packCombo(cells), mb, errors, dk, dck, rub)
+      }
+    }.toDF("id", "weights", "combo", "mb", "errors", "dualKeys", "dualCKeys", "rubner")
+  }
+
+  /** Cell summaries: groupBy(combo) with per-element min/max aggregation,
+    * collected (O(cells)) and broadcast. */
+  def summarize(enriched: DataFrame, cfg: Config): Array[CellSummary] = {
+    val el = ErrLen(cfg)
+    val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
+    aggs += count(lit(1)).as("cnt")
+    for (j <- 0 until cfg.numVectors; i <- 0 until cfg.numIntervals) {
+      aggs += min(col("errors")(j * el + 2 * i)).as(s"minE_${j}_$i")
+      aggs += max(col("errors")(j * el + 2 * i + 1)).as(s"maxE_${j}_$i")
+    }
+    for (j <- 0 until cfg.numVectors) {
+      aggs += min(col("errors")(j * el + 2 * cfg.numIntervals)).as(s"minF_$j")
+      aggs += max(col("errors")(j * el + 2 * cfg.numIntervals)).as(s"maxF_$j")
+    }
+    for (k <- 0 until cfg.numDuals) {
+      aggs += min(col("dualKeys")(k)).as(s"minK_$k")
+      aggs += max(col("dualKeys")(k)).as(s"maxK_$k")
+    }
+    for (i <- 0 until cfg.dimension) {
+      aggs += min(col("rubner")(i)).as(s"minR_$i")
+      aggs += max(col("rubner")(i)).as(s"maxR_$i")
+    }
+    val rows = enriched.groupBy(col("combo"))
+      .agg(aggs.head, aggs.tail.toSeq: _*).collect()
+    rows.map { r =>
+      val combo = r.getLong(0)
+      var idx = 2 // 0=combo, 1=cnt
+      val gridErrs = Array.ofDim[Double](cfg.numVectors, 2 * cfg.numIntervals + 2)
+      for (j <- 0 until cfg.numVectors; i <- 0 until cfg.numIntervals) {
+        gridErrs(j)(2 * i) = r.getDouble(idx); idx += 1
+        gridErrs(j)(2 * i + 1) = r.getDouble(idx); idx += 1
+      }
+      // careful: the loop above consumed rows in (j,i) order matching aggs
+      for (j <- 0 until cfg.numVectors) {
+        gridErrs(j)(2 * cfg.numIntervals) = r.getDouble(idx); idx += 1
+        gridErrs(j)(2 * cfg.numIntervals + 1) = r.getDouble(idx); idx += 1
+      }
+      val dMin = new Array[Double](cfg.numDuals)
+      val dMax = new Array[Double](cfg.numDuals)
+      for (k <- 0 until cfg.numDuals) {
+        dMin(k) = r.getDouble(idx); idx += 1
+        dMax(k) = r.getDouble(idx); idx += 1
+      }
+      val rLo = new Array[Double](cfg.dimension)
+      val rHi = new Array[Double](cfg.dimension)
+      for (i <- 0 until cfg.dimension) {
+        rLo(i) = r.getDouble(idx); idx += 1
+        rHi(i) = r.getDouble(idx); idx += 1
+      }
+      CellSummary(combo, r.getLong(1), unpackCombo(combo, cfg.numVectors),
+        gridErrs, dMin, dMax, rLo, rHi)
+    }
+  }
+
+  /** The per-pair filter cascade + exact EMD (reference order:
+    * NEProcessReducer.joinRecords:204-264 — projection, dual, reduction,
+    * indmin, exact). Built once per executor from broadcast config. */
+  final class Cascade(cfg: Config, duals: Array[DualBound]) extends Serializable {
+    @transient lazy val reductions: Array[ReductionBound] =
+      Array.tabulate(cfg.numReductions)(i =>
+        new ReductionBound(cfg.numBins, cfg.reducedDim, cfg.bins, cfg.dimension,
+          cfg.seed + i))
+
+    /** Returns exact EMD if the pair survives every bound at `theta`,
+      * else -1. */
+    def emdIfCandidate(wa: Array[Double], wb: Array[Double], theta: Double): Double = {
+      var j = 0
+      while (j < cfg.numVectors) {
+        if (Emd.emd1d(wa, wb, cfg.projBins(j)) > theta) return -1.0
+        j += 1
+      }
+      var k = 0
+      while (k < duals.length) {
+        if (duals(k).dualEmd(wa, wb) > theta) return -1.0
+        k += 1
+      }
+      k = 0
+      while (k < reductions.length) {
+        if (reductions(k).reducedEmd(wa, wb) > theta) return -1.0
+        k += 1
+      }
+      if (Emd.indMin(wa, wb, cfg.cost) > theta) return -1.0
+      val emd = Emd.exact(wa, wb, cfg.cost)
+      if (emd <= theta) emd else -1.0
+    }
+  }
+
+  /** Candidate-cell enumeration for one record against all cell summaries
+    * (reference: Grid.getGuestWithDual:352-457). Returns combos > own combo
+    * that survive dual-range, EMD_BR and Rubner-box pruning. */
+  private def guestCombos(
+      rec: Row, cfg: Config, grids: Array[SkewedGrid],
+      duals: Array[DualBound], summaries: Array[CellSummary],
+      theta: Double): Array[Long] = {
+    val ownCombo = rec.getLong(2)
+    val mb = rec.getSeq[Double](3).toArray
+    val errors = rec.getSeq[Double](4).toArray
+    val weights = rec.getSeq[Double](1).toArray
+    val rubner = rec.getSeq[Double](7).toArray
+    val el = 2 * cfg.numIntervals + 1
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var s = 0
+    while (s < summaries.length) {
+      val cs = summaries(s)
+      if (cs.combo > ownCombo) {
+        var ok = true
+        // dual range prune (DualBound.getRange semantics)
+        var k = 0
+        while (ok && k < duals.length) {
+          val (lo, hi) = duals(k).range(weights, theta)
+          if (cs.dualKeyMin(k) > hi || cs.dualKeyMax(k) < lo) ok = false
+          k += 1
+        }
+        // EMD_BR per vector
+        var j = 0
+        while (ok && j < cfg.numVectors) {
+          val recMb = Array(mb(2 * j), mb(2 * j + 1))
+          val recErr = java.util.Arrays.copyOfRange(errors, j * el, (j + 1) * el)
+          val br = grids(j).emdBr(recMb, recErr, cs.cells(j), cs.gridErrs(j),
+            cfg.numIntervals)
+          if (br > theta) ok = false
+          j += 1
+        }
+        // Rubner box prune
+        if (ok && Emd.rubnerBox(rubner, cs.rubnerLo, cs.rubnerHi) > theta) ok = false
+        if (ok) out += cs.combo
+      }
+      s += 1
+    }
+    out.toArray
+  }
+
+  /** Distance-threshold join: all pairs with EMD <= theta, rid < sid. */
+  def thresholdJoin(spark: SparkSession, hists: DataFrame, theta: Double,
+                    cfg: Config): DataFrame = {
+    import spark.implicits._
+    val grids = buildGrids(spark, hists, cfg)
+    val duals = buildDuals(spark, hists, cfg)
+    val enriched = enrich(spark, hists, cfg, grids, duals)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val summaries = summarize(enriched, cfg)
+
+    val cfgB = spark.sparkContext.broadcast(cfg)
+    val gridsB = spark.sparkContext.broadcast(grids)
+    val dualsB = spark.sparkContext.broadcast(duals)
+    val sumB = spark.sparkContext.broadcast(summaries)
+
+    // guest replication: explode candidate combos per record
+    val guests = enriched.mapPartitions { it =>
+      val c = cfgB.value
+      it.flatMap { r =>
+        guestCombos(r, c, gridsB.value, dualsB.value, sumB.value, theta).map { combo =>
+          (r.getLong(0), r.getSeq[Double](1).toArray, combo)
+        }
+      }
+    }.toDF("gid", "gweights", "combo")
+
+    val natives = enriched.select(col("id"), col("weights"), col("combo"))
+    val cascade = new Cascade(cfg, duals)
+    val cascadeB = spark.sparkContext.broadcast(cascade)
+
+    // native x guest (cross-cell pairs, each qualifying pair exactly once
+    // because guests go only to combos > their native combo)
+    val crossPairs = natives.join(guests, "combo")
+      .select(col("id"), col("weights"), col("gid"), col("gweights"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+      .mapPartitions { it =>
+        val casc = cascadeB.value
+        it.flatMap { case (id, w, gid, gw) =>
+          val emd = casc.emdIfCandidate(w, gw, theta)
+          if (emd >= 0) Some((math.min(id, gid), math.max(id, gid), emd)) else None
+        }
+      }
+
+    // native x native within each cell
+    val n2 = natives.select(col("combo"), col("id").as("id_b"), col("weights").as("w_b"))
+    val innerPairs = natives.join(n2, "combo")
+      .filter(col("id") < col("id_b"))
+      .select(col("id"), col("weights"), col("id_b"), col("w_b"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+      .mapPartitions { it =>
+        val casc = cascadeB.value
+        it.flatMap { case (a, wa, b, wb) =>
+          val emd = casc.emdIfCandidate(wa, wb, theta)
+          if (emd >= 0) Some((a, b, emd)) else None
+        }
+      }
+
+    crossPairs.union(innerPairs).toDF("rid", "sid", "dist")
+  }
+
+  /** Top-k join: sampled global upper bound (D14) then threshold join +
+    * global bounded-heap top-k (TakeOrderedAndProject). */
+  def topKJoin(spark: SparkSession, hists: DataFrame, k: Int, cfg: Config,
+               sampleSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val sample = hists.select("id", "weights").as[(Long, Array[Double])]
+      .orderBy(col("id")).limit(sampleSize).collect()
+    val dists = for {
+      i <- sample.indices; j <- sample.indices if i < j
+    } yield Emd.exact(HistOps.normalize(sample(i)._2),
+      HistOps.normalize(sample(j)._2), cfg.cost)
+    val sorted = dists.sorted
+    val ub = if (sorted.length >= k) sorted(k - 1) else Double.MaxValue
+    thresholdJoin(spark, hists, ub + 1e-9, cfg)
+      .orderBy(col("dist"), col("rid"), col("sid"))
+      .limit(k)
+  }
+}

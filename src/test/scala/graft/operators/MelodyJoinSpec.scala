@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Engine-vs-oracle equivalence: the grid-pruned melody join must emit
+  * exactly the same pair set as the brute-force baseline (the reference's
+  * four engines are answer-equivalent — SURVEY.md §5.2). */
+class MelodyJoinSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("melody-join-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def cfg3d = MelodyJoin.Config(
+    dimension = 3,
+    bins = graft.sources.Fixtures.Bins3d,
+    vectors = Array(
+      Array(1.0, 1.0, 1.0),
+      Array(1.0, -1.0, 0.0),
+      Array(1.0, 1.0, -2.0)),
+    numDuals = 4, numReductions = 4, reducedDim = 4)
+
+  private def randomHists(n: Int, numBins: Int, seed: Long) = {
+    val rnd = new Random(seed)
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    (0 until n).map { i =>
+      (i.toLong, Array.fill(numBins)(rnd.nextDouble()))
+    }.toDF("id", "weights")
+  }
+
+  test("melody threshold join == baseline on random histograms") {
+    val hists = randomHists(120, 8, seed = 7)
+    val theta = 0.35
+    val base = BaselineJoin.thresholdJoin(spark, hists, theta, cfg3d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val melody = MelodyJoin.thresholdJoin(spark, hists, theta, cfg3d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.nonEmpty, "oracle produced no pairs - bad test setup")
+    val missed = base -- melody
+    val extra = melody -- base
+    assert(missed.isEmpty, s"melody missed ${missed.size} pairs: ${missed.take(5)}")
+    assert(extra.isEmpty, s"melody emitted ${extra.size} non-pairs: ${extra.take(5)}")
+  }
+
+  test("melody top-k join == baseline top-k") {
+    val hists = randomHists(80, 8, seed = 11)
+    val k = 15
+    val base = BaselineJoin.topKJoin(spark, hists, k, cfg3d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val melody = MelodyJoin.topKJoin(spark, hists, k, cfg3d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base == melody, s"top-k mismatch: base=$base melody=$melody")
+  }
+
+  test("melody join on derived 3-d testdata histograms matches baseline") {
+    val hists = graft.sources.Fixtures.tripleHists(spark, "/root/testdata/sf0.001")
+    val theta = 0.08
+    val base = BaselineJoin.thresholdJoin(spark, hists, theta, cfg3d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val melody = MelodyJoin.thresholdJoin(spark, hists, theta, cfg3d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base == melody,
+      s"mismatch: missed=${(base -- melody).size} extra=${(melody -- base).size}")
+    assert(base.nonEmpty)
+  }
+}
