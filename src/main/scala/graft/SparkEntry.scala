@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.Fixtures
-import graft.functions.EmdCols
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin}
+import graft.functions.{EmdCols, TextCols}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, Dedup, Ann, Multimodal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -110,6 +110,100 @@ object SparkEntry {
         .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
     }),
 
+    // ==================== training-data pipeline ops ====================
+
+    // --- exact dedup: hash-groupBy on canonical fingerprint ---
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDedup(Fixtures.documents(s, dir))
+    }),
+
+    // --- token counting + lexical stats ---
+    "q_token_stats" -> ((s, dir) => {
+      Fixtures.documents(s, dir).select(col("doc_id"),
+        TextCols.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(TextCols.distinctTokens(col("text"))).cast("long").as("n_distinct"),
+        round(TextCols.avgTokenLength(col("text")), 6).as("avg_len"),
+        round(TextCols.uniqueRatio(col("text")), 6).as("uniq_ratio"))
+    }),
+
+    // --- quality scoring ---
+    "q_quality" -> ((s, dir) => {
+      Fixtures.documents(s, dir).select(col("doc_id"),
+        round(TextCols.qualityScore(col("text")), 6).as("score"))
+    }),
+
+    // --- heuristic language ID ---
+    "q_lang_id" -> ((s, dir) => {
+      Fixtures.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextCols.langId(col("text")).as("lang_pred"))
+    }),
+
+    // --- exact n-gram (token-set) Jaccard similarity join via prefix
+    //     filtering (perfect recall, no cartesian) ---
+    "q_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardJoin(Fixtures.documents(s, dir), 0.9)
+        .select(col("rid"), col("sid"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // --- MinHash+LSH near-dup (probabilistic recall; rows-only check,
+    //     recall vs exact Jaccard covered in PipelineOpsSpec) ---
+    "q_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashLsh(s, Fixtures.documents(s, dir), 0.5)
+        .select(col("rid"), col("sid"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // --- SimHash near-dup (banded Hamming blocking; rows-only) ---
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashDedup(s, Fixtures.documents(s, dir), maxHamming = 7)
+        .select(col("rid"), col("sid"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // --- brute-force cosine top-k (exact ANN baseline) ---
+    "q_cosine_topk" -> ((s, dir) => {
+      val embs = Fixtures.embeddings(s, dir)
+      val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+      val q = embs.filter(col("vec_id") === minId)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      Ann.bruteForceTopK(embs.filter(col("vec_id") =!= minId), q, 20)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+    }),
+
+    // --- exact embedding near-dup pairs (quadratic baseline) ---
+    "q_emb_neardup_exact" -> ((s, dir) => {
+      val e = Fixtures.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      val e2 = e.select(col("id").as("id_b"), col("v").as("v_b"))
+      e.crossJoin(e2).filter(col("id") < col("id_b"))
+        .select(col("id").as("rid"), col("id_b").as("sid"),
+          EmdCols.cosine(col("v"), col("v_b")).as("cosine"))
+        .filter(col("cosine") >= 0.45)
+        .select(col("rid"), col("sid"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // --- LSH-bucketed embedding near-dup (scale path; rows-only) ---
+    "q_emb_neardup_lsh" -> ((s, dir) => {
+      Dedup.embeddingNearDup(s, Fixtures.embeddings(s, dir), 0.45)
+        .select(col("rid"), col("sid"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // --- multimodal: binary payload + stub decode features ---
+    "q_multimodal" -> ((s, dir) => {
+      Multimodal.extractFeatures(s,
+        Multimodal.withPayload(Fixtures.documents(s, dir)))
+        .select(col("doc_id"), col("n_bytes"), round(col("entropy"), 6).as("entropy"))
+    }),
+
+    // --- event-stream tumbling-window aggregation ---
+    "q_events_window" -> ((s, dir) => {
+      Fixtures.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
     // --- normal fit + Hough + uniform grid cell id (P4/P5/P8/A1) ---
     "q_cell_assign" -> ((s, dir) => {
       val hists = Fixtures.quantityHists(s, dir)
@@ -201,6 +295,111 @@ object SparkEntry {
            |SELECT a.id AS rid, b.id AS sid, round(abs(a.mean - b.mean), 6) AS dist
            |FROM means a JOIN means b ON a.id < b.id
            |WHERE abs(a.mean - b.mean) <= $RubnerTheta""".stripMargin),
+
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |       min(doc_id) AS keeper, count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  cast(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  round(cast(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_len,
+        |  round(cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS uniq_ratio
+        |FROM documents""".stripMargin,
+
+    "q_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    list_distinct(string_split(text, ' ')) AS dtoks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, n_tokens, len(dtoks) AS n_distinct,
+        |    len(list_filter(['the','and','of','to','in','is','with','for'],
+        |        m -> list_contains(dtoks, m))) AS en_hits
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  round(least(cast(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 +
+        |        (cast(n_distinct AS DOUBLE) / n_tokens) * 0.4 +
+        |        least((cast(en_hits AS DOUBLE) / n_distinct) * 5.0, 1.0) * 0.3, 6) AS score
+        |FROM h""".stripMargin,
+
+    "q_lang_id" -> {
+      val hitExprs = TextCols.LangMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ",", "]")
+        s"len(list_filter($lst, m -> list_contains(dtoks, m))) AS ${lang}_hits"
+      }.mkString(",\n    ")
+      val best = TextCols.LangMarkers.map(l => s"${l._1}_hits").mkString("greatest(", ", ", ")")
+      val cases = TextCols.LangMarkers.map { case (lang, _) =>
+        s"WHEN ${lang}_hits > 0 AND ${lang}_hits = $best THEN '$lang'"
+      }.mkString("\n    ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS dtoks
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, lang,
+         |    $hitExprs
+         |  FROM t
+         |)
+         |SELECT doc_id, lang,
+         |  CASE $cases ELSE 'und' END AS lang_pred
+         |FROM h""".stripMargin
+    },
+
+    "q_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS rid, b.doc_id AS sid,
+        |  round(cast(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6) AS jaccard
+        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        |WHERE cast(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.9""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        |), scored AS (
+        |  SELECT e.vec_id AS id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+        |)
+        |SELECT id, round(cosine, 6) AS cosine FROM scored
+        |ORDER BY round(cosine, 6) DESC, id LIMIT 20""".stripMargin,
+
+    "q_emb_neardup_exact" ->
+      """SELECT a.vec_id AS rid, b.vec_id AS sid,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
+
+    "q_multimodal" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        |), buck AS (
+        |  SELECT doc_id, ascii(ch) // 32 AS b, cast(count(*) AS DOUBLE) AS c
+        |  FROM chars GROUP BY 1, 2
+        |), ent AS (
+        |  SELECT doc_id, round(-sum((c / n) * log2(c / n)), 6) AS entropy
+        |  FROM (SELECT doc_id, b, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM buck)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, cast(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+        |       e.entropy
+        |FROM documents d JOIN ent e ON d.doc_id = e.doc_id""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n,
+        |       round(cast(sum(value) AS DOUBLE), 6) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_cell_assign" ->
       (HistCte +

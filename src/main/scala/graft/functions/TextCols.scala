@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for large-scale training-data pipelines, all as
+  * pure Catalyst column expressions (codegen'd, DuckDB-oracle-compatible).
+  *
+  * These extend the engine beyond the reference's surface (SURVEY.md §2 has
+  * no text ops) with the operators an LLM-data pipeline needs: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  */
+object TextCols {
+
+  /** Whitespace tokens (single-space convention of the documents table). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Count of `markers` present in the distinct token set. Computed as a
+    * filter over the marker list so Spark and DuckDB agree exactly. */
+  def markerHits(text: Column, markers: Seq[String]): Column = {
+    val dt = distinctTokens(text)
+    size(filter(array(markers.map(lit): _*), m => array_contains(dt, m)))
+  }
+
+  /** Type-token ratio: distinct tokens / tokens (lexical diversity). */
+  def uniqueRatio(text: Column): Column =
+    size(distinctTokens(text)).cast("double") / size(tokens(text))
+
+  /** Mean token length in characters. */
+  def avgTokenLength(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / size(tokens(text))
+
+  /** Small function-word sets per language for the n-gram/marker heuristic
+    * language ID. Deterministic tie-break: first language in this order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "por", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "den", "von"),
+    "it" -> Seq("il", "la", "che", "di", "e", "per", "una", "sono"))
+
+  /** Heuristic language ID: language with the most marker hits; "und" when
+    * nothing matches. Ties resolve to the earliest language in LangMarkers. */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (lang, markers) =>
+      (lang, markerHits(text, markers))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.reverse.foldLeft(lit("und")) { case (acc, (lang, h)) =>
+      when(h > 0 && h === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Stopword ratio: distinct-stopword hits / distinct tokens (English
+    * function words; a standard quality signal). */
+  def stopwordRatio(text: Column): Column =
+    markerHits(text, LangMarkers.head._2).cast("double") /
+      size(distinctTokens(text))
+
+  /** Composite quality score in [0,1]: blends length saturation, lexical
+    * diversity, and stopword presence. Deterministic, oracle-expressible. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(size(tokens(text)).cast("double") / 100.0, lit(1.0))
+    val diversity = uniqueRatio(text)
+    val stop = least(stopwordRatio(text) * 5.0, lit(1.0))
+    lenScore * 0.3 + diversity * 0.4 + stop * 0.3
+  }
+
+  /** Canonical document fingerprint: md5 of the lower-cased,
+    * whitespace-collapsed text. Identical fingerprints = exact duplicates
+    * up to case/whitespace. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

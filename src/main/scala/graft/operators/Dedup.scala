@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import graft.functions.TextCols
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB regime: every variant is blocking + shuffled equijoin on a
+  * derived key (never a cartesian product), with exact verification after
+  * candidate generation where the semantics call for it.
+  *
+  * - exact: hash-groupBy on a canonical fingerprint
+  * - jaccardJoin: EXACT set-similarity self-join via prefix filtering
+  *   (the candidate key is a token prefix of length |set| - ceil(tau*|set|) + 1;
+  *   any pair with J >= tau must share a prefix token, so recall is 1.0)
+  * - minhashLsh: MinHash signatures + banded LSH bucketing, then exact
+  *   Jaccard verification of candidates (probabilistic recall, linear cost)
+  * - simhash: 64-bit SimHash + per-band bucketing for Hamming-distance
+  *   near-dups, verified exactly
+  * - embeddingNearDup: random-hyperplane LSH over embeddings + exact
+  *   cosine verification
+  */
+object Dedup {
+
+  /** Exact duplicate groups by canonical fingerprint: one row per distinct
+    * content, keeper = min id, n = group size. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.groupBy(TextCols.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n"))
+
+  /** Exact token-set Jaccard similarity self-join: all pairs with
+    * J(tokens(a), tokens(b)) >= tau, rid < sid.
+    *
+    * Prefix filtering: tokens are ranked by global document frequency
+    * (rarest first); each document emits its first
+    * |set| - ceil(tau * |set|) + 1 ranked tokens as candidate keys. Two
+    * documents with J >= tau share at least one prefix token (pigeonhole on
+    * the overlap bound), so the equijoin on prefix tokens has perfect
+    * recall; candidates are verified with the exact Jaccard. Rare-first
+    * ranking keeps candidate buckets small (frequency skew goes to the tail
+    * of the prefix, AQE splits what remains).
+    */
+  def jaccardJoin(docs: DataFrame, tau: Double, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      TextCols.distinctTokens(col(textCol)).as("toks"))
+    // global token document frequencies; docs order their tokens rarest
+    // first by (dfreq, tok) — no global ranking window, fully parallel
+    val dfreq = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val tokRanks = toks.select(col("id"), explode(col("toks")).as("tok"))
+      .join(dfreq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("tok")))).as("rt"))
+      .select(col("id"), transform(col("rt"), x => x.getField("tok")).as("sorted"),
+        size(col("rt")).as("len"))
+    // prefix length = len - ceil(tau*len) + 1
+    val prefixed = tokRanks.withColumn("plen",
+        (col("len") - ceil(col("len") * tau) + 1).cast("int"))
+      .select(col("id"), col("sorted"), col("len"),
+        explode(slice(col("sorted"), lit(1), col("plen"))).as("ptok"))
+    val cands = prefixed.as("a").join(prefixed.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("rid"), col("a.sorted").as("ta"), col("a.len").as("la"),
+        col("b.id").as("sid"), col("b.sorted").as("tb"), col("b.len").as("lb"))
+      .dropDuplicates("rid", "sid")
+    val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
+    cands
+      .withColumn("jaccard", inter / (col("la") + col("lb") - inter))
+      .filter(col("jaccard") >= tau)
+      .select(col("rid"), col("sid"), col("jaccard"))
+  }
+
+  /** Murmur-style 64-bit mix (splitmix64) — deterministic, seedable. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def shingleHashes(text: String, shingleSize: Int): Array[Long] = {
+    val toks = text.split(" ")
+    if (toks.length < shingleSize) Array(mix64(text.hashCode.toLong))
+    else Array.tabulate(toks.length - shingleSize + 1) { i =>
+      var h = 0L
+      var j = 0
+      while (j < shingleSize) { h = mix64(h ^ toks(i + j).hashCode.toLong); j += 1 }
+      h
+    }.distinct
+  }
+
+  /** MinHash signature: per hash function i, min over shingles of
+    * mix64(shingle ^ seed_i). */
+  private def minhashSig(shingles: Array[Long], numHashes: Int, seed: Long): Array[Long] =
+    Array.tabulate(numHashes) { i =>
+      val si = mix64(seed + i)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < shingles.length) {
+        val h = mix64(shingles(j) ^ si)
+        if (h < m) m = h
+        j += 1
+      }
+      m
+    }
+
+  /** MinHash + LSH near-duplicate pairs: signatures of `numHashes` hashes
+    * split into `bands`; docs sharing any band bucket become candidates;
+    * candidates verified with exact shingle Jaccard >= tau.
+    * One shuffle on (band, bucketHash); no cartesian. */
+  def minhashLsh(spark: SparkSession, docs: DataFrame, tau: Double,
+                 numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+                 seed: Long = 42L,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val rows = bands
+    val perBand = numHashes / bands
+    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val sh = shingleHashes(text, shingleSize)
+          (id, sh, minhashSig(sh, numHashes, seed))
+        }
+      }.toDF("id", "shingles", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("id"), col("shingles"),
+        posexplode(array((0 until rows).map { b =>
+          struct(lit(b).as("band"),
+            hash((0 until perBand).map(i => col("sig")(b * perBand + i)): _*)
+              .as("bucket"))
+        }: _*)))
+      .select(col("id"), col("shingles"),
+        col("col.band").as("band"), col("col.bucket").as("bucket"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("rid"), col("a.shingles").as("sa"),
+        col("b.id").as("sid"), col("b.shingles").as("sb"))
+      .dropDuplicates("rid", "sid")
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    cands
+      .withColumn("jaccard", inter /
+        (size(col("sa")) + size(col("sb")) - inter))
+      .filter(col("jaccard") >= tau)
+      .select(col("rid"), col("sid"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token multiset. */
+  private def simhash64(text: String): Long = {
+    val counts = new java.util.HashMap[String, Int]()
+    text.split(" ").foreach(t => counts.merge(t, 1, _ + _))
+    val acc = new Array[Int](64)
+    counts.forEach { (tok, c) =>
+      val h = mix64(tok.hashCode.toLong)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += c else acc(b) -= c
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dups: pairs with Hamming distance <= maxHamming.
+    * Blocking: split 64 bits into maxHamming+1 bands — any qualifying pair
+    * matches exactly on at least one band (pigeonhole), so the band
+    * equijoin has perfect recall; verified with exact popcount. */
+  def simhashDedup(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(text)) }
+      .toDF("id", "sim")
+    val banded = sigs.select(col("id"), col("sim"), explode(array(
+      (0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sim"), b * width)
+            .bitwiseAND(lit(if (b == nBands - 1) -1L >>> (b * width) else (1L << width) - 1))
+            .as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sim"), col("bb.band"), col("bb.bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("rid"), col("a.sim").as("simA"),
+        col("b.id").as("sid"), col("b.sim").as("simB"))
+      .dropDuplicates("rid", "sid")
+      .withColumn("hamming", bit_count(col("simA").bitwiseXOR(col("simB"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("rid"), col("sid"), col("hamming"))
+  }
+
+  /** Embedding near-duplicates: random-hyperplane LSH buckets (sign
+    * sketch over `planes` seeded hyperplanes, banded), candidates verified
+    * with exact cosine >= tau. */
+  def embeddingNearDup(spark: SparkSession, embs: DataFrame, tau: Double,
+                       planes: Int = 16, bands: Int = 4, seed: Long = 42L,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val dims = embs.select(size(col(vecCol))).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val hyper = Array.fill(planes, dims)(rnd.nextGaussian())
+    val hyperB = spark.sparkContext.broadcast(hyper)
+    val sigs = embs.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val h = hyperB.value
+        var sig = 0L
+        var p = 0
+        while (p < h.length) {
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += v(i) * h(p)(i); i += 1 }
+          if (dot >= 0) sig |= (1L << p)
+          p += 1
+        }
+        (id, v, sig)
+      }.toDF("id", "v", "sig")
+    val width = planes / bands
+    val banded = sigs.select(col("id"), col("v"), explode(array(
+      (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("v"), col("bb.band"), col("bb.bucket"))
+    val cos = {
+      val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+      val na = sqrt(aggregate(col("va"), lit(0.0), (a, x) => a + x * x))
+      val nb = sqrt(aggregate(col("vb"), lit(0.0), (a, x) => a + x * x))
+      dot / (na * nb)
+    }
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("rid"), col("a.v").as("va"),
+        col("b.id").as("sid"), col("b.v").as("vb"))
+      .dropDuplicates("rid", "sid")
+      .withColumn("cosine", cos)
+      .filter(col("cosine") >= tau)
+      .select(col("rid"), col("sid"), col("cosine"))
+  }
+}

@@ -39,8 +39,14 @@ object Fixtures {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  def events(spark: SparkSession, dir: String): DataFrame =
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
+    * default; read nanos as long and convert (integer division — a double
+    * roundtrip would lose precision at 2024-epoch nanos). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Long-format histograms: (id, bin, w) with dense bins and normalized
     * weights (sum to 1 per id). Deterministic; zero bins included. */
