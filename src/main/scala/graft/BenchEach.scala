@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic: per-query wall-clock, printed as each completes. */
+object BenchEach {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val only = args.headOption
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (only.forall(_ == name)) {
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch { case e: Throwable => println(s"ERR $name ${e.getMessage}"); -1L }
+        println(f"TIMING $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -170,15 +170,9 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
-    // --- exact embedding near-dup pairs (quadratic baseline) ---
+    // --- exact embedding near-dup pairs (broadcast quadratic baseline) ---
     "q_emb_neardup_exact" -> ((s, dir) => {
-      val e = Fixtures.embeddings(s, dir)
-        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
-      val e2 = e.select(col("id").as("id_b"), col("v").as("v_b"))
-      e.crossJoin(e2).filter(col("id") < col("id_b"))
-        .select(col("id").as("rid"), col("id_b").as("sid"),
-          EmdCols.cosine(col("v"), col("v_b")).as("cosine"))
-        .filter(col("cosine") >= 0.45)
+      Ann.cosineAllPairsExact(s, Fixtures.embeddings(s, dir), 0.45)
         .select(col("rid"), col("sid"), round(col("cosine"), 6).as("cosine"))
     }),
 

@@ -43,6 +43,53 @@ object Ann {
       .select(col("qid"), col("id"), col("cosine"), col("rank"))
   }
 
+  /** Exact all-pairs cosine threshold join — the quadratic baseline for
+    * near-dup detection. One side is collected and broadcast (norms
+    * precomputed), the probe side streams through primitive JVM loops —
+    * no per-pair array allocation. For data too large to broadcast, use
+    * Dedup.embeddingNearDup (LSH) — this operator IS the small-side/
+    * verification baseline. */
+  def cosineAllPairsExact(spark: SparkSession, embs: DataFrame, tau: Double,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val all = embs.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val norms = all.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val allB = spark.sparkContext.broadcast(all)
+    val normsB = spark.sparkContext.broadcast(norms)
+    val idsDf = embs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    idsDf.as[(Long, Array[Double])].mapPartitions { it =>
+      val ref = allB.value
+      val refNorms = normsB.value
+      it.flatMap { case (id, v) =>
+        var myNorm = 0.0
+        var i = 0
+        while (i < v.length) { myNorm += v(i) * v(i); i += 1 }
+        val nv = math.sqrt(myNorm)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var j = 0
+        while (j < ref.length) {
+          if (ref(j)._1 > id) {
+            val rv = ref(j)._2
+            var dot = 0.0
+            var k = 0
+            while (k < v.length) { dot += v(k) * rv(k); k += 1 }
+            val cos = dot / (nv * refNorms(j))
+            if (cos >= tau) out += ((id, ref(j)._1, cos))
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("rid", "sid", "cosine")
+  }
+
   /** Deterministic seeded k-means (Lloyd, fixed iterations) for the IVF
     * coarse quantizer. Runs on a sample collected to the driver — centroid
     * count and sample are O(sqrt N), not data-sized. */

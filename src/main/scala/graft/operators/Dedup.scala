@@ -43,13 +43,30 @@ object Dedup {
     */
   def jaccardJoin(docs: DataFrame, tau: Double, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
+    // Dedup-first: identical token SETS collapse to one representative, so
+    // all pairwise similarity math runs on distinct sets (training corpora
+    // are duplicate-heavy — that is the point of this operator); qualifying
+    // set pairs expand back to document pairs at the end with no math.
     val toks = docs.select(col(idCol).as("id"),
-      TextCols.distinctTokens(col(textCol)).as("toks"))
-    // global token document frequencies; docs order their tokens rarest
-    // first by (dfreq, tok) — no global ranking window, fully parallel
-    val dfreq = toks.select(explode(col("toks")).as("tok"))
+      sort_array(TextCols.distinctTokens(col(textCol))).as("key"))
+    val groups = toks.groupBy(col("key"))
+      .agg(collect_list(col("id")).as("members"), min(col("id")).as("gid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // intra-group pairs: identical sets, J = 1 >= tau always
+    val intra = groups.select(col("members"))
+      .select(explode(col("members")).as("rid"), col("members"))
+      .select(col("rid"), explode(col("members")).as("sid"))
+      .filter(col("rid") < col("sid"))
+      .withColumn("jaccard", lit(1.0))
+
+    // inter-group: prefix-filter join over DISTINCT sets. Sets order their
+    // tokens rarest first by (set-frequency, tok) — no global ranking
+    // window, fully parallel.
+    val sets = groups.select(col("gid").as("id"), col("key").as("toks"))
+    val dfreq = sets.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("dfreq"))
-    val tokRanks = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val tokRanks = sets.select(col("id"), explode(col("toks")).as("tok"))
       .join(dfreq, "tok")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("dfreq"), col("tok")))).as("rt"))
@@ -60,16 +77,33 @@ object Dedup {
         (col("len") - ceil(col("len") * tau) + 1).cast("int"))
       .select(col("id"), col("sorted"), col("len"),
         explode(slice(col("sorted"), lit(1), col("plen"))).as("ptok"))
+    // size filter before verification: tau*|a| <= |b| <= |a|/tau
     val cands = prefixed.as("a").join(prefixed.as("b"),
-        col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("rid"), col("a.sorted").as("ta"), col("a.len").as("la"),
-        col("b.id").as("sid"), col("b.sorted").as("tb"), col("b.len").as("lb"))
-      .dropDuplicates("rid", "sid")
+        col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id") &&
+          col("b.len") * tau <= col("a.len") && col("a.len") * tau <= col("b.len"))
+      .select(col("a.id").as("ga"), col("a.sorted").as("ta"), col("a.len").as("la"),
+        col("b.id").as("gb"), col("b.sorted").as("tb"), col("b.len").as("lb"))
+      .dropDuplicates("ga", "gb")
     val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
-    cands
+    val interSets = cands
       .withColumn("jaccard", inter / (col("la") + col("lb") - inter))
       .filter(col("jaccard") >= tau)
-      .select(col("rid"), col("sid"), col("jaccard"))
+      .select(col("ga"), col("gb"), col("jaccard"))
+
+    // expand qualifying set pairs to doc pairs (pure joins + explodes)
+    val membersByGid = groups.select(col("gid"), col("members"))
+    val inter2 = interSets
+      .join(membersByGid.withColumnRenamed("gid", "ga")
+        .withColumnRenamed("members", "ma"), "ga")
+      .join(membersByGid.withColumnRenamed("gid", "gb")
+        .withColumnRenamed("members", "mb"), "gb")
+      .select(explode(col("ma")).as("ida"), col("mb"), col("jaccard"))
+      .select(col("ida"), explode(col("mb")).as("idb"), col("jaccard"))
+      .select(least(col("ida"), col("idb")).as("rid"),
+        greatest(col("ida"), col("idb")).as("sid"), col("jaccard"))
+
+    intra.select(col("rid"), col("sid"), col("jaccard"))
+      .union(inter2)
   }
 
   /** Murmur-style 64-bit mix (splitmix64) — deterministic, seedable. */

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.{Emd, HistOps}
+import graft.operators.MelodyJoin
+
+/** Structured-Streaming operators.
+  *
+  * The reference is batch-only (SURVEY.md §1.3); these are the natural
+  * streaming extensions of its query surface plus the event-pipeline
+  * staples: windowed aggregation with watermarks, stateful
+  * sessionization via mapGroupsWithState, and a streaming EMD similarity
+  * join of a histogram stream against a static indexed side (foreachBatch
+  * would be the sink-side variant; here the join itself is expressed on
+  * the streaming Dataset so it scales with the micro-batch).
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per event type with a watermark for state
+    * eviction — the streaming twin of the q_events_window batch query. */
+  def windowedEventAgg(events: DataFrame, window_ : String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double,
+                                 sessionClosed: Boolean)
+  final case class SessionState(nEvents: Long, totalValue: Double,
+                                        lastTs: Long)
+
+  /** Stateful sessionization: per-user running session (count + value sum)
+    * that closes after `gap` of event-time inactivity — custom state via
+    * mapGroupsWithState with EVENT-time timeout. Event time + watermark
+    * (not processing time) keeps replays deterministic and avoids
+    * wall-clock-driven empty micro-batches. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "1 hour"): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](
+        GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, s.nEvents, s.totalValue, sessionClosed = true)
+          } else {
+            val buf = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val next = SessionState(
+              prev.nEvents + buf.size,
+              prev.totalValue + buf.map(_._3).sum,
+              math.max(prev.lastTs,
+                if (buf.nonEmpty) buf.map(_._2.getTime).max else 0L))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs + gapMs)
+            SessionUpdate(userId, next.nEvents, next.totalValue, sessionClosed = false)
+          }
+      }
+  }
+
+  /** Streaming EMD filter: match each incoming histogram (id, weights)
+    * against a static, broadcast reference set; emit (streamId, refId,
+    * dist) for pairs within theta. The static side's cost matrix and
+    * cascade config are broadcast once; per micro-batch work is a
+    * mapPartitions over the batch — the streaming analog of J1's probe
+    * side. */
+  def streamingEmdMatch(spark: SparkSession, histStream: DataFrame,
+                        staticRefs: Array[(Long, Array[Double])],
+                        cfg: MelodyJoin.Config, theta: Double): DataFrame = {
+    import spark.implicits._
+    val refsB = spark.sparkContext.broadcast(
+      staticRefs.map { case (id, w) => (id, HistOps.normalize(w)) })
+    val cfgB = spark.sparkContext.broadcast(cfg)
+    histStream.select(col("id").cast("long").as("id"),
+        col("weights").cast("array<double>").as("weights"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val refs = refsB.value
+        val c = cfgB.value
+        it.flatMap { case (id, w0) =>
+          val w = HistOps.normalize(w0)
+          refs.iterator.flatMap { case (rid, rw) =>
+            // cheap projection prune then exact
+            val pruned = c.projBins.exists(pb => Emd.emd1d(w, rw, pb) > theta)
+            if (pruned) None
+            else {
+              val d = Emd.exact(w, rw, c.cost)
+              if (d <= theta) Some((id, rid, d)) else None
+            }
+          }
+        }
+      }.toDF("stream_id", "ref_id", "dist")
+  }
+}

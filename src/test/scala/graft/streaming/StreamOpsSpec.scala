@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured-Streaming operator tests over MemoryStream micro-batches. */
+class StreamOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("stream-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.streaming.checkpointLocation",
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("windowed event aggregation over a stream matches batch semantics") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamOps.windowedEventAgg(events, "1 hour", "2 hours")
+    val query = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("update").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:45:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 11:05:00")
+    mem.addData((t0, "click", 1.0), (t1, "click", 2.0), (t2, "view", 5.0))
+    query.processAllAvailable()
+    val rows = spark.sql("select * from winagg").collect()
+    query.stop()
+    val clicks = rows.find(r => r.getString(1) == "click").get
+    assert(clicks.getLong(2) == 2L)
+    assert(math.abs(clicks.getDouble(3) - 3.0) < 1e-9)
+    assert(rows.exists(r => r.getString(1) == "view" && r.getLong(2) == 1L))
+  }
+
+  test("stateful sessionization accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val sess = StreamOps.sessionize(spark, events)
+    val query = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    def ts(m: String) = java.sql.Timestamp.valueOf(m)
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:01:00"), 2.0),
+      (2L, ts("2024-01-01 10:02:00"), 5.0))
+    query.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 10:05:00"), 3.0))
+    query.processAllAvailable()
+    val rows = spark.sql("select * from sessions").collect()
+    query.stop()
+    val u1 = rows.filter(_.getLong(0) == 1L).maxBy(_.getLong(1))
+    assert(u1.getLong(1) == 3L, s"user1 events ${u1.getLong(1)}")
+    assert(math.abs(u1.getDouble(2) - 6.0) < 1e-9)
+    assert(rows.exists(r => r.getLong(0) == 2L && r.getLong(1) == 1L))
+  }
+
+  test("streaming EMD match against static refs emits within-theta pairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = graft.SparkEntry.melodyCfg1d
+    val refs: Array[(Long, Array[Double])] = Array(
+      (100L, Array(1.0, 0, 0, 0, 0, 0, 0, 0)),
+      (200L, Array(0, 0, 0, 0, 0, 0, 0, 1.0)))
+    val mem = MemoryStream[(Long, Array[Double])]
+    val stream = mem.toDF().toDF("id", "weights")
+    val matched = StreamOps.streamingEmdMatch(spark, stream, refs, cfg, theta = 1.5)
+    val query = matched.writeStream.format("memory").queryName("emdmatch")
+      .outputMode("append").start()
+    mem.addData((1L, Array(0.5, 0.5, 0, 0, 0, 0, 0, 0)), // close to ref 100
+      (2L, Array(0, 0, 0, 0, 0, 0, 0.5, 0.5))) // close to ref 200
+    query.processAllAvailable()
+    val rows = spark.sql("select * from emdmatch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    query.stop()
+    assert(rows.contains((1L, 100L, 0.5)))
+    assert(rows.contains((2L, 200L, 0.5)))
+    // far pairs (dist 6.5) must be pruned by theta=1.5
+    assert(!rows.exists { case (s, r, _) => (s, r) == (1L, 200L) || (s, r) == (2L, 100L) })
+  }
+}
