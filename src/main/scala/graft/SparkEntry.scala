@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.Fixtures
 import graft.functions.{EmdCols, TextCols}
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, Dedup, Ann, Multimodal}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -91,6 +91,14 @@ object SparkEntry {
     "q_melody1d_pairs" -> ((s, dir) => {
       val hists = Fixtures.quantityHists(s, dir)
       MelodyJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // --- pivot-partition MRSimJoin engine, 1-D (J3; same DuckDB oracle
+    //     as the melody engine - engines are answer-equivalent) ---
+    "q_mrsim1d_pairs" -> ((s, dir) => {
+      val hists = Fixtures.quantityHists(s, dir)
+      MrSimJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)
         .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
     }),
 
@@ -278,6 +286,10 @@ object SparkEntry {
            | ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
 
     "q_melody1d_pairs" ->
+      (EmdCte +
+        s" SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= $Theta"),
+
+    "q_mrsim1d_pairs" ->
       (EmdCte +
         s" SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= $Theta"),
 

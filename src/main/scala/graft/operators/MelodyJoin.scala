@@ -407,19 +407,50 @@ object MelodyJoin {
     crossPairs.union(innerPairs).toDF("rid", "sid", "dist")
   }
 
-  /** Top-k join: sampled global upper bound (D14) then threshold join +
-    * global bounded-heap top-k (TakeOrderedAndProject). */
+  /** Top-k join: global upper bound from two sources, then threshold join
+    * + global bounded-heap top-k (TakeOrderedAndProject).
+    *
+    * Bound 1 (D14): k-th smallest exact EMD among a collected sample's
+    * pairs (reference: HistUtil.getKEmd:641-652).
+    * Bound 2 (A6, strengthened): greedy-flow upper bounds from EVERY
+    * record to each sampled reference — each (record, ref) flow is a
+    * feasible pair distance, so the k-th smallest flow bounds the k-th
+    * best pair. The reference aggregated these per cell
+    * (NESpaceReducer.java:101-115); computing them per record is tighter
+    * and stays fully distributed (one narrow pass + TakeOrdered(k)). */
   def topKJoin(spark: SparkSession, hists: DataFrame, k: Int, cfg: Config,
-               sampleSize: Int = 64): DataFrame = {
+               sampleSize: Int = 64, numRefs: Int = 8): DataFrame = {
     import spark.implicits._
     val sample = hists.select("id", "weights").as[(Long, Array[Double])]
       .orderBy(col("id")).limit(sampleSize).collect()
+      .map { case (id, w) => (id, HistOps.normalize(w)) }
     val dists = for {
       i <- sample.indices; j <- sample.indices if i < j
-    } yield Emd.exact(HistOps.normalize(sample(i)._2),
-      HistOps.normalize(sample(j)._2), cfg.cost)
+    } yield Emd.exact(sample(i)._2, sample(j)._2, cfg.cost)
     val sorted = dists.sorted
-    val ub = if (sorted.length >= k) sorted(k - 1) else Double.MaxValue
+    val sampleUb = if (sorted.length >= k) sorted(k - 1) else Double.MaxValue
+
+    val refs = sample.take(numRefs)
+    val refsB = spark.sparkContext.broadcast(refs)
+    val cfgB = spark.sparkContext.broadcast(cfg)
+    val nearestB = spark.sparkContext.broadcast(
+      Emd.nearestOrders(cfg.cost, cfg.numBins))
+    val flowUbs = hists.select("id", "weights").as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val c = cfgB.value
+        val near = nearestB.value
+        it.flatMap { case (id, w0) =>
+          val w = HistOps.normalize(w0)
+          refsB.value.iterator.collect {
+            case (rid, rw) if rid != id => Emd.greedyFlow(w, rw, near, c.cost)
+          }
+        }
+      }.toDF("ub")
+      .orderBy(col("ub")).limit(k).collect()
+    // valid only if k flows exist (k pairs guaranteed within the k-th flow)
+    val flowUb = if (flowUbs.length >= k) flowUbs.last.getDouble(0) else Double.MaxValue
+
+    val ub = math.min(sampleUb, flowUb)
     thresholdJoin(spark, hists, ub + 1e-9, cfg)
       .orderBy(col("dist"), col("rid"), col("sid"))
       .limit(k)

@@ -58,6 +58,18 @@ class MelodyJoinSpec extends AnyFunSuite {
     assert(base == melody, s"top-k mismatch: base=$base melody=$melody")
   }
 
+  test("mrsim pivot engine == baseline on random histograms") {
+    val hists = randomHists(100, 8, seed = 19)
+    val theta = 0.3
+    val base = BaselineJoin.thresholdJoin(spark, hists, theta, cfg3d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mrsim = MrSimJoin.thresholdJoin(spark, hists, theta, cfg3d, numPivots = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.nonEmpty)
+    assert(base == mrsim,
+      s"missed=${(base -- mrsim).size} extra=${(mrsim -- base).size}")
+  }
+
   test("melody join on derived 3-d testdata histograms matches baseline") {
     val hists = graft.sources.Fixtures.tripleHists(spark, "/root/testdata/sf0.001")
     val theta = 0.08
