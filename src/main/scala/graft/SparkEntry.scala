@@ -134,6 +134,19 @@ object SparkEntry {
         round(TextCols.uniqueRatio(col("text")), 6).as("uniq_ratio"))
     }),
 
+    // --- BPE-ish subword token counting (regex pre-tokenizer) ---
+    "q_bpe_tokens" -> ((s, dir) => {
+      Fixtures.documents(s, dir).select(col("doc_id"),
+        TextCols.bpeishTokenCount(col("text")).cast("long").as("n_bpe"))
+    }),
+
+    // --- rolling-hash (order-sensitive) document fingerprint; rows-only
+    //     (no crc32 in DuckDB), determinism covered in PipelineOpsSpec ---
+    "q_rolling_fp" -> ((s, dir) => {
+      Fixtures.documents(s, dir).select(col("doc_id"),
+        TextCols.rollingHash(col("text")).as("fp"))
+    }),
+
     // --- quality scoring ---
     "q_quality" -> ((s, dir) => {
       Fixtures.documents(s, dir).select(col("doc_id"),
@@ -313,6 +326,11 @@ object SparkEntry {
         |  cast(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
         |  round(cast(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_len,
         |  round(cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 6) AS uniq_ratio
+        |FROM documents""".stripMargin,
+
+    "q_bpe_tokens" ->
+      """SELECT doc_id,
+        |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
 
     "q_quality" ->

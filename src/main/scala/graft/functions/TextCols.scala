@@ -75,4 +75,24 @@ object TextCols {
     * up to case/whitespace. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** BPE-ish subword tokenization: letter runs, digit runs, and
+    * punctuation runs (the GPT-2 pre-tokenizer shape without merges).
+    * Kept to a regex subset with identical semantics in Spark (Java regex)
+    * and DuckDB (RE2) so it is oracle-checkable. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
+  /** Rolling polynomial fingerprint of the token sequence (base-31 over
+    * token CRCs mod the Mersenne prime 2^31-1) — an order-sensitive
+    * content signature, unlike the set-based md5 fingerprint. The modulus
+    * keeps every step well inside long range (ANSI-safe). Pure Catalyst
+    * fold. */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(7919L),
+      (acc, t) => pmod(acc * lit(31L) + crc32(t.cast("binary")), lit(2147483647L)))
 }

@@ -66,6 +66,33 @@ object Dedup {
     val sets = groups.select(col("gid").as("id"), col("key").as("toks"))
     val dfreq = sets.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("dfreq"))
+
+    // Fast path: vocabulary fits one 64-bit word -> each distinct set is a
+    // bitmask and Jaccard is two popcounts; the (distinct x distinct)
+    // scalar comparison beats prefix-filter bucketing by an order of
+    // magnitude at this cardinality. Generic prefix path otherwise.
+    val vocab = dfreq.select(col("tok")).orderBy(col("tok")).collect().map(_.getString(0))
+    if (vocab.length <= 64) {
+      val vocabIdx = vocab.zipWithIndex.toMap
+      val session = docs.sparkSession
+      import session.implicits._
+      val idxB = session.sparkContext.broadcast(vocabIdx)
+      val masks = groups.select(col("gid"), col("key"))
+        .as[(Long, Seq[String])]
+        .map { case (gid, key) =>
+          val m = key.foldLeft(0L)((acc, t) => acc | (1L << idxB.value(t)))
+          (gid, m)
+        }.toDF("gid", "mask")
+      val mb = masks.select(col("gid").as("gb"), col("mask").as("maskB"))
+      val interBits = bit_count(col("mask").bitwiseAND(col("maskB"))).cast("double")
+      val unionBits = bit_count(col("mask").bitwiseOR(col("maskB"))).cast("double")
+      val interSets = masks.crossJoin(mb)
+        .filter(col("gid") < col("gb"))
+        .withColumn("jaccard", interBits / unionBits)
+        .filter(col("jaccard") >= tau)
+        .select(col("gid").as("ga"), col("gb"), col("jaccard"))
+      return expandGroupPairs(intra, interSets, groups)
+    }
     val tokRanks = sets.select(col("id"), explode(col("toks")).as("tok"))
       .join(dfreq, "tok")
       .groupBy("id")
@@ -90,7 +117,13 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("ga"), col("gb"), col("jaccard"))
 
-    // expand qualifying set pairs to doc pairs (pure joins + explodes)
+    expandGroupPairs(intra, interSets, groups)
+  }
+
+  /** Expand qualifying (set, set) pairs to document pairs via member-list
+    * joins + explodes (no per-pair math), union with intra-set pairs. */
+  private def expandGroupPairs(intra: DataFrame, interSets: DataFrame,
+                               groups: DataFrame): DataFrame = {
     val membersByGid = groups.select(col("gid"), col("members"))
     val inter2 = interSets
       .join(membersByGid.withColumnRenamed("gid", "ga")
@@ -101,7 +134,6 @@ object Dedup {
       .select(col("ida"), explode(col("mb")).as("idb"), col("jaccard"))
       .select(least(col("ida"), col("idb")).as("rid"),
         greatest(col("ida"), col("idb")).as("sid"), col("jaccard"))
-
     intra.select(col("rid"), col("sid"), col("jaccard"))
       .union(inter2)
   }

@@ -322,14 +322,18 @@ object MelodyJoin {
       val cs = summaries(s)
       if (cs.combo > ownCombo) {
         var ok = true
-        // dual range prune (DualBound.getRange semantics)
+        // dual range prune (DualBound.getRange semantics) — cheap lookups
         var k = 0
         while (ok && k < duals.length) {
           val (lo, hi) = duals(k).range(weights, theta)
           if (cs.dualKeyMin(k) > hi || cs.dualKeyMax(k) < lo) ok = false
           k += 1
         }
-        // EMD_BR per vector
+        // Rubner box prune — a d-dim clamp, far cheaper than EMD_BR's
+        // normal-CDF integrals, so it runs before them (cheapest-first
+        // cascade ordering, same answer)
+        if (ok && Emd.rubnerBox(rubner, cs.rubnerLo, cs.rubnerHi) > theta) ok = false
+        // EMD_BR per vector — the expensive, sharpest cell bound last
         var j = 0
         while (ok && j < cfg.numVectors) {
           val recMb = Array(mb(2 * j), mb(2 * j + 1))
@@ -339,8 +343,6 @@ object MelodyJoin {
           if (br > theta) ok = false
           j += 1
         }
-        // Rubner box prune
-        if (ok && Emd.rubnerBox(rubner, cs.rubnerLo, cs.rubnerHi) > theta) ok = false
         if (ok) out += cs.combo
       }
       s += 1
