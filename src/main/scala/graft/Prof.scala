@@ -1,0 +1,50 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.MelodyJoin
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = SparkEntry.melodyCfg3d
+    val hists = graft.sources.Fixtures.tripleHists(spark, "/root/testdata/sf0.1")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println("hists " + hists.count())
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"STAGE $name%-12s ${(System.nanoTime()-t0)/1e9}%7.2f s"); r
+    }
+    val grids = time("grids") { MelodyJoin.buildGrids(spark, hists, cfg) }
+    val duals = time("duals") { MelodyJoin.buildDuals(spark, hists, cfg) }
+    val enriched = time("enrich") {
+      val e = MelodyJoin.enrich(spark, hists, cfg, grids, duals)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count(); e
+    }
+    val summaries = time("summarize") { MelodyJoin.summarize(enriched, cfg) }
+    println("combos " + summaries.length + " maxCount " + summaries.map(_.count).max)
+    import spark.implicits._
+    val theta = 0.08
+    val cfgB = spark.sparkContext.broadcast(cfg)
+    val gridsB = spark.sparkContext.broadcast(grids)
+    val dualsB = spark.sparkContext.broadcast(duals)
+    val sumB = spark.sparkContext.broadcast(summaries)
+    val nGuests = time("guestEnum") {
+      enriched.mapPartitions { it =>
+        val c = cfgB.value
+        it.map { r => MelodyJoin.guestCombosPublic(r, c, gridsB.value, dualsB.value, sumB.value, theta).length.toLong }
+      }.reduce(_ + _)
+    }
+    println("guest copies " + nGuests)
+    // native x native pair count
+    val comboCounts = summaries.map(s => (s.count * (s.count - 1)) / 2).sum
+    println("intra pairs " + comboCounts)
+    val full = time("fullJoin") {
+      MelodyJoin.thresholdJoin(spark, hists, theta, cfg).count()
+    }
+    println("pairs " + full)
+    spark.stop()
+  }
+}

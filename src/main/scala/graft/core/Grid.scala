@@ -133,6 +133,38 @@ final class SkewedGrid(
     dir
   }
 
+  /** Direction from precomputed record intercept counts (countSW/countSE
+    * evaluated ONCE per record, not per candidate cell) — same result as
+    * locate(). isCorner = record coincides with a domain corner (the
+    * reference's special case forcing Inner). */
+  def locateByCounts(recSW: Int, recSE: Int, isCorner: Boolean, gridId: Int): Direction = {
+    if (isCorner) return Direction.Inner
+    val sw = recSW - gridId % sideNum
+    val se = recSE - gridId / sideNum
+    if (sw > 0 && se > 0) Direction.Northern
+    else if (sw > 0 && se == 0) Direction.Northwestern
+    else if (sw > 0 && se < 0) Direction.Western
+    else if (sw == 0 && se > 0) Direction.Northeastern
+    else if (sw == 0 && se < 0) Direction.Southwestern
+    else if (sw < 0 && se > 0) Direction.Eastern
+    else if (sw < 0 && se == 0) Direction.Southeastern
+    else if (sw < 0 && se < 0) Direction.Southern
+    else Direction.Inner
+  }
+
+  /** Record-is-domain-corner test (reference: Grid.locateRecordToGrid
+    * epsilon special case). */
+  def isDomainCorner(point: Array[Double]): Boolean = {
+    val eps = 1e-6
+    (math.abs(point(0) - domain(0)) <= eps && math.abs(point(1) - domain(2)) <= eps) ||
+      (math.abs(point(0) - domain(1)) <= eps && math.abs(point(1) - domain(3)) <= eps)
+  }
+
+  /** All cell corner bounds, memoized (sideNum^2 entries — candidate
+    * enumeration hits these hundreds of millions of times). */
+  lazy val cellBounds: Array[Array[Double]] =
+    Array.tabulate(sideNum * sideNum)(cellBound)
+
   /** Lower and upper corner points of a cell: (loX, loY, hiX, hiY).
     * Reference behavior: Grid.getGrid:844-877 + QuantileGrid:57-69. */
   def cellBound(gridId: Int): Array[Double] = {

@@ -50,6 +50,30 @@ object MelodyJoin {
     /** (tMin, tMax) per vector. */
     val tRange: Array[(Double, Double)] = projBins.map(pb => (pb.min, pb.max))
     val cost: Array[Double] = Emd.costMatrix(bins, dimension, GroundDist.L2)
+    /** Per vector: bin order sorted by projected position + consecutive
+      * gaps — the 1-D EMD then needs one allocation-free pass (the
+      * TreeMap-based general form costs ~10x in the pair cascade). */
+    val projOrder: Array[Array[Int]] =
+      projBins.map(pb => Array.range(0, numBins).sortBy(i => (pb(i), i)))
+    val projGaps: Array[Array[Double]] = Array.tabulate(numVectors) { j =>
+      val pb = projBins(j); val ord = projOrder(j)
+      Array.tabulate(numBins - 1)(i => pb(ord(i + 1)) - pb(ord(i)))
+    }
+
+    /** 1-D EMD of two normalized weight arrays on vector j's projection:
+      * integral of |CDF difference| via the precomputed order and gaps.
+      * Equals Emd.emd1d(wa, wb, projBins(j)) for normalized inputs. */
+    def proj1dEmd(j: Int, wa: Array[Double], wb: Array[Double]): Double = {
+      val ord = projOrder(j); val gaps = projGaps(j)
+      var run = 0.0; var total = 0.0
+      var i = 0
+      while (i < gaps.length) {
+        run += wa(ord(i)) - wb(ord(i))
+        total += math.abs(run) * gaps(i)
+        i += 1
+      }
+      total
+    }
   }
 
   private val ErrLen: Config => Int = cfg => 2 * cfg.numIntervals + 1
@@ -284,7 +308,7 @@ object MelodyJoin {
     def emdIfCandidate(wa: Array[Double], wb: Array[Double], theta: Double): Double = {
       var j = 0
       while (j < cfg.numVectors) {
-        if (Emd.emd1d(wa, wb, cfg.projBins(j)) > theta) return -1.0
+        if (cfg.proj1dEmd(j, wa, wb) > theta) return -1.0
         j += 1
       }
       var k = 0
@@ -306,16 +330,78 @@ object MelodyJoin {
   /** Candidate-cell enumeration for one record against all cell summaries
     * (reference: Grid.getGuestWithDual:352-457). Returns combos > own combo
     * that survive dual-range, EMD_BR and Rubner-box pruning. */
+  def guestCombosPublic(rec: Row, cfg: Config, grids: Array[SkewedGrid],
+      duals: Array[DualBound], summaries: Array[CellSummary], theta: Double): Array[Long] =
+    guestCombos(rec, cfg, grids, duals, summaries,
+      vectorCellEnvelopes(summaries, cfg), theta)
+
   private def guestCombos(
       rec: Row, cfg: Config, grids: Array[SkewedGrid],
       duals: Array[DualBound], summaries: Array[CellSummary],
+      perVectorEnv: Array[Array[Array[Double]]],
       theta: Double): Array[Long] = {
     val ownCombo = rec.getLong(2)
     val mb = rec.getSeq[Double](3).toArray
     val errors = rec.getSeq[Double](4).toArray
-    val weights = rec.getSeq[Double](1).toArray
+    val dualKeys = rec.getSeq[Double](5).toArray
+    val dualCKeys = rec.getSeq[Double](6).toArray
     val rubner = rec.getSeq[Double](7).toArray
     val el = 2 * cfg.numIntervals + 1
+    // dual ranges depend only on the record — hoist out of the cell loop
+    // (the keys are the enrichment pass's precomputed dot products)
+    val rangeLo = new Array[Double](duals.length)
+    val rangeHi = new Array[Double](duals.length)
+    var d = 0
+    while (d < duals.length) {
+      rangeLo(d) = duals(d).min + dualKeys(d) - theta
+      rangeHi(d) = theta - dualCKeys(d)
+      d += 1
+    }
+    // per-record, per-vector precomputes hoisted out of the cell loop:
+    // Hough point, error slice, intercept counts, corner flag (the
+    // geometry that the reference recomputed per candidate cell)
+    val recMbs = new Array[Array[Double]](cfg.numVectors)
+    val recErrs = new Array[Array[Double]](cfg.numVectors)
+    val recSW = new Array[Int](cfg.numVectors)
+    val recSE = new Array[Int](cfg.numVectors)
+    val corner = new Array[Boolean](cfg.numVectors)
+    var j = 0
+    while (j < cfg.numVectors) {
+      recMbs(j) = Array(mb(2 * j), mb(2 * j + 1))
+      recErrs(j) = java.util.Arrays.copyOfRange(errors, j * el, (j + 1) * el)
+      recSW(j) = grids(j).countSW(recMbs(j))
+      recSE(j) = grids(j).countSE(recMbs(j))
+      corner(j) = grids(j).isDomainCorner(recMbs(j))
+      j += 1
+    }
+    // EMD_BR memo: combinations share per-vector cells, so one record
+    // needs at most numVectors * sideNum^2 distinct EMD_BR evaluations —
+    // not one per combination. BUT the cell-side error envelope differs
+    // per COMBINATION (summaries aggregate per combo), so the memo key is
+    // (vector, per-vector cellId) with the envelope of the combo that
+    // first hit it only when envelopes match... they do NOT in general.
+    // Instead memoize the envelope-free dominant term? Not sound either.
+    // Sound version: memoize per (vector, cellId, summary-envelope
+    // identity) — in practice envelopes per (vector, cellId) are the
+    // aggregation over records whose j-th cell is cellId *within that
+    // combo*; precompute a PER-VECTOR-CELL envelope (the min/max over ALL
+    // combos sharing that cell), which is a valid relaxation: a wider
+    // envelope can only lower EMD_BR, keeping it a lower bound.
+    val brMemo = Array.fill(cfg.numVectors)(
+      Array.fill(grids(0).sideNum * grids(0).sideNum)(Double.NaN))
+    def brFor(j: Int, cellId: Int): Double = {
+      val memo = brMemo(j)
+      if (memo(cellId).isNaN) {
+        val g = grids(j)
+        val dir = g.locateByCounts(recSW(j), recSE(j), corner(j), cellId)
+        val env = perVectorEnv(j)(cellId)
+        memo(cellId) =
+          if (env == null) 0.0
+          else g.emdBrWithBound(recMbs(j), recErrs(j), g.cellBounds(cellId),
+            env, dir, cfg.numIntervals)
+      }
+      memo(cellId)
+    }
     val out = scala.collection.mutable.ArrayBuffer[Long]()
     var s = 0
     while (s < summaries.length) {
@@ -325,22 +411,18 @@ object MelodyJoin {
         // dual range prune (DualBound.getRange semantics) — cheap lookups
         var k = 0
         while (ok && k < duals.length) {
-          val (lo, hi) = duals(k).range(weights, theta)
-          if (cs.dualKeyMin(k) > hi || cs.dualKeyMax(k) < lo) ok = false
+          if (cs.dualKeyMin(k) > rangeHi(k) || cs.dualKeyMax(k) < rangeLo(k)) ok = false
           k += 1
         }
         // Rubner box prune — a d-dim clamp, far cheaper than EMD_BR's
         // normal-CDF integrals, so it runs before them (cheapest-first
         // cascade ordering, same answer)
         if (ok && Emd.rubnerBox(rubner, cs.rubnerLo, cs.rubnerHi) > theta) ok = false
-        // EMD_BR per vector — the expensive, sharpest cell bound last
-        var j = 0
+        // EMD_BR per vector — memoized on the per-vector-cell relaxed
+        // envelope (still a valid lower bound; see above)
+        j = 0
         while (ok && j < cfg.numVectors) {
-          val recMb = Array(mb(2 * j), mb(2 * j + 1))
-          val recErr = java.util.Arrays.copyOfRange(errors, j * el, (j + 1) * el)
-          val br = grids(j).emdBr(recMb, recErr, cs.cells(j), cs.gridErrs(j),
-            cfg.numIntervals)
-          if (br > theta) ok = false
+          if (brFor(j, cs.cells(j)) > theta) ok = false
           j += 1
         }
         if (ok) out += cs.combo
@@ -348,6 +430,40 @@ object MelodyJoin {
       s += 1
     }
     out.toArray
+  }
+
+  /** Per (vector, cellId) error envelope: the elementwise min/max over all
+    * combo summaries sharing that per-vector cell. Widening the envelope
+    * only weakens (lowers) EMD_BR, so pruning with it stays sound. */
+  private[operators] def vectorCellEnvelopes(
+      summaries: Array[CellSummary], cfg: Config): Array[Array[Array[Double]]] = {
+    val side2 = {
+      // cells fit in sideNum^2; derive from the largest seen id
+      var mx = 0
+      summaries.foreach(s => s.cells.foreach(c => if (c > mx) mx = c))
+      mx + 1
+    }
+    val envLen = 2 * cfg.numIntervals + 2
+    val out = Array.fill(cfg.numVectors)(new Array[Array[Double]](side2))
+    summaries.foreach { cs =>
+      var j = 0
+      while (j < cfg.numVectors) {
+        val cellId = cs.cells(j)
+        val cur = out(j)(cellId)
+        if (cur == null) out(j)(cellId) = cs.gridErrs(j).clone()
+        else {
+          var i = 0
+          while (i < envLen) {
+            // even slots are mins, odd slots are maxes
+            if ((i & 1) == 0) { if (cs.gridErrs(j)(i) < cur(i)) cur(i) = cs.gridErrs(j)(i) }
+            else { if (cs.gridErrs(j)(i) > cur(i)) cur(i) = cs.gridErrs(j)(i) }
+            i += 1
+          }
+        }
+        j += 1
+      }
+    }
+    out
   }
 
   /** Distance-threshold join: all pairs with EMD <= theta, rid < sid. */
@@ -364,12 +480,14 @@ object MelodyJoin {
     val gridsB = spark.sparkContext.broadcast(grids)
     val dualsB = spark.sparkContext.broadcast(duals)
     val sumB = spark.sparkContext.broadcast(summaries)
+    val envB = spark.sparkContext.broadcast(vectorCellEnvelopes(summaries, cfg))
 
     // guest replication: explode candidate combos per record
     val guests = enriched.mapPartitions { it =>
       val c = cfgB.value
       it.flatMap { r =>
-        guestCombos(r, c, gridsB.value, dualsB.value, sumB.value, theta).map { combo =>
+        guestCombos(r, c, gridsB.value, dualsB.value, sumB.value, envB.value,
+          theta).map { combo =>
           (r.getLong(0), r.getSeq[Double](1).toArray, combo)
         }
       }
