@@ -34,7 +34,7 @@ object SparkEntry {
     dimension = 1,
     bins = Array.tabulate(Fixtures.NumBins)(_.toDouble),
     vectors = Array(Array(1.0)),
-    numDuals = 4, numReductions = 4, reducedDim = 4)
+    sideNum = 8, numDuals = 4, numReductions = 4, reducedDim = 4)
 
   /** 3-D melody config over the unit-cube corner bins of tripleHists. */
   def melodyCfg3d: MelodyJoin.Config = MelodyJoin.Config(

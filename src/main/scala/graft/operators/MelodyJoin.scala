@@ -303,9 +303,18 @@ object MelodyJoin {
         new ReductionBound(cfg.numBins, cfg.reducedDim, cfg.bins, cfg.dimension,
           cfg.seed + i))
 
+    /** For 1-D configurations with a single projection vector, the
+      * projection "bound" IS the exact EMD (1-D EMD on the real line under
+      * |x-y| ground distance) — the rest of the cascade is redundant. */
+    private val oneD = cfg.dimension == 1 && cfg.numVectors == 1
+
     /** Returns exact EMD if the pair survives every bound at `theta`,
       * else -1. */
     def emdIfCandidate(wa: Array[Double], wb: Array[Double], theta: Double): Double = {
+      if (oneD) {
+        val d = cfg.proj1dEmd(0, wa, wb)
+        return if (d <= theta) d else -1.0
+      }
       var j = 0
       while (j < cfg.numVectors) {
         if (cfg.proj1dEmd(j, wa, wb) > theta) return -1.0
