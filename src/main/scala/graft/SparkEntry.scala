@@ -118,6 +118,17 @@ object SparkEntry {
         .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
     }),
 
+    // --- generator-analog pipeline (S8 -> J1): binary payload -> byte
+    //     histogram -> 1-D EMD threshold join (the reference's
+    //     image->histogram->join lifecycle, mr/EmdGenerate.java) ---
+    "q_gen_emd" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(s,
+        Multimodal.withPayload(Fixtures.documents(s, dir)))
+        .select(col("doc_id").as("id"), col("features").as("weights"))
+      EmdJoins.emd1dThresholdJoin(feats, 0.00203)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+    }),
+
     // ==================== training-data pipeline ops ====================
 
     // --- exact dedup: hash-groupBy on canonical fingerprint ---
@@ -266,6 +277,22 @@ object SparkEntry {
       |  SELECT id, bin, c / sum(c) OVER (PARTITION BY id) AS w FROM dense
       |)""".stripMargin
 
+  /** Pair distances as difference-of-prefix-sums — the same arithmetic
+    * shape as the Spark scalar-cums banded join (EmdJoins), so doubles
+    * match bit-for-bit. */
+  private val EmdCtePrefix: String =
+    HistCte +
+      """, cum AS (
+        |  SELECT id, bin, sum(w) OVER (PARTITION BY id ORDER BY bin) AS cw
+        |  FROM hist
+        |), emds AS (
+        |  SELECT a.id AS rid, b.id AS sid, sum(abs(a.cw - b.cw)) AS dist
+        |  FROM cum a JOIN cum b ON a.bin = b.bin AND a.id < b.id
+        |  WHERE a.bin < 7 GROUP BY 1, 2
+        |)""".stripMargin
+
+  /** Pair distances as cumulative-sum-of-differences — the arithmetic
+    * shape of the melody/mrsim cascade kernel (Config.proj1dEmd). */
   private val EmdCte: String =
     HistCte +
       """, diffs AS (
@@ -290,11 +317,11 @@ object SparkEntry {
         " SELECT id, cast(bin AS BIGINT) AS bin, round(w, 6) AS w FROM hist"),
 
     "q_emd1d_pairs" ->
-      (EmdCte +
+      (EmdCtePrefix +
         s" SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= $Theta"),
 
     "q_emd1d_topk" ->
-      (EmdCte +
+      (EmdCtePrefix +
         s""" SELECT rid, sid, round(dist, 6) AS dist FROM emds
            | ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
 
@@ -314,6 +341,30 @@ object SparkEntry {
            |SELECT a.id AS rid, b.id AS sid, round(abs(a.mean - b.mean), 6) AS dist
            |FROM means a JOIN means b ON a.id < b.id
            |WHERE abs(a.mean - b.mean) <= $RubnerTheta""".stripMargin),
+
+    "q_gen_emd" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        |), buck AS (
+        |  SELECT doc_id, ascii(ch) // 32 AS bin, cast(count(*) AS DOUBLE) AS c
+        |  FROM chars GROUP BY 1, 2
+        |), ids AS (SELECT DISTINCT doc_id FROM documents
+        |), dense AS (
+        |  SELECT i.doc_id AS id, b.bin, coalesce(k.c, 0.0) AS c
+        |  FROM ids i
+        |  CROSS JOIN (SELECT cast(range AS INTEGER) AS bin FROM range(8)) b
+        |  LEFT JOIN buck k ON k.doc_id = i.doc_id AND k.bin = b.bin
+        |), hist AS (
+        |  SELECT id, bin, c / sum(c) OVER (PARTITION BY id) AS w FROM dense
+        |), cum AS (
+        |  SELECT id, bin, sum(w) OVER (PARTITION BY id ORDER BY bin) AS cw
+        |  FROM hist
+        |), emds AS (
+        |  SELECT a.id AS rid, b.id AS sid, sum(abs(a.cw - b.cw)) AS dist
+        |  FROM cum a JOIN cum b ON a.bin = b.bin AND a.id < b.id
+        |  WHERE a.bin < 7 GROUP BY 1, 2
+        |)
+        |SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= 0.00203""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
