@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps physical plans of representative queries for plan review. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (name <- Seq("q_hist_build", "q_emd1d_pairs", "q_cosine_topk", "q_jaccard_pairs")) {
+      println(s"\n===================== $name =====================")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -53,14 +53,15 @@ object Fixtures {
   def quantityHistLong(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
       .select(col("l_partkey").as("id"), quantityBin(col("l_quantity")).as("bin"))
+    // ids and totals derive from the aggregated counts (not the raw scan),
+    // so Catalyst reuses one parquet scan + one exchange across all three
+    // branches instead of re-reading lineitem per branch
     val counts = li.groupBy(col("id"), col("bin")).agg(count(lit(1)).as("c"))
-    val ids = li.select(col("id")).distinct()
+    val totals = counts.groupBy(col("id")).agg(sum(col("c")).as("total"))
     val bins = spark.range(NumBins).select(col("id").cast("int").as("bin"))
-    val dense = ids.crossJoin(bins)
+    totals.crossJoin(bins)
       .join(counts, Seq("id", "bin"), "left")
       .withColumn("c", coalesce(col("c"), lit(0L)))
-    val totals = counts.groupBy(col("id")).agg(sum(col("c")).as("total"))
-    dense.join(totals, "id")
       .select(col("id"), col("bin"), (col("c").cast("double") / col("total")).as("w"))
   }
 
