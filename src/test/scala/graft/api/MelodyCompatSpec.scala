@@ -1,0 +1,63 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.util.Random
+
+/** End-to-end compat test: reference-format text inputs + properties keys
+  * drive the Spark engines; melody and mrsim agree with baseline. */
+class MelodyCompatSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("reference-format files + properties run the distance join on all engines") {
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Files.createTempDirectory("melodycompat")
+    val rnd = new Random(5)
+    val numBins = 8; val dimension = 3; val n = 80
+    val histLines = (0 until n).map { i =>
+      (i.toString +: Array.fill(numBins)(f"${rnd.nextDouble() * 10}%.6f")).mkString(" ")
+    }
+    val bins = Array.fill(numBins * dimension)(f"${rnd.nextDouble() * 5}%.6f")
+    val vectors = Array("1 0 0", "0 1 0", "0 0 1").mkString(" ")
+    val histPath = dir.resolve("hist.txt"); Files.write(histPath, histLines.mkString("\n").getBytes)
+    val binsPath = dir.resolve("bins.txt"); Files.write(binsPath, bins.mkString(" ").getBytes)
+    val vecPath = dir.resolve("vectors.txt"); Files.write(vecPath, vectors.getBytes)
+
+    val props = new java.util.Properties()
+    props.setProperty("melody.join.type", "distance")
+    props.setProperty("melody.join.distance.threshold", "0.5")
+    props.setProperty("data.dimension", dimension.toString)
+    props.setProperty("data.bin.number", numBins.toString)
+    props.setProperty("melody.project.vector.number", "3")
+
+    def pairs(framework: String): Set[(Long, Long)] = {
+      props.setProperty("melody.framework", framework)
+      MelodyCompat.run(spark, histPath.toString, binsPath.toString,
+          vecPath.toString, props)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val base = pairs("baseline")
+    assert(base.nonEmpty)
+    assert(pairs("melody") == base)
+    assert(pairs("mrsim") == base)
+
+    // topk path + text output format
+    props.setProperty("melody.join.type", "topk")
+    props.setProperty("melody.join.k", "10")
+    props.setProperty("melody.framework", "melody")
+    val out = dir.resolve("out")
+    MelodyCompat.runToText(spark, histPath.toString, binsPath.toString,
+      vecPath.toString, props, out.toString)
+    val lines = Files.list(out).toArray.map(_.toString)
+      .filter(_.endsWith(".txt"))
+      .flatMap(p => scala.io.Source.fromFile(p).getLines())
+    assert(lines.length == 10)
+    assert(lines.forall(_.split(" ").length == 3))
+  }
+}
