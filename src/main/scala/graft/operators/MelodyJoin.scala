@@ -192,6 +192,7 @@ object MelodyJoin {
     import spark.implicits._
     val sample = hists.select("id", "weights").as[(Long, Array[Double])]
       .orderBy(col("id")).limit(2 * cfg.numDuals + 2).collect()
+    if (sample.length < 2) return Array.empty // no pair to derive a dual from
     val rnd = new scala.util.Random(cfg.seed)
     (0 until cfg.numDuals).map { _ =>
       val i = rnd.nextInt(sample.length)
@@ -242,7 +243,9 @@ object MelodyJoin {
 
   /** Cell summaries: groupBy(combo) with per-element min/max aggregation,
     * collected (O(cells)) and broadcast. */
-  def summarize(enriched: DataFrame, cfg: Config): Array[CellSummary] = {
+  def summarize(enriched: DataFrame, cfg: Config,
+                numDuals: Int = -1): Array[CellSummary] = {
+    val nDuals = if (numDuals >= 0) numDuals else cfg.numDuals
     val el = ErrLen(cfg)
     val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
     aggs += count(lit(1)).as("cnt")
@@ -254,7 +257,7 @@ object MelodyJoin {
       aggs += min(col("errors")(j * el + 2 * cfg.numIntervals)).as(s"minF_$j")
       aggs += max(col("errors")(j * el + 2 * cfg.numIntervals)).as(s"maxF_$j")
     }
-    for (k <- 0 until cfg.numDuals) {
+    for (k <- 0 until nDuals) {
       aggs += min(col("dualKeys")(k)).as(s"minK_$k")
       aggs += max(col("dualKeys")(k)).as(s"maxK_$k")
     }
@@ -277,9 +280,9 @@ object MelodyJoin {
         gridErrs(j)(2 * cfg.numIntervals) = r.getDouble(idx); idx += 1
         gridErrs(j)(2 * cfg.numIntervals + 1) = r.getDouble(idx); idx += 1
       }
-      val dMin = new Array[Double](cfg.numDuals)
-      val dMax = new Array[Double](cfg.numDuals)
-      for (k <- 0 until cfg.numDuals) {
+      val dMin = new Array[Double](nDuals)
+      val dMax = new Array[Double](nDuals)
+      for (k <- 0 until nDuals) {
         dMin(k) = r.getDouble(idx); idx += 1
         dMax(k) = r.getDouble(idx); idx += 1
       }
@@ -483,7 +486,7 @@ object MelodyJoin {
     val duals = buildDuals(spark, hists, cfg)
     val enriched = enrich(spark, hists, cfg, grids, duals)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val summaries = summarize(enriched, cfg)
+    val summaries = summarize(enriched, cfg, duals.length)
 
     val cfgB = spark.sparkContext.broadcast(cfg)
     val gridsB = spark.sparkContext.broadcast(grids)

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input robustness: the shapes that show up at 100 TB —
+  * identical histograms (zero-width Hough domain), single records,
+  * k larger than the pair count. */
+class EdgeCasesSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def cfg = graft.SparkEntry.melodyCfg3d
+
+  private def df(rows: Seq[(Long, Array[Double])]) = {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    rows.toDF("id", "weights")
+  }
+
+  test("single record: no pairs, no crash") {
+    val hists = df(Seq((1L, Array(1.0, 2, 3, 4, 5, 6, 7, 8))))
+    assert(MelodyJoin.thresholdJoin(spark, hists, 0.5, cfg).count() == 0)
+    assert(BaselineJoin.thresholdJoin(spark, hists, 0.5, cfg).count() == 0)
+  }
+
+  test("all-identical histograms: degenerate grid domain still joins") {
+    val w = Array(1.0, 1, 1, 1, 1, 1, 1, 1)
+    val hists = df((1L to 10L).map(i => (i, w.clone())))
+    val pairs = MelodyJoin.thresholdJoin(spark, hists, 0.1, cfg).collect()
+    assert(pairs.length == 45, s"expected all 45 pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getDouble(2) == 0.0))
+  }
+
+  test("top-k with k exceeding the pair count returns all pairs") {
+    val rnd = new scala.util.Random(3)
+    val hists = df((1L to 5L).map(i => (i, Array.fill(8)(rnd.nextDouble()))))
+    val topk = MelodyJoin.topKJoin(spark, hists, k = 100, cfg)
+    assert(topk.count() == 10) // C(5,2)
+  }
+
+  test("emd1d joins survive identical-histogram corpora") {
+    val w = Array(0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125, 0.125)
+    val hists = df((1L to 6L).map(i => (i, w.clone())))
+    assert(EmdJoins.emd1dThresholdJoin(hists, 0.01).count() == 15)
+    assert(EmdJoins.emd1dTopK(hists, 4, sampleSize = 6).count() == 4)
+  }
+
+  test("mrsim with more pivots than records") {
+    val rnd = new scala.util.Random(9)
+    val hists = df((1L to 6L).map(i => (i, Array.fill(8)(rnd.nextDouble()))))
+    val base = BaselineJoin.thresholdJoin(spark, hists, 0.5, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mrsim = MrSimJoin.thresholdJoin(spark, hists, 0.5, cfg, numPivots = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mrsim == base)
+  }
+}
