@@ -25,7 +25,7 @@ object SparkEntry {
   private val Theta = 0.153
   private val RubnerTheta = 0.0401
   private val TopK = 20
-  private val Theta3d = 0.08
+  private val Theta3d = 0.0803
 
   /** 1-D melody config: with integer bins and one identity vector, exact
     * LP-EMD reduces to the closed-form 1-D EMD, making the whole
@@ -44,7 +44,7 @@ object SparkEntry {
       Array(1.0, 1.0, 1.0),
       Array(1.0, -1.0, 0.0),
       Array(1.0, 1.0, -2.0)),
-    numDuals = 4, numReductions = 4, reducedDim = 4)
+    sideNum = 6, numDuals = 4, numReductions = 4, reducedDim = 4)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scans + aggregation smoke (S1, A1-analog) ---

@@ -517,7 +517,11 @@ object MelodyJoin {
       .mapPartitions { it =>
         val casc = cascadeB.value
         it.flatMap { case (id, w, gid, gw) =>
-          val emd = casc.emdIfCandidate(w, gw, theta)
+          // canonical orientation (lower id first) so the exact solver's
+          // floating-point path is identical no matter which side was the
+          // guest - otherwise threshold-boundary pairs flip between runs
+          val (wl, wh) = if (id < gid) (w, gw) else (gw, w)
+          val emd = casc.emdIfCandidate(wl, wh, theta)
           if (emd >= 0) Some((math.min(id, gid), math.max(id, gid), emd)) else None
         }
       }

@@ -69,9 +69,11 @@ object MrSimJoin {
           while (j < members.length) {
             val a = members(i); val b = members(j)
             if ((a._4 || b._4) && a._2 != b._2) {
-              val emd = casc.emdIfCandidate(a._3, b._3, theta)
-              if (emd >= 0)
-                out += ((math.min(a._2, b._2), math.max(a._2, b._2), emd))
+              // canonical orientation (lower id first): keeps the exact
+              // solver's fp path identical across partitions/engines
+              val (lo, hi) = if (a._2 < b._2) (a, b) else (b, a)
+              val emd = casc.emdIfCandidate(lo._3, hi._3, theta)
+              if (emd >= 0) out += ((lo._2, hi._2, emd))
             }
             j += 1
           }
