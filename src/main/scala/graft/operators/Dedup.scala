@@ -242,27 +242,45 @@ object Dedup {
     import spark.implicits._
     val nBands = maxHamming + 1
     val width = 64 / nBands
+    // dedup-first: identical signatures collapse; all banding and Hamming
+    // math runs on distinct signatures only, then expands back
     val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, simhash64(text)) }
       .toDF("id", "sim")
-    val banded = sigs.select(col("id"), col("sim"), explode(array(
+    val groups = sigs.groupBy(col("sim"))
+      .agg(sort_array(collect_list(col("id"))).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val intra = groups.select(col("members"))
+      .select(explode(col("members")).as("rid"), col("members"))
+      .select(col("rid"), explode(col("members")).as("sid"))
+      .filter(col("rid") < col("sid"))
+      .withColumn("hamming", lit(0))
+    val banded = groups.select(col("sim"), explode(array(
       (0 until nBands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sim"), b * width)
             .bitwiseAND(lit(if (b == nBands - 1) -1L >>> (b * width) else (1L << width) - 1))
             .as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("sim"), col("bb.band"), col("bb.bucket"))
-    banded.as("a").join(banded.as("b"),
+      .select(col("sim"), col("bb.band"), col("bb.bucket"))
+    val simPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("rid"), col("a.sim").as("simA"),
-        col("b.id").as("sid"), col("b.sim").as("simB"))
-      .dropDuplicates("rid", "sid")
+          col("a.sim") < col("b.sim"))
+      .select(col("a.sim").as("simA"), col("b.sim").as("simB"))
+      .dropDuplicates("simA", "simB")
       .withColumn("hamming", bit_count(col("simA").bitwiseXOR(col("simB"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("rid"), col("sid"), col("hamming"))
+    val inter = simPairs
+      .join(groups.withColumnRenamed("sim", "simA")
+        .withColumnRenamed("members", "ma"), "simA")
+      .join(groups.withColumnRenamed("sim", "simB")
+        .withColumnRenamed("members", "mb"), "simB")
+      .select(explode(col("ma")).as("ida"), col("mb"), col("hamming"))
+      .select(col("ida"), explode(col("mb")).as("idb"), col("hamming"))
+      .select(least(col("ida"), col("idb")).as("rid"),
+        greatest(col("ida"), col("idb")).as("sid"), col("hamming"))
+    intra.select(col("rid"), col("sid"), col("hamming")).union(inter)
   }
 
   /** Embedding near-duplicates: random-hyperplane LSH buckets (sign
