@@ -221,6 +221,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), round(col("entropy"), 6).as("entropy"))
     }),
 
+    // --- JSON property extraction over the event stream ---
+    "q_events_props" -> ((s, dir) => {
+      Fixtures.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // --- event-stream tumbling-window aggregation ---
     "q_events_window" -> ((s, dir) => {
       Fixtures.events(s, dir)
@@ -469,6 +479,13 @@ object SparkEntry {
         |SELECT d.doc_id, cast(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
         |       e.entropy
         |FROM documents d JOIN ent e ON d.doc_id = e.doc_id""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       cast(sum(cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       min(cast(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(cast(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -15,7 +15,8 @@ import scala.util.Random
   * Reference behavior: utils/ReductionBound.java:13-110.
   */
 final class ReductionBound(numBins: Int, reducedDim: Int, bins: Array[Double],
-                           dimension: Int, seed: Long) extends Serializable {
+                           dimension: Int, seed: Long,
+                           dist: GroundDist = GroundDist.L2) extends Serializable {
   /** assignment(i) = super-bin of original bin i */
   val assignment: Array[Int] = {
     val rnd = new Random(seed)
@@ -23,7 +24,7 @@ final class ReductionBound(numBins: Int, reducedDim: Int, bins: Array[Double],
   }
 
   val reducedCost: Array[Double] = {
-    val cost = Emd.costMatrix(bins, dimension, GroundDist.L2)
+    val cost = Emd.costMatrix(bins, dimension, dist)
     val out = Array.fill(reducedDim * reducedDim)(Double.MaxValue)
     var i = 0
     while (i < reducedDim) { out(i * reducedDim + i) = 0.0; i += 1 }

@@ -39,7 +39,8 @@ object MelodyJoin {
       numDuals: Int = 10,
       numReductions: Int = 10,
       reducedDim: Int = 8,
-      seed: Long = 42L) extends Serializable {
+      seed: Long = 42L,
+      groundDist: GroundDist = GroundDist.L2) extends Serializable {
     val numBins: Int = bins.length / dimension
     val numVectors: Int = vectors.length
     /** Centered projected bins per vector (driver-side precompute;
@@ -49,7 +50,9 @@ object MelodyJoin {
     }
     /** (tMin, tMax) per vector. */
     val tRange: Array[(Double, Double)] = projBins.map(pb => (pb.min, pb.max))
-    val cost: Array[Double] = Emd.costMatrix(bins, dimension, GroundDist.L2)
+    /** Ground-distance cost matrix (L1/L2/L3 supported as in the
+      * reference's getEmdLOne/LTwo/LThree - DistanceUtil.java:81-95). */
+    val cost: Array[Double] = Emd.costMatrix(bins, dimension, groundDist)
     /** Per vector: bin order sorted by projected position + consecutive
       * gaps — the 1-D EMD then needs one allocation-free pass (the
       * TreeMap-based general form costs ~10x in the pair cascade). */
@@ -304,7 +307,13 @@ object MelodyJoin {
     @transient lazy val reductions: Array[ReductionBound] =
       Array.tabulate(cfg.numReductions)(i =>
         new ReductionBound(cfg.numBins, cfg.reducedDim, cfg.bins, cfg.dimension,
-          cfg.seed + i))
+          cfg.seed + i, cfg.groundDist))
+
+    /** Projection and dual lower bounds are proven only for the L2 ground
+      * distance (unit-vector projections need Cauchy-Schwarz; duals are
+      * built against L2 costs). For L1/L3 the cascade keeps only the
+      * cost-matrix-generic bounds (reduction, indmin). */
+    private val l2Bounds = cfg.groundDist == GroundDist.L2
 
     /** For 1-D configurations with a single projection vector, the
       * projection "bound" IS the exact EMD (1-D EMD on the real line under
@@ -314,21 +323,23 @@ object MelodyJoin {
     /** Returns exact EMD if the pair survives every bound at `theta`,
       * else -1. */
     def emdIfCandidate(wa: Array[Double], wb: Array[Double], theta: Double): Double = {
-      if (oneD) {
+      if (oneD && l2Bounds) {
         val d = cfg.proj1dEmd(0, wa, wb)
         return if (d <= theta) d else -1.0
       }
-      var j = 0
-      while (j < cfg.numVectors) {
-        if (cfg.proj1dEmd(j, wa, wb) > theta) return -1.0
-        j += 1
+      if (l2Bounds) {
+        var j = 0
+        while (j < cfg.numVectors) {
+          if (cfg.proj1dEmd(j, wa, wb) > theta) return -1.0
+          j += 1
+        }
+        var k = 0
+        while (k < duals.length) {
+          if (duals(k).dualEmd(wa, wb) > theta) return -1.0
+          k += 1
+        }
       }
       var k = 0
-      while (k < duals.length) {
-        if (duals(k).dualEmd(wa, wb) > theta) return -1.0
-        k += 1
-      }
-      k = 0
       while (k < reductions.length) {
         if (reductions(k).reducedEmd(wa, wb) > theta) return -1.0
         k += 1
@@ -481,6 +492,9 @@ object MelodyJoin {
   /** Distance-threshold join: all pairs with EMD <= theta, rid < sid. */
   def thresholdJoin(spark: SparkSession, hists: DataFrame, theta: Double,
                     cfg: Config): DataFrame = {
+    require(cfg.groundDist == GroundDist.L2,
+      "grid pruning (EMD_BR / dual range / Rubner box) is derived for the " +
+      "L2 ground distance; use BaselineJoin for L1/L3")
     import spark.implicits._
     val grids = buildGrids(spark, hists, cfg)
     val duals = buildDuals(spark, hists, cfg)

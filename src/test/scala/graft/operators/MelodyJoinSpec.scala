@@ -58,6 +58,26 @@ class MelodyJoinSpec extends AnyFunSuite {
     assert(base == melody, s"top-k mismatch: base=$base melody=$melody")
   }
 
+  test("L1 and L3 ground distances: baseline join matches brute-force exact") {
+    import graft.core._
+    val rnd = new scala.util.Random(23)
+    val hists = randomHists(60, 8, seed = 23)
+    val rows = hists.collect().map(r =>
+      (r.getLong(0), HistOps.normalize(r.getSeq[Double](1).toArray)))
+    for (gd <- Seq(GroundDist.L1, GroundDist.L3)) {
+      val cfg = cfg3d.copy(groundDist = gd)
+      val theta = if (gd == GroundDist.L1) 0.5 else 0.3
+      val expected = (for {
+        i <- rows.indices; j <- rows.indices if i < j
+        d = Emd.exact(rows(i)._2, rows(j)._2, cfg.cost) if d <= theta
+      } yield (math.min(rows(i)._1, rows(j)._1), math.max(rows(i)._1, rows(j)._1))).toSet
+      val got = BaselineJoin.thresholdJoin(spark, hists, theta, cfg)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected.nonEmpty, s"$gd test vacuous")
+      assert(got == expected, s"$gd mismatch: missed=${(expected -- got).size} extra=${(got -- expected).size}")
+    }
+  }
+
   test("mrsim pivot engine == baseline on random histograms") {
     val hists = randomHists(100, 8, seed = 19)
     val theta = 0.3
