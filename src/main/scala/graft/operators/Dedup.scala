@@ -318,21 +318,27 @@ object Dedup {
             .bitwiseAND(lit((1L << width) - 1)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("v"), col("bb.band"), col("bb.bucket"))
-    val cos = {
-      val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-        lit(0.0), (a, x) => a + x)
-      val na = sqrt(aggregate(col("va"), lit(0.0), (a, x) => a + x * x))
-      val nb = sqrt(aggregate(col("vb"), lit(0.0), (a, x) => a + x * x))
-      dot / (na * nb)
-    }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("rid"), col("a.v").as("va"),
         col("b.id").as("sid"), col("b.v").as("vb"))
       .dropDuplicates("rid", "sid")
-      .withColumn("cosine", cos)
-      .filter(col("cosine") >= tau)
-      .select(col("rid"), col("sid"), col("cosine"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+      .mapPartitions { it =>
+        // primitive-loop verification: the candidate volume dwarfs the
+        // match count, so per-candidate array-expression allocation is
+        // the hot cost, not the dot product itself
+        it.flatMap { case (rid, va, sid, vb) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < va.length) {
+            dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i)
+            i += 1
+          }
+          val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (cos >= tau) Some((rid, sid, cos)) else None
+        }
+      }.toDF("rid", "sid", "cosine")
   }
 }
