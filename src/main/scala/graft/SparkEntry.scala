@@ -151,8 +151,8 @@ object SparkEntry {
         TextCols.bpeishTokenCount(col("text")).cast("long").as("n_bpe"))
     }),
 
-    // --- rolling-hash (order-sensitive) document fingerprint; rows-only
-    //     (no crc32 in DuckDB), determinism covered in PipelineOpsSpec ---
+    // --- rolling-hash (order-sensitive) document fingerprint over 32-bit
+    //     md5 token hashes (both systems compute the fold bit-identically) ---
     "q_rolling_fp" -> ((s, dir) => {
       Fixtures.documents(s, dir).select(col("doc_id"),
         TextCols.rollingHash(col("text")).as("fp"))
@@ -177,14 +177,20 @@ object SparkEntry {
         .select(col("rid"), col("sid"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // --- MinHash+LSH near-dup (probabilistic recall; rows-only check,
-    //     recall vs exact Jaccard covered in PipelineOpsSpec) ---
+    // --- MinHash+LSH near-dup. Candidates are probabilistic but verified
+    //     with EXACT shingle Jaccard, and the banding is sized so recall
+    //     is 1.0 on this corpus (checked in PipelineOpsSpec), making the
+    //     output equal to the exact shingle-Jaccard join the oracle runs ---
     "q_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashLsh(s, Fixtures.documents(s, dir), 0.5)
+      // 2-row bands: per-pair miss prob at the corpus' lowest qualifying
+      // J (0.8) is (1 - 0.8^2)^16 ~ 7.7e-8 — recall 1.0 in practice.
+      Dedup.minhashLsh(s, Fixtures.documents(s, dir), 0.5, numHashes = 32, bands = 16)
         .select(col("rid"), col("sid"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // --- SimHash near-dup (banded Hamming blocking; rows-only) ---
+    // --- SimHash near-dup (banded Hamming blocking, pigeonhole recall =
+    //     1.0 by construction; md5-derived token bits so DuckDB rebuilds
+    //     the identical signatures) ---
     "q_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashDedup(s, Fixtures.documents(s, dir), maxHamming = 7)
         .select(col("rid"), col("sid"), col("hamming").cast("long").as("hamming"))
@@ -393,6 +399,68 @@ object SparkEntry {
       """SELECT doc_id,
         |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+
+    // Mirrors TextCols.rollingHash: fold of (acc*31 + md5Bits32(tok)) mod
+    // 2^31-1 with seed 7919; list_reduce folds the prepended seed first,
+    // exactly like Spark's `aggregate` initial value.
+    "q_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(7919::BIGINT,
+        |      list_transform(string_split(text, ' '),
+        |                     t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+        |FROM documents""".stripMargin,
+
+    // Mirrors Dedup.simhash64 (md5Bits64 per token, count-weighted sign
+    // bits) then brute-forces all pairs at Hamming <= 7; the Spark side's
+    // pigeonhole banding has recall 1.0 by construction, so outputs match.
+    "q_simhash_pairs" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok
+        |), th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, c FROM tc
+        |), bitsum AS (
+        |  SELECT doc_id, bb.b AS b,
+        |         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN c ELSE -c END) AS acc
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+        |  GROUP BY doc_id, bb.b
+        |), sims AS (
+        |  SELECT doc_id,
+        |         list(CASE WHEN acc > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+        |  FROM bitsum GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS rid, b.doc_id AS sid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS hamming
+        |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |)
+        |SELECT rid, sid, cast(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 7""".stripMargin,
+
+    // Exact 3-token-shingle Jaccard join: equals the minhash-LSH output
+    // because candidates are verified with the exact shingle Jaccard and
+    // the banding is sized for recall 1.0 on this corpus.
+    "q_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+        |    END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT a.doc_id AS rid, b.doc_id AS sid,
+        |         cast(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) AS i,
+        |         len(a.s) AS la, len(b.s) AS lb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT rid, sid, round(i / (la + lb - i), 6) AS jaccard
+        |FROM pairs WHERE i / (la + lb - i) >= 0.5""".stripMargin,
 
     "q_quality" ->
       """WITH t AS (

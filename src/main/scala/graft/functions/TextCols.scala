@@ -87,12 +87,19 @@ object TextCols {
 
   def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
 
+  /** First 32 bits of md5(token) as a non-negative long — a per-token hash
+    * both Spark and DuckDB compute bit-identically
+    * (`('0x' || substr(md5(t),1,8))::BIGINT` on the DuckDB side), which
+    * keeps the rolling fingerprint oracle-checkable. */
+  def md5Bits32(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+
   /** Rolling polynomial fingerprint of the token sequence (base-31 over
-    * token CRCs mod the Mersenne prime 2^31-1) — an order-sensitive
-    * content signature, unlike the set-based md5 fingerprint. The modulus
-    * keeps every step well inside long range (ANSI-safe). Pure Catalyst
-    * fold. */
+    * 32-bit md5 token hashes mod the Mersenne prime 2^31-1) — an
+    * order-sensitive content signature, unlike the set-based md5
+    * fingerprint. The modulus keeps every step well inside long range
+    * (ANSI-safe). Pure Catalyst fold. */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(7919L),
-      (acc, t) => pmod(acc * lit(31L) + crc32(t.cast("binary")), lit(2147483647L)))
+      (acc, t) => pmod(acc * lit(31L) + md5Bits32(t), lit(2147483647L)))
 }

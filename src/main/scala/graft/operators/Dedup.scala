@@ -214,13 +214,25 @@ object Dedup {
       .select(col("rid"), col("sid"), col("jaccard"))
   }
 
-  /** 64-bit SimHash of the token multiset. */
+  /** First 64 bits of md5(utf8(s)) big-endian — bit-identical to DuckDB's
+    * `('0x' || substr(md5(s),1,16))::UBIGINT`, which makes every signature
+    * built on it oracle-checkable. */
+  private def md5Bits64(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash of the token multiset (md5-derived per-token bits). */
   private def simhash64(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val counts = new java.util.HashMap[String, Int]()
     text.split(" ").foreach(t => counts.merge(t, 1, _ + _))
     val acc = new Array[Int](64)
     counts.forEach { (tok, c) =>
-      val h = mix64(tok.hashCode.toLong)
+      val h = md5Bits64(md, tok)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += c else acc(b) -= c
