@@ -13,9 +13,9 @@ object BenchEach {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val only = args.headOption
+    val only = args.toSet
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (only.forall(_ == name)) {
+      if (only.isEmpty || only(name)) {
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch { case e: Throwable => println(s"ERR $name ${e.getMessage}"); -1L }
         println(f"TIMING $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")

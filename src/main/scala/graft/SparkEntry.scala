@@ -208,16 +208,44 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
-    // --- exact embedding near-dup pairs (broadcast quadratic baseline) ---
+    // --- exact embedding near-dup pairs via the blocked distributed
+    //     all-pairs join (no driver collect — the scale-safe exact path) ---
     "q_emb_neardup_exact" -> ((s, dir) => {
-      Ann.cosineAllPairsExact(s, Fixtures.embeddings(s, dir), 0.45)
+      Ann.cosineAllPairsBlocked(s, Fixtures.embeddings(s, dir), 0.45)
         .select(col("rid"), col("sid"), round(col("cosine"), 6).as("cosine"))
     }),
 
-    // --- LSH-bucketed embedding near-dup (scale path; rows-only) ---
+    // --- LSH-bucketed embedding near-dup in its genuine operating regime:
+    //     the corpus unioned with scaled twins (cosine 1.0) at tau=0.99.
+    //     Sign sketches are scale-invariant, so twin recall is exactly 1.0
+    //     by construction (not probabilistic) while the 8x8-bit banding
+    //     prunes ~97% of random pairs; every candidate is verified with
+    //     exact cosine, so output == the exact join the oracle runs. ---
     "q_emb_neardup_lsh" -> ((s, dir) => {
-      Dedup.embeddingNearDup(s, Fixtures.embeddings(s, dir), 0.45)
+      val base = Fixtures.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val twins = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0)).as("embedding"))
+      Dedup.embeddingNearDup(s, base.union(twins), 0.99, planes = 64, bands = 8)
         .select(col("rid"), col("sid"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // --- IVF ANN with nProbe = numCentroids (all buckets probed => exact,
+    //     shares the brute-force oracle; sub-all nProbe recall is
+    //     spec-covered in PipelineOpsSpec) ---
+    "q_cosine_ivf" -> ((s, dir) => {
+      val embs = Fixtures.embeddings(s, dir)
+      val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+      val q = embs.filter(col("vec_id") === minId)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val rest = embs.filter(col("vec_id") =!= minId)
+      val cents = Ann.trainCentroids(s, rest, numCentroids = 16)
+      val idx = Ann.ivfIndex(s, rest, cents)
+      Ann.ivfTopK(s, idx, cents, q, 20, nProbe = 16)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
     }),
 
     // --- multimodal: binary payload + stub decode features ---
@@ -532,6 +560,38 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
+
+    // Same twin construction as the Spark query; the LSH output equals
+    // this exact join because twin recall is 1.0 by sketch scale-invariance
+    // and every candidate is exact-verified.
+    "q_emb_neardup_lsh" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), twin AS (
+        |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+        |  FROM base
+        |), allv AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM twin
+        |)
+        |SELECT a.vec_id AS rid, b.vec_id AS sid,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.99""".stripMargin,
+
+    // nProbe = all buckets => IVF is exact; identical to the brute-force
+    // top-k oracle.
+    "q_cosine_ivf" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        |), scored AS (
+        |  SELECT e.vec_id AS id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> (SELECT min(vec_id) FROM embeddings)
+        |)
+        |SELECT id, round(cosine, 6) AS cosine FROM scored
+        |ORDER BY round(cosine, 6) DESC, id LIMIT 20""".stripMargin,
 
     "q_multimodal" ->
       """WITH chars AS (

@@ -43,18 +43,103 @@ object Ann {
       .select(col("qid"), col("id"), col("cosine"), col("rank"))
   }
 
-  /** Exact all-pairs cosine threshold join — the quadratic baseline for
-    * near-dup detection. One side is collected and broadcast (norms
-    * precomputed), the probe side streams through primitive JVM loops —
-    * no per-pair array allocation. For data too large to broadcast, use
-    * Dedup.embeddingNearDup (LSH) — this operator IS the small-side/
-    * verification baseline. */
-  def cosineAllPairsExact(spark: SparkSession, embs: DataFrame, tau: Double,
-                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Exact all-pairs cosine threshold join with NO driver-side collect:
+    * rows are hashed into B blocks, each row is replicated to the B
+    * unordered block-pairs containing its block, and each block-pair is
+    * nested-looped in one task with primitive arrays and precomputed
+    * norms. Work is the unavoidable O(N^2) dot products of an exact join,
+    * but memory per task is two blocks (~blockTarget rows) and the driver
+    * holds nothing — the shape that survives a 1000-executor scale-up.
+    * Every unordered row pair meets in exactly one block-pair group. */
+  def cosineAllPairsBlocked(spark: SparkSession, embs: DataFrame, tau: Double,
+                            numBlocks: Int = 0, blockTarget: Int = 4096,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    val all = embs.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val base = embs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v")).as[(Long, Array[Double])]
+    val b =
+      if (numBlocks > 0) numBlocks
+      else {
+        val n = base.count()
+        math.max(1, math.min(1024, ((n + blockTarget - 1) / blockTarget).toInt))
+      }
+    val keyed = base.flatMap { case (id, v) =>
+      val mine = (scala.util.hashing.byteswap64(id) % b).toInt.abs
+      (0 until b).map { other =>
+        val lo = math.min(mine, other)
+        val hi = math.max(mine, other)
+        (lo * b + hi, mine, id, v)
+      }
+    }
+    keyed.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val lo = key / b
+      val hi = key % b
+      val aBuf = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+      val bBuf = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+      it.foreach { case (_, blk, id, v) =>
+        if (blk == lo) aBuf += ((id, v)) else bBuf += ((id, v))
+      }
+      def norms(xs: scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]) =
+        xs.map { case (_, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * v(i); i += 1 }
+          math.sqrt(s)
+        }.toArray
+      val aN = norms(aBuf)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      @inline def emit(ida: Long, va: Array[Double], na: Double,
+                       idb: Long, vb: Array[Double], nb: Double): Unit = {
+        var dot = 0.0; var i = 0
+        while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+        val cos = dot / (na * nb)
+        if (cos >= tau)
+          out += ((math.min(ida, idb), math.max(ida, idb), cos))
+      }
+      if (lo == hi) {
+        var i = 0
+        while (i < aBuf.length) {
+          var j = i + 1
+          while (j < aBuf.length) {
+            // canonical orientation: dot products are order-invariant, but
+            // keep lower id first for deterministic output
+            emit(aBuf(i)._1, aBuf(i)._2, aN(i), aBuf(j)._1, aBuf(j)._2, aN(j))
+            j += 1
+          }
+          i += 1
+        }
+      } else {
+        val bN = norms(bBuf)
+        var i = 0
+        while (i < aBuf.length) {
+          var j = 0
+          while (j < bBuf.length) {
+            emit(aBuf(i)._1, aBuf(i)._2, aN(i), bBuf(j)._1, bBuf(j)._2, bN(j))
+            j += 1
+          }
+          i += 1
+        }
+      }
+      out
+    }.toDF("rid", "sid", "cosine")
+  }
+
+  /** Exact all-pairs cosine threshold join — the quadratic VERIFICATION
+    * baseline for near-dup detection (spec oracle role). One side is
+    * collected and broadcast (norms precomputed), the probe side streams
+    * through primitive JVM loops. Guarded: refuses data too large to
+    * collect — production paths are cosineAllPairsBlocked (exact) and
+    * Dedup.embeddingNearDup (LSH). */
+  def cosineAllPairsExact(spark: SparkSession, embs: DataFrame, tau: Double,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          maxCollectRows: Long = 1 << 20): DataFrame = {
+    import spark.implicits._
+    val pre = embs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cnt = pre.limit(maxCollectRows.toInt + 1).count()
+    require(cnt <= maxCollectRows,
+      s"cosineAllPairsExact would collect > $maxCollectRows rows; " +
+        "use cosineAllPairsBlocked or Dedup.embeddingNearDup at this scale")
+    val all = pre.as[(Long, Array[Double])].collect().sortBy(_._1)
     val norms = all.map { case (_, v) =>
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -94,14 +179,18 @@ object Ann {
     * coarse quantizer. Runs on a sample collected to the driver — centroid
     * count and sample are O(sqrt N), not data-sized. */
   def trainCentroids(spark: SparkSession, embs: DataFrame, numCentroids: Int,
-                     iters: Int = 5, sampleSize: Int = 2048, seed: Long = 42L,
+                     iters: Int = 5, sampleSize: Int = 0, seed: Long = 42L,
                      vecCol: String = "embedding"): Array[Array[Double]] = {
     import spark.implicits._
+    // sample scales with the quantizer, not the data: ~32 points per
+    // centroid (numCentroids itself should be ~sqrt(N) at scale)
+    val sz = if (sampleSize > 0) sampleSize else math.max(2048, 32 * numCentroids)
     val sample = embs.select(col(vecCol).cast("array<double>"))
-      .as[Array[Double]].orderBy(rand(seed)).limit(sampleSize).collect()
+      .as[Array[Double]].orderBy(rand(seed)).limit(sz).collect()
+    require(sample.nonEmpty, "trainCentroids: input has no embedding rows")
     val rnd = new scala.util.Random(seed)
-    var centroids = Array.tabulate(numCentroids)(i => sample(
-      if (sample.nonEmpty) (math.abs(rnd.nextInt()) % sample.length) else 0).clone())
+    var centroids = Array.tabulate(numCentroids)(_ =>
+      sample(rnd.nextInt(sample.length)).clone())
     for (_ <- 0 until iters) {
       val sums = Array.fill(numCentroids)(new Array[Double](centroids(0).length))
       val counts = new Array[Long](numCentroids)

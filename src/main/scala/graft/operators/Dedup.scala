@@ -297,18 +297,35 @@ object Dedup {
 
   /** Embedding near-duplicates: random-hyperplane LSH buckets (sign
     * sketch over `planes` seeded hyperplanes, banded), candidates verified
-    * with exact cosine >= tau. */
+    * with exact cosine >= tau.
+    *
+    * Scale shape: only (id, band, bucket) flows through the candidate
+    * shuffle — vectors are attached to the deduplicated candidate set by
+    * id-equijoins, so the banding explode never replicates payloads.
+    *
+    * Adaptive guard: sign-LSH only prunes when tau is high (band match
+    * prob for a pair at angle a is (1 - a/pi)^width). When the bucket
+    * histogram says the candidate volume is a large fraction of all
+    * pairs (tau too loose for the data's angular gap), LSH degrades to
+    * quadratic-with-overhead — so the operator falls back to the blocked
+    * exact all-pairs join instead, whose output is a superset (complete),
+    * never worse. Recall for scaled/exact duplicates in LSH mode is 1.0
+    * by construction: cosine-equal vectors have identical sign sketches. */
   def embeddingNearDup(spark: SparkSession, embs: DataFrame, tau: Double,
-                       planes: Int = 16, bands: Int = 4, seed: Long = 42L,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       planes: Int = 64, bands: Int = 8, seed: Long = 42L,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       maxCandidateFrac: Double = 0.25): DataFrame = {
     import spark.implicits._
-    val dims = embs.select(size(col(vecCol))).head().getInt(0)
+    require(planes >= 1 && planes <= 64 && planes % bands == 0,
+      s"planes=$planes must be in [1,64] and divisible by bands=$bands")
+    val width = planes / bands
+    val base = embs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dims = base.select(size(col("v"))).head().getInt(0)
     val rnd = new scala.util.Random(seed)
     val hyper = Array.fill(planes, dims)(rnd.nextGaussian())
     val hyperB = spark.sparkContext.broadcast(hyper)
-    val sigs = embs.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
+    val sigs = base.as[(Long, Array[Double])]
       .map { case (id, v) =>
         val h = hyperB.value
         var sig = 0L
@@ -322,20 +339,37 @@ object Dedup {
         }
         (id, v, sig)
       }.toDF("id", "v", "sig")
-    val width = planes / bands
-    val banded = sigs.select(col("id"), col("v"), explode(array(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("id"), explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("bucket"))
+            .bitwiseAND(lit(if (width == 64) -1L else (1L << width) - 1)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("v"), col("bb.band"), col("bb.bucket"))
-    banded.as("a").join(banded.as("b"),
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    // candidate-volume estimate from the bucket histogram: sum n*(n-1)/2
+    val stats = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0.0)).cast("double").as("cand"),
+        coalesce(sum(col("c")), lit(0L)).cast("double").as("nb"))
+      .head()
+    val candEst = stats.getDouble(0)
+    val n = stats.getDouble(1) / bands
+    if (candEst > maxCandidateFrac * n * (n - 1) / 2) {
+      // LSH cannot prune at this tau on this data: exact blocked join.
+      sigs.unpersist()
+      return Ann.cosineAllPairsBlocked(spark, base, tau, idCol = "id", vecCol = "v")
+    }
+    val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("rid"), col("a.v").as("va"),
-        col("b.id").as("sid"), col("b.v").as("vb"))
+      .select(col("a.id").as("rid"), col("b.id").as("sid"))
       .dropDuplicates("rid", "sid")
+    val vecs = sigs.select(col("id"), col("v"))
+    cands
+      .join(vecs.select(col("id").as("rid"), col("v").as("va")), "rid")
+      .join(vecs.select(col("id").as("sid"), col("v").as("vb")), "sid")
+      .select(col("rid"), col("va"), col("sid"), col("vb"))
       .as[(Long, Array[Double], Long, Array[Double])]
       .mapPartitions { it =>
         // primitive-loop verification: the candidate volume dwarfs the

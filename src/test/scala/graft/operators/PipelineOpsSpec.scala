@@ -79,10 +79,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
-  test("embedding LSH near-dup: all reported pairs truly >= tau") {
+  test("embedding LSH near-dup: all reported pairs truly >= tau (loose tau " +
+    "triggers the adaptive exact fallback, so the answer is also complete)") {
     val pairs = Dedup.embeddingNearDup(spark, embs, 0.4, planes = 16, bands = 8)
       .collect()
     assert(pairs.forall(_.getDouble(2) >= 0.4))
+    val exact = Ann.cosineAllPairsExact(spark, embs, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
+  }
+
+  test("embedding LSH near-dup: noisy-twin recall 1.0 in genuine LSH mode") {
+    import spark.implicits._
+    val base = embs.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+      .as[(Long, Array[Double])].collect()
+    // deterministic small perturbation: cosine(v, twin) ~ 0.999
+    val rnd = new scala.util.Random(7)
+    val twins = base.map { case (id, v) =>
+      (id + 1000000L, v.map(x => x + 0.03 * rnd.nextGaussian() * math.abs(x).max(0.01)))
+    }
+    val all = (base ++ twins).toSeq.toDF("vec_id", "embedding")
+      .repartition(4)
+    val tau = 0.98
+    val lsh = Dedup.embeddingNearDup(spark, all, tau, planes = 64, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Ann.cosineAllPairsBlocked(spark, all, tau, numBlocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "perturbation too large: no twin pair above tau")
+    assert(lsh == exact, s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
+  }
+
+  test("blocked exact all-pairs equals broadcast exact all-pairs") {
+    val blocked = Ann.cosineAllPairsBlocked(spark, embs, 0.35, numBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bcast = Ann.cosineAllPairsExact(spark, embs, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked == bcast && blocked.nonEmpty)
   }
 
   test("multimodal payload -> features pipeline shape") {
