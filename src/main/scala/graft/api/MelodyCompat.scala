@@ -92,11 +92,17 @@ object MelodyCompat {
     require(bins.length == cc.numBins * cc.dimension,
       s"bins file has ${bins.length} values, expected ${cc.numBins * cc.dimension}")
     val cfg = engineConfig(cc, bins, vectors)
+    // The reference dispatches BOTH join types on the framework key and
+    // accepts four values (Join.java:42-131, melody-conf.properties:83-84);
+    // bspmelody/bspb are the Hama BSP twins of melody/baseline — same
+    // logical plans here (SURVEY §2.5), so they alias.
     (cc.joinType, cc.framework) match {
+      case ("topk", "mrsim") => MrSimJoin.topKJoin(spark, hists, cc.k, cfg)
+      case ("topk", "baseline" | "bspb") => BaselineJoin.topKJoin(spark, hists, cc.k, cfg)
       case ("topk", _) => MelodyJoin.topKJoin(spark, hists, cc.k, cfg)
       case (_, "mrsim") => MrSimJoin.thresholdJoin(spark, hists, cc.threshold, cfg)
-      case (_, "baseline") => BaselineJoin.thresholdJoin(spark, hists, cc.threshold, cfg)
-      case _ => MelodyJoin.thresholdJoin(spark, hists, cc.threshold, cfg)
+      case (_, "baseline" | "bspb") => BaselineJoin.thresholdJoin(spark, hists, cc.threshold, cfg)
+      case _ => MelodyJoin.thresholdJoin(spark, hists, cc.threshold, cfg) // melody | bspmelody
     }
   }
 

@@ -71,8 +71,11 @@ object Dedup {
     // bitmask and Jaccard is two popcounts; the (distinct x distinct)
     // scalar comparison beats prefix-filter bucketing by an order of
     // magnitude at this cardinality. Generic prefix path otherwise.
-    val vocab = dfreq.select(col("tok")).orderBy(col("tok")).collect().map(_.getString(0))
-    if (vocab.length <= 64) {
+    // The gate is a BOUNDED count (limit 65) so nothing data-sized ever
+    // reaches the driver; the vocabulary itself is collected only after
+    // the gate proves it has at most 64 entries.
+    if (dfreq.limit(65).count() <= 64) {
+      val vocab = dfreq.select(col("tok")).orderBy(col("tok")).collect().map(_.getString(0))
       val vocabIdx = vocab.zipWithIndex.toMap
       val session = docs.sparkSession
       import session.implicits._

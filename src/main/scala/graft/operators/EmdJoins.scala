@@ -134,25 +134,18 @@ object EmdJoins {
     val sPairs = sample.crossJoin(right)
       .filter(col("id") < col("id_b"))
       .select(sDist.as("dist"))
-    val ub = sPairs.orderBy(col("dist")).limit(k)
-      .agg(max(col("dist")).as("ub")).head().getDouble(0)
-    if (ub <= 1e-12) {
-      // degenerate duplicate-heavy case: the sample alone proves >= k pairs
-      // at distance exactly 0, so the top-k are the first k identical-
-      // histogram pairs — a groupBy(weights), no join at all
-      val groups = hists.groupBy(col("weights"))
-        .agg(sort_array(collect_list(col("id"))).as("members"))
-        .filter(size(col("members")) > 1)
-      groups.select(explode(col("members")).as("rid"), col("members"))
-        .select(col("rid"), explode(col("members")).as("sid"))
-        .filter(col("rid") < col("sid"))
-        .withColumn("dist", lit(0.0))
-        .orderBy(col("rid"), col("sid"))
-        .limit(k)
-    } else {
-      emd1dThresholdJoin(hists, ub + 1e-9)
-        .orderBy(round(col("dist"), 6), col("rid"), col("sid"))
-        .limit(k)
-    }
+    // Null-safe: with < 2 input rows the sample yields no pairs (max over
+    // empty group is null) — fall back to an unbounded radius; the join
+    // then degenerates to the (empty or trivial) full comparison. When the
+    // sample is duplicate-heavy the bound can be exactly 0; the +1e-9
+    // radius keeps the join complete for the k proven zero-distance pairs
+    // while ordering ties exactly like the (round(dist,6), rid, sid)
+    // oracle — no special-case path whose tie order could diverge.
+    val ubRow = sPairs.orderBy(col("dist")).limit(k)
+      .agg(max(col("dist")).as("ub")).head()
+    val ub = if (ubRow.isNullAt(0)) Double.MaxValue else ubRow.getDouble(0)
+    emd1dThresholdJoin(hists, math.min(ub + 1e-9, Double.MaxValue))
+      .orderBy(round(col("dist"), 6), col("rid"), col("sid"))
+      .limit(k)
   }
 }

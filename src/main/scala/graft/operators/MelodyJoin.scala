@@ -40,7 +40,12 @@ object MelodyJoin {
       numReductions: Int = 10,
       reducedDim: Int = 8,
       seed: Long = 42L,
-      groundDist: GroundDist = GroundDist.L2) extends Serializable {
+      groundDist: GroundDist = GroundDist.L2,
+      /** Exact `percentile` matches the reference's grid boundaries
+        * (QNEPreReducer.java:152-189) but buffers O(distinct values) in the
+        * aggregator; flip to approx (accuracy 10000) for 100 TB inputs —
+        * boundaries only steer pruning, never the answer. */
+      exactQuantiles: Boolean = true) extends Serializable {
     val numBins: Int = bins.length / dimension
     val numVectors: Int = vectors.length
     /** Centered projected bins per vector (driver-side precompute;
@@ -169,14 +174,15 @@ object MelodyJoin {
       }
     }.toDF("d")
     val pcts = (1 until cfg.sideNum).map(_.toDouble / cfg.sideNum)
+    def pct(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (cfg.exactQuantiles) percentile(c, array(pcts.map(lit): _*))
+      else percentile_approx(c, array(pcts.map(lit): _*), lit(10000))
     val pctAgg = (0 until cfg.numVectors).flatMap { j =>
       Seq(
         min(col("d")(2 * j)).as(s"minSW$j"), max(col("d")(2 * j)).as(s"maxSW$j"),
-        percentile_approx(col("d")(2 * j),
-          array(pcts.map(lit): _*), lit(10000)).as(s"pSW$j"),
+        pct(col("d")(2 * j)).as(s"pSW$j"),
         min(col("d")(2 * j + 1)).as(s"minSE$j"), max(col("d")(2 * j + 1)).as(s"maxSE$j"),
-        percentile_approx(col("d")(2 * j + 1),
-          array(pcts.map(lit): _*), lit(10000)).as(s"pSE$j"))
+        pct(col("d")(2 * j + 1)).as(s"pSE$j"))
     }
     val q = distDf.agg(pctAgg.head, pctAgg.tail: _*).head()
     (0 until cfg.numVectors).map { j =>
@@ -489,18 +495,39 @@ object MelodyJoin {
     out
   }
 
+  /** Theta-independent engine state shared by the threshold and top-k
+    * entry points: grids, duals, per-record enrichment (persisted), cell
+    * summaries. Built once, joined at any number of radii. */
+  final case class Prepared(
+      grids: Array[SkewedGrid],
+      duals: Array[DualBound],
+      enriched: DataFrame,
+      summaries: Array[CellSummary])
+
+  def prepare(spark: SparkSession, hists: DataFrame, cfg: Config): Prepared = {
+    val grids = buildGrids(spark, hists, cfg)
+    val duals = buildDuals(spark, hists, cfg)
+    val enriched = enrich(spark, hists, cfg, grids, duals)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val summaries = summarize(enriched, cfg, duals.length)
+    Prepared(grids, duals, enriched, summaries)
+  }
+
   /** Distance-threshold join: all pairs with EMD <= theta, rid < sid. */
   def thresholdJoin(spark: SparkSession, hists: DataFrame, theta: Double,
                     cfg: Config): DataFrame = {
     require(cfg.groundDist == GroundDist.L2,
       "grid pruning (EMD_BR / dual range / Rubner box) is derived for the " +
       "L2 ground distance; use BaselineJoin for L1/L3")
+    thresholdJoinPrepared(spark, prepare(spark, hists, cfg), theta, cfg)
+  }
+
+  /** Threshold join over pre-built engine state (enrichment reuse across
+    * the top-k bound pass and its final join). */
+  def thresholdJoinPrepared(spark: SparkSession, prep: Prepared, theta: Double,
+                            cfg: Config): DataFrame = {
     import spark.implicits._
-    val grids = buildGrids(spark, hists, cfg)
-    val duals = buildDuals(spark, hists, cfg)
-    val enriched = enrich(spark, hists, cfg, grids, duals)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val summaries = summarize(enriched, cfg, duals.length)
+    val Prepared(grids, duals, enriched, summaries) = prep
 
     val cfgB = spark.sparkContext.broadcast(cfg)
     val gridsB = spark.sparkContext.broadcast(grids)
@@ -570,10 +597,16 @@ object MelodyJoin {
     * and stays fully distributed (one narrow pass + TakeOrdered(k)). */
   def topKJoin(spark: SparkSession, hists: DataFrame, k: Int, cfg: Config,
                sampleSize: Int = 64, numRefs: Int = 8): DataFrame = {
+    require(cfg.groundDist == GroundDist.L2,
+      "grid pruning (EMD_BR / dual range / Rubner box) is derived for the " +
+      "L2 ground distance; use BaselineJoin for L1/L3")
     import spark.implicits._
-    val sample = hists.select("id", "weights").as[(Long, Array[Double])]
-      .orderBy(col("id")).limit(sampleSize).collect()
-      .map { case (id, w) => (id, HistOps.normalize(w)) }
+    // engine state is theta-independent — build ONCE and share between the
+    // flow-bound pass and the final threshold join (the join previously
+    // re-ran grids/duals/enrichment, paying the whole engine twice)
+    val prep = prepare(spark, hists, cfg)
+    val sample = prep.enriched.select("id", "weights").as[(Long, Array[Double])]
+      .orderBy(col("id")).limit(sampleSize).collect() // already normalized
     val dists = for {
       i <- sample.indices; j <- sample.indices if i < j
     } yield Emd.exact(sample(i)._2, sample(j)._2, cfg.cost)
@@ -582,17 +615,25 @@ object MelodyJoin {
 
     val refs = sample.take(numRefs)
     val refsB = spark.sparkContext.broadcast(refs)
+    val refIdsB = spark.sparkContext.broadcast(refs.map(_._1).toSet)
     val cfgB = spark.sparkContext.broadcast(cfg)
     val nearestB = spark.sparkContext.broadcast(
       Emd.nearestOrders(cfg.cost, cfg.numBins))
-    val flowUbs = hists.select("id", "weights").as[(Long, Array[Double])]
+    val flowUbs = prep.enriched.select("id", "weights").as[(Long, Array[Double])]
       .mapPartitions { it =>
         val c = cfgB.value
         val near = nearestB.value
-        it.flatMap { case (id, w0) =>
-          val w = HistOps.normalize(w0)
+        val refIds = refIdsB.value
+        it.flatMap { case (id, w) =>
+          // each flow is a feasible distance for ONE unordered pair; when
+          // the record is itself a ref, keep only the id < rid orientation
+          // so a ref-ref pair contributes a single flow — otherwise the k
+          // smallest flows can double-count a pair and the k-th flow would
+          // not cover k distinct pairs
+          val isRef = refIds.contains(id)
           refsB.value.iterator.collect {
-            case (rid, rw) if rid != id => Emd.greedyFlow(w, rw, near, c.cost)
+            case (rid, rw) if rid != id && (!isRef || id < rid) =>
+              Emd.greedyFlow(w, rw, near, c.cost)
           }
         }
       }.toDF("ub")
@@ -601,7 +642,7 @@ object MelodyJoin {
     val flowUb = if (flowUbs.length >= k) flowUbs.last.getDouble(0) else Double.MaxValue
 
     val ub = math.min(sampleUb, flowUb)
-    thresholdJoin(spark, hists, ub + 1e-9, cfg)
+    thresholdJoinPrepared(spark, prep, ub + 1e-9, cfg)
       .orderBy(col("dist"), col("rid"), col("sid"))
       .limit(k)
   }

@@ -14,19 +14,36 @@ import graft.core._
   * (d(r, q) - d(r, p)) / 2 <= theta can still hide a qualifying pair.
   * Each partition joins its records with the shared filter cascade.
   *
-  * The reference's multi-round driver loop + 32MB spill machinery
-  * (CloudJoinBaseReducer.java:105-275) is NOT ported: Spark's shuffle
-  * spill and AQE make one shuffle sufficient (SURVEY.md §4). This engine
-  * computes the same answer as MelodyJoin/BaselineJoin — kept as the J3
-  * capability and as a third independent engine for equivalence testing.
+  * Scale safety (the reference re-splits partitions over 32 MB with a
+  * multi-round driver loop — CloudJoinBaseReducer.java:105-275,
+  * MRSimJoinHD.java:154; Spark's shuffle spill does NOT bound a user-space
+  * quadratic kernel, so the invariant is kept differently here):
+  *   - the pivot count scales with the input (~1 pivot per 4k records,
+  *     clamped), so expected partition sizes stay flat as data grows;
+  *   - any partition still exceeding `maxGroupRows` (skew, adversarial
+  *     pivots) is sub-split by hashing records into ceil(size/cap) blocks
+  *     and shuffling each record to the block-PAIR keys containing its
+  *     block — every pair still meets exactly once, task memory is
+  *     bounded by two blocks, and the quadratic work spreads over
+  *     m*(m+1)/2 tasks instead of one. One extra O(pivots) driver agg,
+  *     no round loop.
   */
 object MrSimJoin {
 
   def thresholdJoin(spark: SparkSession, hists: DataFrame, theta: Double,
-                    cfg: MelodyJoin.Config, numPivots: Int = 16): DataFrame = {
+                    cfg: MelodyJoin.Config, numPivots: Int = 0,
+                    maxGroupRows: Int = 8192): DataFrame = {
     import spark.implicits._
-    val pivots = hists.select(col("id"), col("weights"))
-      .orderBy(hash(col("id")), col("id")).limit(numPivots)
+    val src = hists.select(col("id"), col("weights"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p =
+      if (numPivots > 0) numPivots
+      else {
+        val n = src.count()
+        math.max(16, math.min(2048, (n / 4096L).toInt))
+      }
+    val pivots = src
+      .orderBy(hash(col("id")), col("id")).limit(p)
       .as[(Long, Array[Double])].collect()
       .map { case (id, w) => (id, HistOps.normalize(w)) }
     val pivotsB = spark.sparkContext.broadcast(pivots)
@@ -34,14 +51,14 @@ object MrSimJoin {
 
     // assign: base partition = closest pivot; window copies where the
     // hyperplane margin admits a pair within theta
-    val routed = hists.select(col("id"), col("weights"))
+    val routed = src
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val ps = pivotsB.value
         val c = cfgB.value
         it.flatMap { case (id, w0) =>
           val w = HistOps.normalize(w0)
-          val dists = ps.map(p => Emd.exact(w, p._2, c.cost))
+          val dists = ps.map(pv => Emd.exact(w, pv._2, c.cost))
           val base = dists.indices.minBy(i => (dists(i), i))
           dists.indices.flatMap { q =>
             if (q == base) Some((q, id, w, true))
@@ -50,38 +67,105 @@ object MrSimJoin {
           }
         }
       }.toDF("pivot", "id", "weights", "isBase")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val duals = MelodyJoin.buildDuals(spark, hists, cfg)
+    // per-pivot sizes (window copies included) -> sub-block counts.
+    // O(pivots) rows to the driver, never data-sized.
+    val sizes = routed.groupBy(col("pivot")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val subCounts = Array.tabulate(pivots.length)(i =>
+      math.max(1L, (sizes.getOrElse(i, 0L) + maxGroupRows - 1) / maxGroupRows).toInt)
+    val subB = spark.sparkContext.broadcast(subCounts)
+
+    val duals = MelodyJoin.buildDuals(spark, src, cfg)
     val cascadeB = spark.sparkContext.broadcast(new MelodyJoin.Cascade(cfg, duals))
 
-    // per-partition nested-loop join with the cascade; a pair is emitted
-    // only where at least one side is a base copy (then de-duplicated
-    // globally: a pair can qualify in both endpoints' base partitions)
-    routed.as[(Int, Long, Array[Double], Boolean)]
-      .groupByKey(_._1)
-      .flatMapGroups { (_: Int, rows: Iterator[(Int, Long, Array[Double], Boolean)]) =>
-        val casc = cascadeB.value
-        val members = rows.toArray
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-        var i = 0
-        while (i < members.length) {
-          var j = i + 1
-          while (j < members.length) {
-            val a = members(i); val b = members(j)
-            if ((a._4 || b._4) && a._2 != b._2) {
-              // canonical orientation (lower id first): keeps the exact
-              // solver's fp path identical across partitions/engines
-              val (lo, hi) = if (a._2 < b._2) (a, b) else (b, a)
-              val emd = casc.emdIfCandidate(lo._3, hi._3, theta)
-              if (emd >= 0) out += ((lo._2, hi._2, emd))
+    // key = pivot << 42 | loBlock << 21 | hiBlock; side 0 = loBlock rows.
+    // Unsplit pivots (m == 1) pay zero extra copies.
+    val keyed = routed.as[(Int, Long, Array[Double], Boolean)]
+      .mapPartitions { it =>
+        val subs = subB.value
+        it.flatMap { case (pv, id, w, isBase) =>
+          val m = subs(pv)
+          if (m == 1) Iterator.single(((pv.toLong << 42), 0, id, w, isBase))
+          else {
+            val mine = ((scala.util.hashing.byteswap64(id) % m).toInt + m) % m
+            (0 until m).iterator.map { other =>
+              val lo = math.min(mine, other)
+              val hi = math.max(mine, other)
+              ((pv.toLong << 42) | (lo.toLong << 21) | hi.toLong,
+                if (mine == lo) 0 else 1, id, w, isBase)
             }
-            j += 1
           }
-          i += 1
+        }
+      }
+
+    // per-group join with the cascade; a pair is emitted only where at
+    // least one side is a base copy (then de-duplicated globally: a pair
+    // can qualify in both endpoints' base partitions). Within one pivot a
+    // pair meets in exactly one block-pair group.
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroups { (key: Long, rows: Iterator[(Long, Int, Long, Array[Double], Boolean)]) =>
+        val casc = cascadeB.value
+        val loBlk = ((key >> 21) & 0x1fffffL).toInt
+        val hiBlk = (key & 0x1fffffL).toInt
+        val a = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Boolean)]()
+        val b = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Boolean)]()
+        rows.foreach { case (_, side, id, w, isBase) =>
+          if (side == 0) a += ((id, w, isBase)) else b += ((id, w, isBase))
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        @inline def tryPair(x: (Long, Array[Double], Boolean),
+                            y: (Long, Array[Double], Boolean)): Unit = {
+          if ((x._3 || y._3) && x._1 != y._1) {
+            // canonical orientation (lower id first): keeps the exact
+            // solver's fp path identical across partitions/engines
+            val (lo, hi) = if (x._1 < y._1) (x, y) else (y, x)
+            val emd = casc.emdIfCandidate(lo._2, hi._2, theta)
+            if (emd >= 0) out += ((lo._1, hi._1, emd))
+          }
+        }
+        if (loBlk == hiBlk) {
+          var i = 0
+          while (i < a.length) {
+            var j = i + 1
+            while (j < a.length) { tryPair(a(i), a(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < a.length) {
+            var j = 0
+            while (j < b.length) { tryPair(a(i), b(j)); j += 1 }
+            i += 1
+          }
         }
         out
       }
       .toDF("rid", "sid", "dist")
       .dropDuplicates("rid", "sid")
+  }
+
+  /** Top-k closest pairs on the mrsim engine (the reference serves both
+    * query types from every framework — Join.java:42-131): the k-th
+    * smallest exact EMD among a deterministic sample's pairs is a valid
+    * global bound on the k-th best pair distance; run the threshold join
+    * there and take the k smallest (TakeOrderedAndProject). */
+  def topKJoin(spark: SparkSession, hists: DataFrame, k: Int,
+               cfg: MelodyJoin.Config, sampleSize: Int = 64,
+               numPivots: Int = 0): DataFrame = {
+    import spark.implicits._
+    val sample = hists.select("id", "weights").as[(Long, Array[Double])]
+      .orderBy(col("id")).limit(sampleSize).collect()
+      .map { case (id, w) => (id, HistOps.normalize(w)) }
+    val dists = for {
+      i <- sample.indices; j <- sample.indices if i < j
+    } yield Emd.exact(sample(i)._2, sample(j)._2, cfg.cost)
+    val sorted = dists.sorted
+    val ub = if (sorted.length >= k) sorted(k - 1) else Double.MaxValue
+    thresholdJoin(spark, hists, math.min(ub + 1e-9, Double.MaxValue), cfg, numPivots)
+      .orderBy(col("dist"), col("rid"), col("sid"))
+      .limit(k)
   }
 }

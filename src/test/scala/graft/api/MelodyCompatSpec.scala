@@ -46,10 +46,26 @@ class MelodyCompatSpec extends AnyFunSuite {
     assert(base.nonEmpty)
     assert(pairs("melody") == base)
     assert(pairs("mrsim") == base)
+    // the reference's BSP framework values alias their MR twins
+    assert(pairs("bspmelody") == base)
+    assert(pairs("bspb") == base)
 
-    // topk path + text output format
+    // topk dispatches on the framework key too (reference Join.java:42-131)
     props.setProperty("melody.join.type", "topk")
     props.setProperty("melody.join.k", "10")
+    def topkPairs(framework: String): Seq[(Long, Long)] = {
+      props.setProperty("melody.framework", framework)
+      MelodyCompat.run(spark, histPath.toString, binsPath.toString,
+          vecPath.toString, props)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    val topkBase = topkPairs("baseline")
+    assert(topkBase.size == 10)
+    assert(topkPairs("melody") == topkBase)
+    assert(topkPairs("mrsim") == topkBase)
+    assert(topkPairs("bspb") == topkBase)
+
+    // text output format
     props.setProperty("melody.framework", "melody")
     val out = dir.resolve("out")
     MelodyCompat.runToText(spark, histPath.toString, binsPath.toString,

@@ -50,6 +50,36 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(EmdJoins.emd1dTopK(hists, 4, sampleSize = 6).count() == 4)
   }
 
+  test("mrsim skewed pivot distribution: sub-split groups stay bounded " +
+    "and the answer matches brute force") {
+    // pathological case: near-identical histograms make EVERY record's
+    // hyperplane margin admit EVERY pivot, so each pivot group holds all
+    // N rows (window copies). With maxGroupRows = 16 each group must
+    // sub-split into block-pairs; the answer must still be exact.
+    val rnd = new scala.util.Random(11)
+    val hists = df((1L to 120L).map { i =>
+      (i, Array.fill(8)(1.0 + 0.001 * rnd.nextDouble()))
+    })
+    val base = BaselineJoin.thresholdJoin(spark, hists, 0.3, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mrsim = MrSimJoin.thresholdJoin(spark, hists, 0.3, cfg,
+      numPivots = 4, maxGroupRows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.size == 120 * 119 / 2, s"expected all pairs, got ${base.size}")
+    assert(mrsim == base,
+      s"missed=${(base -- mrsim).size} extra=${(mrsim -- base).size}")
+  }
+
+  test("mrsim top-k matches melody top-k") {
+    val rnd = new scala.util.Random(5)
+    val hists = df((1L to 40L).map(i => (i, Array.fill(8)(rnd.nextDouble()))))
+    val mel = MelodyJoin.topKJoin(spark, hists, k = 10, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mrs = MrSimJoin.topKJoin(spark, hists, k = 10, cfg, sampleSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mrs == mel)
+  }
+
   test("mrsim with more pivots than records") {
     val rnd = new scala.util.Random(9)
     val hists = df((1L to 6L).map(i => (i, Array.fill(8)(rnd.nextDouble()))))
