@@ -94,10 +94,21 @@ object EmdJoins {
     // the 9x right-side replication and finer partitioning cost more than
     // the candidate cut on this distribution; single-key bands win.
     val pairs = bandedSelfPairs(flat, "id", "_mean", theta)
-    val dist = (0 until numBins - 1)
+    val terms = (0 until numBins - 1)
       .map(i => abs(col(s"_c${i}_a") - col(s"_c${i}_b")))
-      .reduce(_ + _)
-    pairs
+    val dist = terms.reduce(_ + _)
+    // progressive lower-bound cascade: each PREFIX of the abs-diff sum is
+    // a valid lower bound of the full distance (fp-safe: adding the
+    // non-negative remaining terms is monotone under rounding), so cheap
+    // partial sums discard most candidates before the remaining terms are
+    // evaluated — the codegen analog of the melody cascade. The final
+    // `dist` expression is untouched, keeping the oracle's arithmetic
+    // shape bit-identical.
+    val prefiltered = Seq(2, 4).filter(_ < numBins - 1)
+      .foldLeft(pairs) { (df, p) =>
+        df.filter(terms.take(p).reduce(_ + _) <= lit(theta))
+      }
+    prefiltered
       .withColumn("dist", dist)
       .filter(col("dist") <= lit(theta))
       .select(col("id_a").as("rid"), col("id_b").as("sid"), col("dist"))
