@@ -471,6 +471,14 @@ object SparkEntry {
     // Exact 3-token-shingle Jaccard join: equals the minhash-LSH output
     // because candidates are verified with the exact shingle Jaccard and
     // the banding is sized for recall 1.0 on this corpus.
+    //
+    // ORACLE FRAGILITY (not operator correctness): this equality is
+    // fixture-dependent. LSH recall is probabilistic; with 2-row bands the
+    // per-pair miss prob at Jaccard J is (1 - J^2)^16, negligible at the
+    // corpus' lowest qualifying J (0.8) but ~1% at J ~ 0.55. If a future
+    // fixture/scale change introduces qualifying pairs near tau, a red row
+    // here means the ORACLE'S exactness assumption broke, not the operator
+    // — re-derive band sizing from the corpus' minimum qualifying J.
     "q_minhash_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
@@ -564,6 +572,13 @@ object SparkEntry {
     // Same twin construction as the Spark query; the LSH output equals
     // this exact join because twin recall is 1.0 by sketch scale-invariance
     // and every candidate is exact-verified.
+    //
+    // ORACLE FRAGILITY (not operator correctness): equality additionally
+    // relies on the fixture having NO non-twin pair with cosine >= 0.99
+    // inside the probabilistic LSH gap. A different fixture/scale could
+    // put a qualifying non-twin pair there and miss all 8 bands; that
+    // failure mode is oracle fragility — the operator is still behaving
+    // as designed (probabilistic recall, exact verification).
     "q_emb_neardup_lsh" ->
       """WITH base AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

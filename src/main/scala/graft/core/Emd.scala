@@ -104,6 +104,39 @@ object Emd {
     }
   }
 
+  /** True iff the n x n cost matrix is a metric: zero diagonal, symmetric,
+    * and triangle inequality c(i,k) <= c(i,j) + c(j,k) for all triples
+    * (1e-9 slack for fp round-off). O(n^3), n <= 64 in practice — cheap
+    * one-time guard for operators whose pruning needs metric EMD
+    * (MrSimJoin pivot hyperplanes, Emd.exact's net-flow reduction). */
+  def isMetricCost(cost: Array[Double], n: Int): Boolean = {
+    var i = 0
+    while (i < n) {
+      if (math.abs(cost(i * n + i)) > 1e-12) return false
+      var j = 0
+      while (j < n) {
+        if (math.abs(cost(i * n + j) - cost(j * n + i)) > 1e-9) return false
+        j += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        val cij = cost(i * n + j)
+        var k = 0
+        while (k < n) {
+          if (cost(i * n + k) > cij + cost(j * n + k) + 1e-9) return false
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
   /** Exact EMD = balanced transportation problem, solved by successive
     * shortest augmenting paths with Johnson potentials (dense Dijkstra).
     * Exact optimum for the min-cost flow LP; property-tested equal to the

@@ -57,23 +57,29 @@ object Ann {
     import spark.implicits._
     val base = embs.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v")).as[(Long, Array[Double])]
+    // No upper cap on block count: block SIZE (not count) is the memory
+    // invariant — task memory stays at two ~blockTarget-row blocks at any N.
+    // The N*B-copy shuffle this implies is inherent to an exact all-pairs
+    // join (every pair must meet once); callers who can tolerate recall<1
+    // should use embeddingNearDup's LSH path instead.
     val b =
       if (numBlocks > 0) numBlocks
       else {
         val n = base.count()
-        math.max(1, math.min(1024, ((n + blockTarget - 1) / blockTarget).toInt))
+        math.max(1, ((n + blockTarget - 1) / blockTarget).toInt)
       }
     val keyed = base.flatMap { case (id, v) =>
       val mine = (scala.util.hashing.byteswap64(id) % b).toInt.abs
       (0 until b).map { other =>
         val lo = math.min(mine, other)
         val hi = math.max(mine, other)
-        (lo * b + hi, mine, id, v)
+        // Long key: lo * b + hi overflows Int once b > ~46k (uncapped B)
+        (lo.toLong * b + hi, mine, id, v)
       }
     }
     keyed.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val lo = key / b
-      val hi = key % b
+      val lo = (key / b).toInt
+      val hi = (key % b).toInt
       val aBuf = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
       val bBuf = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
       it.foreach { case (_, blk, id, v) =>

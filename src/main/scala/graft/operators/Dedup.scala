@@ -22,6 +22,18 @@ import graft.functions.TextCols
   */
 object Dedup {
 
+  /** Materialize the (small, O(pairs)) result so the data-sized cached
+    * intermediates can be freed immediately instead of accumulating across
+    * a multi-query session; the result cache is reused by the caller's
+    * subsequent action (write/collect). */
+  private def materializeAndFree(result: DataFrame,
+                                 intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    intermediates.foreach(_.unpersist(false))
+    out
+  }
+
   /** Exact duplicate groups by canonical fingerprint: one row per distinct
     * content, keeper = min id, n = group size. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id",
@@ -94,7 +106,7 @@ object Dedup {
         .withColumn("jaccard", interBits / unionBits)
         .filter(col("jaccard") >= tau)
         .select(col("gid").as("ga"), col("gb"), col("jaccard"))
-      return expandGroupPairs(intra, interSets, groups)
+      return materializeAndFree(expandGroupPairs(intra, interSets, groups), groups)
     }
     val tokRanks = sets.select(col("id"), explode(col("toks")).as("tok"))
       .join(dfreq, "tok")
@@ -120,7 +132,7 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("ga"), col("gb"), col("jaccard"))
 
-    expandGroupPairs(intra, interSets, groups)
+    materializeAndFree(expandGroupPairs(intra, interSets, groups), groups)
   }
 
   /** Expand qualifying (set, set) pairs to document pairs via member-list
@@ -210,11 +222,13 @@ object Dedup {
         col("b.id").as("sid"), col("b.shingles").as("sb"))
       .dropDuplicates("rid", "sid")
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-    cands
-      .withColumn("jaccard", inter /
-        (size(col("sa")) + size(col("sb")) - inter))
-      .filter(col("jaccard") >= tau)
-      .select(col("rid"), col("sid"), col("jaccard"))
+    materializeAndFree(
+      cands
+        .withColumn("jaccard", inter /
+          (size(col("sa")) + size(col("sb")) - inter))
+        .filter(col("jaccard") >= tau)
+        .select(col("rid"), col("sid"), col("jaccard")),
+      sigs)
   }
 
   /** First 64 bits of md5(utf8(s)) big-endian — bit-identical to DuckDB's
@@ -295,7 +309,9 @@ object Dedup {
       .select(col("ida"), explode(col("mb")).as("idb"), col("hamming"))
       .select(least(col("ida"), col("idb")).as("rid"),
         greatest(col("ida"), col("idb")).as("sid"), col("hamming"))
-    intra.select(col("rid"), col("sid"), col("hamming")).union(inter)
+    materializeAndFree(
+      intra.select(col("rid"), col("sid"), col("hamming")).union(inter),
+      groups)
   }
 
   /** Embedding near-duplicates: random-hyperplane LSH buckets (sign
@@ -369,7 +385,7 @@ object Dedup {
       .select(col("a.id").as("rid"), col("b.id").as("sid"))
       .dropDuplicates("rid", "sid")
     val vecs = sigs.select(col("id"), col("v"))
-    cands
+    val verified = cands
       .join(vecs.select(col("id").as("rid"), col("v").as("va")), "rid")
       .join(vecs.select(col("id").as("sid"), col("v").as("vb")), "sid")
       .select(col("rid"), col("va"), col("sid"), col("vb"))
@@ -389,5 +405,6 @@ object Dedup {
           if (cos >= tau) Some((rid, sid, cos)) else None
         }
       }.toDF("rid", "sid", "cosine")
+    materializeAndFree(verified, sigs)
   }
 }

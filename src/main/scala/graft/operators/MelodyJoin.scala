@@ -502,9 +502,19 @@ object MelodyJoin {
       grids: Array[SkewedGrid],
       duals: Array[DualBound],
       enriched: DataFrame,
-      summaries: Array[CellSummary])
+      summaries: Array[CellSummary]) {
+    /** Free the persisted enrichment once every join at every radius has
+      * been materialized (callers holding a Prepared own its lifetime). */
+    def unpersist(): Unit = enriched.unpersist(false)
+  }
 
   def prepare(spark: SparkSession, hists: DataFrame, cfg: Config): Prepared = {
+    // guarded here (not just in the public wrappers) so the prepared API
+    // cannot run the L2-only grid/dual/EMD_BR pruning on an L1/L3 Config
+    // and silently under-report pairs
+    require(cfg.groundDist == GroundDist.L2,
+      "grid pruning (EMD_BR / dual range / Rubner box) is derived for the " +
+      "L2 ground distance; use BaselineJoin for L1/L3")
     val grids = buildGrids(spark, hists, cfg)
     val duals = buildDuals(spark, hists, cfg)
     val enriched = enrich(spark, hists, cfg, grids, duals)
@@ -516,10 +526,14 @@ object MelodyJoin {
   /** Distance-threshold join: all pairs with EMD <= theta, rid < sid. */
   def thresholdJoin(spark: SparkSession, hists: DataFrame, theta: Double,
                     cfg: Config): DataFrame = {
-    require(cfg.groundDist == GroundDist.L2,
-      "grid pruning (EMD_BR / dual range / Rubner box) is derived for the " +
-      "L2 ground distance; use BaselineJoin for L1/L3")
-    thresholdJoinPrepared(spark, prepare(spark, hists, cfg), theta, cfg)
+    val prep = prepare(spark, hists, cfg)
+    val result = thresholdJoinPrepared(spark, prep, theta, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the O(pairs) result so the data-sized enrichment cache
+    // can be freed immediately rather than leak across a session
+    result.count()
+    prep.unpersist()
+    result
   }
 
   /** Threshold join over pre-built engine state (enrichment reuse across
@@ -597,9 +611,6 @@ object MelodyJoin {
     * and stays fully distributed (one narrow pass + TakeOrdered(k)). */
   def topKJoin(spark: SparkSession, hists: DataFrame, k: Int, cfg: Config,
                sampleSize: Int = 64, numRefs: Int = 8): DataFrame = {
-    require(cfg.groundDist == GroundDist.L2,
-      "grid pruning (EMD_BR / dual range / Rubner box) is derived for the " +
-      "L2 ground distance; use BaselineJoin for L1/L3")
     import spark.implicits._
     // engine state is theta-independent — build ONCE and share between the
     // flow-bound pass and the final threshold join (the join previously
@@ -642,8 +653,12 @@ object MelodyJoin {
     val flowUb = if (flowUbs.length >= k) flowUbs.last.getDouble(0) else Double.MaxValue
 
     val ub = math.min(sampleUb, flowUb)
-    thresholdJoinPrepared(spark, prep, ub + 1e-9, cfg)
+    val result = thresholdJoinPrepared(spark, prep, ub + 1e-9, cfg)
       .orderBy(col("dist"), col("rid"), col("sid"))
       .limit(k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // O(k) rows; frees the enrichment cache for the session
+    prep.unpersist()
+    result
   }
 }

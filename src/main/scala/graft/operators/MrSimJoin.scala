@@ -33,6 +33,13 @@ object MrSimJoin {
   def thresholdJoin(spark: SparkSession, hists: DataFrame, theta: Double,
                     cfg: MelodyJoin.Config, numPivots: Int = 0,
                     maxGroupRows: Int = 8192): DataFrame = {
+    // the hyperplane window prune ((d(r,q) - d(r,base)) / 2 <= theta) and
+    // Emd.exact's net-flow reduction are both valid only for ground costs
+    // satisfying the triangle inequality — a non-metric Config would
+    // silently drop qualifying pairs. One-time O(bins^3) check.
+    require(Emd.isMetricCost(cfg.cost, cfg.numBins),
+      "MrSimJoin pivot pruning requires a metric ground distance " +
+      "(triangle inequality); use BaselineJoin for arbitrary costs")
     import spark.implicits._
     val src = hists.select(col("id"), col("weights"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -104,7 +111,7 @@ object MrSimJoin {
     // least one side is a base copy (then de-duplicated globally: a pair
     // can qualify in both endpoints' base partitions). Within one pivot a
     // pair meets in exactly one block-pair group.
-    keyed
+    val result = keyed
       .groupByKey(_._1)
       .flatMapGroups { (key: Long, rows: Iterator[(Long, Int, Long, Array[Double], Boolean)]) =>
         val casc = cascadeB.value
@@ -145,6 +152,14 @@ object MrSimJoin {
       }
       .toDF("rid", "sid", "dist")
       .dropDuplicates("rid", "sid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small) pair result so the data-sized cached
+    // intermediates can be freed now instead of leaking across a
+    // multi-query session; the persisted result is O(pairs), not O(N).
+    result.count()
+    src.unpersist(false)
+    routed.unpersist(false)
+    result
   }
 
   /** Top-k closest pairs on the mrsim engine (the reference serves both

@@ -62,6 +62,34 @@ class EmdSpec extends AnyFunSuite {
     }
   }
 
+  test("isMetricCost accepts Lp ground costs and rejects non-metric matrices") {
+    for (gd <- Seq(GroundDist.L1, GroundDist.L2, GroundDist.L3); d <- 1 to 3) {
+      val n = 8
+      val bins = randBins(n, d)
+      assert(Emd.isMetricCost(Emd.costMatrix(bins, d, gd), n),
+        s"$gd d=$d should be metric")
+    }
+    // random symmetric costs with zero diagonal almost surely violate the
+    // triangle inequality at n >= 3 (same construction as exactGeneral's
+    // min-linkage-style test above)
+    val rej = (0 until 20).count { trial =>
+      val n = 8
+      val cost = new Array[Double](n * n)
+      val r = new Random(100 + trial)
+      for (i <- 0 until n; j <- (i + 1) until n) {
+        val c = r.nextDouble() * 10
+        cost(i * n + j) = c; cost(j * n + i) = c
+      }
+      !Emd.isMetricCost(cost, n)
+    }
+    assert(rej >= 18, s"expected most random costs rejected, got $rej/20")
+    // asymmetry and nonzero diagonal are each rejected outright
+    val asym = Array(0.0, 1.0, 2.0, 0.0)
+    assert(!Emd.isMetricCost(asym, 2))
+    val diag = Array(0.5, 1.0, 1.0, 0.0)
+    assert(!Emd.isMetricCost(diag, 2))
+  }
+
   test("exact EMD is a metric-ish: symmetric, zero on identity, non-negative") {
     for (_ <- 0 until 20) {
       val n = 2 + rnd.nextInt(10)

@@ -90,6 +90,31 @@ class MelodyJoinSpec extends AnyFunSuite {
       s"missed=${(base -- mrsim).size} extra=${(mrsim -- base).size}")
   }
 
+  test("non-metric / non-L2 configs are rejected by the pruning engines") {
+    import graft.core._
+    val hists = randomHists(10, 8, seed = 31)
+    // MrSim's hyperplane prune needs the triangle inequality
+    val n = cfg3d.numBins
+    val badCost = new Array[Double](n * n)
+    val r = new scala.util.Random(5)
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val c = r.nextDouble() * 10
+      badCost(i * n + j) = c; badCost(j * n + i) = c
+    }
+    val nonMetric = cfg3d.copy(groundDist = GroundDist.Arbitrary(badCost))
+    intercept[IllegalArgumentException] {
+      MrSimJoin.thresholdJoin(spark, hists, 0.3, nonMetric)
+    }
+    // melody grid pruning is L2-only, guarded in prepare() so the prepared
+    // API cannot bypass it
+    intercept[IllegalArgumentException] {
+      MelodyJoin.prepare(spark, hists, cfg3d.copy(groundDist = GroundDist.L1))
+    }
+    // L1/L3 are metric: MrSim accepts them (prune is cost-generic)
+    assert(MrSimJoin.thresholdJoin(spark, hists, 0.5,
+      cfg3d.copy(groundDist = GroundDist.L1), numPivots = 2).collect() != null)
+  }
+
   test("melody join on derived 3-d testdata histograms matches baseline") {
     val hists = graft.sources.Fixtures.tripleHists(spark, "/root/testdata/sf0.001")
     val theta = 0.08
