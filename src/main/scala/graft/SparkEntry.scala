@@ -196,6 +196,16 @@ object SparkEntry {
         .select(col("rid"), col("sid"), col("hamming").cast("long").as("hamming"))
     }),
 
+    // --- near-dup clustering: simhash pairs -> connected components,
+    //     cluster = min doc_id reachable (canonical keeper per cluster) ---
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val edges = Dedup.simhashDedup(s, docs, maxHamming = 7)
+        .select(col("rid"), col("sid"))
+      Dedup.connectedComponents(s, edges, docs.select(col("doc_id")))
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
     // --- brute-force cosine top-k (exact ANN baseline) ---
     "q_cosine_topk" -> ((s, dir) => {
       val embs = Fixtures.embeddings(s, dir)
@@ -350,6 +360,31 @@ object SparkEntry {
         |  SELECT rid, sid, sum(abs(cum)) AS dist FROM cums GROUP BY rid, sid
         |)""".stripMargin
 
+  /** Simhash signature + all-pairs Hamming CTEs, shared by the pair join
+    * oracle and the connected-components clustering oracle. */
+  private val SimhashCteBody: String =
+    """tc AS (
+      |  SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok
+      |), th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, c FROM tc
+      |), bitsum AS (
+      |  SELECT doc_id, bb.b AS b,
+      |         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN c ELSE -c END) AS acc
+      |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+      |  GROUP BY doc_id, bb.b
+      |), sims AS (
+      |  SELECT doc_id,
+      |         list(CASE WHEN acc > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+      |  FROM bitsum GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS rid, b.doc_id AS sid,
+      |         list_sum(list_transform(range(1, 65),
+      |           i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS hamming
+      |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, round(cast(sum(l_quantity) AS DOUBLE), 6) AS sum_qty,
@@ -444,29 +479,30 @@ object SparkEntry {
     // bits) then brute-forces all pairs at Hamming <= 7; the Spark side's
     // pigeonhole banding has recall 1.0 by construction, so outputs match.
     "q_simhash_pairs" ->
-      """WITH tc AS (
-        |  SELECT doc_id, tok, count(*) AS c
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  GROUP BY doc_id, tok
-        |), th AS (
-        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h, c FROM tc
-        |), bitsum AS (
-        |  SELECT doc_id, bb.b AS b,
-        |         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN c ELSE -c END) AS acc
-        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
-        |  GROUP BY doc_id, bb.b
-        |), sims AS (
-        |  SELECT doc_id,
-        |         list(CASE WHEN acc > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
-        |  FROM bitsum GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT a.doc_id AS rid, b.doc_id AS sid,
-        |         list_sum(list_transform(range(1, 65),
-        |           i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS hamming
-        |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-        |)
-        |SELECT rid, sid, cast(hamming AS BIGINT) AS hamming
-        |FROM pairs WHERE hamming <= 7""".stripMargin,
+      ("WITH " + SimhashCteBody +
+        """
+          |SELECT rid, sid, cast(hamming AS BIGINT) AS hamming
+          |FROM pairs WHERE hamming <= 7""".stripMargin),
+
+    // Near-dup clustering: simhash pairs -> undirected graph -> connected
+    // components with cluster = min reachable doc_id. The oracle computes
+    // the transitive closure with a recursive CTE (fine at oracle scale);
+    // the Spark side is large-star/small-star contraction — both are
+    // deterministic, so outputs match exactly.
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE " + SimhashCteBody +
+        """, e AS (
+          |  SELECT rid AS u, sid AS v FROM pairs WHERE hamming <= 7
+          |), bidir AS (
+          |  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+          |), reach(u, v) AS (
+          |  SELECT u, v FROM bidir
+          |  UNION
+          |  SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u
+          |)
+          |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
+          |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+          |GROUP BY d.doc_id""".stripMargin),
 
     // Exact 3-token-shingle Jaccard join: equals the minhash-LSH output
     // because candidates are verified with the exact shingle Jaccard and

@@ -153,6 +153,77 @@ object Dedup {
       .union(inter2)
   }
 
+  /** Connected components over an undirected near-dup edge list —
+    * the step that turns pairwise near-duplicates into canonical dedup
+    * clusters (keep one doc per component, drop the rest).
+    *
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): converges
+    * in O(log^2 n) rounds on any graph (2-3 rounds on the near-clique
+    * components dedup actually produces), every round is two
+    * groupBy+join shuffles over the EDGE list only — no adjacency
+    * matrices, no driver-side graph state, so the shape survives
+    * billion-edge inputs. Compare GraphX connectedComponents (Pregel,
+    * O(diameter) rounds): star contraction is the better fit because
+    * dedup graphs are shallow and edge-heavy.
+    *
+    * Returns (id, cluster) for EVERY vertex in `vertices`, where cluster
+    * = min id reachable (isolated vertices map to themselves). */
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+                          vertices: DataFrame, maxIter: Int = 25): DataFrame = {
+    val ids = vertices.select(col(vertices.columns.head).cast("long").as("id"))
+    // canonical big->small orientation, self-loops dropped.
+    // Each round ends in an EAGER localCheckpoint: iterative plans
+    // otherwise nest the whole lineage of every prior round and blow up
+    // Catalyst (driver OOM) long before the data is large.
+    var e = edges
+      .select(col(edges.columns(0)).cast("long").as("a"),
+        col(edges.columns(1)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var done = e.limit(1).count() == 0L
+    while (!done && iter < maxIter) {
+      // large-star: on the bidirected graph, every node u links its
+      // LARGER neighbors to m = min(N(u) ∪ {u})
+      val bidir = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = bidir.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = bidir.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: edges now point big->small; every node u links its
+      // smaller neighbors AND itself to m = min(N?(u) ∪ {u})
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = large.join(minsS, "u")
+      val next = withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint when the canonical edge set stops changing (both sides
+      // distinct, so emptiness of both differences == set equality);
+      // superseded checkpoint blocks are GC'd by the context cleaner once
+      // the old `e` goes unreferenced
+      done = next.exceptAll(e).limit(1).count() == 0L &&
+        e.exceptAll(next).limit(1).count() == 0L
+      e = next
+      iter += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxIter rounds")
+    // converged: stars centered at each component's min id
+    val labels = e.groupBy(col("u")).agg(min(col("v")).as("cluster"))
+      .select(col("u").as("id"), col("cluster"))
+    val out = ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    materializeAndFree(out)
+  }
+
   /** Murmur-style 64-bit mix (splitmix64) — deterministic, seedable. */
   @inline private def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

@@ -23,6 +23,48 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   private def embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
 
+  test("connected components (large-star/small-star) == brute-force BFS labels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // adversarial-ish graph: cliques, long chains (stress the O(log n)
+    // round bound), isolated vertices, duplicate + self edges
+    val n = 400
+    val edges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for (c <- 0 until 20) { // cliques of 5 at stride 13 (disjoint from chains)
+      val base = c * 13
+      for (i <- 0 until 5; j <- i + 1 until 5) edges += ((base + i, base + j))
+    }
+    for (s <- 0 until 4) { // chains of length 30 in the 1000+ range
+      val start = 1000 + s * 50
+      for (i <- 0 until 29) edges += ((start + i, start + i + 1))
+    }
+    edges += ((5L, 5L)) // self loop
+    edges ++= edges.take(10) // duplicates
+    for (_ <- 0 until 50) { // random noise edges
+      edges += ((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    }
+    val verts = (0L until n.toLong) ++ (1000L until 1200L) ++ Seq(5000L) // 5000 isolated
+    // brute-force union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    verts.foreach(v => find(v))
+    edges.foreach { case (a, b) => union(a, b) }
+    val expected = verts.map(v => v -> find(v)).toMap
+    val got = Dedup.connectedComponents(spark,
+        edges.toSeq.toDF("rid", "sid"), verts.toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == verts.size)
+    val bad = verts.filter(v => got(v) != expected(v))
+    assert(bad.isEmpty, s"label mismatch at ${bad.take(5).map(v => (v, got(v), expected(v)))}")
+  }
+
   test("jaccard prefix-filter join finds exactly the brute-force pair set") {
     val tau = 0.85
     val viaPrefix = Dedup.jaccardJoin(docs, tau)
