@@ -26,6 +26,9 @@ object SparkEntry {
   private val RubnerTheta = 0.0401
   private val TopK = 20
   private val Theta3d = 0.0803
+  // tree-EMD overestimates 1-D EMD by up to 2n-2; sized so the pair set
+  // is in the same regime as the exact join, off any reachable rational
+  private val TreeTau = 0.407
 
   /** 1-D melody config: with integer bins and one identity vector, exact
     * LP-EMD reduces to the closed-form 1-D EMD, making the whole
@@ -75,6 +78,15 @@ object SparkEntry {
       EmdJoins.emd1dTopK(hists, TopK)
         .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
         .orderBy(col("dist"), col("rid"), col("sid"))
+    }),
+
+    // --- quadtree tree-EMD threshold join (Indyk-Thaper embedding): the
+    //     multi-resolution EMD-family path that stays SQL-expressible in
+    //     any dimension, so the driver gets a hash-checked row for it ---
+    "q_treeemd_pairs" -> ((s, dir) => {
+      val hists = Fixtures.quantityHists(s, dir)
+      EmdJoins.treeEmdThresholdJoin(hists, TreeTau)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
     }),
 
     // --- Rubner (centroid) lower-bound threshold join (D10/P9) ---
@@ -411,6 +423,28 @@ object SparkEntry {
     "q_mrsim1d_pairs" ->
       (EmdCte +
         s" SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= $Theta"),
+
+    // Mirrors the Spark embedding exactly: per dyadic level (span 4/2/1),
+    // per node, feature = span * node mass; distance = sum of abs diffs
+    // over the complete 14-feature embedding (hist is dense per id, so
+    // every pair joins on all 14 (span, node) keys).
+    "q_treeemd_pairs" ->
+      (HistCte +
+        s""", lv AS (
+           |  SELECT unnest([4, 2, 1]) AS span
+           |), nodemass AS (
+           |  SELECT h.id, lv.span, h.bin // lv.span AS node,
+           |         sum(h.w) * lv.span AS f
+           |  FROM hist h CROSS JOIN lv
+           |  GROUP BY h.id, lv.span, h.bin // lv.span
+           |), dists AS (
+           |  SELECT a.id AS rid, b.id AS sid, sum(abs(a.f - b.f)) AS dist
+           |  FROM nodemass a JOIN nodemass b
+           |    ON a.span = b.span AND a.node = b.node AND a.id < b.id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT rid, sid, round(dist, 6) AS dist FROM dists
+           |WHERE dist <= $TreeTau""".stripMargin),
 
     "q_rubner_pairs" ->
       (HistCte +

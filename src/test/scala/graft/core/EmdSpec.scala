@@ -90,6 +90,37 @@ class EmdSpec extends AnyFunSuite {
     assert(!Emd.isMetricCost(diag, 2))
   }
 
+  test("quadtree tree-EMD dominates exact 1-D EMD within the (2n-2) distortion bound") {
+    def treeEmd(a: Array[Double], b: Array[Double]): Double = {
+      val n = a.length
+      var tot = 0.0
+      var span = n / 2
+      while (span >= 1) {
+        var nd = 0
+        while (nd < n / span) {
+          var ma = 0.0; var mb = 0.0
+          var i = nd * span
+          while (i < (nd + 1) * span) { ma += a(i); mb += b(i); i += 1 }
+          tot += span * math.abs(ma - mb)
+          nd += 1
+        }
+        span /= 2
+      }
+      tot
+    }
+    for (_ <- 0 until 50) {
+      val n = 8
+      val a = randHist(n); val b = randHist(n)
+      val exact = Emd.emd1dInteger(a, b)
+      val tree = treeEmd(a, b)
+      assert(tree >= exact - 1e-9, s"tree $tree < exact $exact")
+      assert(tree <= (2 * n - 2) * exact + 1e-9,
+        s"tree $tree exceeds distortion bound vs $exact")
+      assert(math.abs(treeEmd(a, a)) < 1e-12)
+      assert(math.abs(treeEmd(a, b) - treeEmd(b, a)) < 1e-12)
+    }
+  }
+
   test("exact EMD is a metric-ish: symmetric, zero on identity, non-negative") {
     for (_ <- 0 until 20) {
       val n = 2 + rnd.nextInt(10)

@@ -90,6 +90,41 @@ class MelodyJoinSpec extends AnyFunSuite {
       s"missed=${(base -- mrsim).size} extra=${(mrsim -- base).size}")
   }
 
+  test("tree-EMD banded join == brute-force tree distance on normalized hists") {
+    import graft.core.HistOps
+    val hists = randomHists(150, 8, seed = 41)
+    val tau = 0.9
+    val rows = hists.collect().map { r =>
+      (r.getLong(0), HistOps.normalize(r.getSeq[Double](1).toArray))
+    }
+    def treeEmd(a: Array[Double], b: Array[Double]): Double = {
+      var tot = 0.0
+      var span = a.length / 2
+      while (span >= 1) {
+        for (nd <- 0 until a.length / span) {
+          var ma = 0.0; var mb = 0.0
+          for (i <- nd * span until (nd + 1) * span) { ma += a(i); mb += b(i) }
+          tot += span * math.abs(ma - mb)
+        }
+        span /= 2
+      }
+      tot
+    }
+    val expected = (for {
+      i <- rows.indices; j <- rows.indices if i < j
+      d = treeEmd(rows(i)._2, rows(j)._2) if d <= tau
+    } yield (math.min(rows(i)._1, rows(j)._1), math.max(rows(i)._1, rows(j)._1))).toSet
+    // operator normalizes via the fixture path? no — it consumes weights
+    // as-is, so feed it normalized arrays to match the driver-side oracle
+    import spark.implicits._
+    val normed = rows.toSeq.toDF("id", "weights")
+    val got = EmdJoins.treeEmdThresholdJoin(normed, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "vacuous tree-EMD test")
+    assert(got == expected,
+      s"missed=${(expected -- got).size} extra=${(got -- expected).size}")
+  }
+
   test("non-metric / non-L2 configs are rejected by the pruning engines") {
     import graft.core._
     val hists = randomHists(10, 8, seed = 31)
