@@ -65,18 +65,35 @@ object Fixtures {
       .select(col("id"), col("bin"), (col("c").cast("double") / col("total")).as("w"))
   }
 
+  /** Session-scoped cache of the derived histogram tables: ~8 declared
+    * queries consume the same (id, weights) inputs, and re-deriving the
+    * scan+aggregate per query dominated their wall-clock. One histogram
+    * row per key (8 doubles) is ~100 bytes — at 100 TB scale the derived
+    * table is GBs against a cluster's aggregate cache, the textbook
+    * persist case. Keyed by (session, dir) so tests with their own
+    * sessions/dirs don't cross-contaminate. */
+  private val histCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+
+  private def cached(spark: SparkSession, dir: String, kind: String)
+                    (build: => DataFrame): DataFrame = histCache.synchronized {
+    histCache.getOrElseUpdate((spark, dir, kind),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Wide-format histograms: (id, weights ARRAY<DOUBLE>[NumBins]),
     * L1-normalized. One scan + one shuffle; all-codegen. */
-  def quantityHists(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-      .select(col("l_partkey").as("id"), quantityBin(col("l_quantity")).as("bin"))
-    val countCols = (0 until NumBins).map(b =>
-      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
-    val agged = li.groupBy(col("id")).agg(countCols.head, countCols.tail: _*)
-    val total = (0 until NumBins).map(b => col(s"c$b")).reduce(_ + _).cast("double")
-    val weights = array((0 until NumBins).map(b => col(s"c$b").cast("double") / total): _*)
-    agged.select(col("id"), weights.as("weights"))
-  }
+  def quantityHists(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "quantity") {
+      val li = lineitem(spark, dir)
+        .select(col("l_partkey").as("id"), quantityBin(col("l_quantity")).as("bin"))
+      val countCols = (0 until NumBins).map(b =>
+        sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+      val agged = li.groupBy(col("id")).agg(countCols.head, countCols.tail: _*)
+      val total = (0 until NumBins).map(b => col(s"c$b")).reduce(_ + _).cast("double")
+      val weights = array((0 until NumBins).map(b => col(s"c$b").cast("double") / total): _*)
+      agged.select(col("id"), weights.as("weights"))
+    }
 
   /** 3-D histograms for the exact-EMD engines: per l_partkey, 2x2x2 = 8
     * corner bins of the unit cube over (quantity, extendedprice, discount),
@@ -87,18 +104,19 @@ object Fixtures {
     1, 0, 0, 1, 0, 1, 1, 1, 0, 1, 1, 1)
   val Dim3 = 3
 
-  def tripleHists(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-    val qbit = (col("l_quantity") > 25.0).cast("int")
-    val pbit = (col("l_extendedprice") > 30000.0).cast("int")
-    val dbit = (col("l_discount") > 0.05).cast("int")
-    val bin = (qbit * 4 + pbit * 2 + dbit).as("bin")
-    val binned = li.select(col("l_partkey").as("id"), bin)
-    val countCols = (0 until 8).map(b =>
-      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
-    val agged = binned.groupBy(col("id")).agg(countCols.head, countCols.tail: _*)
-    val total = (0 until 8).map(b => col(s"c$b")).reduce(_ + _).cast("double")
-    val weights = array((0 until 8).map(b => col(s"c$b").cast("double") / total): _*)
-    agged.select(col("id"), weights.as("weights"))
-  }
+  def tripleHists(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "triple") {
+      val li = lineitem(spark, dir)
+      val qbit = (col("l_quantity") > 25.0).cast("int")
+      val pbit = (col("l_extendedprice") > 30000.0).cast("int")
+      val dbit = (col("l_discount") > 0.05).cast("int")
+      val bin = (qbit * 4 + pbit * 2 + dbit).as("bin")
+      val binned = li.select(col("l_partkey").as("id"), bin)
+      val countCols = (0 until 8).map(b =>
+        sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+      val agged = binned.groupBy(col("id")).agg(countCols.head, countCols.tail: _*)
+      val total = (0 until 8).map(b => col(s"c$b")).reduce(_ + _).cast("double")
+      val weights = array((0 until 8).map(b => col(s"c$b").cast("double") / total): _*)
+      agged.select(col("id"), weights.as("weights"))
+    }
 }
