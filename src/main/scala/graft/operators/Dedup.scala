@@ -184,7 +184,8 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     var iter = 0
-    var done = e.limit(1).count() == 0L
+    var prevCount = e.count()
+    var done = prevCount == 0L
     while (!done && iter < maxIter) {
       // large-star: on the bidirected graph, every node u links its
       // LARGER neighbors to m = min(N(u) ∪ {u})
@@ -206,12 +207,15 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      // fixpoint when the canonical edge set stops changing (both sides
-      // distinct, so emptiness of both differences == set equality);
-      // superseded checkpoint blocks are GC'd by the context cleaner once
-      // the old `e` goes unreferenced
-      done = next.exceptAll(e).limit(1).count() == 0L &&
-        e.exceptAll(next).limit(1).count() == 0L
+      // fixpoint when the canonical edge set stops changing. Both sides
+      // are distinct sets, so equal cardinality + empty one-sided
+      // difference == equality (the cheap count screens out most
+      // non-converged rounds without an exceptAll job); superseded
+      // checkpoint blocks are GC'd once the old `e` goes unreferenced
+      val nextCount = next.count()
+      done = nextCount == prevCount &&
+        next.exceptAll(e).limit(1).count() == 0L
+      prevCount = nextCount
       e = next
       iter += 1
     }
