@@ -27,8 +27,16 @@ object SparkEntry {
   private val TopK = 20
   private val Theta3d = 0.0803
   // tree-EMD overestimates 1-D EMD by up to 2n-2; sized so the pair set
-  // is in the same regime as the exact join, off any reachable rational
-  private val TreeTau = 0.407
+  // is in the same regime as the exact join. 0.4071 = 4071/10000: a
+  // boundary hit needs the pair's count-total product divisible by 10000
+  // AND the node-mass sum to land exactly there — measured closest
+  // distance is 1.9e-5 away at sf0.01 (was 0.407 in round 3; widened per
+  // round-3 advice to keep a large margin from reachable rationals)
+  private val TreeTau = 0.4071
+  // octree tree-EMD threshold: 10739/100000 has a prime numerator and a
+  // denominator needing count-total products >= 25000 (per-partkey totals
+  // are ~30-60, so unreachable); closest measured distance is 4.6e-6 away
+  private val TreeTau3d = 0.10739
 
   /** 1-D melody config: with integer bins and one identity vector, exact
     * LP-EMD reduces to the closed-form 1-D EMD, making the whole
@@ -90,6 +98,27 @@ object SparkEntry {
       val hists = Fixtures.quantityHists(s, dir)
       EmdJoins.treeEmdThresholdJoin(hists, TreeTau)
         .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // --- octree tree-EMD threshold join over 3-D histograms: the
+    //     multi-dimensional EMD-family join that stays SQL-expressible
+    //     (exact 3-D EMD needs an LP; the tree metric is a flat
+    //     weighted-L1 embedding), giving the driver a hash-checked
+    //     multi-dimensional EMD row ---
+    "q_treeemd3d_pairs" -> ((s, dir) => {
+      val hists = Fixtures.tripleHists(s, dir)
+      EmdJoins.treeEmd3dThresholdJoin(hists, TreeTau3d)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // --- pivot-partition MRSimJoin engine, top-k form (J3+J2: the
+    //     reference serves both query types from every engine,
+    //     Join.java:42-131) ---
+    "q_mrsim1d_topk" -> ((s, dir) => {
+      val hists = Fixtures.quantityHists(s, dir)
+      MrSimJoin.topKJoin(s, hists, TopK, melodyCfg1d)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("dist"), col("rid"), col("sid"))
     }),
 
     // --- Rubner (centroid) lower-bound threshold join (D10/P9) ---
@@ -346,6 +375,28 @@ object SparkEntry {
       |  SELECT id, bin, c / sum(c) OVER (PARTITION BY id) AS w FROM dense
       |)""".stripMargin
 
+  /** 3-D histogram CTE mirroring Fixtures.tripleHists exactly: per
+    * l_partkey, 2x2x2 corner bins over (quantity, extendedprice,
+    * discount), bit-order bin index, normalized weights. */
+  private val Hist3Cte: String =
+    """WITH binned AS (
+      |  SELECT l_partkey AS id,
+      |         (CASE WHEN l_quantity > 25.0 THEN 4 ELSE 0 END +
+      |          CASE WHEN l_extendedprice > 30000.0 THEN 2 ELSE 0 END +
+      |          CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS bin
+      |  FROM lineitem
+      |), counts AS (
+      |  SELECT id, bin, cast(count(*) AS DOUBLE) AS c FROM binned GROUP BY id, bin
+      |), ids AS (SELECT DISTINCT id FROM binned
+      |), dense AS (
+      |  SELECT i.id, b.bin, coalesce(c.c, 0.0) AS c
+      |  FROM ids i
+      |  CROSS JOIN (SELECT cast(range AS INTEGER) AS bin FROM range(8)) b
+      |  LEFT JOIN counts c ON c.id = i.id AND c.bin = b.bin
+      |), hist AS (
+      |  SELECT id, bin, c / sum(c) OVER (PARTITION BY id) AS w FROM dense
+      |)""".stripMargin
+
   /** Pair distances as difference-of-prefix-sums — the same arithmetic
     * shape as the Spark scalar-cums banded join (EmdJoins), so doubles
     * match bit-for-bit. */
@@ -448,6 +499,34 @@ object SparkEntry {
            |)
            |SELECT rid, sid, round(dist, 6) AS dist FROM dists
            |WHERE dist <= $TreeTau""".stripMargin),
+
+    // Mirrors EmdJoins.treeEmd3dThresholdJoin: kd-split hierarchy (q, then
+    // p, then d) — the level-l node of bin i is i // span for span in
+    // {4, 2, 1}; edge weights (0.25, 0.25, 0.5); distance = sum of
+    // weighted node-mass abs diffs over the complete 14-feature embedding.
+    "q_treeemd3d_pairs" ->
+      (Hist3Cte +
+        s""", lv AS (
+           |  SELECT unnest([4, 2, 1]) AS span
+           |), nodemass AS (
+           |  SELECT h.id, lv.span, h.bin // lv.span AS node,
+           |         sum(h.w) * (CASE lv.span WHEN 4 THEN 0.25
+           |                     WHEN 2 THEN 0.25 ELSE 0.5 END) AS f
+           |  FROM hist h CROSS JOIN lv
+           |  GROUP BY h.id, lv.span, h.bin // lv.span
+           |), dists AS (
+           |  SELECT a.id AS rid, b.id AS sid, sum(abs(a.f - b.f)) AS dist
+           |  FROM nodemass a JOIN nodemass b
+           |    ON a.span = b.span AND a.node = b.node AND a.id < b.id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT rid, sid, round(dist, 6) AS dist FROM dists
+           |WHERE dist <= $TreeTau3d""".stripMargin),
+
+    "q_mrsim1d_topk" ->
+      (EmdCte +
+        s""" SELECT rid, sid, round(dist, 6) AS dist FROM emds
+           | ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
 
     "q_rubner_pairs" ->
       (HistCte +

@@ -150,17 +150,45 @@ object EmdJoins {
                            numBins: Int = graft.sources.Fixtures.NumBins): DataFrame = {
     require(numBins >= 2 && (numBins & (numBins - 1)) == 0,
       "dyadic tree-EMD needs a power-of-two bin count")
-    // embedding: per level (span n/2, n/4, .., 1), per node, feature =
-    // span * node mass. Root omitted — normalized hists all carry mass 1.
+    val levels = Iterator.iterate(numBins / 2)(_ / 2).takeWhile(_ >= 1)
+      .map(s => (s, s.toDouble)).toSeq
+    treeEmdJoinLevels(hists, tau, numBins, levels)
+  }
+
+  /** Octree (kd-split) tree-EMD threshold self-join over the 2x2x2
+    * unit-cube corner bins of `Fixtures.tripleHists` — the
+    * multi-dimensional extension of [[treeEmdThresholdJoin]], and the
+    * first EMD-family join over 3-D histograms whose distance is fully
+    * SQL-expressible (the exact 3-D EMD needs an LP; the tree metric is a
+    * flat weighted-L1 embedding in any dimension).
+    *
+    * Hierarchy: split the cube on quantity, then price, then discount —
+    * bin index bit order is (qbit, pbit, dbit), so the level-l node of bin
+    * i is simply i / 2^(3-l), the same contiguous-slice structure as the
+    * dyadic 1-D tree. Edge weights (0.25, 0.25, 0.5) are chosen so the
+    * leaf-to-leaf tree distance dominates the L2 ground distance between
+    * corners: pairs separating at depth 3/2/1 have tree distance
+    * 2*0.5 = 1 / 2*(0.25+0.5) = 1.5 / 2*(0.25+0.25+0.5) = 2 against ground
+    * distance at most 1 / sqrt2 / sqrt3. Hence (spec-checked in
+    * TreeEmdSpec): exactEMD <= EMD_T <= 2 * exactEMD — the distortion-2
+    * factor is exact (corners differing only in the first split coordinate
+    * attain it), so EMD_T also serves as a sure-accept / sure-reject stage
+    * for the exact LP cascade. */
+  def treeEmd3dThresholdJoin(hists: DataFrame, tau: Double): DataFrame =
+    treeEmdJoinLevels(hists, tau, 8, Seq((4, 0.25), (2, 0.25), (1, 0.5)))
+
+  /** Shared tree-EMD join kernel: features are edgeWeight * nodeMass per
+    * (level, node), nodes are contiguous `span`-wide bin slices, distance
+    * is the weighted-L1 over the embedding. See the callers for why this
+    * closed form equals transport cost under the tree metric. */
+  private def treeEmdJoinLevels(hists: DataFrame, tau: Double, numBins: Int,
+                                levels: Seq[(Int, Double)]): DataFrame = {
+    // embedding: per level, per node, feature = edgeWeight * node mass.
+    // Root omitted — normalized hists all carry mass 1.
     val feats = scala.collection.mutable.ArrayBuffer[Column]()
-    var span = numBins / 2
-    while (span >= 1) {
-      val nodes = numBins / span
-      for (nd <- 0 until nodes)
-        feats += (aggregate(slice(col("weights"), nd * span + 1, span),
-          lit(0.0), (a, x) => a + x) * lit(span.toDouble))
-      span /= 2
-    }
+    for ((span, wgt) <- levels; nd <- 0 until numBins / span)
+      feats += (aggregate(slice(col("weights"), nd * span + 1, span),
+        lit(0.0), (a, x) => a + x) * lit(wgt))
     val featCols = feats.toSeq.zipWithIndex.map { case (c, i) => c.as(s"_f$i") }
     // MATERIALIZED embedding projection: the banded join is a self-join;
     // left unpersisted, both sides re-derive the whole upstream lineage

@@ -315,6 +315,20 @@ object MelodyJoin {
         new ReductionBound(cfg.numBins, cfg.reducedDim, cfg.bins, cfg.dimension,
           cfg.seed + i, cfg.groundDist))
 
+    /** Tree-EMD embedding stage (L2 only): EMD <= EMD_T <= distortion*EMD
+      * with the distortion certified at build time over the actual bins.
+      * Sure-reject (EMD_T > distortion*theta => EMD > theta) runs before
+      * every other bound because it is the cheapest; sure-accept
+      * (EMD_T <= theta => EMD <= theta) jumps straight to the exact solver
+      * — the distance value is still needed for the output, but the
+      * remaining bound evaluations are provably redundant for such pairs.
+      * Null when the decomposition cannot certify soundness (degenerate
+      * bins); the cascade then skips the stage. */
+    @transient lazy val tree: TreeEmd =
+      if (cfg.groundDist == GroundDist.L2)
+        TreeEmd.build(cfg.bins, cfg.dimension).orNull
+      else null
+
     /** Projection and dual lower bounds are proven only for the L2 ground
       * distance (unit-vector projections need Cauchy-Schwarz; duals are
       * built against L2 costs). For L1/L3 the cascade keeps only the
@@ -334,6 +348,15 @@ object MelodyJoin {
         return if (d <= theta) d else -1.0
       }
       if (l2Bounds) {
+        val t = tree
+        if (t != null) {
+          val td = t.dist(wa, wb)
+          if (td > theta * t.distortion) return -1.0 // sure-reject
+          if (td <= theta) { // sure-accept: only the exact value is needed
+            val emd = Emd.exact(wa, wb, cfg.cost)
+            return if (emd <= theta) emd else -1.0
+          }
+        }
         var j = 0
         while (j < cfg.numVectors) {
           if (cfg.proj1dEmd(j, wa, wb) > theta) return -1.0

@@ -179,8 +179,11 @@ object MrSimJoin {
     } yield Emd.exact(sample(i)._2, sample(j)._2, cfg.cost)
     val sorted = dists.sorted
     val ub = if (sorted.length >= k) sorted(k - 1) else Double.MaxValue
+    // rank by the ROUNDED distance (then rid, sid) — the exact tie-break
+    // the driver's 6-decimal oracle applies, so boundary ties at the k-th
+    // slot can never order differently from the SQL
     thresholdJoin(spark, hists, math.min(ub + 1e-9, Double.MaxValue), cfg, numPivots)
-      .orderBy(col("dist"), col("rid"), col("sid"))
+      .orderBy(round(col("dist"), 6), col("rid"), col("sid"))
       .limit(k)
   }
 }

@@ -121,6 +121,34 @@ class EmdSpec extends AnyFunSuite {
     }
   }
 
+  test("hierarchical-grid TreeEmd brackets exact EMD within its certified distortion") {
+    for (trial <- 0 until 25) {
+      val n = 4 + rnd.nextInt(8)
+      val d = 1 + rnd.nextInt(3)
+      val bins = randBins(n, d)
+      val cost = Emd.costMatrix(bins, d, GroundDist.L2)
+      TreeEmd.build(bins, d) match {
+        case Some(tree) =>
+          assert(tree.distortion >= 1.0)
+          for (_ <- 0 until 10) {
+            val a = randHist(n); val b = randHist(n)
+            val exact = Emd.exact(a, b, cost)
+            val td = tree.dist(a, b)
+            assert(td >= exact - 1e-9,
+              s"trial $trial: tree $td < exact $exact (UB violated)")
+            assert(td <= tree.distortion * exact + 1e-9,
+              s"trial $trial: tree $td > ${tree.distortion} * $exact (LB violated)")
+            assert(math.abs(tree.dist(a, a)) < 1e-12)
+            assert(math.abs(tree.dist(a, b) - tree.dist(b, a)) < 1e-12)
+          }
+        case None => fail(s"trial $trial: build failed on distinct random bins")
+      }
+    }
+    // degenerate inputs refuse to certify instead of producing a bogus bound
+    assert(TreeEmd.build(Array(1.0, 1.0, 1.0, 1.0), 2).isEmpty, "coincident bins")
+    assert(TreeEmd.build(Array(1.0, 2.0), 2).isEmpty, "single bin")
+  }
+
   test("exact EMD is a metric-ish: symmetric, zero on identity, non-negative") {
     for (_ <- 0 until 20) {
       val n = 2 + rnd.nextInt(10)

@@ -125,6 +125,46 @@ class MelodyJoinSpec extends AnyFunSuite {
       s"missed=${(expected -- got).size} extra=${(got -- expected).size}")
   }
 
+  test("octree tree-EMD banded join == brute-force tree distance, and brackets exact EMD") {
+    import graft.core.{HistOps, Emd, GroundDist}
+    val hists = randomHists(120, 8, seed = 43)
+    val tau = 0.22
+    val rows = hists.collect().map { r =>
+      (r.getLong(0), HistOps.normalize(r.getSeq[Double](1).toArray))
+    }
+    // kd-split hierarchy over the 2x2x2 cube: spans (4,2,1), edge weights
+    // (0.25, 0.25, 0.5) — must mirror EmdJoins.treeEmd3dThresholdJoin
+    val levels = Seq((4, 0.25), (2, 0.25), (1, 0.5))
+    def tree3d(a: Array[Double], b: Array[Double]): Double =
+      levels.map { case (span, w) =>
+        (0 until 8 / span).map { nd =>
+          var ma = 0.0; var mb = 0.0
+          for (i <- nd * span until (nd + 1) * span) { ma += a(i); mb += b(i) }
+          w * math.abs(ma - mb)
+        }.sum
+      }.sum
+    val cost = Emd.costMatrix(graft.sources.Fixtures.Bins3d, 3, GroundDist.L2)
+    val expected = (for {
+      i <- rows.indices; j <- rows.indices if i < j
+      d = tree3d(rows(i)._2, rows(j)._2) if d <= tau
+    } yield (rows(i)._1, rows(j)._1)).toSet
+    // the advertised cascade constants: exact <= EMD_T <= 2 * exact
+    for (i <- 0 until 40) {
+      val (a, b) = (rows(i)._2, rows(i + 40)._2)
+      val exact = Emd.exact(a, b, cost)
+      val td = tree3d(a, b)
+      assert(td >= exact - 1e-9, s"tree $td < exact $exact")
+      assert(td <= 2 * exact + 1e-9, s"tree $td > 2*exact $exact")
+    }
+    import spark.implicits._
+    val normed = rows.toSeq.toDF("id", "weights")
+    val got = EmdJoins.treeEmd3dThresholdJoin(normed, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "vacuous octree tree-EMD test")
+    assert(got == expected,
+      s"missed=${(expected -- got).size} extra=${(got -- expected).size}")
+  }
+
   test("non-metric / non-L2 configs are rejected by the pruning engines") {
     import graft.core._
     val hists = randomHists(10, 8, seed = 31)
