@@ -1,9 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every declared query, prints ONE JSON line.
+  *
+  * A crashing query is NOT silently timed (round-3 lesson: a swallowed
+  * Throwable made regressions look fast): its elapsed-until-failure time
+  * still counts toward the total, the failure lands in an "errors" field,
+  * and the process exits non-zero. SPARK_GRAFT_BENCH_REPEATS=N (default 1)
+  * enables repeat-min mode — per-query minimum over N passes — to defend
+  * the headline number against sandbox contention noise. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,15 +23,39 @@ object Bench {
     // one untimed scan: JVM/codegen/session warmup otherwise lands on
     // whichever query happens to run first
     graft.sources.Fixtures.lineitem(spark, sfDir).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to repeats; name <- names) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+      } catch {
+        case t: Throwable =>
+          times(name) = math.min(times.getOrElse(name, Double.MaxValue),
+            (System.nanoTime() - t0) / 1e9)
+          errors(name) = (t.getClass.getSimpleName + ": " +
+            String.valueOf(t.getMessage)).take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+    val qs = names.map(n => "\"" + n + "\":" + times(n)).mkString("{", ",", "}")
+    val errJson = errors.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = times.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILURES: ${errors.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

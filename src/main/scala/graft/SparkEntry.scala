@@ -287,7 +287,9 @@ object SparkEntry {
 
     // --- IVF ANN with nProbe = numCentroids (all buckets probed => exact,
     //     shares the brute-force oracle; sub-all nProbe recall is
-    //     spec-covered in PipelineOpsSpec) ---
+    //     spec-covered in PipelineOpsSpec). The quantizer size is DERIVED
+    //     from the corpus (~sqrt N, clamped) instead of a pinned 16, so
+    //     the declared query keeps the scale shape it advertises ---
     "q_cosine_ivf" -> ((s, dir) => {
       val embs = Fixtures.embeddings(s, dir)
       val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
@@ -295,9 +297,10 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head()
         .getSeq[Double](0).toArray
       val rest = embs.filter(col("vec_id") =!= minId)
-      val cents = Ann.trainCentroids(s, rest, numCentroids = 16)
+      val nc = Ann.scaledCentroids(rest.count())
+      val cents = Ann.trainCentroids(s, rest, numCentroids = nc)
       val idx = Ann.ivfIndex(s, rest, cents)
-      Ann.ivfTopK(s, idx, cents, q, 20, nProbe = 16)
+      Ann.ivfTopK(s, idx, cents, q, 20, nProbe = nc)
         .select(col("id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id"))
     }),

@@ -181,6 +181,14 @@ object Ann {
     }.toDF("rid", "sid", "cosine")
   }
 
+  /** IVF coarse-quantizer size for an n-row corpus: ~sqrt(n), clamped.
+    * sqrt(n) balances the two scan costs of a probe (centroid scan is
+    * O(c), probed-bucket rerank is O(n/c) per probe — minimized at
+    * c = sqrt(n)); the clamp keeps tiny corpora exact-ish and bounds the
+    * broadcast centroid table at cluster scale. */
+  def scaledCentroids(n: Long, lo: Int = 16, hi: Int = 4096): Int =
+    math.max(lo, math.min(hi, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt))
+
   /** Deterministic seeded k-means (Lloyd, fixed iterations) for the IVF
     * coarse quantizer. Runs on a sample collected to the driver — centroid
     * count and sample are O(sqrt N), not data-sized. */

@@ -19,13 +19,21 @@ import graft.functions.TextCols
   *   near-dups, verified exactly
   * - embeddingNearDup: random-hyperplane LSH over embeddings + exact
   *   cosine verification
-  */
+  *
+  * EAGER execution contract: every pair-producing operator here (and
+  * MelodyJoin.thresholdJoin / MrSimJoin.thresholdJoin, which share the
+  * pattern) runs its Spark jobs AT CALL TIME and returns a persisted
+  * O(pairs) result the CALLER owns — unpersist it when done. The trade
+  * is deliberate: materializing the small output lets the data-sized
+  * intermediates be freed inside the call instead of accumulating across
+  * a multi-query session. */
 object Dedup {
 
   /** Materialize the (small, O(pairs)) result so the data-sized cached
     * intermediates can be freed immediately instead of accumulating across
     * a multi-query session; the result cache is reused by the caller's
-    * subsequent action (write/collect). */
+    * subsequent action (write/collect) and is the caller's to unpersist
+    * (see the object-level eager-execution contract). */
   private def materializeAndFree(result: DataFrame,
                                  intermediates: DataFrame*): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -54,7 +62,8 @@ object Dedup {
     * of the prefix, AQE splits what remains).
     */
   def jaccardJoin(docs: DataFrame, tau: Double, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  maxBitmaskSets: Int = 100000): DataFrame = {
     // Dedup-first: identical token SETS collapse to one representative, so
     // all pairwise similarity math runs on distinct sets (training corpora
     // are duplicate-heavy — that is the point of this operator); qualifying
@@ -83,10 +92,15 @@ object Dedup {
     // bitmask and Jaccard is two popcounts; the (distinct x distinct)
     // scalar comparison beats prefix-filter bucketing by an order of
     // magnitude at this cardinality. Generic prefix path otherwise.
-    // The gate is a BOUNDED count (limit 65) so nothing data-sized ever
+    // Both gates are BOUNDED counts (limit n+1) so nothing data-sized ever
     // reaches the driver; the vocabulary itself is collected only after
-    // the gate proves it has at most 64 entries.
-    if (dfreq.limit(65).count() <= 64) {
+    // the gate proves it has at most 64 entries. The distinct-SET gate is
+    // required too: a 64-token vocabulary admits up to 2^64 distinct sets,
+    // and the bitmask comparison is quadratic in their count — a corpus
+    // with tiny vocab but many distinct sets must take the prefix path
+    // (which handles small vocabularies correctly, just slower).
+    if (dfreq.limit(65).count() <= 64 &&
+        groups.limit(maxBitmaskSets + 1).count() <= maxBitmaskSets) {
       val vocab = dfreq.select(col("tok")).orderBy(col("tok")).collect().map(_.getString(0))
       val vocabIdx = vocab.zipWithIndex.toMap
       val session = docs.sparkSession
@@ -172,19 +186,28 @@ object Dedup {
   def connectedComponents(spark: SparkSession, edges: DataFrame,
                           vertices: DataFrame, maxIter: Int = 25): DataFrame = {
     val ids = vertices.select(col(vertices.columns.head).cast("long").as("id"))
-    // canonical big->small orientation, self-loops dropped.
-    // Each round ends in an EAGER localCheckpoint: iterative plans
-    // otherwise nest the whole lineage of every prior round and blow up
-    // Catalyst (driver OOM) long before the data is large.
-    var e = edges
+    // Each round ends in an EAGER materialization to a persisted RDD,
+    // rebuilt as a LogicalRDD frame: iterative plans otherwise nest the
+    // whole lineage of every prior round and blow up Catalyst (driver
+    // OOM) long before the data is large. Compared to round-3's
+    // localCheckpoint this (a) keeps the RDD recomputable, so executor
+    // loss mid-join recomputes the round instead of failing the job, and
+    // (b) hands us the block handle, so each superseded round's blocks
+    // are freed EAGERLY below instead of waiting for ContextCleaner GC.
+    def cut(df: DataFrame): (DataFrame,
+        org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = rdd.count()
+      (spark.createDataFrame(rdd, df.schema), rdd, n)
+    }
+    // canonical big->small orientation, self-loops dropped
+    var (e, eRdd, prevCount) = cut(edges
       .select(col(edges.columns(0)).cast("long").as("a"),
         col(edges.columns(1)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var iter = 0
-    var prevCount = e.count()
     var done = prevCount == 0L
     while (!done && iter < maxIter) {
       // large-star: on the bidirected graph, every node u links its
@@ -202,21 +225,23 @@ object Dedup {
       // smaller neighbors AND itself to m = min(N?(u) ∪ {u})
       val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val withM = large.join(minsS, "u")
-      val next = withM.select(col("v").as("u"), col("m").as("v"))
-        .union(withM.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(true)
+      val (next, nextRdd, nextCount) = cut(
+        withM.select(col("v").as("u"), col("m").as("v"))
+          .union(withM.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct())
       // fixpoint when the canonical edge set stops changing. Both sides
       // are distinct sets, so equal cardinality + empty one-sided
       // difference == equality (the cheap count screens out most
-      // non-converged rounds without an exceptAll job); superseded
-      // checkpoint blocks are GC'd once the old `e` goes unreferenced
-      val nextCount = next.count()
+      // non-converged rounds without an exceptAll job)
       done = nextCount == prevCount &&
         next.exceptAll(e).limit(1).count() == 0L
+      // the superseded round's blocks are dead the moment the fixpoint
+      // check above has run — free them now, don't wait for GC
+      eRdd.unpersist(false)
       prevCount = nextCount
       e = next
+      eRdd = nextRdd
       iter += 1
     }
     require(done, s"connectedComponents did not converge in $maxIter rounds")
@@ -225,7 +250,9 @@ object Dedup {
       .select(col("u").as("id"), col("cluster"))
     val out = ids.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
-    materializeAndFree(out)
+    val res = materializeAndFree(out)
+    eRdd.unpersist(false) // res is materialized; the final round's blocks are free too
+    res
   }
 
   /** Murmur-style 64-bit mix (splitmix64) — deterministic, seedable. */

@@ -30,6 +30,12 @@ import graft.core._
   */
 object MrSimJoin {
 
+  /** Exact-EMD solve count of the most recent routing pass (argmin +
+    * window passes, summed across tasks). Diagnostic only — read after
+    * thresholdJoin returns to evidence the Rubner routing prune; the
+    * reference-parity baseline is records x pivots. */
+  @volatile var lastRoutingSolves: Long = -1L
+
   def thresholdJoin(spark: SparkSession, hists: DataFrame, theta: Double,
                     cfg: MelodyJoin.Config, numPivots: Int = 0,
                     maxGroupRows: Int = 8192): DataFrame = {
@@ -55,6 +61,19 @@ object MrSimJoin {
       .map { case (id, w) => (id, HistOps.normalize(w)) }
     val pivotsB = spark.sparkContext.broadcast(pivots)
     val cfgB = spark.sparkContext.broadcast(cfg)
+    // Rubner-pruned routing (L2 ground only — the centroid distance is an
+    // EMD lower bound in the ground norm): the reference solves an exact
+    // EMD to EVERY pivot per record (CloudJoinBaseMapper.java:81-196),
+    // ~2e12 LP solves at 1e9 records x 2048 pivots. A centroid lower
+    // bound excludes a pivot from the argmin scan once lb > current best
+    // (scan in ascending-lb order, stop at first lb above best) and from
+    // the window test once lb > best + 2*theta — identical output, most
+    // exact solves never happen. Non-L2 metric costs keep the parity scan.
+    val centsB = spark.sparkContext.broadcast(
+      if (cfg.groundDist == GroundDist.L2)
+        pivots.map(pv => HistOps.rubnerValue(pv._2, cfg.dimension, cfg.bins))
+      else null)
+    val solveAcc = spark.sparkContext.longAccumulator("mrsimRoutingSolves")
 
     // assign: base partition = closest pivot; window copies where the
     // hyperplane margin admits a pair within theta
@@ -63,14 +82,63 @@ object MrSimJoin {
       .mapPartitions { it =>
         val ps = pivotsB.value
         val c = cfgB.value
+        val cents = centsB.value
+        val nP = ps.length
         it.flatMap { case (id, w0) =>
           val w = HistOps.normalize(w0)
-          val dists = ps.map(pv => Emd.exact(w, pv._2, c.cost))
-          val base = dists.indices.minBy(i => (dists(i), i))
-          dists.indices.flatMap { q =>
-            if (q == base) Some((q, id, w, true))
-            else if ((dists(q) - dists(base)) / 2.0 <= theta) Some((q, id, w, false))
-            else None
+          if (cents == null) {
+            // reference-parity scan for non-L2 metric costs
+            val dists = ps.map(pv => Emd.exact(w, pv._2, c.cost))
+            solveAcc.add(nP)
+            val base = dists.indices.minBy(i => (dists(i), i))
+            dists.indices.flatMap { q =>
+              if (q == base) Some((q, id, w, true))
+              else if ((dists(q) - dists(base)) / 2.0 <= theta) Some((q, id, w, false))
+              else None
+            }
+          } else {
+            val rc = HistOps.rubnerValue(w, c.dimension, c.bins)
+            val lb = new Array[Double](nP)
+            var q = 0
+            while (q < nP) {
+              var s = 0.0; var i = 0
+              while (i < rc.length) { val t = rc(i) - cents(q)(i); s += t * t; i += 1 }
+              lb(q) = math.sqrt(s)
+              q += 1
+            }
+            // pass 1: true argmin (same (dist, index) tie-break as minBy)
+            // over ascending lb; a pivot with lb > best cannot win, and
+            // once one is reached no later pivot in lb order can either
+            val order = Array.range(0, nP).sortBy(lb)
+            val dists = new Array[Double](nP)
+            java.util.Arrays.fill(dists, Double.NaN)
+            var best = Double.MaxValue
+            var bestIdx = -1
+            var solves = 0L
+            var oi = 0
+            while (oi < nP && lb(order(oi)) <= best) {
+              val p = order(oi)
+              val dp = Emd.exact(w, ps(p)._2, c.cost); solves += 1
+              dists(p) = dp
+              if (dp < best || (dp == best && p < bestIdx)) { best = dp; bestIdx = p }
+              oi += 1
+            }
+            // pass 2: window membership, exact only where the lb admits it
+            val windowHi = best + 2.0 * theta
+            val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Double], Boolean)]()
+            q = 0
+            while (q < nP) {
+              if (q == bestIdx) out += ((q, id, w, true))
+              else if (lb(q) <= windowHi) {
+                val dq =
+                  if (dists(q).isNaN) { solves += 1; Emd.exact(w, ps(q)._2, c.cost) }
+                  else dists(q)
+                if ((dq - best) / 2.0 <= theta) out += ((q, id, w, false))
+              }
+              q += 1
+            }
+            solveAcc.add(solves)
+            out
           }
         }
       }.toDF("pivot", "id", "weights", "isBase")
@@ -80,6 +148,7 @@ object MrSimJoin {
     // O(pivots) rows to the driver, never data-sized.
     val sizes = routed.groupBy(col("pivot")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    lastRoutingSolves = solveAcc.value // routed is materialized by the agg
     val subCounts = Array.tabulate(pivots.length)(i =>
       math.max(1L, (sizes.getOrElse(i, 0L) + maxGroupRows - 1) / maxGroupRows).toInt)
     val subB = spark.sparkContext.broadcast(subCounts)

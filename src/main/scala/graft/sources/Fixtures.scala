@@ -71,12 +71,22 @@ object Fixtures {
     * row per key (8 doubles) is ~100 bytes — at 100 TB scale the derived
     * table is GBs against a cluster's aggregate cache, the textbook
     * persist case. Keyed by (session, dir) so tests with their own
-    * sessions/dirs don't cross-contaminate. */
+    * sessions/dirs don't cross-contaminate.
+    *
+    * Entries of STOPPED sessions are evicted on every access (their
+    * cached blocks died with the executors; dropping the map entry frees
+    * the driver-side plan + session reference too), so long-lived
+    * multi-session processes don't leak. Caveat: results are cached for
+    * the life of the session — if the parquet under `dir` is REWRITTEN
+    * within a session, the cache serves the pre-rewrite derivation
+    * (matching Spark's own persist semantics; use a fresh session, or
+    * unpersist+drop the entry, to re-read). */
   private val histCache =
     scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
 
   private def cached(spark: SparkSession, dir: String, kind: String)
                     (build: => DataFrame): DataFrame = histCache.synchronized {
+    histCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     histCache.getOrElseUpdate((spark, dir, kind),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }

@@ -80,6 +80,30 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(mrs == mel)
   }
 
+  test("jaccard bitmask gate: tiny vocab with many distinct sets takes the prefix path") {
+    import spark.implicits._
+    // 6-token vocabulary, 50 documents covering many DISTINCT subsets — a
+    // 64-bit vocab alone would admit the quadratic bitmask cross join; the
+    // distinct-set gate must push this onto the prefix path, whose result
+    // must be identical to the bitmask path's
+    val vocab = Array("a", "b", "c", "d", "e", "f")
+    val rnd = new scala.util.Random(17)
+    val docs = (1L to 50L).map { i =>
+      val n = 2 + rnd.nextInt(4)
+      (i, rnd.shuffle(vocab.toList).take(n).sorted.mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairs(maxSets: Int) =
+      Dedup.jaccardJoin(docs, 0.6, maxBitmaskSets = maxSets)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e6))).toSet
+    val viaBitmask = pairs(100000) // gate passes: bitmask fast path
+    val viaPrefix = pairs(2)       // gate trips: generic prefix path
+    assert(viaBitmask.nonEmpty, "vacuous gate test")
+    assert(viaPrefix == viaBitmask,
+      s"path divergence: bitmaskOnly=${(viaBitmask -- viaPrefix).size} " +
+        s"prefixOnly=${(viaPrefix -- viaBitmask).size}")
+  }
+
   test("mrsim with more pivots than records") {
     val rnd = new scala.util.Random(9)
     val hists = df((1L to 6L).map(i => (i, Array.fill(8)(rnd.nextDouble()))))

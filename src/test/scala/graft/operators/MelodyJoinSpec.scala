@@ -88,6 +88,22 @@ class MelodyJoinSpec extends AnyFunSuite {
     assert(base.nonEmpty)
     assert(base == mrsim,
       s"missed=${(base -- mrsim).size} extra=${(mrsim -- base).size}")
+    // Rubner routing prune: never MORE solves than the reference-parity
+    // records x pivots scan...
+    val solves = MrSimJoin.lastRoutingSolves
+    assert(solves > 0 && solves <= 100L * 8, s"routing solves $solves > 800")
+    // ...and at a tight radius (narrow window) it must prune strictly,
+    // while still matching the baseline pair set exactly
+    val tightTheta = 0.05
+    val baseT = BaselineJoin.thresholdJoin(spark, hists, tightTheta, cfg3d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mrsimT = MrSimJoin.thresholdJoin(spark, hists, tightTheta, cfg3d, numPivots = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(baseT == mrsimT,
+      s"tight: missed=${(baseT -- mrsimT).size} extra=${(mrsimT -- baseT).size}")
+    val solvesT = MrSimJoin.lastRoutingSolves
+    assert(solvesT > 0 && solvesT < 100L * 8,
+      s"tight-theta routing solves $solvesT not pruned below 800")
   }
 
   test("tree-EMD banded join == brute-force tree distance on normalized hists") {

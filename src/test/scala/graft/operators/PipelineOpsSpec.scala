@@ -108,6 +108,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getInt(2) <= 12))
   }
 
+  test("scaledCentroids derives ~sqrt(N) within clamps") {
+    assert(Ann.scaledCentroids(0L) == 16)
+    assert(Ann.scaledCentroids(100L) == 16)
+    assert(Ann.scaledCentroids(2000L) == 45)      // ceil(sqrt(2000))
+    assert(Ann.scaledCentroids(1000000L) == 1000)
+    assert(Ann.scaledCentroids(100000000L) == 4096) // upper clamp
+  }
+
   test("IVF top-k has recall >= 0.6 vs brute force at nProbe=6/16") {
     val query = embs.orderBy(col("vec_id")).limit(1)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
