@@ -18,15 +18,22 @@ object Prof {
     }
     val grids = time("grids") { MelodyJoin.buildGrids(spark, hists, cfg) }
     val duals = time("duals") { MelodyJoin.buildDuals(spark, hists, cfg) }
+    val tree = graft.core.TreeEmd.build(cfg.bins, cfg.dimension)
+    println("tree levels/feats/distortion: " +
+      tree.map(t => s"${t.numFeatures} feats C=${t.distortion}").getOrElse("none"))
     val enriched = time("enrich") {
-      val e = MelodyJoin.enrich(spark, hists, cfg, grids, duals)
+      val e = MelodyJoin.enrich(spark, hists, cfg, grids, duals, tree)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.count(); e
     }
-    val summaries = time("summarize") { MelodyJoin.summarize(enriched, cfg) }
+    val summaries = time("summarize") {
+      MelodyJoin.summarize(enriched, cfg,
+        numTreeFeats = tree.map(_.numFeatures).getOrElse(0))
+    }
     println("combos " + summaries.length + " maxCount " + summaries.map(_.count).max)
     import spark.implicits._
     val theta = 0.08
+    val gapLimit = tree.map(_.distortion * theta).getOrElse(-1.0)
     val cfgB = spark.sparkContext.broadcast(cfg)
     val gridsB = spark.sparkContext.broadcast(grids)
     val dualsB = spark.sparkContext.broadcast(duals)
@@ -34,7 +41,7 @@ object Prof {
     val nGuests = time("guestEnum") {
       enriched.mapPartitions { it =>
         val c = cfgB.value
-        it.map { r => MelodyJoin.guestCombosPublic(r, c, gridsB.value, dualsB.value, sumB.value, theta).length.toLong }
+        it.map { r => MelodyJoin.guestCombosPublic(r, c, gridsB.value, dualsB.value, sumB.value, theta, gapLimit).length.toLong }
       }.reduce(_ + _)
     }
     println("guest copies " + nGuests)

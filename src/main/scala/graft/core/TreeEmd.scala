@@ -33,6 +33,27 @@ final class TreeEmd private[core] (
       * widened by 1e-9 relative so FP evaluation stays a sound rejector. */
     val distortion: Double) extends Serializable {
 
+  /** Total embedding width (nodes across all levels). */
+  val numFeatures: Int = levelNodes.sum
+
+  /** The embedding itself: level-major concatenation of
+    * edgeWeight * nodeMass — so dist(a, b) == L1(features(a), features(b)),
+    * and per-feature interval envelopes over a record population give a
+    * valid cell-level lower bound (see MelodyJoin.guestCombos). */
+  def features(w: Array[Double]): Array[Double] = {
+    val out = new Array[Double](numFeatures)
+    var off = 0
+    var l = 0
+    while (l < levelAssign.length) {
+      val assign = levelAssign(l)
+      var i = 0
+      while (i < assign.length) { out(off + assign(i)) += levelWeight(l) * w(i); i += 1 }
+      off += levelNodes(l)
+      l += 1
+    }
+    out
+  }
+
   /** EMD_T(a, b): weighted-L1 over the node-mass embedding. O(levels * n),
     * only level-sized scratch allocation. */
   def dist(wa: Array[Double], wb: Array[Double]): Double = {

@@ -182,76 +182,134 @@ object Dedup {
     * dedup graphs are shallow and edge-heavy.
     *
     * Returns (id, cluster) for EVERY vertex in `vertices`, where cluster
-    * = min id reachable (isolated vertices map to themselves). */
+    * = min id reachable (isolated vertices map to themselves).
+    *
+    * Two physically different round engines, one algorithm:
+    * - RDD rounds (edge count <= catalystCutover): an iterative algorithm
+    *   rebuilds a fresh 6-stage Catalyst plan EVERY round — measured
+    *   ~0.8 s/round of pure analysis/AQE/codegen overhead at any data
+    *   size. RDD[(Long, Long)] rounds have zero per-round planning with
+    *   the identical shuffle structure (the same reason GraphX is
+    *   RDD-based).
+    * - DataFrame rounds above the cutover: Tungsten shuffles Longs at
+    *   ~16 bytes/edge vs Java-serialized Tuple2's ~3-5x — at billion-edge
+    *   scale the constant planning overhead is noise and the columnar
+    *   path wins. Each round cuts lineage through an explicitly persisted
+    *   RDD (recomputable on executor loss — unlike localCheckpoint — and
+    *   freed eagerly once superseded).
+    * Both engines are deterministic and spec-checked label-identical. */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
-                          vertices: DataFrame, maxIter: Int = 25): DataFrame = {
+                          vertices: DataFrame, maxIter: Int = 25,
+                          catalystCutover: Long = 50000000L): DataFrame = {
+    import spark.implicits._
     val ids = vertices.select(col(vertices.columns.head).cast("long").as("id"))
-    // Each round ends in an EAGER materialization to a persisted RDD,
-    // rebuilt as a LogicalRDD frame: iterative plans otherwise nest the
-    // whole lineage of every prior round and blow up Catalyst (driver
-    // OOM) long before the data is large. Compared to round-3's
-    // localCheckpoint this (a) keeps the RDD recomputable, so executor
-    // loss mid-join recomputes the round instead of failing the job, and
-    // (b) hands us the block handle, so each superseded round's blocks
-    // are freed EAGERLY below instead of waiting for ContextCleaner GC.
-    def cut(df: DataFrame): (DataFrame,
-        org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = rdd.count()
-      (spark.createDataFrame(rdd, df.schema), rdd, n)
-    }
-    // canonical big->small orientation, self-loops dropped
-    var (e, eRdd, prevCount) = cut(edges
+    // canonical big->small orientation, self-loops dropped (shared prep)
+    val canon = edges
       .select(col(edges.columns(0)).cast("long").as("a"),
         col(edges.columns(1)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct())
-    var iter = 0
-    var done = prevCount == 0L
-    while (!done && iter < maxIter) {
-      // large-star: on the bidirected graph, every node u links its
-      // LARGER neighbors to m = min(N(u) ∪ {u})
-      val bidir = e.select(col("u"), col("v"))
-        .union(e.select(col("v").as("u"), col("u").as("v")))
-      val minsL = bidir.groupBy(col("u")).agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val large = bidir.join(minsL, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-      // small-star: edges now point big->small; every node u links its
-      // smaller neighbors AND itself to m = min(N?(u) ∪ {u})
-      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val withM = large.join(minsS, "u")
-      val (next, nextRdd, nextCount) = cut(
-        withM.select(col("v").as("u"), col("m").as("v"))
-          .union(withM.select(col("u"), col("m").as("v")))
-          .filter(col("u") =!= col("v"))
-          .distinct())
-      // fixpoint when the canonical edge set stops changing. Both sides
-      // are distinct sets, so equal cardinality + empty one-sided
-      // difference == equality (the cheap count screens out most
-      // non-converged rounds without an exceptAll job)
-      done = nextCount == prevCount &&
-        next.exceptAll(e).limit(1).count() == 0L
-      // the superseded round's blocks are dead the moment the fixpoint
-      // check above has run — free them now, don't wait for GC
-      eRdd.unpersist(false)
-      prevCount = nextCount
-      e = next
-      eRdd = nextRdd
-      iter += 1
-    }
-    require(done, s"connectedComponents did not converge in $maxIter rounds")
-    // converged: stars centered at each component's min id
-    val labels = e.groupBy(col("u")).agg(min(col("v")).as("cluster"))
-      .select(col("u").as("id"), col("cluster"))
-    val out = ids.join(labels, Seq("id"), "left")
+      .distinct()
+    val canonRdd = canon.as[(Long, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n0 = canonRdd.count()
+    val labelsDf: DataFrame =
+      if (n0 == 0) { canonRdd.unpersist(false); ids.limit(0).select(col("id"), col("id").as("cluster")) }
+      else if (n0 <= catalystCutover) {
+        // ---- RDD rounds: no per-round planning ----
+        val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism,
+          (n0 / 500000L).toInt + 1))
+        var e = canonRdd.coalesce(parts)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var prevCount = e.count()
+        canonRdd.unpersist(false)
+        var iter = 0
+        var done = false
+        while (!done && iter < maxIter) {
+          // large-star: every node links its LARGER neighbors to
+          // m = min(N(u) ∪ {u})
+          val bidir = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+          val minsL = bidir.reduceByKey(math.min(_, _), parts)
+            .map { case (u, mv) => (u, math.min(u, mv)) }
+          val large = bidir.join(minsL, parts)
+            .flatMap { case (u, (v, m)) =>
+              if (v > u && v != m) Iterator.single((v, m)) else Iterator.empty
+            }
+            .distinct(parts)
+          // small-star: edges point big->small; every node links its
+          // smaller neighbors AND itself to m = min(N(u) ∪ {u})
+          val minsS = large.reduceByKey(math.min(_, _), parts)
+          val next = large.join(minsS, parts)
+            .flatMap { case (u, (v, m)) => Iterator((v, m), (u, m)) }
+            .filter { case (x, y) => x != y }
+            .distinct(parts)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val nextCount = next.count()
+          // fixpoint when the canonical edge set stops changing; both are
+          // distinct sets, so equal cardinality + empty one-sided
+          // difference == equality (count screens out most rounds cheaply)
+          done = nextCount == prevCount && next.subtract(e, parts).isEmpty()
+          e.unpersist(false)
+          prevCount = nextCount
+          e = next
+          iter += 1
+        }
+        require(done, s"connectedComponents did not converge in $maxIter rounds")
+        val labels = e.reduceByKey(math.min(_, _), parts)
+        val out = spark.createDataset(labels).toDF("id", "cluster")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        e.unpersist(false)
+        out
+      } else {
+        // ---- DataFrame rounds: Tungsten shuffles for massive graphs ----
+        def cut(df: DataFrame): (DataFrame,
+            org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+          val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val n = rdd.count()
+          (spark.createDataFrame(rdd, df.schema), rdd, n)
+        }
+        var (e, eRdd, prevCount) = cut(canon)
+        canonRdd.unpersist(false)
+        var iter = 0
+        var done = false
+        while (!done && iter < maxIter) {
+          val bidir = e.select(col("u"), col("v"))
+            .union(e.select(col("v").as("u"), col("u").as("v")))
+          val minsL = bidir.groupBy(col("u")).agg(min(col("v")).as("mv"))
+            .select(col("u"), least(col("u"), col("mv")).as("m"))
+          val large = bidir.join(minsL, "u")
+            .filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .filter(col("u") =!= col("v"))
+            .distinct()
+          val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+          val withM = large.join(minsS, "u")
+          val (next, nextRdd, nextCount) = cut(
+            withM.select(col("v").as("u"), col("m").as("v"))
+              .union(withM.select(col("u"), col("m").as("v")))
+              .filter(col("u") =!= col("v"))
+              .distinct())
+          done = nextCount == prevCount &&
+            next.exceptAll(e).limit(1).count() == 0L
+          // the superseded round's blocks are dead once the check ran
+          eRdd.unpersist(false)
+          prevCount = nextCount
+          e = next
+          eRdd = nextRdd
+          iter += 1
+        }
+        require(done, s"connectedComponents did not converge in $maxIter rounds")
+        val labels = e.groupBy(col("u")).agg(min(col("v")).as("cluster"))
+          .select(col("u").as("id"), col("cluster"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        labels.count()
+        eRdd.unpersist(false)
+        labels
+      }
+    val out = ids.join(labelsDf, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
-    val res = materializeAndFree(out)
-    eRdd.unpersist(false) // res is materialized; the final round's blocks are free too
+    val res = materializeAndFree(out, labelsDf)
     res
   }
 

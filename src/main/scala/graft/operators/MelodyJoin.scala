@@ -99,7 +99,8 @@ object MelodyJoin {
       rubner: Array[Double])   // dimension
 
   /** Summary of one cell combination (= Phase 2 reduce,
-    * NESpaceReducer.java:73-219). */
+    * NESpaceReducer.java:73-219; treeLo/treeHi are the rebuild's own
+    * addition — per-feature envelopes of the tree-EMD embedding). */
   final case class CellSummary(
       combo: Long,
       count: Long,
@@ -108,7 +109,9 @@ object MelodyJoin {
       dualKeyMin: Array[Double],
       dualKeyMax: Array[Double],
       rubnerLo: Array[Double],
-      rubnerHi: Array[Double]) extends Serializable
+      rubnerHi: Array[Double],
+      treeLo: Array[Double],      // per tree feature (empty when disabled)
+      treeHi: Array[Double]) extends Serializable
 
   /** Pack per-vector cell ids into one long (cells < 2^16 per vector). */
   def packCombo(cells: Array[Int]): Long =
@@ -214,15 +217,18 @@ object MelodyJoin {
 
   /** Enrich every record (one narrow mapPartitions, no shuffle). */
   def enrich(spark: SparkSession, hists: DataFrame, cfg: Config,
-             grids: Array[SkewedGrid], duals: Array[DualBound]): DataFrame = {
+             grids: Array[SkewedGrid], duals: Array[DualBound],
+             tree: Option[TreeEmd] = None): DataFrame = {
     import spark.implicits._
     val cfgB = spark.sparkContext.broadcast(cfg)
     val gridsB = spark.sparkContext.broadcast(grids)
     val dualsB = spark.sparkContext.broadcast(duals)
+    val treeB = spark.sparkContext.broadcast(tree)
     hists.select("id", "weights").as[(Long, Array[Double])].mapPartitions { it =>
       val c = cfgB.value
       val gs = gridsB.value
       val ds = dualsB.value
+      val tr = treeB.value
       val el = ErrLen(c)
       it.map { case (id, w0) =>
         val w = HistOps.normalize(w0)
@@ -245,15 +251,17 @@ object MelodyJoin {
         val dk = ds.map(_.key(w))
         val dck = ds.map(_.ckey(w))
         val rub = HistOps.rubnerValue(w, c.dimension, c.bins)
-        (id, w, packCombo(cells), mb, errors, dk, dck, rub)
+        val tf = tr.map(_.features(w)).getOrElse(Array.emptyDoubleArray)
+        (id, w, packCombo(cells), mb, errors, dk, dck, rub, tf)
       }
-    }.toDF("id", "weights", "combo", "mb", "errors", "dualKeys", "dualCKeys", "rubner")
+    }.toDF("id", "weights", "combo", "mb", "errors", "dualKeys", "dualCKeys",
+      "rubner", "treeFeats")
   }
 
   /** Cell summaries: groupBy(combo) with per-element min/max aggregation,
     * collected (O(cells)) and broadcast. */
   def summarize(enriched: DataFrame, cfg: Config,
-                numDuals: Int = -1): Array[CellSummary] = {
+                numDuals: Int = -1, numTreeFeats: Int = 0): Array[CellSummary] = {
     val nDuals = if (numDuals >= 0) numDuals else cfg.numDuals
     val el = ErrLen(cfg)
     val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
@@ -273,6 +281,10 @@ object MelodyJoin {
     for (i <- 0 until cfg.dimension) {
       aggs += min(col("rubner")(i)).as(s"minR_$i")
       aggs += max(col("rubner")(i)).as(s"maxR_$i")
+    }
+    for (i <- 0 until numTreeFeats) {
+      aggs += min(col("treeFeats")(i)).as(s"minT_$i")
+      aggs += max(col("treeFeats")(i)).as(s"maxT_$i")
     }
     val rows = enriched.groupBy(col("combo"))
       .agg(aggs.head, aggs.tail.toSeq: _*).collect()
@@ -301,8 +313,14 @@ object MelodyJoin {
         rLo(i) = r.getDouble(idx); idx += 1
         rHi(i) = r.getDouble(idx); idx += 1
       }
+      val tLo = new Array[Double](numTreeFeats)
+      val tHi = new Array[Double](numTreeFeats)
+      for (i <- 0 until numTreeFeats) {
+        tLo(i) = r.getDouble(idx); idx += 1
+        tHi(i) = r.getDouble(idx); idx += 1
+      }
       CellSummary(combo, r.getLong(1), unpackCombo(combo, cfg.numVectors),
-        gridErrs, dMin, dMax, rLo, rHi)
+        gridErrs, dMin, dMax, rLo, rHi, tLo, tHi)
     }
   }
 
@@ -383,21 +401,30 @@ object MelodyJoin {
     * (reference: Grid.getGuestWithDual:352-457). Returns combos > own combo
     * that survive dual-range, EMD_BR and Rubner-box pruning. */
   def guestCombosPublic(rec: Row, cfg: Config, grids: Array[SkewedGrid],
-      duals: Array[DualBound], summaries: Array[CellSummary], theta: Double): Array[Long] =
+      duals: Array[DualBound], summaries: Array[CellSummary], theta: Double,
+      treeGapLimit: Double = -1.0): Array[Long] =
     guestCombos(rec, cfg, grids, duals, summaries,
-      vectorCellEnvelopes(summaries, cfg), theta)
+      vectorCellEnvelopes(summaries, cfg), theta, treeGapLimit)
 
   private def guestCombos(
       rec: Row, cfg: Config, grids: Array[SkewedGrid],
       duals: Array[DualBound], summaries: Array[CellSummary],
       perVectorEnv: Array[Array[Array[Double]]],
-      theta: Double): Array[Long] = {
+      theta: Double,
+      /** distortion * theta when the tree-feature cell prune is active,
+        * negative to disable. Soundness: for any member m of the cell,
+        * |f_rec(i) - f_m(i)| >= gap(f_rec(i), [treeLo(i), treeHi(i)]), so
+        * sum(gaps) <= EMD_T(rec, m) <= distortion * EMD(rec, m) — a cell
+        * whose gap sum exceeds distortion * theta cannot hold a partner. */
+      treeGapLimit: Double = -1.0): Array[Long] = {
     val ownCombo = rec.getLong(2)
     val mb = rec.getSeq[Double](3).toArray
     val errors = rec.getSeq[Double](4).toArray
     val dualKeys = rec.getSeq[Double](5).toArray
     val dualCKeys = rec.getSeq[Double](6).toArray
     val rubner = rec.getSeq[Double](7).toArray
+    val treeFeats =
+      if (treeGapLimit >= 0) rec.getSeq[Double](8).toArray else null
     val el = 2 * cfg.numIntervals + 1
     // dual ranges depend only on the record — hoist out of the cell loop
     // (the keys are the enrichment pass's precomputed dot products)
@@ -477,6 +504,22 @@ object MelodyJoin {
           if (brFor(j, cs.cells(j)) > theta) ok = false
           j += 1
         }
+        // tree-feature gap prune — runs LAST so it only pays its
+        // O(numFeatures) loop on the survivors of the cheaper prunes,
+        // where it cuts the guest replication volume directly
+        if (ok && treeFeats != null && cs.treeLo.length > 0) {
+          var g = 0.0
+          var i = 0
+          val lo = cs.treeLo
+          val hi = cs.treeHi
+          while (ok && i < lo.length) {
+            val f = treeFeats(i)
+            if (f < lo(i)) g += lo(i) - f
+            else if (f > hi(i)) g += f - hi(i)
+            if (g > treeGapLimit) ok = false
+            i += 1
+          }
+        }
         if (ok) out += cs.combo
       }
       s += 1
@@ -525,11 +568,37 @@ object MelodyJoin {
       grids: Array[SkewedGrid],
       duals: Array[DualBound],
       enriched: DataFrame,
-      summaries: Array[CellSummary]) {
+      summaries: Array[CellSummary],
+      tree: Option[TreeEmd]) {
     /** Free the persisted enrichment once every join at every radius has
       * been materialized (callers holding a Prepared own its lifetime). */
     def unpersist(): Unit = enriched.unpersist(false)
   }
+
+  /** Session-scoped cache of theta-independent engine state: grids, duals,
+    * enrichment, summaries depend only on (input, config) — a session
+    * running several queries against the same corpus (threshold + top-k is
+    * the reference's own pairing, Join.java:42-131) should pay the
+    * preparation once. Keyed by the input's semantic hash + the config's
+    * VALUE (arrays unwrapped — case-class equality on Array fields is
+    * reference-based); stopped sessions are evicted on access. Entries own
+    * their enrichment cache for the session's lifetime — the deliberate
+    * histCache trade (Fixtures.scala) applied to engine state. */
+  private val prepCache = scala.collection.mutable.Map.empty[
+    (SparkSession, Int, Product), Prepared]
+
+  private def cfgKey(cfg: Config): Product = (
+    cfg.dimension, cfg.bins.toSeq, cfg.vectors.map(_.toSeq).toSeq,
+    cfg.sideNum, cfg.numIntervals, cfg.numDuals, cfg.numReductions,
+    cfg.reducedDim, cfg.seed, cfg.groundDist, cfg.exactQuantiles)
+
+  def prepareCached(spark: SparkSession, hists: DataFrame, cfg: Config): Prepared =
+    prepCache.synchronized {
+      prepCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+      prepCache.getOrElseUpdate(
+        (spark, hists.semanticHash(), cfgKey(cfg)),
+        prepare(spark, hists, cfg))
+    }
 
   def prepare(spark: SparkSession, hists: DataFrame, cfg: Config): Prepared = {
     // guarded here (not just in the public wrappers) so the prepared API
@@ -540,10 +609,16 @@ object MelodyJoin {
       "L2 ground distance; use BaselineJoin for L1/L3")
     val grids = buildGrids(spark, hists, cfg)
     val duals = buildDuals(spark, hists, cfg)
-    val enriched = enrich(spark, hists, cfg, grids, duals)
+    // tree-EMD embedding features for the cell-level gap prune; skipped
+    // for 1-D single-vector configs whose cascade is closed-form anyway
+    val tree =
+      if (cfg.dimension == 1 && cfg.numVectors == 1) None
+      else TreeEmd.build(cfg.bins, cfg.dimension)
+    val enriched = enrich(spark, hists, cfg, grids, duals, tree)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val summaries = summarize(enriched, cfg, duals.length)
-    Prepared(grids, duals, enriched, summaries)
+    val summaries = summarize(enriched, cfg, duals.length,
+      tree.map(_.numFeatures).getOrElse(0))
+    Prepared(grids, duals, enriched, summaries, tree)
   }
 
   /** Distance-threshold join: all pairs with EMD <= theta, rid < sid. */
@@ -564,20 +639,21 @@ object MelodyJoin {
   def thresholdJoinPrepared(spark: SparkSession, prep: Prepared, theta: Double,
                             cfg: Config): DataFrame = {
     import spark.implicits._
-    val Prepared(grids, duals, enriched, summaries) = prep
+    val Prepared(grids, duals, enriched, summaries, tree) = prep
 
     val cfgB = spark.sparkContext.broadcast(cfg)
     val gridsB = spark.sparkContext.broadcast(grids)
     val dualsB = spark.sparkContext.broadcast(duals)
     val sumB = spark.sparkContext.broadcast(summaries)
     val envB = spark.sparkContext.broadcast(vectorCellEnvelopes(summaries, cfg))
+    val treeGapLimit = tree.map(_.distortion * theta).getOrElse(-1.0)
 
     // guest replication: explode candidate combos per record
     val guests = enriched.mapPartitions { it =>
       val c = cfgB.value
       it.flatMap { r =>
         guestCombos(r, c, gridsB.value, dualsB.value, sumB.value, envB.value,
-          theta).map { combo =>
+          theta, treeGapLimit).map { combo =>
           (r.getLong(0), r.getSeq[Double](1).toArray, combo)
         }
       }
@@ -634,11 +710,20 @@ object MelodyJoin {
     * and stays fully distributed (one narrow pass + TakeOrdered(k)). */
   def topKJoin(spark: SparkSession, hists: DataFrame, k: Int, cfg: Config,
                sampleSize: Int = 64, numRefs: Int = 8): DataFrame = {
-    import spark.implicits._
     // engine state is theta-independent — build ONCE and share between the
     // flow-bound pass and the final threshold join (the join previously
     // re-ran grids/duals/enrichment, paying the whole engine twice)
     val prep = prepare(spark, hists, cfg)
+    val result = topKJoinPrepared(spark, prep, k, cfg, sampleSize, numRefs)
+    prep.unpersist()
+    result
+  }
+
+  /** Top-k join over pre-built (possibly session-cached) engine state;
+    * does NOT unpersist the enrichment — the Prepared's owner does. */
+  def topKJoinPrepared(spark: SparkSession, prep: Prepared, k: Int, cfg: Config,
+                       sampleSize: Int = 64, numRefs: Int = 8): DataFrame = {
+    import spark.implicits._
     val sample = prep.enriched.select("id", "weights").as[(Long, Array[Double])]
       .orderBy(col("id")).limit(sampleSize).collect() // already normalized
     val dists = for {
@@ -680,8 +765,7 @@ object MelodyJoin {
       .orderBy(col("dist"), col("rid"), col("sid"))
       .limit(k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count() // O(k) rows; frees the enrichment cache for the session
-    prep.unpersist()
+    result.count() // O(k) rows; the Prepared's owner frees the enrichment
     result
   }
 }

@@ -63,6 +63,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.size == verts.size)
     val bad = verts.filter(v => got(v) != expected(v))
     assert(bad.isEmpty, s"label mismatch at ${bad.take(5).map(v => (v, got(v), expected(v)))}")
+    // the big-graph DataFrame round engine (forced via catalystCutover = 0)
+    // must produce identical labels to the RDD round engine above
+    val gotDf = Dedup.connectedComponents(spark,
+        edges.toSeq.toDF("rid", "sid"), verts.toDF("id"), catalystCutover = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDf == got, "DataFrame and RDD round engines disagree")
   }
 
   test("jaccard prefix-filter join finds exactly the brute-force pair set") {
