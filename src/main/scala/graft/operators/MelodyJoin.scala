@@ -133,6 +133,9 @@ object MelodyJoin {
   def buildGrids(spark: SparkSession, hists: DataFrame, cfg: Config): Array[SkewedGrid] = {
     import spark.implicits._
     val cfgB = spark.sparkContext.broadcast(cfg)
+    // consumed TWICE below (domain agg + projection-distance percentiles)
+    // — cache for the duration of the grid build or the whole normal-fit
+    // pass over the corpus runs twice
     val mbDf = hists.select("id", "weights").as[(Long, Array[Double])]
       .mapPartitions { it =>
         val c = cfgB.value
@@ -149,6 +152,7 @@ object MelodyJoin {
           (id, mb)
         }
       }.toDF("id", "mb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // domains per vector
     val domAgg = (0 until cfg.numVectors).flatMap { j =>
       Seq(min(col("mb")(2 * j)).as(s"minM$j"), max(col("mb")(2 * j)).as(s"maxM$j"),
@@ -188,6 +192,7 @@ object MelodyJoin {
         pct(col("d")(2 * j + 1)).as(s"pSE$j"))
     }
     val q = distDf.agg(pctAgg.head, pctAgg.tail: _*).head()
+    mbDf.unpersist(false)
     (0 until cfg.numVectors).map { j =>
       val base = uniformGrids(j)
       val sw = (q.getDouble(6 * j) - 1e-9) +:
