@@ -10,7 +10,8 @@ object Plans {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q_hist_build", "q_emd1d_pairs", "q_cosine_topk", "q_jaccard_pairs")) {
+    for (name <- Seq("q_hist_build", "q_emd1d_pairs", "q_cosine_topk",
+        "q_jaccard_pairs", "q_treeemd3d_pairs")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
