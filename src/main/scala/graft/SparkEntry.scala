@@ -37,6 +37,10 @@ object SparkEntry {
   // denominator needing count-total products >= 25000 (per-partkey totals
   // are ~30-60, so unreachable); closest measured distance is 4.6e-6 away
   private val TreeTau3d = 0.10739
+  // 3-D centroid (Rubner) threshold: distances are sqrt of rational sums
+  // (irrational except at axis-aligned pairs); closest measured distance
+  // is 2.9e-6 away at sf0.01 — far above FP noise
+  private val Rubner3dTheta = 0.0309
 
   /** 1-D melody config: with integer bins and one identity vector, exact
     * LP-EMD reduces to the closed-form 1-D EMD, making the whole
@@ -128,6 +132,27 @@ object SparkEntry {
       EmdJoins.bandedSelfPairs(hists, "id", "_mean", RubnerTheta)
         .select(col("id_a").as("rid"), col("id_b").as("sid"),
           round(abs(col("_mean_a") - col("_mean_b")), 6).as("dist"))
+    }),
+
+    // --- 3-D Rubner (centroid) lower-bound threshold join (D10/P9 in 3
+    //     dimensions): centroid coordinate d = sum of corner weights with
+    //     bit d set; 2-key banding on (cx, cy) — every coordinate gap is
+    //     bounded by the L2 distance, so the 9-neighbor band equijoin
+    //     keeps perfect recall with a multiplicative candidate cut ---
+    "q_rubner3d_pairs" -> ((s, dir) => {
+      val w = col("weights")
+      val cents = Fixtures.tripleHists(s, dir).select(col("id"),
+        (w(4) + w(5) + w(6) + w(7)).as("_cx"),
+        (w(2) + w(3) + w(6) + w(7)).as("_cy"),
+        (w(1) + w(3) + w(5) + w(7)).as("_cz"))
+      val dx = col("_cx_a") - col("_cx_b")
+      val dy = col("_cy_a") - col("_cy_b")
+      val dz = col("_cz_a") - col("_cz_b")
+      EmdJoins.bandedSelfPairs2(cents, "id", "_cx", Some("_cy"), Rubner3dTheta)
+        .withColumn("dist", sqrt(dx * dx + dy * dy + dz * dz))
+        .filter(col("dist") <= Rubner3dTheta)
+        .select(col("id_a").as("rid"), col("id_b").as("sid"),
+          round(col("dist"), 6).as("dist"))
     }),
 
     // --- grid-pruned melody engine, 1-D (J1: full DuckDB oracle since
@@ -535,6 +560,25 @@ object SparkEntry {
       (EmdCte +
         s""" SELECT rid, sid, round(dist, 6) AS dist FROM emds
            | ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
+
+    // Mirrors the Spark centroid arithmetic: sum(w * bit) over the dense
+    // 8-bin hist adds the zero terms exactly (x + 0.0 == x in IEEE), so
+    // both systems compute w4+w5+w6+w7 etc. bit-identically.
+    "q_rubner3d_pairs" ->
+      (Hist3Cte +
+        s""", cents AS (
+           |  SELECT id, sum(w * (bin // 4)) AS cx,
+           |         sum(w * ((bin // 2) % 2)) AS cy,
+           |         sum(w * (bin % 2)) AS cz
+           |  FROM hist GROUP BY id
+           |), dists AS (
+           |  SELECT a.id AS rid, b.id AS sid,
+           |         sqrt((a.cx-b.cx)*(a.cx-b.cx) + (a.cy-b.cy)*(a.cy-b.cy) +
+           |              (a.cz-b.cz)*(a.cz-b.cz)) AS dist
+           |  FROM cents a JOIN cents b ON a.id < b.id
+           |)
+           |SELECT rid, sid, round(dist, 6) AS dist FROM dists
+           |WHERE dist <= $Rubner3dTheta""".stripMargin),
 
     "q_rubner_pairs" ->
       (HistCte +

@@ -177,6 +177,63 @@ object EmdJoins {
   def treeEmd3dThresholdJoin(hists: DataFrame, tau: Double): DataFrame =
     treeEmdJoinLevels(hists, tau, 8, Seq((4, 0.25), (2, 0.25), (1, 0.5)))
 
+  /** EXACT 3-D EMD threshold self-join via tree-embedding candidates —
+    * the FlowTree-style two-stage design (Backurs et al., ICML 2020):
+    * every qualifying pair satisfies EMD_T <= 2 * EMD <= 2 * theta (the
+    * octree embedding's certified distortion, see
+    * [[treeEmd3dThresholdJoin]]), so the all-codegen banded tree join at
+    * radius 2*theta is a perfect-recall candidate generator; an exact
+    * transport solve then verifies each candidate. Answer-identical to
+    * MelodyJoin / BaselineJoin on the same input (spec-checked).
+    *
+    * Physically: one banded equijoin + one mapPartitions verify — no
+    * grids, no cell summaries, no guest replication. At corpus scale this
+    * is the plan of record when the pair density is low enough that the
+    * candidate set (pairs with EMD_T <= 2*theta) fits the verify budget;
+    * the melody engine's cell machinery wins when cell-level pruning can
+    * discard whole regions before any per-pair work.
+    *
+    * Input hists must be L1-normalized (id, weights[8]) on the
+    * `Fixtures.Bins3d` corner bins. */
+  def treeExact3dThresholdJoin(hists: DataFrame, theta: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = hists.sparkSession
+    import spark.implicits._
+    val levels = Seq((4, 0.25), (2, 0.25), (1, 0.5))
+    val tau2 = 2.0 * theta
+    val feats = for ((span, wgt) <- levels; nd <- 0 until 8 / span)
+      yield aggregate(slice(col("weights"), nd * span + 1, span),
+        lit(0.0), (a, x) => a + x) * lit(wgt)
+    val featCols = feats.zipWithIndex.map { case (c, i) => c.as(s"_f$i") }
+    val flat = hists.select((col("id") +: col("weights") +: featCols): _*)
+      .withColumn("_s", feats.indices.map(i =>
+        if (i % 2 == 0) col(s"_f$i") else -col(s"_f$i")).reduce(_ + _))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flat.count()
+    val pairs = bandedSelfPairs(flat, "id", "_s", tau2)
+    val terms = feats.indices.map(i => abs(col(s"_f${i}_a") - col(s"_f${i}_b")))
+    // prefix cascade + full tree filter at the distortion radius, then the
+    // exact LP only on survivors
+    val cands = Seq(2, 6)
+      .foldLeft(pairs)((df, p) => df.filter(terms.take(p).reduce(_ + _) <= lit(tau2)))
+      .filter(terms.reduce(_ + _) <= lit(tau2))
+      .select(col("id_a"), col("weights_a"), col("id_b"), col("weights_b"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+    val result = cands.mapPartitions { it =>
+      val cost = graft.core.Emd.costMatrix(
+        graft.sources.Fixtures.Bins3d, graft.sources.Fixtures.Dim3,
+        graft.core.GroundDist.L2)
+      it.flatMap { case (ra, wa, rb, wb) =>
+        val d = graft.core.Emd.exact(wa, wb, cost)
+        if (d <= theta) Some((ra, rb, d)) else None
+      }
+    }.toDF("rid", "sid", "dist")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    flat.unpersist(false)
+    result
+  }
+
   /** Shared tree-EMD join kernel: features are edgeWeight * nodeMass per
     * (level, node), nodes are contiguous `span`-wide bin slices, distance
     * is the weighted-L1 over the embedding. See the callers for why this

@@ -216,5 +216,29 @@ class MelodyJoinSpec extends AnyFunSuite {
     assert(base == melody,
       s"mismatch: missed=${(base -- melody).size} extra=${(melody -- base).size}")
     assert(base.nonEmpty)
+    // FOURTH exact 3-D engine: tree-embedding candidates + LP verify must
+    // produce the identical pair set (and identical distances at 6dp)
+    val treeExact = EmdJoins.treeExact3dThresholdJoin(hists, theta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(treeExact == base,
+      s"treeExact mismatch: missed=${(base -- treeExact).size} " +
+        s"extra=${(treeExact -- base).size}")
+  }
+
+  test("tree-exact 3-D engine == baseline on random normalized histograms") {
+    import graft.core.HistOps
+    val hists = randomHists(100, 8, seed = 47)
+    import spark.implicits._
+    val normed = hists.collect()
+      .map(r => (r.getLong(0), HistOps.normalize(r.getSeq[Double](1).toArray)))
+      .toSeq.toDF("id", "weights")
+    val theta = 0.12
+    val base = BaselineJoin.thresholdJoin(spark, normed, theta, cfg3d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val treeExact = EmdJoins.treeExact3dThresholdJoin(normed, theta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.nonEmpty, "vacuous tree-exact test")
+    assert(treeExact == base,
+      s"missed=${(base -- treeExact).size} extra=${(treeExact -- base).size}")
   }
 }
