@@ -74,6 +74,12 @@ object MrSimJoin {
         pivots.map(pv => HistOps.rubnerValue(pv._2, cfg.dimension, cfg.bins))
       else null)
     val solveAcc = spark.sparkContext.longAccumulator("mrsimRoutingSolves")
+    // 1-D single-vector configs: exact EMD == the closed-form projected
+    // 1-D EMD (the identity the cascade itself uses), so routing solves
+    // are a flat O(bins) pass instead of a transport solve — and routing
+    // distances share the cascade's exact FP path
+    val oneD = cfg.dimension == 1 && cfg.numVectors == 1 &&
+      cfg.groundDist == GroundDist.L2
 
     // assign: base partition = closest pivot; window copies where the
     // hyperplane margin admits a pair within theta
@@ -84,11 +90,13 @@ object MrSimJoin {
         val c = cfgB.value
         val cents = centsB.value
         val nP = ps.length
+        @inline def pivotDist(w: Array[Double], p: Int): Double =
+          if (oneD) c.proj1dEmd(0, w, ps(p)._2) else Emd.exact(w, ps(p)._2, c.cost)
         it.flatMap { case (id, w0) =>
           val w = HistOps.normalize(w0)
           if (cents == null) {
             // reference-parity scan for non-L2 metric costs
-            val dists = ps.map(pv => Emd.exact(w, pv._2, c.cost))
+            val dists = Array.tabulate(nP)(p => Emd.exact(w, ps(p)._2, c.cost))
             solveAcc.add(nP)
             val base = dists.indices.minBy(i => (dists(i), i))
             dists.indices.flatMap { q =>
@@ -118,7 +126,7 @@ object MrSimJoin {
             var oi = 0
             while (oi < nP && lb(order(oi)) <= best) {
               val p = order(oi)
-              val dp = Emd.exact(w, ps(p)._2, c.cost); solves += 1
+              val dp = pivotDist(w, p); solves += 1
               dists(p) = dp
               if (dp < best || (dp == best && p < bestIdx)) { best = dp; bestIdx = p }
               oi += 1
@@ -131,7 +139,7 @@ object MrSimJoin {
               if (q == bestIdx) out += ((q, id, w, true))
               else if (lb(q) <= windowHi) {
                 val dq =
-                  if (dists(q).isNaN) { solves += 1; Emd.exact(w, ps(q)._2, c.cost) }
+                  if (dists(q).isNaN) { solves += 1; pivotDist(w, q) }
                   else dists(q)
                 if ((dq - best) / 2.0 <= theta) out += ((q, id, w, false))
               }
@@ -247,9 +255,13 @@ object MrSimJoin {
     val sample = hists.select("id", "weights").as[(Long, Array[Double])]
       .orderBy(col("id")).limit(sampleSize).collect()
       .map { case (id, w) => (id, HistOps.normalize(w)) }
+    val oneD = cfg.dimension == 1 && cfg.numVectors == 1 &&
+      cfg.groundDist == graft.core.GroundDist.L2
     val dists = for {
       i <- sample.indices; j <- sample.indices if i < j
-    } yield Emd.exact(sample(i)._2, sample(j)._2, cfg.cost)
+    } yield
+      if (oneD) cfg.proj1dEmd(0, sample(i)._2, sample(j)._2)
+      else Emd.exact(sample(i)._2, sample(j)._2, cfg.cost)
     val sorted = dists.sorted
     val ub = if (sorted.length >= k) sorted(k - 1) else Double.MaxValue
     // rank by the ROUNDED distance (then rid, sid) — the exact tie-break
