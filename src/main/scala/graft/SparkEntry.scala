@@ -342,6 +342,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), round(col("entropy"), 6).as("entropy"))
     }),
 
+    // --- image lifecycle with a REAL codec: synthesize a valid PPM (P6)
+    //     image per document, decode it byte-for-byte (header parse, RGB
+    //     plane), emit the red-channel color histogram. The oracle
+    //     re-derives the same histogram analytically from the text (the
+    //     pixel plane is the text bytes cycled), so a hash match proves
+    //     the encode -> decode -> featurize path end-to-end ---
+    "q_image_hist" -> ((s, dir) => {
+      Multimodal.imageRedHist(s,
+        Multimodal.withImagePayload(Fixtures.documents(s, dir)))
+        .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
+    }),
+
     // --- JSON property extraction over the event stream ---
     "q_events_props" -> ((s, dir) => {
       Fixtures.events(s, dir)
@@ -826,6 +838,26 @@ object SparkEntry {
         |SELECT d.doc_id, cast(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
         |       e.entropy
         |FROM documents d JOIN ent e ON d.doc_id = e.doc_id""".stripMargin,
+
+    // The synthetic 16x16 image's red channel holds text byte (3i % len)
+    // at pixel i; bin = byte >> 5; weights = count/256 over the dense
+    // 8-bin space (documents are pure ASCII, so char == byte).
+    "q_image_hist" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         ascii(substr(d.text,
+        |           ((3 * cast(r.range AS INTEGER)) % length(d.text)) + 1, 1)) AS b
+        |  FROM documents d CROSS JOIN range(256) r
+        |), counts AS (
+        |  SELECT doc_id, b // 32 AS bin, cast(count(*) AS DOUBLE) AS c
+        |  FROM px GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT d.doc_id, bb.bin, coalesce(c.c, 0.0) AS c
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT cast(range AS BIGINT) AS bin FROM range(8)) bb
+        |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = bb.bin
+        |)
+        |SELECT doc_id, bin, round(c / 256.0, 6) AS w FROM dense""".stripMargin,
 
     "q_events_props" ->
       """SELECT event_type, count(*) AS n,

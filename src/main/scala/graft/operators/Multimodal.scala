@@ -7,15 +7,161 @@ import org.apache.spark.sql.functions._
   * batch decode / feature-extraction over mapPartitions.
   *
   * The reference's image pipeline (mr/EmdGenerate.java:109-172, HIPI/Lire)
-  * reduces to: binary in, per-item features out. Real image/audio codecs
-  * are not available in this container, so the DECODE STEP IS A STUB — a
-  * deterministic fake (byte histogram + entropy standing in for pixel
-  * statistics). Everything around it is real and tested: the binary
-  * column schema, partition-batched execution (the shape a JNI/codec
-  * call-out needs), feature schema, and downstream joins. Swapping the
-  * stub for a real codec changes only `decodeFeatures`.
+  * reduces to: binary in, per-item features out. Two decode paths:
+  *
+  * - REAL: a full binary PPM (P6) codec — `encodePpm`/`decodePpm` parse
+  *   the actual file format byte-for-byte (header with whitespace and
+  *   comment handling, maxval check, raw RGB plane), and
+  *   `decodeColorHist` turns decoded pixels into the per-channel color
+  *   histograms the reference's Lire featurizer produces. The whole
+  *   encode -> decode -> histogram lifecycle is DuckDB-hash-checked
+  *   (`q_image_hist`). Uncompressed formats need no codec libraries;
+  *   COMPRESSED codecs (JPEG/PNG/audio) are not available in this
+  *   container, so those formats route through the same partition-batched
+  *   seam but remain out of scope.
+  * - STUB: `decodeFeatures` (byte histogram + entropy) stands in for
+  *   codec-dependent formats; everything around it — binary column
+  *   schema, partition-batched execution, feature schema, downstream
+  *   joins — is real and tested.
   */
 object Multimodal {
+
+  /** Encode raw RGB pixels as a binary PPM (P6) image — a real,
+    * externally-readable file format (any image tool opens it). */
+  def encodePpm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * width * height,
+      s"rgb length ${rgb.length} != 3*$width*$height")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parse a binary PPM (P6): magic, whitespace/comment-tolerant header
+    * (width, height, maxval <= 255), one whitespace, then the raw RGB
+    * plane. Returns None for malformed payloads — a decoder must reject,
+    * not crash, at corpus scale. */
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    var pos = 0
+    def atEnd = pos >= payload.length
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go && !atEnd) {
+        val c = payload(pos)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+        else if (c == '#') { while (!atEnd && payload(pos) != '\n') pos += 1 }
+        else go = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWsAndComments()
+      var v = 0L
+      var any = false
+      while (!atEnd && payload(pos) >= '0' && payload(pos) <= '9') {
+        v = v * 10 + (payload(pos) - '0'); any = true; pos += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') return None
+    pos = 2
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxval <- readInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+      // exactly one whitespace byte separates header and pixel data
+      if !atEnd && (payload(pos) == '\n' || payload(pos) == ' ' ||
+        payload(pos) == '\t' || payload(pos) == '\r')
+      _ = { pos += 1 }
+      if payload.length - pos >= 3L * w * h
+    } yield (w, h, java.util.Arrays.copyOfRange(payload, pos, pos + 3 * w * h))
+  }
+
+  /** Per-channel `bins`-bucket color histograms of decoded RGB pixels,
+    * L1-normalized — the Lire-style feature the reference joins on. */
+  def decodeColorHist(rgb: Array[Byte], bins: Int = 8): Array[Array[Double]] = {
+    val shift = Integer.numberOfTrailingZeros(256 / bins)
+    val hist = Array.ofDim[Double](3, bins)
+    var i = 0
+    while (i < rgb.length) {
+      hist(i % 3)((rgb(i) & 0xff) >> shift) += 1.0
+      i += 1
+    }
+    val n = (rgb.length / 3).toDouble
+    var c = 0
+    while (c < 3) {
+      var b = 0
+      while (b < bins) { hist(c)(b) /= n; b += 1 }
+      c += 1
+    }
+    hist
+  }
+
+  /** Nearest-neighbor resize of an RGB plane (the reference's Lire
+    * pre-scale step; deterministic, no filtering kernel). */
+  def resizeRgb(w: Int, h: Int, rgb: Array[Byte],
+                newW: Int, newH: Int): Array[Byte] = {
+    val out = new Array[Byte](3 * newW * newH)
+    var y = 0
+    while (y < newH) {
+      val sy = (y.toLong * h / newH).toInt
+      var x = 0
+      while (x < newW) {
+        val sx = (x.toLong * w / newW).toInt
+        val src = 3 * (sy * w + sx)
+        val dst = 3 * (y * newW + x)
+        out(dst) = rgb(src); out(dst + 1) = rgb(src + 1); out(dst + 2) = rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  val ImgW = 16
+  val ImgH = 16
+
+  /** Deterministic synthetic image per document: the utf-8 text bytes
+    * cycled into a 16x16 RGB plane, encoded as a REAL PPM file. Stands in
+    * for an image blob column read via spark.read.format("binaryFile") —
+    * but unlike an opaque fake, every payload is a valid image any
+    * external tool can open, and the decode path exercises a real
+    * byte-level parser. */
+  def withImagePayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val src = text.getBytes("UTF-8")
+          val rgb = new Array[Byte](3 * ImgW * ImgH)
+          var i = 0
+          while (i < rgb.length) { rgb(i) = src(i % src.length); i += 1 }
+          (id, encodePpm(ImgW, ImgH, rgb))
+        }
+      }.toDF("doc_id", "payload")
+      .withColumn("meta", struct(
+        length(col("payload")).as("n_bytes"), lit("image/x-portable-pixmap").as("mime")))
+  }
+
+  /** Full image lifecycle: PPM payload -> real decode -> red-channel
+    * 8-bin color histogram, long format (doc_id, bin, w). Malformed
+    * payloads are dropped (decoder rejects). DuckDB-checkable because the
+    * synthetic pixel plane is an analytic function of the text. */
+  def imageRedHist(spark: SparkSession, withPayloadDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    withPayloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        decodePpm(payload).toSeq.flatMap { case (_, _, rgb) =>
+          val hist = decodeColorHist(rgb)
+          hist(0).zipWithIndex.map { case (w, b) => (id, b.toLong, w) }
+        }
+      }.toDF("doc_id", "bin", "w")
+  }
 
   /** Attach a binary payload column + metadata struct to the documents
     * table (payload = utf-8 bytes of text; stands in for an image/audio

@@ -181,6 +181,19 @@ class MelodyJoinSpec extends AnyFunSuite {
       s"missed=${(expected -- got).size} extra=${(got -- expected).size}")
   }
 
+  test("approx quantile grids (the 100 TB flag) change pruning only, never the answer") {
+    val hists = randomHists(100, 8, seed = 53)
+    val theta = 0.3
+    val exactQ = MelodyJoin.thresholdJoin(spark, hists, theta, cfg3d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxQ = MelodyJoin.thresholdJoin(spark, hists, theta,
+        cfg3d.copy(exactQuantiles = false))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactQ.nonEmpty, "vacuous quantile test")
+    assert(approxQ == exactQ,
+      s"missed=${(exactQ -- approxQ).size} extra=${(approxQ -- exactQ).size}")
+  }
+
   test("non-metric / non-L2 configs are rejected by the pruning engines") {
     import graft.core._
     val hists = randomHists(10, 8, seed = 31)

@@ -114,6 +114,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getInt(2) <= 12))
   }
 
+  test("PPM codec: roundtrip, header tolerance, malformed rejection, resize") {
+    val rnd = new scala.util.Random(29)
+    val rgb = Array.fill(3 * 16 * 16)(rnd.nextInt(256).toByte)
+    // roundtrip
+    val enc = Multimodal.encodePpm(16, 16, rgb)
+    val dec = Multimodal.decodePpm(enc)
+    assert(dec.exists { case (w, h, px) => w == 16 && h == 16 && px.sameElements(rgb) })
+    // whitespace / comment-tolerant header (the format's real grammar)
+    val weird = ("P6 # a comment\n  16\t16 # sizes\n255\n").getBytes("US-ASCII") ++ rgb
+    val dec2 = Multimodal.decodePpm(weird)
+    assert(dec2.exists { case (w, h, px) => w == 16 && h == 16 && px.sameElements(rgb) })
+    // malformed inputs are rejected, not crashed on
+    assert(Multimodal.decodePpm(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodePpm("P6\n16 16\n255\n".getBytes("US-ASCII") ++
+      rgb.take(10)).isEmpty, "truncated pixel plane")
+    assert(Multimodal.decodePpm("P6\n16 16\n65535\n".getBytes("US-ASCII") ++
+      rgb).isEmpty, "16-bit maxval out of scope")
+    // nearest-neighbor resize: 2x downscale picks every other pixel
+    val small = Multimodal.resizeRgb(16, 16, rgb, 8, 8)
+    assert(small.length == 3 * 8 * 8)
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+      assert(small(3 * (y * 8 + x) + c) == rgb(3 * (2 * y * 16 + 2 * x) + c))
+    // color histogram: channel-separated, normalized
+    val hist = Multimodal.decodeColorHist(rgb)
+    assert(hist.length == 3 && hist.forall(ch => math.abs(ch.sum - 1.0) < 1e-9))
+  }
+
   test("scaledCentroids derives ~sqrt(N) within clamps") {
     assert(Ann.scaledCentroids(0L) == 16)
     assert(Ann.scaledCentroids(100L) == 16)
