@@ -128,25 +128,33 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("dfreq"), col("tok")))).as("rt"))
       .select(col("id"), transform(col("rt"), x => x.getField("tok")).as("sorted"),
         size(col("rt")).as("len"))
-    // prefix length = len - ceil(tau*len) + 1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix length = len - ceil(tau*len) + 1. Only (id, len, ptok) flows
+    // through the candidate shuffle — the sorted token arrays are the
+    // heavy payload and the prefix explode would replicate them x plen;
+    // they re-attach to the DEDUPLICATED candidate pairs by id-equijoin.
     val prefixed = tokRanks.withColumn("plen",
         (col("len") - ceil(col("len") * tau) + 1).cast("int"))
-      .select(col("id"), col("sorted"), col("len"),
+      .select(col("id"), col("len"),
         explode(slice(col("sorted"), lit(1), col("plen"))).as("ptok"))
     // size filter before verification: tau*|a| <= |b| <= |a|/tau
-    val cands = prefixed.as("a").join(prefixed.as("b"),
+    val candIds = prefixed.as("a").join(prefixed.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id") &&
           col("b.len") * tau <= col("a.len") && col("a.len") * tau <= col("b.len"))
-      .select(col("a.id").as("ga"), col("a.sorted").as("ta"), col("a.len").as("la"),
-        col("b.id").as("gb"), col("b.sorted").as("tb"), col("b.len").as("lb"))
+      .select(col("a.id").as("ga"), col("b.id").as("gb"))
       .dropDuplicates("ga", "gb")
+    val cands = candIds
+      .join(tokRanks.select(col("id").as("ga"), col("sorted").as("ta"),
+        col("len").as("la")), "ga")
+      .join(tokRanks.select(col("id").as("gb"), col("sorted").as("tb"),
+        col("len").as("lb")), "gb")
     val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
     val interSets = cands
       .withColumn("jaccard", inter / (col("la") + col("lb") - inter))
       .filter(col("jaccard") >= tau)
       .select(col("ga"), col("gb"), col("jaccard"))
 
-    materializeAndFree(expandGroupPairs(intra, interSets, groups), groups)
+    materializeAndFree(expandGroupPairs(intra, interSets, groups), groups, tokRanks)
   }
 
   /** Expand qualifying (set, set) pairs to document pairs via member-list
@@ -367,20 +375,26 @@ object Dedup {
         }
       }.toDF("id", "shingles", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("id"), col("shingles"),
+    // ids-only banding: the shingle arrays are the heavy payload, and the
+    // band explode would replicate them x bands through the candidate
+    // shuffle — only (id, band, bucket) flows there; shingles re-attach
+    // to the DEDUPLICATED candidate pairs by id-equijoin (the same shape
+    // embeddingNearDup uses)
+    val banded = sigs.select(col("id"),
         posexplode(array((0 until rows).map { b =>
           struct(lit(b).as("band"),
             hash((0 until perBand).map(i => col("sig")(b * perBand + i)): _*)
               .as("bucket"))
         }: _*)))
-      .select(col("id"), col("shingles"),
-        col("col.band").as("band"), col("col.bucket").as("bucket"))
-    val cands = banded.as("a").join(banded.as("b"),
+      .select(col("id"), col("col.band").as("band"), col("col.bucket").as("bucket"))
+    val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("rid"), col("a.shingles").as("sa"),
-        col("b.id").as("sid"), col("b.shingles").as("sb"))
+      .select(col("a.id").as("rid"), col("b.id").as("sid"))
       .dropDuplicates("rid", "sid")
+    val cands = candIds
+      .join(sigs.select(col("id").as("rid"), col("shingles").as("sa")), "rid")
+      .join(sigs.select(col("id").as("sid"), col("shingles").as("sb")), "sid")
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     materializeAndFree(
       cands
