@@ -416,8 +416,10 @@ object Dedup {
     h
   }
 
-  /** 64-bit SimHash of the token multiset (md5-derived per-token bits). */
-  private def simhash64(text: String): Long = {
+  /** 64-bit SimHash of the token multiset (md5-derived per-token bits).
+    * Shared with the streaming near-dup operator so both compute
+    * identical signatures. */
+  private[graft] def simhash64(text: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val counts = new java.util.HashMap[String, Int]()
     text.split(" ").foreach(t => counts.merge(t, 1, _ + _))

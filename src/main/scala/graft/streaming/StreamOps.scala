@@ -71,6 +71,65 @@ object StreamOps {
       }
   }
 
+  final case class NearDupMatch(rid: Long, sid: Long, hamming: Int)
+  final case class BucketState(entries: List[(Long, Long)])
+
+  /** Streaming near-duplicate detection: incremental SimHash dedup of a
+    * document stream. Each document's 64-bit signature is split into
+    * maxHamming+1 bands (the batch operator's pigeonhole blocking —
+    * recall 1.0 by construction); per (band, bucket) key a
+    * flatMapGroupsWithState keeps the signatures seen so far and emits a
+    * match the moment a new document lands within the Hamming radius of
+    * any of them. Output pairs are canonical (rid < sid) and de-duped
+    * across bands with streaming dropDuplicates.
+    *
+    * State growth: each bucket retains every (id, signature) pair it has
+    * seen — 16 bytes per document per band. A production deployment with
+    * finite retention bounds it with an event-time timeout; the operator
+    * keeps NoTimeout so matches against arbitrarily old documents are
+    * never silently dropped (the semantics the batch twin has). */
+  def streamingNearDup(spark: SparkSession, docs: DataFrame,
+                       maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val banded = docs.select(col("doc_id").cast("long").as("id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = graft.operators.Dedup.simhash64(text)
+        (0 until nBands).iterator.map { b =>
+          val bucket =
+            if (b == nBands - 1) sig >>> (b * width)
+            else (sig >>> (b * width)) & ((1L << width) - 1)
+          (b, bucket, id, sig)
+        }
+      }
+    banded
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[BucketState, NearDupMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[BucketState]) =>
+          var seen = state.getOption.map(_.entries).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[NearDupMatch]()
+          // deterministic order within a micro-batch: ascending id, so a
+          // batch containing both ends of a pair emits it exactly once
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
+            seen.foreach { case (oid, osig) =>
+              if (oid != id) {
+                val h = java.lang.Long.bitCount(sig ^ osig)
+                if (h <= maxHamming)
+                  out += NearDupMatch(math.min(id, oid), math.max(id, oid), h)
+              }
+            }
+            seen = (id, sig) :: seen
+          }
+          state.update(BucketState(seen))
+          out.iterator
+      }
+      .toDF("rid", "sid", "hamming")
+      .dropDuplicates("rid", "sid")
+  }
+
   /** Streaming EMD filter: match each incoming histogram (id, weights)
     * against a static, broadcast reference set; emit (streamId, refId,
     * dist) for pairs within theta. The static side's cost matrix and

@@ -62,6 +62,39 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(0) == 2L && r.getLong(1) == 1L))
   }
 
+  test("streaming near-dup emits exactly the batch simhash pair set across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // small corpus with genuine near-dups (shared phrasing, token swaps)
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "a completely different document about spark joins",
+      4L -> "the quick brown fox jumps over the lazy dog",
+      5L -> "another unrelated text mentioning histograms and emd",
+      6L -> "a completely different document about spark joins today")
+    val maxHamming = 12
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val matched = StreamOps.streamingNearDup(spark, stream, maxHamming)
+    val query = matched.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    // split across micro-batches: pairs must match within AND across them
+    mem.addData(texts.take(3): _*)
+    query.processAllAvailable()
+    mem.addData(texts.drop(3): _*)
+    query.processAllAvailable()
+    val streamed = spark.sql("select * from neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    query.stop()
+    val batch = graft.operators.Dedup.simhashDedup(spark,
+        texts.toDF("doc_id", "text"), maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty, "vacuous streaming near-dup test")
+    assert(streamed == batch,
+      s"stream != batch: missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
   test("streaming EMD match against static refs emits within-theta pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
