@@ -8,7 +8,7 @@ object Prof {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cfg = SparkEntry.melodyCfg3d
+    val cfg = SparkEntry.melodyCfg3d.copy(sideNum = sys.env.getOrElse("PROF_SIDE", "6").toInt)
     val hists = graft.sources.Fixtures.tripleHists(spark, "/root/testdata/sf0.1")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println("hists " + hists.count())
@@ -32,7 +32,11 @@ object Prof {
     }
     println("combos " + summaries.length + " maxCount " + summaries.map(_.count).max)
     import spark.implicits._
-    val theta = 0.08
+    // the DECLARED threshold (0.0803): 0.08 is a data-reachable rational
+    // (pairs sit exactly ON it) and cell-prune FP noise at the boundary
+    // makes the diagnostic pair count grid-dependent — worthless as a
+    // regression signal
+    val theta = 0.0803
     val gapLimit = tree.map(_.distortion * theta).getOrElse(-1.0)
     val cfgB = spark.sparkContext.broadcast(cfg)
     val gridsB = spark.sparkContext.broadcast(grids)

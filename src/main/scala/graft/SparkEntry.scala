@@ -354,6 +354,18 @@ object SparkEntry {
         .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
     }),
 
+    // --- video-style frame sampling over the PPM payloads: every 4th
+    //     64-byte block's fingerprint (mod-2^31-1 polynomial fold). The
+    //     oracle replays the fold over analytically synthesized payload
+    //     bytes (fixed 13-byte PPM header + cycled text bytes), so a hash
+    //     match proves the byte-exact payload layout AND the fold ---
+    "q_frame_hash" -> ((s, dir) => {
+      Multimodal.frameSample(s,
+        Multimodal.withImagePayload(Fixtures.documents(s, dir)))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_hash"))
+    }),
+
     // --- JSON property extraction over the event stream ---
     "q_events_props" -> ((s, dir) => {
       Fixtures.events(s, dir)
@@ -858,6 +870,27 @@ object SparkEntry {
         |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = bb.bin
         |)
         |SELECT doc_id, bin, round(c / 256.0, 6) AS w FROM dense""".stripMargin,
+
+    // Payload bytes = the 13-byte "P6\n16 16\n255\n" header + 768 cycled
+    // text bytes (16x16 RGB); frames are blocks 0/4/8 of 64 bytes. The
+    // prepended seed is folded before its own reduction — congruent mod
+    // 2^31-1 with Spark's pre-reduced seed.
+    "q_frame_hash" ->
+      """WITH payload AS (
+        |  SELECT doc_id,
+        |    list_concat(
+        |      [80,54,10,49,54,32,49,54,10,50,53,53,10]::BIGINT[],
+        |      list_transform(range(768),
+        |        i -> cast(ascii(substr(text,
+        |               (cast(i AS INTEGER) % length(text)) + 1, 1)) AS BIGINT))) AS b
+        |  FROM documents
+        |), frames AS (SELECT unnest([0, 4, 8]) AS f)
+        |SELECT p.doc_id, cast(fr.f AS BIGINT) AS frame_idx,
+        |  list_reduce(
+        |    list_prepend(1125899906842597 % 2147483647,
+        |      p.b[64 * fr.f + 1 : 64 * fr.f + 64]),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS frame_hash
+        |FROM payload p CROSS JOIN frames fr""".stripMargin,
 
     "q_events_props" ->
       """SELECT event_type, count(*) AS n,

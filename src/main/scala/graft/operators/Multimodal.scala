@@ -216,9 +216,15 @@ object Multimodal {
       .toDF("doc_id", "n_bytes", "features", "entropy")
   }
 
-  /** "Frame sampling" stub for video-like payloads: split the payload into
+  /** "Frame sampling" for video-like payloads: split the payload into
     * fixed-size blocks, keep every `stride`-th block's fingerprint.
-    * Output: (doc_id, frame_idx, frame_hash). */
+    * Output: (doc_id, frame_idx, frame_hash).
+    *
+    * The fingerprint is an UNSIGNED-byte polynomial fold reduced mod
+    * 2^31-1 at every step (the rolling-hash convention, TextCols) — both
+    * overflow-free under ANSI arithmetic and bit-reproducible in the
+    * DuckDB oracle, which replays the fold over the analytically
+    * synthesized payload bytes. */
   def frameSample(spark: SparkSession, withPayloadDf: DataFrame,
                   blockSize: Int = 64, stride: Int = 4): DataFrame = {
     import spark.implicits._
@@ -229,9 +235,12 @@ object Multimodal {
         (0 until nBlocks by stride).map { f =>
           val from = f * blockSize
           val until = math.min(from + blockSize, payload.length)
-          var h = 1125899906842597L
+          var h = 1125899906842597L % 2147483647L
           var i = from
-          while (i < until) { h = 31 * h + payload(i); i += 1 }
+          while (i < until) {
+            h = (31 * h + (payload(i) & 0xffL)) % 2147483647L
+            i += 1
+          }
           (id, f, h)
         }
       }
