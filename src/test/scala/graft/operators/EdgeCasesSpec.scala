@@ -26,6 +26,9 @@ class EdgeCasesSpec extends AnyFunSuite {
     val hists = df(Seq((1L, Array(1.0, 2, 3, 4, 5, 6, 7, 8))))
     assert(MelodyJoin.thresholdJoin(spark, hists, 0.5, cfg).count() == 0)
     assert(BaselineJoin.thresholdJoin(spark, hists, 0.5, cfg).count() == 0)
+    val normed = df(Seq((1L, graft.core.HistOps.normalize(
+      Array(1.0, 2, 3, 4, 5, 6, 7, 8)))))
+    assert(EmdJoins.treeExact3dThresholdJoin(normed, 0.5).count() == 0)
   }
 
   test("all-identical histograms: degenerate grid domain still joins") {

@@ -93,6 +93,8 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "vacuous streaming near-dup test")
     assert(streamed == batch,
       s"stream != batch: missing=${batch -- streamed} extra=${streamed -- batch}")
+    // no self-pairs anywhere in the output
+    assert(streamed.forall { case (r, s, _) => r < s })
   }
 
   test("streaming EMD match against static refs emits within-theta pairs") {
