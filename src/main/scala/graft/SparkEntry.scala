@@ -115,6 +115,22 @@ object SparkEntry {
         .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
     }),
 
+    // --- tree-EMD top-k, 1-D and 3-D (J2/A7 analog on the tree metric:
+    //     sampled k-th-distance bound, banded join, bounded-heap top-k) ---
+    "q_treeemd_topk" -> ((s, dir) => {
+      val hists = Fixtures.quantityHists(s, dir)
+      EmdJoins.treeEmdTopK(hists, TopK)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("dist"), col("rid"), col("sid"))
+    }),
+
+    "q_treeemd3d_topk" -> ((s, dir) => {
+      val hists = Fixtures.tripleHists(s, dir)
+      EmdJoins.treeEmd3dTopK(hists, TopK)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("dist"), col("rid"), col("sid"))
+    }),
+
     // --- pivot-partition MRSimJoin engine, top-k form (J3+J2: the
     //     reference serves both query types from every engine,
     //     Join.java:42-131) ---
@@ -579,6 +595,43 @@ object SparkEntry {
            |)
            |SELECT rid, sid, round(dist, 6) AS dist FROM dists
            |WHERE dist <= $TreeTau3d""".stripMargin),
+
+    "q_treeemd_topk" ->
+      (HistCte +
+        s""", lv AS (
+           |  SELECT unnest([4, 2, 1]) AS span
+           |), nodemass AS (
+           |  SELECT h.id, lv.span, h.bin // lv.span AS node,
+           |         sum(h.w) * lv.span AS f
+           |  FROM hist h CROSS JOIN lv
+           |  GROUP BY h.id, lv.span, h.bin // lv.span
+           |), dists AS (
+           |  SELECT a.id AS rid, b.id AS sid, sum(abs(a.f - b.f)) AS dist
+           |  FROM nodemass a JOIN nodemass b
+           |    ON a.span = b.span AND a.node = b.node AND a.id < b.id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT rid, sid, round(dist, 6) AS dist FROM dists
+           |ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
+
+    "q_treeemd3d_topk" ->
+      (Hist3Cte +
+        s""", lv AS (
+           |  SELECT unnest([4, 2, 1]) AS span
+           |), nodemass AS (
+           |  SELECT h.id, lv.span, h.bin // lv.span AS node,
+           |         sum(h.w) * (CASE lv.span WHEN 4 THEN 0.25
+           |                     WHEN 2 THEN 0.25 ELSE 0.5 END) AS f
+           |  FROM hist h CROSS JOIN lv
+           |  GROUP BY h.id, lv.span, h.bin // lv.span
+           |), dists AS (
+           |  SELECT a.id AS rid, b.id AS sid, sum(abs(a.f - b.f)) AS dist
+           |  FROM nodemass a JOIN nodemass b
+           |    ON a.span = b.span AND a.node = b.node AND a.id < b.id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT rid, sid, round(dist, 6) AS dist FROM dists
+           |ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
 
     "q_mrsim1d_topk" ->
       (EmdCte +

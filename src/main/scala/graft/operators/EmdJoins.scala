@@ -147,13 +147,8 @@ object EmdJoins {
     * alternating signs per node give a multi-scale mass-balance key that
     * actually spreads. Identical scale shape to the 1-D join. */
   def treeEmdThresholdJoin(hists: DataFrame, tau: Double,
-                           numBins: Int = graft.sources.Fixtures.NumBins): DataFrame = {
-    require(numBins >= 2 && (numBins & (numBins - 1)) == 0,
-      "dyadic tree-EMD needs a power-of-two bin count")
-    val levels = Iterator.iterate(numBins / 2)(_ / 2).takeWhile(_ >= 1)
-      .map(s => (s, s.toDouble)).toSeq
-    treeEmdJoinLevels(hists, tau, numBins, levels)
-  }
+                           numBins: Int = graft.sources.Fixtures.NumBins): DataFrame =
+    treeEmdJoinLevels(hists, tau, numBins, dyadicLevels(numBins))
 
   /** Octree (kd-split) tree-EMD threshold self-join over the 2x2x2
     * unit-cube corner bins of `Fixtures.tripleHists` — the
@@ -175,7 +170,7 @@ object EmdJoins {
     * attain it), so EMD_T also serves as a sure-accept / sure-reject stage
     * for the exact LP cascade. */
   def treeEmd3dThresholdJoin(hists: DataFrame, tau: Double): DataFrame =
-    treeEmdJoinLevels(hists, tau, 8, Seq((4, 0.25), (2, 0.25), (1, 0.5)))
+    treeEmdJoinLevels(hists, tau, 8, KdLevels3d)
 
   /** EXACT 3-D EMD threshold self-join via tree-embedding candidates —
     * the FlowTree-style two-stage design (Backurs et al., ICML 2020):
@@ -199,11 +194,8 @@ object EmdJoins {
     import org.apache.spark.sql.Row
     val spark = hists.sparkSession
     import spark.implicits._
-    val levels = Seq((4, 0.25), (2, 0.25), (1, 0.5))
     val tau2 = 2.0 * theta
-    val feats = for ((span, wgt) <- levels; nd <- 0 until 8 / span)
-      yield aggregate(slice(col("weights"), nd * span + 1, span),
-        lit(0.0), (a, x) => a + x) * lit(wgt)
+    val feats = treeFeatExprs(8, KdLevels3d)
     val featCols = feats.zipWithIndex.map { case (c, i) => c.as(s"_f$i") }
     val flat = hists.select((col("id") +: col("weights") +: featCols): _*)
       .withColumn("_s", feats.indices.map(i =>
@@ -234,6 +226,62 @@ object EmdJoins {
     result
   }
 
+  /** The dyadic 1-D hierarchy: spans n/2 .. 1, edge weight = span. */
+  private def dyadicLevels(numBins: Int): Seq[(Int, Double)] = {
+    require(numBins >= 2 && (numBins & (numBins - 1)) == 0,
+      "dyadic tree-EMD needs a power-of-two bin count")
+    Iterator.iterate(numBins / 2)(_ / 2).takeWhile(_ >= 1)
+      .map(s => (s, s.toDouble)).toSeq
+  }
+
+  /** The 3-D kd-split hierarchy over the 2x2x2 cube (see
+    * [[treeEmd3dThresholdJoin]] for the weight derivation). */
+  private val KdLevels3d: Seq[(Int, Double)] = Seq((4, 0.25), (2, 0.25), (1, 0.5))
+
+  /** Embedding feature expressions: per level, per node, feature =
+    * edgeWeight * node mass (root omitted — normalized hists all carry
+    * mass 1). Nodes are contiguous `span`-wide slices of `weights`. */
+  private def treeFeatExprs(numBins: Int,
+                            levels: Seq[(Int, Double)]): Seq[Column] =
+    for ((span, wgt) <- levels; nd <- 0 until numBins / span)
+      yield (aggregate(slice(col("weights"), nd * span + 1, span),
+        lit(0.0), (a, x) => a + x) * lit(wgt))
+
+  /** Top-k closest pairs under the tree-EMD metric: the sampled k-th
+    * pair distance bounds the global k-th (sample pairs are a subset),
+    * the banded threshold join runs at that radius, and the global
+    * bounded-heap top-k takes over — the same two-pass shape as
+    * [[emd1dTopK]], ranked by the oracle's (round(dist,6), rid, sid). */
+  private def treeEmdTopKLevels(hists: DataFrame, k: Int, numBins: Int,
+                                levels: Seq[(Int, Double)],
+                                sampleSize: Int): DataFrame = {
+    val featCols = treeFeatExprs(numBins, levels).zipWithIndex
+      .map { case (c, i) => c.as(s"_f$i") }
+    val nf = featCols.length
+    val sample = hists.orderBy(col("id")).limit(sampleSize)
+      .select((col("id") +: featCols): _*)
+    val right = sample.select(sample.columns.map(c => col(c).as(c + "_b")): _*)
+    val sDist = (0 until nf).map(i => abs(col(s"_f$i") - col(s"_f${i}_b"))).reduce(_ + _)
+    val sPairs = sample.crossJoin(right)
+      .filter(col("id") < col("id_b"))
+      .select(sDist.as("dist"))
+    val ubRow = sPairs.orderBy(col("dist")).limit(k)
+      .agg(max(col("dist")).as("ub")).head()
+    val ub = if (ubRow.isNullAt(0)) Double.MaxValue else ubRow.getDouble(0)
+    treeEmdJoinLevels(hists, math.min(ub + 1e-9, Double.MaxValue), numBins, levels)
+      .orderBy(round(col("dist"), 6), col("rid"), col("sid"))
+      .limit(k)
+  }
+
+  /** Top-k pairs under the dyadic 1-D tree-EMD. */
+  def treeEmdTopK(hists: DataFrame, k: Int, sampleSize: Int = 512,
+                  numBins: Int = graft.sources.Fixtures.NumBins): DataFrame =
+    treeEmdTopKLevels(hists, k, numBins, dyadicLevels(numBins), sampleSize)
+
+  /** Top-k pairs under the octree 3-D tree-EMD. */
+  def treeEmd3dTopK(hists: DataFrame, k: Int, sampleSize: Int = 512): DataFrame =
+    treeEmdTopKLevels(hists, k, 8, KdLevels3d, sampleSize)
+
   /** Shared tree-EMD join kernel: features are edgeWeight * nodeMass per
     * (level, node), nodes are contiguous `span`-wide bin slices, distance
     * is the weighted-L1 over the embedding. See the callers for why this
@@ -243,9 +291,7 @@ object EmdJoins {
     // embedding: per level, per node, feature = edgeWeight * node mass.
     // Root omitted — normalized hists all carry mass 1.
     val feats = scala.collection.mutable.ArrayBuffer[Column]()
-    for ((span, wgt) <- levels; nd <- 0 until numBins / span)
-      feats += (aggregate(slice(col("weights"), nd * span + 1, span),
-        lit(0.0), (a, x) => a + x) * lit(wgt))
+    feats ++= treeFeatExprs(numBins, levels)
     val featCols = feats.toSeq.zipWithIndex.map { case (c, i) => c.as(s"_f$i") }
     // MATERIALIZED embedding projection: the banded join is a self-join;
     // left unpersisted, both sides re-derive the whole upstream lineage
