@@ -57,7 +57,8 @@ object MelodyCompat {
       numIntervals: Int,
       dimension: Int,
       numBins: Int,
-      framework: String)
+      framework: String,
+      pivots: Int)
 
   def parseProperties(props: java.util.Properties): CompatConf = CompatConf(
     joinType = props.getProperty("melody.join.type", "distance"),
@@ -68,7 +69,15 @@ object MelodyCompat {
     numIntervals = props.getProperty("melody.normal.error.interval", "5").toInt,
     dimension = props.getProperty("data.dimension", "3").toInt,
     numBins = props.getProperty("data.bin.number", "8").toInt,
-    framework = props.getProperty("melody.framework", "melody"))
+    // the reference's engine selector is ConfUtils.METHOD =
+    // "mr.method.name" (ConfUtils.java:28, as in the shipped
+    // melody-conf.properties); "melody.framework" is kept as an alias for
+    // earlier users of this compat surface
+    framework = props.getProperty("mr.method.name",
+      props.getProperty("melody.framework", "melody")),
+    // ConfUtils.PIVOT = "mrsim.pivot.number" (ConfUtils.java:31); 0 =
+    // absent -> this rebuild's auto-scaled pivot count
+    pivots = props.getProperty("mrsim.pivot.number", "0").toInt)
 
   def engineConfig(cc: CompatConf, bins: Array[Double],
                    vectors: Array[Double]): MelodyJoin.Config = {
@@ -97,10 +106,12 @@ object MelodyCompat {
     // bspmelody/bspb are the Hama BSP twins of melody/baseline — same
     // logical plans here (SURVEY §2.5), so they alias.
     (cc.joinType, cc.framework) match {
-      case ("topk", "mrsim") => MrSimJoin.topKJoin(spark, hists, cc.k, cfg)
+      case ("topk", "mrsim") =>
+        MrSimJoin.topKJoin(spark, hists, cc.k, cfg, numPivots = cc.pivots)
       case ("topk", "baseline" | "bspb") => BaselineJoin.topKJoin(spark, hists, cc.k, cfg)
       case ("topk", _) => MelodyJoin.topKJoin(spark, hists, cc.k, cfg)
-      case (_, "mrsim") => MrSimJoin.thresholdJoin(spark, hists, cc.threshold, cfg)
+      case (_, "mrsim") =>
+        MrSimJoin.thresholdJoin(spark, hists, cc.threshold, cfg, numPivots = cc.pivots)
       case (_, "baseline" | "bspb") => BaselineJoin.thresholdJoin(spark, hists, cc.threshold, cfg)
       case _ => MelodyJoin.thresholdJoin(spark, hists, cc.threshold, cfg) // melody | bspmelody
     }
