@@ -267,6 +267,29 @@ object SparkEntry {
         .select(col("rid"), col("sid"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // --- exact n-gram (3-token-shingle) Jaccard join: shingles become
+    //     '_'-joined tokens and flow through the same prefix-filter
+    //     operator. Shingle vocabularies dwarf the 64-token bitmask gate,
+    //     so THIS query drives the scalable prefix path end-to-end (the
+    //     token-set query above takes the bitmask fast path on this
+    //     corpus). tau = 0.8969: the corpus' qualifying pairs sit at
+    //     J >= 0.9 (nearest other distance is 0.003 below the threshold),
+    //     and a high tau is the prefix filter's operating regime — the
+    //     prefix length is (1-tau)*|set|+1, so low taus degrade toward
+    //     exploding candidates ---
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val sh = when(size(toks) < lit(3),
+          array(regexp_replace(col("text"), " ", "_")))
+        .otherwise(transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws("_", element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3))))
+      val docs = Fixtures.documents(s, dir)
+        .select(col("doc_id"), concat_ws(" ", sh).as("shtext"))
+      Dedup.jaccardJoin(docs, 0.8969, textCol = "shtext")
+        .select(col("rid"), col("sid"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // --- MinHash+LSH near-dup. Candidates are probabilistic but verified
     //     with EXACT shingle Jaccard, and the banding is sized so recall
     //     is 1.0 on this corpus (checked in PipelineOpsSpec), making the
@@ -778,6 +801,27 @@ object SparkEntry {
         |)
         |SELECT rid, sid, round(i / (la + lb - i), 6) AS jaccard
         |FROM pairs WHERE i / (la + lb - i) >= 0.5""".stripMargin,
+
+    // Shingle-set Jaccard (the minhash oracle's shingle CTE with the
+    // operator's '_' token joiner), exact threshold form.
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2]))
+        |    END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT a.doc_id AS rid, b.doc_id AS sid,
+        |         cast(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) AS i,
+        |         len(a.s) AS la, len(b.s) AS lb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT rid, sid, round(i / (la + lb - i), 6) AS jaccard
+        |FROM pairs WHERE i / (la + lb - i) >= 0.8969""".stripMargin,
 
     "q_quality" ->
       """WITH t AS (

@@ -85,8 +85,11 @@ object Dedup {
     // tokens rarest first by (set-frequency, tok) — no global ranking
     // window, fully parallel.
     val sets = groups.select(col("gid").as("id"), col("key").as("toks"))
+    // consumed twice: by the bounded vocabulary gate below AND by the
+    // prefix path's rank join — cache for the duration of the call
     val dfreq = sets.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("dfreq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Fast path: vocabulary fits one 64-bit word -> each distinct set is a
     // bitmask and Jaccard is two popcounts; the (distinct x distinct)
@@ -120,7 +123,7 @@ object Dedup {
         .withColumn("jaccard", interBits / unionBits)
         .filter(col("jaccard") >= tau)
         .select(col("gid").as("ga"), col("gb"), col("jaccard"))
-      return materializeAndFree(expandGroupPairs(intra, interSets, groups), groups)
+      return materializeAndFree(expandGroupPairs(intra, interSets, groups), groups, dfreq)
     }
     val tokRanks = sets.select(col("id"), explode(col("toks")).as("tok"))
       .join(dfreq, "tok")
@@ -154,7 +157,7 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("ga"), col("gb"), col("jaccard"))
 
-    materializeAndFree(expandGroupPairs(intra, interSets, groups), groups, tokRanks)
+    materializeAndFree(expandGroupPairs(intra, interSets, groups), groups, tokRanks, dfreq)
   }
 
   /** Expand qualifying (set, set) pairs to document pairs via member-list
