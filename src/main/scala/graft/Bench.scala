@@ -26,7 +26,15 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = scala.collection.mutable.Map.empty[String, Double]
     val errors = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to repeats; name <- names) {
+    for (pass <- 1 to repeats; name <- names) {
+      // repeat passes must measure the QUERY, not the session caches: a
+      // later pass would otherwise skip histogram derivation and engine
+      // preparation entirely and the per-query minimum would stop
+      // covering them (a regression there would be invisible)
+      if (pass > 1 && name == names.head) {
+        graft.sources.Fixtures.clearCache(spark)
+        graft.operators.MelodyJoin.clearPrepCache(spark)
+      }
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()

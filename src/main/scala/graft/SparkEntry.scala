@@ -200,6 +200,17 @@ object SparkEntry {
         .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
     }),
 
+    // --- tree-exact 3-D engine (FlowTree-style: banded tree candidates
+    //     at the certified 2*theta distortion radius + LP verify) — the
+    //     fourth answer-identical exact 3-D engine; rows-only driver
+    //     check like q_emd3d_pairs (LP not SQL-expressible), pair-set
+    //     equivalence spec-proven in MelodyJoinSpec ---
+    "q_treeexact3d_pairs" -> ((s, dir) => {
+      val hists = Fixtures.tripleHists(s, dir)
+      EmdJoins.treeExact3dThresholdJoin(hists, Theta3d)
+        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+    }),
+
     // --- 3-D exact EMD top-k (J2/A7; shares the cached engine state) ---
     "q_emd3d_topk" -> ((s, dir) => {
       val hists = Fixtures.tripleHists(s, dir)

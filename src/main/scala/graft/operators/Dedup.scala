@@ -280,7 +280,11 @@ object Dedup {
           val n = rdd.count()
           (spark.createDataFrame(rdd, df.schema), rdd, n)
         }
-        var (e, eRdd, prevCount) = cut(canon)
+        // build the round-0 frame FROM the already-persisted canonical
+        // RDD (the engine-selection count materialized it) — re-running
+        // cut(canon) would pay the scan+distinct shuffle a second time
+        var (e, eRdd, prevCount) = cut(
+          spark.createDataset(canonRdd).toDF("u", "v"))
         canonRdd.unpersist(false)
         var iter = 0
         var done = false

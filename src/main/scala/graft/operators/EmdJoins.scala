@@ -265,10 +265,15 @@ object EmdJoins {
     val sPairs = sample.crossJoin(right)
       .filter(col("id") < col("id_b"))
       .select(sDist.as("dist"))
-    val ubRow = sPairs.orderBy(col("dist")).limit(k)
-      .agg(max(col("dist")).as("ub")).head()
-    val ub = if (ubRow.isNullAt(0)) Double.MaxValue else ubRow.getDouble(0)
-    treeEmdJoinLevels(hists, math.min(ub + 1e-9, Double.MaxValue), numBins, levels)
+    // valid only when k sample pairs exist (else the max is no bound on
+    // the global k-th distance); the radius covers the full 6-decimal
+    // ROUNDING BUCKET of the k-th distance, not just +epsilon — the
+    // oracle ranks by round(dist, 6) with a (rid, sid) tie-break, so a
+    // pair up to 5e-7 ABOVE the raw k-th distance can round equal and
+    // displace it, and must be present in the thresholded candidate set
+    val top = sPairs.orderBy(col("dist")).limit(k).collect()
+    val ub = if (top.length >= k) top.last.getDouble(0) else Double.MaxValue
+    treeEmdJoinLevels(hists, math.min(ub + 2e-6, Double.MaxValue), numBins, levels)
       .orderBy(round(col("dist"), 6), col("rid"), col("sid"))
       .limit(k)
   }
@@ -353,17 +358,16 @@ object EmdJoins {
     val sPairs = sample.crossJoin(right)
       .filter(col("id") < col("id_b"))
       .select(sDist.as("dist"))
-    // Null-safe: with < 2 input rows the sample yields no pairs (max over
-    // empty group is null) — fall back to an unbounded radius; the join
-    // then degenerates to the (empty or trivial) full comparison. When the
-    // sample is duplicate-heavy the bound can be exactly 0; the +1e-9
-    // radius keeps the join complete for the k proven zero-distance pairs
-    // while ordering ties exactly like the (round(dist,6), rid, sid)
-    // oracle — no special-case path whose tie order could diverge.
-    val ubRow = sPairs.orderBy(col("dist")).limit(k)
-      .agg(max(col("dist")).as("ub")).head()
-    val ub = if (ubRow.isNullAt(0)) Double.MaxValue else ubRow.getDouble(0)
-    emd1dThresholdJoin(hists, math.min(ub + 1e-9, Double.MaxValue))
+    // Guarded: the k-th sample-pair distance bounds the global k-th only
+    // when k sample pairs exist (fewer happens only when the sample IS
+    // the whole corpus, but guard anyway); and the radius covers the full
+    // 6-decimal ROUNDING BUCKET of that distance — the oracle ranks by
+    // round(dist, 6) with a (rid, sid) tie-break, so a pair up to 5e-7
+    // ABOVE the raw k-th distance can round equal and displace it via the
+    // tie-break; it must be inside the thresholded candidate set.
+    val top = sPairs.orderBy(col("dist")).limit(k).collect()
+    val ub = if (top.length >= k) top.last.getDouble(0) else Double.MaxValue
+    emd1dThresholdJoin(hists, math.min(ub + 2e-6, Double.MaxValue))
       .orderBy(round(col("dist"), 6), col("rid"), col("sid"))
       .limit(k)
   }

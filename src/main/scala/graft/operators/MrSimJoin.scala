@@ -265,9 +265,11 @@ object MrSimJoin {
     val sorted = dists.sorted
     val ub = if (sorted.length >= k) sorted(k - 1) else Double.MaxValue
     // rank by the ROUNDED distance (then rid, sid) — the exact tie-break
-    // the driver's 6-decimal oracle applies, so boundary ties at the k-th
-    // slot can never order differently from the SQL
-    thresholdJoin(spark, hists, math.min(ub + 1e-9, Double.MaxValue), cfg, numPivots)
+    // the driver's 6-decimal oracle applies. The radius covers the full
+    // rounding bucket of the k-th distance (+2e-6, not +epsilon): a pair
+    // up to 5e-7 above the raw k-th distance can round equal and win the
+    // (rid, sid) tie-break, so it must survive the threshold join.
+    thresholdJoin(spark, hists, math.min(ub + 2e-6, Double.MaxValue), cfg, numPivots)
       .orderBy(round(col("dist"), 6), col("rid"), col("sid"))
       .limit(k)
   }

@@ -136,7 +136,10 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val src = text.getBytes("UTF-8")
+          // empty text -> black image, not a modulo-by-zero crash (the
+          // module contract: reject/degrade per row, never abort the job)
+          val raw = text.getBytes("UTF-8")
+          val src = if (raw.isEmpty) Array[Byte](0) else raw
           val rgb = new Array[Byte](3 * ImgW * ImgH)
           var i = 0
           while (i < rgb.length) { rgb(i) = src(i % src.length); i += 1 }

@@ -91,6 +91,13 @@ object Fixtures {
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Drop (and unpersist) this session's cached derived tables — used by
+    * benchmark repeat passes so every pass pays the full derivation. */
+  def clearCache(spark: SparkSession): Unit = histCache.synchronized {
+    val dead = histCache.keys.filter(_._1 eq spark).toSeq
+    dead.foreach { k => histCache.remove(k).foreach(_.unpersist(false)) }
+  }
+
   /** Wide-format histograms: (id, weights ARRAY<DOUBLE>[NumBins]),
     * L1-normalized. One scan + one shuffle; all-codegen. */
   def quantityHists(spark: SparkSession, dir: String): DataFrame =
