@@ -197,12 +197,24 @@ object EmdJoins {
     val tau2 = 2.0 * theta
     val feats = treeFeatExprs(8, KdLevels3d)
     val featCols = feats.zipWithIndex.map { case (c, i) => c.as(s"_f$i") }
+    // TWO independent signed-combination band keys (every coefficient in
+    // {-1, +1}, so each key is 1-Lipschitz w.r.t. the weighted-L1 tree
+    // distance): alternating signs and per-level left-half/right-half
+    // signs. The candidate radius 2*theta is wide, so a single key
+    // degenerates to a handful of bands; the 9-neighbor 2-key equijoin
+    // cuts candidates multiplicatively at perfect recall.
+    val nodesPerLevel = KdLevels3d.map { case (span, _) => 8 / span }
+    val halfSign: Seq[Int] = nodesPerLevel.flatMap { n =>
+      (0 until n).map(nd => if (nd < n / 2) 1 else -1)
+    }
     val flat = hists.select((col("id") +: col("weights") +: featCols): _*)
       .withColumn("_s", feats.indices.map(i =>
         if (i % 2 == 0) col(s"_f$i") else -col(s"_f$i")).reduce(_ + _))
+      .withColumn("_s2", feats.indices.map(i =>
+        if (halfSign(i) > 0) col(s"_f$i") else -col(s"_f$i")).reduce(_ + _))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     flat.count()
-    val pairs = bandedSelfPairs(flat, "id", "_s", tau2)
+    val pairs = bandedSelfPairs2(flat, "id", "_s", Some("_s2"), tau2)
     val terms = feats.indices.map(i => abs(col(s"_f${i}_a") - col(s"_f${i}_b")))
     // prefix cascade + full tree filter at the distortion radius, then the
     // exact LP only on survivors
