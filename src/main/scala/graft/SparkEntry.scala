@@ -961,12 +961,17 @@ object SparkEntry {
 
     // The synthetic 16x16 image's red channel holds text byte (3i % len)
     // at pixel i; bin = byte >> 5; weights = count/256 over the dense
-    // 8-bin space (documents are pure ASCII, so char == byte).
+    // 8-bin space (documents are pure ASCII, so char == byte). Empty
+    // text mirrors the Spark fallback (Multimodal.withImagePayload):
+    // a single zero source byte -> every pixel byte 0 (CASE guards the
+    // modulo so a degenerate corpus can't divide by zero).
     "q_image_hist" ->
       """WITH px AS (
         |  SELECT d.doc_id,
-        |         ascii(substr(d.text,
-        |           ((3 * cast(r.range AS INTEGER)) % length(d.text)) + 1, 1)) AS b
+        |         CASE WHEN length(d.text) = 0 THEN 0
+        |              ELSE ascii(substr(d.text,
+        |                ((3 * cast(r.range AS INTEGER)) % length(d.text)) + 1, 1))
+        |         END AS b
         |  FROM documents d CROSS JOIN range(256) r
         |), counts AS (
         |  SELECT doc_id, b // 32 AS bin, cast(count(*) AS DOUBLE) AS c
@@ -989,8 +994,10 @@ object SparkEntry {
         |    list_concat(
         |      [80,54,10,49,54,32,49,54,10,50,53,53,10]::BIGINT[],
         |      list_transform(range(768),
-        |        i -> cast(ascii(substr(text,
-        |               (cast(i AS INTEGER) % length(text)) + 1, 1)) AS BIGINT))) AS b
+        |        i -> CASE WHEN length(text) = 0 THEN cast(0 AS BIGINT)
+        |             ELSE cast(ascii(substr(text,
+        |               (cast(i AS INTEGER) % length(text)) + 1, 1)) AS BIGINT)
+        |             END)) AS b
         |  FROM documents
         |), frames AS (SELECT unnest([0, 4, 8]) AS f)
         |SELECT p.doc_id, cast(fr.f AS BIGINT) AS frame_idx,

@@ -73,91 +73,103 @@ object Dedup {
     val groups = toks.groupBy(col("key"))
       .agg(collect_list(col("id")).as("members"), min(col("id")).as("gid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every persist below registers in `pinned`; the catch frees them if
+    // any action throws mid-call (the success paths free their own via
+    // materializeAndFree; unpersist is idempotent so double-free is safe)
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](groups)
+    try {
 
-    // intra-group pairs: identical sets, J = 1 >= tau always
-    val intra = groups.select(col("members"))
-      .select(explode(col("members")).as("rid"), col("members"))
-      .select(col("rid"), explode(col("members")).as("sid"))
-      .filter(col("rid") < col("sid"))
-      .withColumn("jaccard", lit(1.0))
+      // intra-group pairs: identical sets, J = 1 >= tau always
+      val intra = groups.select(col("members"))
+        .select(explode(col("members")).as("rid"), col("members"))
+        .select(col("rid"), explode(col("members")).as("sid"))
+        .filter(col("rid") < col("sid"))
+        .withColumn("jaccard", lit(1.0))
 
-    // inter-group: prefix-filter join over DISTINCT sets. Sets order their
-    // tokens rarest first by (set-frequency, tok) — no global ranking
-    // window, fully parallel.
-    val sets = groups.select(col("gid").as("id"), col("key").as("toks"))
-    // consumed twice: by the bounded vocabulary gate below AND by the
-    // prefix path's rank join — cache for the duration of the call
-    val dfreq = sets.select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("dfreq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // inter-group: prefix-filter join over DISTINCT sets. Sets order their
+      // tokens rarest first by (set-frequency, tok) — no global ranking
+      // window, fully parallel.
+      val sets = groups.select(col("gid").as("id"), col("key").as("toks"))
+      // consumed twice: by the bounded vocabulary gate below AND by the
+      // prefix path's rank join — cache for the duration of the call
+      val dfreq = sets.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("dfreq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += dfreq
 
-    // Fast path: vocabulary fits one 64-bit word -> each distinct set is a
-    // bitmask and Jaccard is two popcounts; the (distinct x distinct)
-    // scalar comparison beats prefix-filter bucketing by an order of
-    // magnitude at this cardinality. Generic prefix path otherwise.
-    // Both gates are BOUNDED counts (limit n+1) so nothing data-sized ever
-    // reaches the driver; the vocabulary itself is collected only after
-    // the gate proves it has at most 64 entries. The distinct-SET gate is
-    // required too: a 64-token vocabulary admits up to 2^64 distinct sets,
-    // and the bitmask comparison is quadratic in their count — a corpus
-    // with tiny vocab but many distinct sets must take the prefix path
-    // (which handles small vocabularies correctly, just slower).
-    if (dfreq.limit(65).count() <= 64 &&
-        groups.limit(maxBitmaskSets + 1).count() <= maxBitmaskSets) {
-      val vocab = dfreq.select(col("tok")).orderBy(col("tok")).collect().map(_.getString(0))
-      val vocabIdx = vocab.zipWithIndex.toMap
-      val session = docs.sparkSession
-      import session.implicits._
-      val idxB = session.sparkContext.broadcast(vocabIdx)
-      val masks = groups.select(col("gid"), col("key"))
-        .as[(Long, Seq[String])]
-        .map { case (gid, key) =>
-          val m = key.foldLeft(0L)((acc, t) => acc | (1L << idxB.value(t)))
-          (gid, m)
-        }.toDF("gid", "mask")
-      val mb = masks.select(col("gid").as("gb"), col("mask").as("maskB"))
-      val interBits = bit_count(col("mask").bitwiseAND(col("maskB"))).cast("double")
-      val unionBits = bit_count(col("mask").bitwiseOR(col("maskB"))).cast("double")
-      val interSets = masks.crossJoin(mb)
-        .filter(col("gid") < col("gb"))
-        .withColumn("jaccard", interBits / unionBits)
+      // Fast path: vocabulary fits one 64-bit word -> each distinct set is a
+      // bitmask and Jaccard is two popcounts; the (distinct x distinct)
+      // scalar comparison beats prefix-filter bucketing by an order of
+      // magnitude at this cardinality. Generic prefix path otherwise.
+      // Both gates are BOUNDED counts (limit n+1) so nothing data-sized ever
+      // reaches the driver; the vocabulary itself is collected only after
+      // the gate proves it has at most 64 entries. The distinct-SET gate is
+      // required too: a 64-token vocabulary admits up to 2^64 distinct sets,
+      // and the bitmask comparison is quadratic in their count — a corpus
+      // with tiny vocab but many distinct sets must take the prefix path
+      // (which handles small vocabularies correctly, just slower).
+      if (dfreq.limit(65).count() <= 64 &&
+          groups.limit(maxBitmaskSets + 1).count() <= maxBitmaskSets) {
+        val vocab = dfreq.select(col("tok")).orderBy(col("tok")).collect().map(_.getString(0))
+        val vocabIdx = vocab.zipWithIndex.toMap
+        val session = docs.sparkSession
+        import session.implicits._
+        val idxB = session.sparkContext.broadcast(vocabIdx)
+        val masks = groups.select(col("gid"), col("key"))
+          .as[(Long, Seq[String])]
+          .map { case (gid, key) =>
+            val m = key.foldLeft(0L)((acc, t) => acc | (1L << idxB.value(t)))
+            (gid, m)
+          }.toDF("gid", "mask")
+        val mb = masks.select(col("gid").as("gb"), col("mask").as("maskB"))
+        val interBits = bit_count(col("mask").bitwiseAND(col("maskB"))).cast("double")
+        val unionBits = bit_count(col("mask").bitwiseOR(col("maskB"))).cast("double")
+        val interSets = masks.crossJoin(mb)
+          .filter(col("gid") < col("gb"))
+          .withColumn("jaccard", interBits / unionBits)
+          .filter(col("jaccard") >= tau)
+          .select(col("gid").as("ga"), col("gb"), col("jaccard"))
+        return materializeAndFree(expandGroupPairs(intra, interSets, groups), groups, dfreq)
+      }
+      val tokRanks = sets.select(col("id"), explode(col("toks")).as("tok"))
+        .join(dfreq, "tok")
+        .groupBy("id")
+        .agg(sort_array(collect_list(struct(col("dfreq"), col("tok")))).as("rt"))
+        .select(col("id"), transform(col("rt"), x => x.getField("tok")).as("sorted"),
+          size(col("rt")).as("len"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += tokRanks
+      // prefix length = len - ceil(tau*len) + 1. Only (id, len, ptok) flows
+      // through the candidate shuffle — the sorted token arrays are the
+      // heavy payload and the prefix explode would replicate them x plen;
+      // they re-attach to the DEDUPLICATED candidate pairs by id-equijoin.
+      val prefixed = tokRanks.withColumn("plen",
+          (col("len") - ceil(col("len") * tau) + 1).cast("int"))
+        .select(col("id"), col("len"),
+          explode(slice(col("sorted"), lit(1), col("plen"))).as("ptok"))
+      // size filter before verification: tau*|a| <= |b| <= |a|/tau
+      val candIds = prefixed.as("a").join(prefixed.as("b"),
+          col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id") &&
+            col("b.len") * tau <= col("a.len") && col("a.len") * tau <= col("b.len"))
+        .select(col("a.id").as("ga"), col("b.id").as("gb"))
+        .dropDuplicates("ga", "gb")
+      val cands = candIds
+        .join(tokRanks.select(col("id").as("ga"), col("sorted").as("ta"),
+          col("len").as("la")), "ga")
+        .join(tokRanks.select(col("id").as("gb"), col("sorted").as("tb"),
+          col("len").as("lb")), "gb")
+      val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
+      val interSets = cands
+        .withColumn("jaccard", inter / (col("la") + col("lb") - inter))
         .filter(col("jaccard") >= tau)
-        .select(col("gid").as("ga"), col("gb"), col("jaccard"))
-      return materializeAndFree(expandGroupPairs(intra, interSets, groups), groups, dfreq)
-    }
-    val tokRanks = sets.select(col("id"), explode(col("toks")).as("tok"))
-      .join(dfreq, "tok")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("dfreq"), col("tok")))).as("rt"))
-      .select(col("id"), transform(col("rt"), x => x.getField("tok")).as("sorted"),
-        size(col("rt")).as("len"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // prefix length = len - ceil(tau*len) + 1. Only (id, len, ptok) flows
-    // through the candidate shuffle — the sorted token arrays are the
-    // heavy payload and the prefix explode would replicate them x plen;
-    // they re-attach to the DEDUPLICATED candidate pairs by id-equijoin.
-    val prefixed = tokRanks.withColumn("plen",
-        (col("len") - ceil(col("len") * tau) + 1).cast("int"))
-      .select(col("id"), col("len"),
-        explode(slice(col("sorted"), lit(1), col("plen"))).as("ptok"))
-    // size filter before verification: tau*|a| <= |b| <= |a|/tau
-    val candIds = prefixed.as("a").join(prefixed.as("b"),
-        col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id") &&
-          col("b.len") * tau <= col("a.len") && col("a.len") * tau <= col("b.len"))
-      .select(col("a.id").as("ga"), col("b.id").as("gb"))
-      .dropDuplicates("ga", "gb")
-    val cands = candIds
-      .join(tokRanks.select(col("id").as("ga"), col("sorted").as("ta"),
-        col("len").as("la")), "ga")
-      .join(tokRanks.select(col("id").as("gb"), col("sorted").as("tb"),
-        col("len").as("lb")), "gb")
-    val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
-    val interSets = cands
-      .withColumn("jaccard", inter / (col("la") + col("lb") - inter))
-      .filter(col("jaccard") >= tau)
-      .select(col("ga"), col("gb"), col("jaccard"))
+        .select(col("ga"), col("gb"), col("jaccard"))
 
-    materializeAndFree(expandGroupPairs(intra, interSets, groups), groups, tokRanks, dfreq)
+      materializeAndFree(expandGroupPairs(intra, interSets, groups), groups, tokRanks, dfreq)
+    } catch {
+      case t: Throwable =>
+        pinned.foreach(_.unpersist(false))
+        throw t
+    }
   }
 
   /** Expand qualifying (set, set) pairs to document pairs via member-list

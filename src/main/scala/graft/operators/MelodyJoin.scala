@@ -790,8 +790,14 @@ object MelodyJoin {
     val flowUb = if (flowUbs.length >= k) flowUbs.last.getDouble(0) else Double.MaxValue
 
     val ub = math.min(sampleUb, flowUb)
-    val result = thresholdJoinPrepared(spark, prep, ub + 1e-9, cfg)
-      .orderBy(col("dist"), col("rid"), col("sid"))
+    // radius covers the full 6-decimal rounding bucket of the k-th
+    // distance (+2e-6) and ties break on the rounded value — same
+    // convention as MrSimJoin.topKJoin / emd1dTopK / treeEmdTopK, so a
+    // pair 5e-7 above the raw k-th distance that rounds equal is
+    // selected identically by every top-k engine
+    val result = thresholdJoinPrepared(spark, prep,
+        math.min(ub + 2e-6, Double.MaxValue), cfg)
+      .orderBy(round(col("dist"), 6), col("rid"), col("sid"))
       .limit(k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count() // O(k) rows; the Prepared's owner frees the enrichment

@@ -30,15 +30,30 @@ import graft.core._
   */
 object MrSimJoin {
 
-  /** Exact-EMD solve count of the most recent routing pass (argmin +
-    * window passes, summed across tasks). Diagnostic only — read after
-    * thresholdJoin returns to evidence the Rubner routing prune; the
-    * reference-parity baseline is records x pivots. */
+  /** Exact-EMD solve count of the most recent `thresholdJoin` routing
+    * pass (argmin + window passes, summed across tasks) — a convenience
+    * mirror of the per-invocation count for single-threaded diagnostics
+    * only: concurrent joins in one JVM clobber it, and task retries can
+    * over-count the accumulator. For a race-free figure use the count
+    * returned by `thresholdJoinCounted`. The reference-parity baseline
+    * is records x pivots. */
   @volatile var lastRoutingSolves: Long = -1L
 
   def thresholdJoin(spark: SparkSession, hists: DataFrame, theta: Double,
                     cfg: MelodyJoin.Config, numPivots: Int = 0,
                     maxGroupRows: Int = 8192): DataFrame = {
+    val (result, solves) =
+      thresholdJoinCounted(spark, hists, theta, cfg, numPivots, maxGroupRows)
+    lastRoutingSolves = solves
+    result
+  }
+
+  /** `thresholdJoin` plus its per-invocation routing-solve count —
+    * evidence for the Rubner routing prune that no global state can
+    * misattribute. */
+  def thresholdJoinCounted(spark: SparkSession, hists: DataFrame, theta: Double,
+                           cfg: MelodyJoin.Config, numPivots: Int = 0,
+                           maxGroupRows: Int = 8192): (DataFrame, Long) = {
     // the hyperplane window prune ((d(r,q) - d(r,base)) / 2 <= theta) and
     // Emd.exact's net-flow reduction are both valid only for ground costs
     // satisfying the triangle inequality — a non-metric Config would
@@ -156,7 +171,7 @@ object MrSimJoin {
     // O(pivots) rows to the driver, never data-sized.
     val sizes = routed.groupBy(col("pivot")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    lastRoutingSolves = solveAcc.value // routed is materialized by the agg
+    val routingSolves = solveAcc.value // routed is materialized by the agg
     val subCounts = Array.tabulate(pivots.length)(i =>
       math.max(1L, (sizes.getOrElse(i, 0L) + maxGroupRows - 1) / maxGroupRows).toInt)
     val subB = spark.sparkContext.broadcast(subCounts)
@@ -236,7 +251,7 @@ object MrSimJoin {
     result.count()
     src.unpersist(false)
     routed.unpersist(false)
-    result
+    (result, routingSolves)
   }
 
   /** Top-k closest pairs on the mrsim engine (the reference serves both

@@ -83,25 +83,27 @@ class MelodyJoinSpec extends AnyFunSuite {
     val theta = 0.3
     val base = BaselineJoin.thresholdJoin(spark, hists, theta, cfg3d)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val mrsim = MrSimJoin.thresholdJoin(spark, hists, theta, cfg3d, numPivots = 8)
+    val (mrsimDf, solves) =
+      MrSimJoin.thresholdJoinCounted(spark, hists, theta, cfg3d, numPivots = 8)
+    val mrsim = mrsimDf
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(base.nonEmpty)
     assert(base == mrsim,
       s"missed=${(base -- mrsim).size} extra=${(mrsim -- base).size}")
     // Rubner routing prune: the counter is accumulator-backed, so task
     // retries can over-count — only sanity-check it here...
-    val solves = MrSimJoin.lastRoutingSolves
     assert(solves > 0, s"routing solves $solves")
     // ...and at a tight radius (narrow window) it must prune strictly,
     // while still matching the baseline pair set exactly
     val tightTheta = 0.05
     val baseT = BaselineJoin.thresholdJoin(spark, hists, tightTheta, cfg3d)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val mrsimT = MrSimJoin.thresholdJoin(spark, hists, tightTheta, cfg3d, numPivots = 8)
+    val (mrsimTDf, solvesT) =
+      MrSimJoin.thresholdJoinCounted(spark, hists, tightTheta, cfg3d, numPivots = 8)
+    val mrsimT = mrsimTDf
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(baseT == mrsimT,
       s"tight: missed=${(baseT -- mrsimT).size} extra=${(mrsimT -- baseT).size}")
-    val solvesT = MrSimJoin.lastRoutingSolves
     assert(solvesT > 0 && solvesT < 100L * 8,
       s"tight-theta routing solves $solvesT not pruned below 800")
   }
