@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.Fixtures
 import graft.functions.{EmdCols, TextCols}
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -299,6 +299,43 @@ object SparkEntry {
         .select(col("doc_id"), concat_ws(" ", sh).as("shtext"))
       Dedup.jaccardJoin(docs, 0.8969, textCol = "shtext")
         .select(col("rid"), col("sid"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // --- deterministic stratified sampling (corpus mixing): hash-threshold
+    //     per-language keep rates, a pure map-side filter — no shuffle, no
+    //     RNG, reproducible across engines (integer md5 compare, no FP) ---
+    "q_stratified_sample" -> ((s, dir) => {
+      CorpusOps.stratifiedSample(Fixtures.documents(s, dir), "lang",
+        Map("en" -> 0.25, "de" -> 0.5, "es" -> 0.75, "zh" -> 1.0),
+        defaultRate = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // --- per-language top-k frequent bigrams (vocabulary statistics for
+    //     tokenizer training); rank window runs over vocab-sized rows ---
+    "q_top_ngrams" -> ((s, dir) => {
+      CorpusOps.topNgrams(Fixtures.documents(s, dir), "lang", n = 2, k = 5)
+        .select(col("grp").as("lang"), col("gram"),
+          col("cnt").cast("long").as("cnt"), col("rank"))
+    }),
+
+    // --- benchmark decontamination: distinct 3-token-shingle collisions
+    //     between the src0 "eval" split and the rest of the corpus ---
+    "q_contamination" -> ((s, dir) => {
+      val d = Fixtures.documents(s, dir)
+      CorpusOps.decontaminationJoin(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+        n = 3)
+        .select(col("eval_id"), col("train_id"),
+          col("n_shared").cast("long").as("n_shared"))
+    }),
+
+    // --- exact TF-IDF cosine similarity join, suffix-norm prefix filter
+    //     (AllPairs): the corpus-weighted counterpart of q_jaccard_pairs.
+    //     tau = 0.9: measured boundary gap ~7e-4 both sides at both SFs ---
+    "q_tfidf_pairs" -> ((s, dir) => {
+      TfIdf.cosineJoin(s, Fixtures.documents(s, dir), 0.9)
+        .select(col("rid"), col("sid"), round(col("cosine"), 6).as("cosine"))
     }),
 
     // --- MinHash+LSH near-dup. Candidates are probabilistic but verified
@@ -833,6 +870,77 @@ object SparkEntry {
         |)
         |SELECT rid, sid, round(i / (la + lb - i), 6) AS jaccard
         |FROM pairs WHERE i / (la + lb - i) >= 0.8969""".stripMargin,
+
+    // integer md5-bucket compare — rates are exact quarter fractions so
+    // floor(rate * 2^32) is the same integer in both engines
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(lang || ':' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  < cast(floor((CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
+        |                          WHEN 'es' THEN 0.75 WHEN 'zh' THEN 1.0
+        |                          ELSE 0.5 END) * 4294967296) AS BIGINT)""".stripMargin,
+
+    "q_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT lang, text, string_split(text, ' ') AS t FROM documents
+        |), grams AS (
+        |  SELECT lang, unnest(
+        |    CASE WHEN len(t) < 2 THEN [replace(text, ' ', '_')]
+        |         ELSE list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1])
+        |    END) AS gram
+        |  FROM toks
+        |), counts AS (
+        |  SELECT lang, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT lang, gram, cnt,
+        |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |  FROM counts
+        |)
+        |SELECT lang, gram, cast(cnt AS BIGINT) AS cnt, cast(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, unnest(
+        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])
+        |    END) AS gram
+        |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents)
+        |), ds AS (
+        |  SELECT DISTINCT doc_id, source, gram FROM sh
+        |)
+        |SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+        |       cast(count(*) AS BIGINT) AS n_shared
+        |FROM ds e JOIN ds t ON e.gram = t.gram
+        |WHERE e.source = 'src0' AND t.source <> 'src0'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // mirrors TfIdf.cosineJoin's arithmetic shape exactly: raw-weight dot
+    // divided by the two norms (NOT a dot of pre-normalized weights —
+    // FP-distinct); smooth idf = ln((N+1)/(df+1)) + 1
+    "q_tfidf_pairs" ->
+      """WITH tf AS (
+        |  SELECT doc_id AS id, tok, cast(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT tok, cast(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+        |), nn AS (
+        |  SELECT cast(count(*) AS DOUBLE) AS n FROM documents
+        |), w AS (
+        |  SELECT tf.id, tf.tok, tf.tf * (ln((nn.n + 1) / (dfreq.df + 1)) + 1) AS w
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN nn
+        |), nrm AS (
+        |  SELECT id, sqrt(sum(w * w)) AS nd FROM w GROUP BY 1
+        |), dots AS (
+        |  SELECT a.id AS rid, b.id AS sid, sum(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT rid, sid, round(dot / (na.nd * nb.nd), 6) AS cosine
+        |FROM dots JOIN nrm na ON na.id = rid JOIN nrm nb ON nb.id = sid
+        |WHERE dot / (na.nd * nb.nd) >= 0.9""".stripMargin,
 
     "q_quality" ->
       """WITH t AS (

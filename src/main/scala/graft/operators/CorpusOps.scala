@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextCols
+
+/** Corpus-management operators for large-scale training-data pipelines:
+  * deterministic stratified sampling (corpus mixing), per-language
+  * vocabulary statistics (tokenizer-training input), and benchmark
+  * decontamination (train/eval n-gram overlap detection).
+  *
+  * These extend the engine beyond the reference's surface (the reference
+  * is a pure similarity-join engine; a pipeline feeding an LLM needs the
+  * corpus plumbing around the joins too). All three are single-shuffle
+  * shapes with no driver-side data, and every kernel is a pure Catalyst
+  * expression both Spark and DuckDB evaluate identically, so each
+  * declared query carries a full hash-checked oracle.
+  */
+object CorpusOps {
+
+  /** Deterministic hash-threshold sampling, stratified by a column:
+    * a row survives iff the first 32 bits of md5("<stratum>:<id>") fall
+    * below floor(rate(stratum) * 2^32).
+    *
+    * This is the corpus-mixing primitive (e.g. downweight web crawl,
+    * upweight low-resource languages): a pure map-side filter — no
+    * shuffle, no window, no global count — so it runs at any scale in
+    * one pass, is reproducible across runs/engines (md5, not a seeded
+    * RNG), and composes with later stages. Rates are exact binary
+    * fractions of 2^32, so the survivor set is engine-independent
+    * (integer compare, no FP boundary).
+    *
+    * @param rates        per-stratum keep rate in [0,1]
+    * @param defaultRate  rate for strata not in the map
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0,
+                       idCol: String = "doc_id"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    val bucket = TextCols.md5Bits32(
+      concat(col(strataCol), lit(":"), col(idCol).cast("string")))
+    docs.filter(bucket < floor(rate * lit(4294967296L)).cast("long"))
+  }
+
+  /** '_'-joined n-token shingles of a whitespace-tokenized text; texts
+    * shorter than n collapse to one whole-text shingle (the q_ngram_jaccard
+    * convention — short documents must not silently vanish). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < lit(n), array(regexp_replace(text, " ", "_")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws("_", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** Top-k most frequent n-grams per group (vocabulary statistics — the
+    * corpus pass a tokenizer-training run starts from). Two-phase:
+    * a map-side-combined count over (group, gram) — the only data-sized
+    * shuffle — then a rank window over the AGGREGATED vocabulary rows
+    * (bounded by vocab size, not corpus size). Ties on count break on the
+    * gram string so the result is total-order deterministic. */
+  def topNgrams(docs: DataFrame, groupCol: String, n: Int, k: Int,
+                textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("grp"), explode(shingles(col(textCol), n)).as("gram"))
+      .groupBy(col("grp"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("grp"))
+          .orderBy(col("cnt").desc, col("gram"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Benchmark decontamination: for every (train, eval) document pair
+    * that shares at least one distinct n-token shingle, the number of
+    * distinct shingles they share. Any hit means the training document
+    * leaks (part of) the eval document and must be dropped or flagged.
+    *
+    * Shape: per-side distinct (shingle, id) postings — ids only, the
+    * text never enters the shuffle — equijoined on the shingle, then a
+    * count per pair. One shuffle each for the two distinct-izes, one for
+    * the join; hot shingles (boilerplate) are the skew risk at corpus
+    * scale, handled by AQE skew splitting; a df-cap on shingles is the
+    * standard mitigation and composes here as a pre-filter if needed. */
+  def decontaminationJoin(train: DataFrame, eval: DataFrame, n: Int,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    def postings(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out), explode(shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    postings(train, "train_id")
+      .join(postings(eval, "eval_id"), "gram")
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-management + TF-IDF operators: determinism and rate behavior of
+  * the stratified sampler, brute-force equivalence for vocabulary stats
+  * and decontamination, and perfect recall of the prefix-filtered cosine
+  * join against the unfiltered join. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("corpus-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
+  }
+
+  test("stratified sample: deterministic, subset, rates honored") {
+    val rates = Map("en" -> 0.25, "zh" -> 1.0, "de" -> 0.0)
+    val s1 = CorpusOps.stratifiedSample(docs, "lang", rates, defaultRate = 0.5)
+    val s2 = CorpusOps.stratifiedSample(docs, "lang", rates, defaultRate = 0.5)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = s2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "sampler not deterministic across runs")
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(all))
+    // per-stratum: rate 1.0 keeps everything, rate 0.0 keeps nothing,
+    // fractional rates keep a binomially-plausible share
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("zh", 0L) == totals("zh"), "rate 1.0 must keep all")
+    assert(byLang.getOrElse("de", 0L) == 0L, "rate 0.0 must keep none")
+    val enKept = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enKept > 0.05 && enKept < 0.6, s"en keep share $enKept implausible for 0.25")
+  }
+
+  test("topNgrams == brute-force per-group counts with (count desc, gram) ties") {
+    val got = CorpusOps.topNgrams(docs, "lang", n = 2, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val raw = docs.select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    raw.foreach { case (lang, text) =>
+      val t = text.split(" ", -1)
+      val grams =
+        if (t.length < 2) Seq(text.replace(" ", "_"))
+        else t.sliding(2).map(_.mkString("_")).toSeq
+      grams.foreach { g => counts((lang, g)) = counts.getOrElse((lang, g), 0L) + 1 }
+    }
+    val expected = counts.groupBy(_._1._1).flatMap { case (lang, m) =>
+      m.toSeq.map { case ((_, g), c) => (g, c) }
+        .sortBy { case (g, c) => (-c, g) }
+        .take(5).zipWithIndex
+        .map { case ((g, c), i) => (lang, g, c, (i + 1).toLong) }
+    }.toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("decontaminationJoin == brute-force distinct-shingle intersection") {
+    val all = docs
+    val eval = all.filter(col("source") === "src0")
+    val train = all.filter(col("source") =!= "src0")
+    val got = CorpusOps.decontaminationJoin(train, eval, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def shingleSet(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set(text.replace(" ", "_"))
+      else t.sliding(3).map(_.mkString("_")).toSet
+    }
+    val evalRows = eval.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), shingleSet(r.getString(1))))
+    val trainRows = train.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), shingleSet(r.getString(1))))
+    val expected = (for {
+      (eid, es) <- evalRows; (tid, ts) <- trainRows
+      shared = (es & ts).size if shared > 0
+    } yield (eid, tid) -> shared.toLong).toMap
+    assert(got == expected,
+      s"pairs got=${got.size} expected=${expected.size}")
+    assert(expected.nonEmpty, "decontamination test vacuous at sf0.001")
+  }
+
+  test("tfidf cosineJoin: prefix filter has perfect recall vs unfiltered join") {
+    import spark.implicits._
+    // the unfiltered reference: every token-sharing pair scored
+    val n = docs.count()
+    val w = TfIdf.weights(docs, n)
+    val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val brute = w.select(col("id").as("rid"), col("tok"), col("w").as("wa"))
+      .join(w.select(col("id").as("sid"), col("tok"), col("w").as("wb")), "tok")
+      .filter(col("rid") < col("sid"))
+      .groupBy("rid", "sid").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("id").as("rid"), col("nrm").as("na")), "rid")
+      .join(norms.select(col("id").as("sid"), col("nrm").as("nb")), "sid")
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+    for (tau <- Seq(0.5, 0.9)) {
+      val expected = brute.filter(col("cosine") >= tau)
+        .select("rid", "sid").as[(Long, Long)].collect().toSet
+      val got = TfIdf.cosineJoin(spark, docs, tau)
+        .select("rid", "sid").as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"tau=$tau missed=${(expected -- got).size} extra=${(got -- expected).size}")
+      assert(expected.nonEmpty, s"tau=$tau recall test vacuous")
+    }
+  }
+
+  test("tfidf cosineJoin handles single-token and identical documents") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "alpha"), (2L, "alpha"), // identical one-token docs: cos = 1
+      (3L, "beta gamma beta"), (4L, "beta gamma beta"), // identical multi
+      (5L, "delta")                 // no partner
+    ).toDF("doc_id", "text")
+    val got = TfIdf.cosineJoin(spark, tiny, 0.999)
+      .select("rid", "sid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 4L)), s"got $got")
+  }
+}
