@@ -37,6 +37,12 @@ object Bench {
       if (pass > 1 && name == names.head) {
         graft.sources.Fixtures.clearCache(spark)
         graft.operators.MelodyJoin.clearPrepCache(spark)
+        // drop EVERY cached plan, not just the known session caches:
+        // operators that return a persisted result (materializeAndFree
+        // pattern) leave plan-cache entries a later pass of the same
+        // pure-Catalyst query would silently hit, recording a min that
+        // measured the cache, not the query
+        spark.sharedState.cacheManager.clearCache()
       }
       val t0 = System.nanoTime()
       try {

@@ -20,6 +20,16 @@ import graft.functions.TextCols
   */
 object CorpusOps {
 
+  /** Widen degenerate input parallelism before an explode-heavy stage: a
+    * single small parquet file scans as ONE partition, serializing the
+    * whole tokenize/explode map side on one core. No-op whenever the scan
+    * already has >= default-parallelism partitions — a 100 TB input never
+    * pays this shuffle. */
+  private[operators] def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Deterministic hash-threshold sampling, stratified by a column:
     * a row survives iff the first 32 bits of md5("<stratum>:<id>") fall
     * below floor(rate(stratum) * 2^32).
@@ -65,7 +75,7 @@ object CorpusOps {
     * gram string so the result is total-order deterministic. */
   def topNgrams(docs: DataFrame, groupCol: String, n: Int, k: Int,
                 textCol: String = "text"): DataFrame = {
-    val counts = docs
+    val counts = widen(docs)
       .select(col(groupCol).as("grp"), explode(shingles(col(textCol), n)).as("gram"))
       .groupBy(col("grp"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
@@ -90,7 +100,7 @@ object CorpusOps {
   def decontaminationJoin(train: DataFrame, eval: DataFrame, n: Int,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
-    def postings(df: DataFrame, out: String) = df
+    def postings(df: DataFrame, out: String) = widen(df)
       .select(col(idCol).as(out), explode(shingles(col(textCol), n)).as("gram"))
       .distinct()
     postings(train, "train_id")

@@ -68,7 +68,7 @@ object Dedup {
     // all pairwise similarity math runs on distinct sets (training corpora
     // are duplicate-heavy — that is the point of this operator); qualifying
     // set pairs expand back to document pairs at the end with no math.
-    val toks = docs.select(col(idCol).as("id"),
+    val toks = CorpusOps.widen(docs).select(col(idCol).as("id"),
       sort_array(TextCols.distinctTokens(col(textCol))).as("key"))
     val groups = toks.groupBy(col("key"))
       .agg(collect_list(col("id")).as("members"), min(col("id")).as("gid"))

@@ -107,10 +107,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     for (tau <- Seq(0.5, 0.9)) {
       val expected = brute.filter(col("cosine") >= tau)
         .select("rid", "sid").as[(Long, Long)].collect().toSet
-      val got = TfIdf.cosineJoin(spark, docs, tau)
+      // dense path (this corpus' vocab fits the probe) ...
+      val dense = TfIdf.cosineJoin(spark, docs, tau)
         .select("rid", "sid").as[(Long, Long)].collect().toSet
-      assert(got == expected,
-        s"tau=$tau missed=${(expected -- got).size} extra=${(got -- expected).size}")
+      // ... and the sparse prefix-filter path, forced (denseVocabMax = 0):
+      // path choice must not change the answer
+      val sparse = TfIdf.cosineJoin(spark, docs, tau, denseVocabMax = 0)
+        .select("rid", "sid").as[(Long, Long)].collect().toSet
+      assert(dense == expected,
+        s"dense tau=$tau missed=${(expected -- dense).size} extra=${(dense -- expected).size}")
+      assert(sparse == expected,
+        s"sparse tau=$tau missed=${(expected -- sparse).size} extra=${(sparse -- expected).size}")
       assert(expected.nonEmpty, s"tau=$tau recall test vacuous")
     }
   }
