@@ -338,6 +338,21 @@ object SparkEntry {
         .select(col("rid"), col("sid"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // --- sequence packing (pretraining concat-and-chunk): distributed
+    //     prefix sum over id-ordered token counts, 512-token windows;
+    //     every output column is an integer ---
+    "q_pack_sequences" -> ((s, dir) => {
+      CorpusOps.packSequences(Fixtures.documents(s, dir), maxLen = 512)
+    }),
+
+    // --- token-budget selection: best-quality docs per language until
+    //     2500 tokens; integer running total, 6dp-rounded score order ---
+    "q_token_budget" -> ((s, dir) => {
+      CorpusOps.tokenBudget(Fixtures.documents(s, dir), "lang", budget = 2500)
+        .select(col("id").as("doc_id"), col("grp").as("lang"),
+          col("n_tokens"), col("score"), col("cum"))
+    }),
+
     // --- MinHash+LSH near-dup. Candidates are probabilistic but verified
     //     with EXACT shingle Jaccard, and the banding is sized so recall
     //     is 1.0 on this corpus (checked in PipelineOpsSpec), making the
@@ -941,6 +956,51 @@ object SparkEntry {
         |SELECT rid, sid, round(dot / (na.nd * nb.nd), 6) AS cosine
         |FROM dots JOIN nrm na ON na.id = rid JOIN nrm nb ON nb.id = sid
         |WHERE dot / (na.nd * nb.nd) >= 0.9""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH sized AS (
+        |  SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
+        |  FROM sized
+        |)
+        |SELECT doc_id, n_tokens,
+        |       cast(s // 512 AS BIGINT) AS seq_start,
+        |       cast((s + n_tokens - 1) // 512 AS BIGINT) AS seq_end,
+        |       cast(s % 512 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
+
+    // same score arithmetic as q_quality; the running total and the
+    // budget cut are pure integers over the (score desc, doc_id) order
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    list_distinct(string_split(text, ' ')) AS dtoks
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, lang, n_tokens, len(dtoks) AS n_distinct,
+        |    len(list_filter(['the','and','of','to','in','is','with','for'],
+        |        m -> list_contains(dtoks, m))) AS en_hits
+        |  FROM t
+        |), scored AS (
+        |  SELECT doc_id, lang, cast(n_tokens AS BIGINT) AS n_tokens,
+        |    round(least(cast(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 +
+        |          (cast(n_distinct AS DOUBLE) / n_tokens) * 0.4 +
+        |          least((cast(en_hits AS DOUBLE) / n_distinct) * 5.0, 1.0) * 0.3, 6)
+        |      AS score
+        |  FROM h
+        |), c AS (
+        |  SELECT doc_id, lang, n_tokens, score,
+        |    cast(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM scored
+        |)
+        |SELECT doc_id, lang, n_tokens, score, cum FROM c WHERE cum <= 2500""".stripMargin,
 
     "q_quality" ->
       """WITH t AS (

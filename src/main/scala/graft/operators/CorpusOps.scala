@@ -86,6 +86,74 @@ object CorpusOps {
       .filter(col("rank") <= k)
   }
 
+  /** Sequence packing — the pretraining concat-and-chunk map: documents
+    * are concatenated in id order and cut into fixed `maxLen`-token
+    * windows, so each document lands in windows [seq_start, seq_end] at
+    * offset seq_offset. All outputs are integers (no FP anywhere).
+    *
+    * The running token total is a TRUE distributed prefix sum, not an
+    * unpartitioned window (which Spark executes as one task): range-
+    * partition by id, per-partition totals to the driver (O(partitions)),
+    * exclusive offsets broadcast back, second streaming pass adds them.
+    * Two passes over the sized rows; the persisted intermediate is freed
+    * once the result materializes. */
+  def packSequences(docs: DataFrame, maxLen: Long, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(maxLen > 0, s"maxLen $maxLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs.select(col(idCol).cast("long").as("id"),
+        TextCols.tokenCount(col(textCol)).cast("long").as("n"))
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions("id")
+    // pin ONE evaluation: range boundaries come from sampling, so two
+    // independent .rdd materializations could partition differently and
+    // the per-index offsets would mis-align
+    val rdd = sized.as[(Long, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var s = 0L; it.foreach(s += _._2); Iterator.single((i, s))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = totals.scanLeft(0L)(_ + _)
+      val offB = spark.sparkContext.broadcast(offsets)
+      val out = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cum = offB.value(i)
+        it.map { case (id, n) =>
+          val start = cum
+          cum += n
+          (id, n, start / maxLen, (cum - 1) / maxLen, start % maxLen)
+        }
+      }.toDF("doc_id", "n_tokens", "seq_start", "seq_end", "seq_offset")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally {
+      rdd.unpersist(false)
+    }
+  }
+
+  /** Token-budget subset selection: per group, keep the highest-quality
+    * documents until the group's token budget is spent ("fill N tokens
+    * per language, best first"). Ordering ties break on the 6-decimal
+    * ROUNDED score then id — the exact total order the oracle applies —
+    * and the running total and cut are pure integers. The window runs
+    * per group (one shuffle); a group's rows must fit one task's stream,
+    * the standard per-group window contract. */
+  def tokenBudget(docs: DataFrame, groupCol: String, budget: Long,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      TextCols.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      round(TextCols.qualityScore(col(textCol)), 6).as("score"))
+    scored
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+  }
+
   /** Benchmark decontamination: for every (train, eval) document pair
     * that shares at least one distinct n-token shingle, the number of
     * distinct shingles they share. Any hit means the training document

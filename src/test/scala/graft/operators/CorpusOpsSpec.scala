@@ -122,6 +122,63 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences == driver-side concat-and-chunk over id order") {
+    val got = CorpusOps.packSequences(docs, maxLen = 512)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .sortBy(_._1)
+    var cum = 0L
+    val expected = rows.map { case (id, n) =>
+      val start = cum; cum += n
+      (id, (n, start / 512, (cum - 1) / 512, start % 512))
+    }.toMap
+    assert(got == expected)
+    // chunk-map sanity: windows tile the corpus without gaps
+    assert(got.values.map(_._1).sum == cum)
+  }
+
+  test("packSequences prefix sum survives many partitions") {
+    import spark.implicits._
+    val tiny = (1L to 100L).map(i => (i, Seq.fill(i.toInt % 7 + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(13)
+    val got = CorpusOps.packSequences(tiny, maxLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).sortBy(_._1)
+    var cum = 0L
+    val expected = (1L to 100L).map { i =>
+      val n = i % 7 + 1
+      val start = cum; cum += n
+      (i, start / 10, start % 10)
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("tokenBudget keeps best-quality docs within the per-group budget") {
+    val kept = CorpusOps.tokenBudget(docs, "lang", budget = 2500)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val byGroup = kept.groupBy(_._1)
+    assert(byGroup.nonEmpty)
+    byGroup.foreach { case (g, rows) =>
+      assert(rows.map(_._3).sum <= 2500, s"group $g over budget")
+    }
+    // greedy property: every kept doc's (rounded) score is >= every
+    // dropped doc's score in its group, except where the budget cut
+    // lands mid-tie (the doc_id tie-break) — check the strict part
+    val all = docs.select(col("lang"), col("doc_id"),
+        graft.functions.TextCols.tokenCount(col("text")).cast("long").as("n"),
+        round(graft.functions.TextCols.qualityScore(col("text")), 6).as("score"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    byGroup.foreach { case (g, rows) =>
+      val keptIds = rows.map(_._2).toSet
+      val minKept = rows.map(_._4).min
+      val droppedAbove = all.filter(t => t._1 == g && !keptIds.contains(t._2))
+        .count(_._4 > minKept)
+      assert(droppedAbove == 0, s"group $g dropped a strictly-better doc")
+    }
+  }
+
   test("tfidf cosineJoin handles single-token and identical documents") {
     import spark.implicits._
     val tiny = Seq(
