@@ -11,7 +11,8 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     for (name <- Seq("q_hist_build", "q_emd1d_pairs", "q_cosine_topk",
-        "q_jaccard_pairs", "q_treeemd3d_pairs")) {
+        "q_jaccard_pairs", "q_treeemd3d_pairs", "q_tfidf_pairs",
+        "q_contamination", "q_stratified_sample", "q_token_budget")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
