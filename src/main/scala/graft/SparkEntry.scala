@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.Fixtures
 import graft.functions.{EmdCols, TextCols}
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -485,6 +485,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // --- backward as-of join: each click matched to the user's latest
+    //     prior purchase (left-outer; ties by larger purchase id). All
+    //     time arithmetic is integer micros — exact in both engines ---
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir)
+      EventOps.asOfJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id")
+    }),
+
+    // --- banded range join: (click, purchase) pairs of one user within
+    //     2 hours of each other, signed lag in micros ---
+    "q_range_join" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir)
+      EventOps.rangeJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        deltaSec = 7200L)
     }),
 
     // --- normal fit + Hough + uniform grid cell id (P4/P5/P8/A1) ---
@@ -1187,6 +1209,23 @@ object SparkEntry {
         |       event_type, count(*) AS n,
         |       round(cast(sum(value) AS DOUBLE), 6) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT l.event_id, r.event_id AS match_id,
+        |       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) = 1""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT l.event_id AS left_id, r.event_id AS right_id,
+        |       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 7200000000""".stripMargin,
 
     "q_cell_assign" ->
       (HistCte +

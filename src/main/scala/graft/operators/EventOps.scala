@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time join operators Spark lacks natively: backward as-of join
+  * (each left row matched to the single latest right row at-or-before it)
+  * and a banded range join (all pairs within a time delta). Both are
+  * corpus/feature-pipeline staples (session attribution, feature lookup
+  * as-of a label timestamp, leakage-safe joins).
+  *
+  * Neither needs a custom physical operator: the as-of join is one
+  * union + one keyed window (a single shuffle, O(1) running state per
+  * row), and the range join is a bucketed equijoin (each left row fans
+  * out to 3 buckets; every qualifying pair meets in exactly one bucket,
+  * so no post-join dedup). All time arithmetic is integer microseconds —
+  * no FP boundary anywhere, so oracle comparisons are exact.
+  */
+object EventOps {
+
+  /** Backward as-of join: for every left row, the latest right row with
+    * `ts_right <= ts_left` sharing `keyCol` (ties on ts broken by the
+    * larger right id, making the match total-order deterministic); left
+    * rows with no prior right row keep a NULL match (left-outer
+    * semantics). Output: (leftIdOut, match_id, lag_us).
+    *
+    * Shape: tag the two sides, union, and take a running `last` of the
+    * right id over a per-key window ordered by (ts, side, id) — right
+    * rows sort before left rows at equal ts so equality matches, and
+    * ascending id makes the running last the max-id tie winner. One
+    * shuffle on the key; per-key streams are processed by a single task
+    * (the standard window contract — at 100 TB the keys are users/
+    * entities, millions of them, so parallelism is ample; a single
+    * pathological hot key would need time-sliced pre-bucketing, which
+    * this corpus does not).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               keyCol: String, tsCol: String, idCol: String,
+               leftIdOut: String = "event_id",
+               matchIdOut: String = "match_id"): DataFrame = {
+    val l = left.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      col(idCol).cast("long").as("i"), lit(1).as("side"))
+    val r = right.select(col(keyCol).as("k"), col(tsCol).as("t"),
+      col(idCol).cast("long").as("i"), lit(0).as("side"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"), col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(r)
+      .withColumn("m", last(when(col("side") === 0, col("i")), ignoreNulls = true).over(w))
+      .withColumn("mt", last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("i").as(leftIdOut), col("m").as(matchIdOut),
+        (unix_micros(col("t")) - unix_micros(col("mt"))).as("lag_us"))
+  }
+
+  /** Banded range join: all (left, right) pairs sharing `keyCol` with
+    * `|ts_left - ts_right| <= deltaSec`. Output: (left_id, right_id,
+    * lag_us) with the signed lag left-minus-right.
+    *
+    * Shape: both sides bucket time at the delta width; the right side
+    * keeps its own bucket, the left side fans out to {b-1, b, b+1}. Any
+    * pair within delta has bucket distance <= 1, so it meets at the
+    * right row's bucket exactly once — one shuffled equijoin on
+    * (key, bucket), a codegen filter, no dedup. 3x fan-out of the
+    * (id, ts) projection only — the standard interval-join shape AQE
+    * can re-plan for skew. */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                keyCol: String, tsCol: String, idCol: String,
+                deltaSec: Long): DataFrame = {
+    val dUs = deltaSec * 1000000L
+    def prep(df: DataFrame, out: String) =
+      df.select(col(keyCol).as("k"), unix_micros(col(tsCol)).as(s"${out}_us"),
+        col(idCol).cast("long").as(out))
+    val l = prep(left, "left_id")
+      .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("bucket", floor(col("left_id_us") / dUs) + col("db"))
+      .drop("db")
+    val r = prep(right, "right_id")
+      .withColumn("bucket", floor(col("right_id_us") / dUs))
+    l.join(r, Seq("k", "bucket"))
+      .filter(abs(col("left_id_us") - col("right_id_us")) <= dUs)
+      .select(col("left_id"), col("right_id"),
+        (col("left_id_us") - col("right_id_us")).as("lag_us"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Event-time joins: brute-force equivalence of the windowed as-of join
+  * and the bucketed range join, plus the boundary semantics (equal-ts
+  * match, tie-break by larger right id, left-outer nulls, pairs exactly
+  * on the delta boundary, bucket-straddling pairs). */
+class EventOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("event-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def mkEvents(rows: Seq[(Long, Long, Long)]) = {
+    // (id, key, tsMicros)
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    rows.toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+  }
+
+  test("asOfJoin == brute-force latest-at-or-before, incl. ties and no-match") {
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 1000L))
+    // include exact-equal timestamps across sides and duplicate right ts
+    // within a key (ids 1000/1001 share key 0, ts 500000)
+    val right = (0 until 150).map(i =>
+      (1000L + i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 1000L)) ++
+      Seq((2000L, 0L, 500000L), (2001L, 0L, 500000L))
+    val got = EventOps.asOfJoin(mkEvents(left), mkEvents(right),
+        "user_id", "ts", "event_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val rByKey = right.groupBy(_._2)
+    val want = left.map { case (id, k, ts) =>
+      val cands = rByKey.getOrElse(k, Seq.empty).filter(_._3 <= ts)
+      if (cands.isEmpty) (id, -1L, -1L)
+      else {
+        val m = cands.maxBy(c => (c._3, c._1))
+        (id, m._1, ts - m._3)
+      }
+    }.toSet
+    assert(got == want)
+    // at least one equal-ts tie must actually be exercised
+    assert(want.exists(t => t._2 == 2001L),
+      "fixture must hit the duplicate-ts tie-break (2001 beats 2000)")
+    assert(want.exists(_._2 == -1L), "fixture must hit the no-match case")
+  }
+
+  test("rangeJoin == brute-force filter, incl. boundary and bucket-straddling pairs") {
+    val delta = 10L // seconds
+    val dUs = delta * 1000000L
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 120).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(100).toLong * 1000000L)) ++
+      Seq((500L, 9L, 25000000L))
+    // 501: exactly delta away from 500; 502: delta+1us away (excluded);
+    // 503: same bucket; 504: adjacent bucket within delta
+    val right = (0 until 90).map(i =>
+      (1000L + i, rnd.nextInt(3).toLong, rnd.nextInt(100).toLong * 1000000L)) ++
+      Seq((501L, 9L, 35000000L), (502L, 9L, 35000001L),
+        (503L, 9L, 21000000L), (504L, 9L, 19999999L))
+    val got = EventOps.rangeJoin(mkEvents(left), mkEvents(right),
+        "user_id", "ts", "event_id", delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (li, lk, lt) <- left
+      (ri, rk, rt) <- right
+      if lk == rk && math.abs(lt - rt) <= dUs
+    } yield (li, ri, lt - rt)).toSet
+    assert(got == want)
+    assert(want.contains((500L, 501L, -dUs)), "exact-boundary pair must match")
+    assert(!want.exists(p => p._1 == 500L && p._2 == 502L), "delta+1us must not match")
+    assert(want.contains((500L, 504L, 5000001L)), "cross-bucket pair must match")
+    // no duplicates: the bucketed join must emit each pair exactly once
+    val gotList = EventOps.rangeJoin(mkEvents(left), mkEvents(right),
+        "user_id", "ts", "event_id", delta).collect()
+    assert(gotList.length == want.size, "bucketed join emitted duplicates")
+  }
+}
