@@ -487,6 +487,27 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // --- Gopher-style repetition quality: top-token share and duplicate
+    //     n-gram fractions, all integer-count ratios (one division each,
+    //     mirrored exactly by the oracle) ---
+    "q_repetition" -> ((s, dir) => {
+      val t = col("text")
+      Fixtures.documents(s, dir).select(
+        col("doc_id"),
+        TextCols.tokenCount(t).cast("long").as("n_tokens"),
+        TextCols.maxTokenCount(t).cast("long").as("top_tok_cnt"),
+        round(TextCols.maxTokenCount(t).cast("double") /
+          TextCols.tokenCount(t), 6).as("top_tok_frac"),
+        round(TextCols.dupNgramFraction(t, 2), 6).as("dup_2gram_frac"),
+        round(TextCols.dupNgramFraction(t, 3), 6).as("dup_3gram_frac"))
+    }),
+
+    // --- sliding-window chunking (RAG/pretraining segmentation):
+    //     32-token windows every 24 tokens, md5 chunk fingerprints ---
+    "q_chunking" -> ((s, dir) => {
+      CorpusOps.chunkDocuments(Fixtures.documents(s, dir), window = 32, stride = 24)
+    }),
+
     // --- backward as-of join: each click matched to the user's latest
     //     prior purchase (left-outer; ties by larger purchase id). All
     //     time arithmetic is integer micros — exact in both engines ---
@@ -1209,6 +1230,50 @@ object SparkEntry {
         |       event_type, count(*) AS n,
         |       round(cast(sum(value) AS DOUBLE), 6) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // integer-count ratios; shingle CTEs share the q_ngram_jaccard shape
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(t) < 2 THEN [replace(text, ' ', '_')]
+        |         ELSE list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1])
+        |    END AS g2,
+        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])
+        |    END AS g3
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  cast(len(t) AS BIGINT) AS n_tokens,
+        |  cast(list_max(list_transform(list_distinct(t),
+        |         x -> len(list_filter(t, y -> y = x)))) AS BIGINT) AS top_tok_cnt,
+        |  round(cast(list_max(list_transform(list_distinct(t),
+        |          x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / len(t), 6)
+        |    AS top_tok_frac,
+        |  round(1.0 - cast(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+        |    AS dup_2gram_frac,
+        |  round(1.0 - cast(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+        |    AS dup_3gram_frac
+        |FROM sh""".stripMargin,
+
+    // chunk enumeration in exact integer arithmetic; md5 over the
+    // space-rejoined slice matches Spark's concat_ws convention
+    "q_chunking" ->
+      """WITH sized AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |         cast(floor((greatest(len(t) - 32, 0) + 23) / 24.0) AS BIGINT) + 1 AS nw
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |), idx AS (
+        |  SELECT doc_id, t, n, unnest(range(nw)) AS chunk_idx FROM sized
+        |)
+        |SELECT doc_id, cast(chunk_idx AS BIGINT) AS chunk_idx,
+        |       cast(least(n - chunk_idx * 24, 32) AS BIGINT) AS n_chunk_tokens,
+        |       md5(array_to_string(t[chunk_idx * 24 + 1 : least(chunk_idx * 24 + 32, n)], ' '))
+        |         AS chunk_fp
+        |FROM idx""".stripMargin,
 
     "q_asof_join" ->
       """SELECT l.event_id, r.event_id AS match_id,

@@ -70,6 +70,34 @@ object TextCols {
     lenScore * 0.3 + diversity * 0.4 + stop * 0.3
   }
 
+  /** '_'-joined n-token shingles of a whitespace-tokenized text; texts
+    * shorter than n collapse to one whole-text shingle (documents must
+    * not silently vanish from shingle-based ops). Shared convention with
+    * the Jaccard/decontamination operators (CorpusOps delegates here). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < lit(n), array(regexp_replace(text, " ", "_")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws("_", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** Occurrence count of the single most frequent token — integer, O(d*n)
+    * per row over the distinct set, no shuffle. */
+  def maxTokenCount(text: Column): Column = {
+    val toks = tokens(text)
+    array_max(transform(array_distinct(toks), t =>
+      size(filter(toks, x => x === t))))
+  }
+
+  /** Gopher-style repetition signal: fraction of n-gram occurrences that
+    * are repeats of an earlier n-gram, `1 - distinct/total` (0 when every
+    * n-gram is unique). One integer division then a subtraction — the
+    * exact arithmetic shape the oracle mirrors. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val sh = shingles(text, n)
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
+  }
+
   /** Canonical document fingerprint: md5 of the lower-cased,
     * whitespace-collapsed text. Identical fingerprints = exact duplicates
     * up to case/whitespace. */

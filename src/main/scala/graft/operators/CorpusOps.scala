@@ -57,14 +57,39 @@ object CorpusOps {
     docs.filter(bucket < floor(rate * lit(4294967296L)).cast("long"))
   }
 
-  /** '_'-joined n-token shingles of a whitespace-tokenized text; texts
-    * shorter than n collapse to one whole-text shingle (the q_ngram_jaccard
-    * convention — short documents must not silently vanish). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) < lit(n), array(regexp_replace(text, " ", "_")))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws("_", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  /** '_'-joined n-token shingles; see TextCols.shingles (shared
+    * convention — short texts collapse to one whole-text shingle). */
+  def shingles(text: Column, n: Int): Column = TextCols.shingles(text, n)
+
+  /** Sliding-window chunking — the RAG/pretraining segmentation map: each
+    * document's token sequence is cut into `window`-token chunks every
+    * `stride` tokens (overlap = window - stride; the final chunk may be
+    * short; every document yields at least one chunk). Output:
+    * (doc_id, chunk_idx, n_chunk_tokens, chunk_fp) where chunk_fp is the
+    * md5 of the space-rejoined chunk.
+    *
+    * Pure map-side explode (no shuffle, no window function): the chunk
+    * count per document is ceil(max(n-window,0)/stride)+1, computed in
+    * exact integer arithmetic, so the operator runs at any scale in one
+    * pass and the oracle enumerates identical chunks. */
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = TextCols.tokens(col(textCol))
+    val n = size(toks)
+    // ceil(max(n-W,0)/S) + 1, via floor of an exact small-int division
+    val nChunks = floor((greatest(n - window, lit(0)) + lit(stride - 1))
+      .cast("double") / stride) + lit(1L)
+    widen(docs)
+      .select(col(idCol).as("doc_id"), toks.as("t"), nChunks.as("nw"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), col("nw") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("t"), (col("chunk_idx") * stride + 1).cast("int"), lit(window)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("c"))).as("chunk_fp"))
   }
 
   /** Top-k most frequent n-grams per group (vocabulary statistics — the

@@ -190,4 +190,45 @@ class CorpusOpsSpec extends AnyFunSuite {
       .select("rid", "sid").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L), (3L, 4L)), s"got $got")
   }
+
+  test("chunkDocuments == driver-side sliding windows, incl. short docs") {
+    import spark.implicits._
+    val fixture = docs.select("doc_id", "text").as[(Long, String)].collect() ++
+      Seq((9001L, "a"), (9002L, (1 to 32).map(i => s"t$i").mkString(" ")),
+        (9003L, (1 to 33).map(i => s"t$i").mkString(" ")))
+    val df = fixture.toSeq.toDF("doc_id", "text")
+    val got = CorpusOps.chunkDocuments(df, window = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val want = fixture.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val nChunks = (math.max(toks.length - 32, 0) + 23) / 24 + 1
+      (0 until nChunks).map { i =>
+        val c = toks.slice(i * 24, math.min(i * 24 + 32, toks.length))
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(c.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (id, i.toLong, c.length.toLong, fp)
+      }
+    }.toSet
+    assert(got == want)
+    // exactly one chunk for docs with <= window tokens; two for window+1
+    assert(want.count(_._1 == 9002L) == 1)
+    assert(want.count(_._1 == 9003L) == 2)
+  }
+
+  test("repetition kernels == brute-force counts") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b a b a"),          // top a=3/5; 2-grams: ab ba ab ba -> 2 distinct of 4
+      (2L, "x"),                  // single token: shingles collapse to whole text
+      (3L, "u v w x y z")         // all unique
+    ).toDF("doc_id", "text")
+    val got = tiny.select(col("doc_id"),
+        graft.functions.TextCols.maxTokenCount(col("text")).as("m"),
+        graft.functions.TextCols.dupNgramFraction(col("text"), 2).as("d2"))
+      .as[(Long, Int, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L)._1 == 3 && math.abs(got(1L)._2 - 0.5) < 1e-12)
+    assert(got(2L)._1 == 1 && got(2L)._2 == 0.0)
+    assert(got(3L)._1 == 1 && got(3L)._2 == 0.0)
+  }
 }
