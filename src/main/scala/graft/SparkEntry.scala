@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.Fixtures
 import graft.functions.{EmdCols, TextCols}
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -487,6 +487,16 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // --- integer-exact k-means clustering over embeddings: quantized
+    //     vectors, rounded-integer-mean centroids (the only FP op is one
+    //     IEEE division inside round), BIGINT distances — the full
+    //     2-iteration Lloyd's replayed exactly by the oracle ---
+    "q_kmeans" -> ((s, dir) => {
+      Cluster.kmeans(s, Fixtures.embeddings(s, dir), k = 8, iters = 2)
+        .select(col("id").as("vec_id"),
+          col("cluster").cast("long").as("cluster"), col("d2"))
+    }),
+
     // --- Gopher-style repetition quality: top-token share and duplicate
     //     n-gram fractions, all integer-count ratios (one division each,
     //     mirrored exactly by the oracle) ---
@@ -653,7 +663,56 @@ object SparkEntry {
       |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
       |)""".stripMargin
 
+  /** One Lloyd's round of the q_kmeans oracle: assign (BIGINT squared-L2
+    * argmin, ties to the lowest cid), then rounded-integer-mean centroid
+    * update with empty clusters keeping the previous centroid — the exact
+    * arithmetic Cluster.kmeans performs. */
+  private def kmeansRound(t: Int): String = {
+    val prev = if (t == 1) "c0" else s"c${t - 1}"
+    s""", a$t AS (
+       |  SELECT id, v, cid, d2,
+       |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+       |  FROM (SELECT q.id, q.v, c.cid,
+       |          cast(list_sum(list_transform(range(1, 65),
+       |            i -> (q.v[i] - c.m[i]) * (q.v[i] - c.m[i]))) AS BIGINT) AS d2
+       |        FROM q CROSS JOIN $prev c)
+       |), u$t AS (
+       |  SELECT cid, list(mi ORDER BY dim) AS m FROM (
+       |    SELECT cid, dim, cast(round(sum(val) / count(*)) AS BIGINT) AS mi
+       |    FROM (SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+       |          FROM a$t WHERE rn = 1)
+       |    GROUP BY cid, dim) GROUP BY cid
+       |), c$t AS (
+       |  SELECT p.cid, coalesce(u$t.m, p.m) AS m
+       |  FROM $prev p LEFT JOIN u$t USING (cid)
+       |)""".stripMargin
+  }
+
+  private val KmeansSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS id,
+      |         list_transform(embedding::DOUBLE[],
+      |           x -> cast(round(x * 1000) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), c0 AS (
+      |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS m
+      |  FROM q ORDER BY id LIMIT 8
+      |)""".stripMargin +
+      kmeansRound(1) + kmeansRound(2) +
+      """, af AS (
+        |  SELECT id, cid, d2,
+        |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+        |  FROM (SELECT q.id, c.cid,
+        |          cast(list_sum(list_transform(range(1, 65),
+        |            i -> (q.v[i] - c.m[i]) * (q.v[i] - c.m[i]))) AS BIGINT) AS d2
+        |        FROM q CROSS JOIN c2 c)
+        |)
+        |SELECT id AS vec_id, cast(cid AS BIGINT) AS cluster, d2
+        |FROM af WHERE rn = 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_kmeans" -> KmeansSql,
+
     "q1_agg" ->
       """SELECT l_returnflag, round(cast(sum(l_quantity) AS DOUBLE), 6) AS sum_qty,
         |       count(*) AS n
