@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Repeat-min profiler for declared queries (mirrors Bench's honest cache clearing). */
+object ProfQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    val names = if (args.nonEmpty) args.toSeq else Seq("q_ngram_jaccard")
+    // warmup
+    SparkEntry.queries("q1_agg")(spark, dir).count()
+    names.foreach { name =>
+      val times = (1 to 2).map { _ =>
+        graft.sources.Fixtures.clearCache(spark)
+        graft.operators.MelodyJoin.clearPrepCache(spark)
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"REPEATMIN $name%-22s ${times.min}%7.2f s  (${times.mkString(", ")})")
+    }
+    spark.stop()
+  }
+}

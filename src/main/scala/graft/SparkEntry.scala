@@ -289,14 +289,8 @@ object SparkEntry {
     //     prefix length is (1-tau)*|set|+1, so low taus degrade toward
     //     exploding candidates ---
     "q_ngram_jaccard" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val sh = when(size(toks) < lit(3),
-          array(regexp_replace(col("text"), " ", "_")))
-        .otherwise(transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws("_", element_at(toks, i + 1),
-            element_at(toks, i + 2), element_at(toks, i + 3))))
       val docs = Fixtures.documents(s, dir)
-        .select(col("doc_id"), concat_ws(" ", sh).as("shtext"))
+        .select(col("doc_id"), concat_ws(" ", TextCols.shingles(col("text"), 3)).as("shtext"))
       Dedup.jaccardJoin(docs, 0.8969, textCol = "shtext")
         .select(col("rid"), col("sid"), round(col("jaccard"), 6).as("jaccard"))
     }),

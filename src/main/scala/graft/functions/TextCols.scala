@@ -76,18 +76,24 @@ object TextCols {
     * the Jaccard/decontamination operators (CorpusOps delegates here). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
+    // bind the token array ONCE per row via a 1-element transform: with
+    // the split() inlined into each element_at, Spark re-evaluates the
+    // tokenization per shingle element (no subexpression elimination
+    // inside lambdas) — measured 9x slower on the sf0.1 corpus
+    val sh = flatten(transform(array(toks), t =>
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws("_", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
     when(size(toks) < lit(n), array(regexp_replace(text, " ", "_")))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws("_", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(sh)
   }
 
   /** Occurrence count of the single most frequent token — integer, O(d*n)
     * per row over the distinct set, no shuffle. */
-  def maxTokenCount(text: Column): Column = {
-    val toks = tokens(text)
-    array_max(transform(array_distinct(toks), t =>
-      size(filter(toks, x => x === t))))
-  }
+  def maxTokenCount(text: Column): Column =
+    // same once-per-row binding trick as shingles: the token array must
+    // not re-tokenize inside the per-distinct-token filter lambda
+    array_max(flatten(transform(array(tokens(text)), t =>
+      transform(array_distinct(t), x => size(filter(t, y => y === x))))))
 
   /** Gopher-style repetition signal: fraction of n-gram occurrences that
     * are repeats of an earlier n-gram, `1 - distinct/total` (0 when every
