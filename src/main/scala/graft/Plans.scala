@@ -12,7 +12,9 @@ object Plans {
     val dir = "/root/testdata/sf0.01"
     for (name <- Seq("q_hist_build", "q_emd1d_pairs", "q_cosine_topk",
         "q_jaccard_pairs", "q_treeemd3d_pairs", "q_tfidf_pairs",
-        "q_contamination", "q_stratified_sample", "q_token_budget")) {
+        "q_contamination", "q_stratified_sample", "q_token_budget",
+        "q_asof_join", "q_range_join", "q_chunking", "q_repetition",
+        "q_kmeans")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

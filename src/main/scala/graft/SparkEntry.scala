@@ -305,6 +305,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // --- fixed-size deterministic per-group sample: exactly 30 docs per
+    //     language by md5 rank (stable across runs/engines; ties
+    //     impossible — md5 of distinct ids is distinct) ---
+    "q_fixed_sample" -> ((s, dir) => {
+      CorpusOps.fixedSample(Fixtures.documents(s, dir), "lang", n = 30)
+        .select(col("doc_id"), col("lang"), col("smp_rank"))
+    }),
+
+    // --- exact per-group order-statistic quantiles of token counts
+    //     (type 1, integer-exact; q values are exact binary fractions so
+    //     ceil(q*n) is the same integer in both engines) ---
+    "q_group_quantiles" -> ((s, dir) => {
+      CorpusOps.groupQuantiles(Fixtures.documents(s, dir), "lang",
+        TextCols.tokenCount(col("text")), Seq(0.25, 0.5, 0.75, 1.0))
+        .select(col("grp").as("lang"), col("q"), col("value"), col("n"))
+    }),
+
     // --- per-language top-k frequent bigrams (vocabulary statistics for
     //     tokenizer training); rank window runs over vocab-sized rows ---
     "q_top_ngrams" -> ((s, dir) => {
@@ -990,6 +1007,27 @@ object SparkEntry {
         |  < cast(floor((CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
         |                          WHEN 'es' THEN 0.75 WHEN 'zh' THEN 1.0
         |                          ELSE 0.5 END) * 4294967296) AS BIGINT)""".stripMargin,
+
+    "q_fixed_sample" ->
+      """SELECT doc_id, lang, cast(smp_rank AS BIGINT) AS smp_rank FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(lang || ':' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |             doc_id) AS smp_rank
+        |  FROM documents)
+        |WHERE smp_rank <= 30""".stripMargin,
+
+    "q_group_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT lang, cast(len(string_split(text, ' ')) AS BIGINT) AS value, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY len(string_split(text, ' ')), doc_id) AS rnk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents
+        |)
+        |SELECT lang, q, value, cast(n AS BIGINT) AS n
+        |FROM ranked, (SELECT unnest([0.25, 0.5, 0.75, 1.0]::DOUBLE[]) AS q) qs
+        |WHERE cast(ceil(q * n) AS BIGINT) = rnk""".stripMargin,
 
     "q_top_ngrams" ->
       """WITH toks AS (

@@ -16,11 +16,12 @@ object EmdCols {
   def arraySum(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x)
 
-  /** L1-normalize an array column to sum 1. */
-  def l1Normalize(a: Column): Column = {
-    val s = arraySum(a)
-    transform(a, x => x / s)
-  }
+  /** L1-normalize an array column to sum 1. The sum binds once through a
+    * 1-element transform — inlined into the per-element lambda it would
+    * be re-aggregated per element (no subexpression elimination inside
+    * higher-order-function lambdas). */
+  def l1Normalize(a: Column): Column =
+    flatten(transform(array(arraySum(a)), s => transform(a, x => x / s)))
 
   /** 1-D EMD over unit-spaced bins: sum_i |cumsum(a - b)_i|.
     * Both inputs must be same-length weight arrays with equal total mass.

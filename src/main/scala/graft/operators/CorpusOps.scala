@@ -57,6 +57,44 @@ object CorpusOps {
     docs.filter(bucket < floor(rate * lit(4294967296L)).cast("long"))
   }
 
+  /** Fixed-size deterministic per-group sample: the n rows with the
+    * smallest md5("<group>:<id>") per group — the fixed-budget companion
+    * to the rate-based stratifiedSample ("give me exactly 10k docs per
+    * language, stably across runs and engines"). One per-group rank
+    * window (single shuffle); ties are impossible (md5 of distinct ids
+    * within a group is distinct), ordering is total via (hash, id). */
+  def fixedSample(docs: DataFrame, groupCol: String, n: Int,
+                  idCol: String = "doc_id"): DataFrame = {
+    val h = TextCols.md5Bits32(
+      concat(col(groupCol), lit(":"), col(idCol).cast("string")))
+    docs.withColumn("smp_rank",
+      row_number().over(Window.partitionBy(col(groupCol))
+        .orderBy(h, col(idCol))).cast("long"))
+      .filter(col("smp_rank") <= n)
+  }
+
+  /** Exact per-group order-statistic quantiles (type 1: the ceil(q*n)-th
+    * smallest value, no interpolation — integer in, integer out, so the
+    * result is engine-exact, unlike interpolating percentile sketches).
+    * Emits one row per (group, q). Two windows over the grouped rows
+    * (rank + count), one shuffle; ranks tie-break on id so duplicate
+    * values pick a deterministic row. */
+  def groupQuantiles(docs: DataFrame, groupCol: String, valueExpr: Column,
+                     qs: Seq[Double], idCol: String = "doc_id"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs $qs")
+    val ranked = docs
+      .select(col(groupCol).as("grp"), valueExpr.cast("long").as("value"),
+        col(idCol).as("id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("value"), col("id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    ranked
+      .select(col("grp"), col("value"), col("rnk"), col("n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .filter(ceil(col("q") * col("n")).cast("long") === col("rnk"))
+      .select(col("grp"), col("q"), col("value"), col("n").cast("long").as("n"))
+  }
+
   /** '_'-joined n-token shingles; see TextCols.shingles (shared
     * convention — short texts collapse to one whole-text shingle). */
   def shingles(text: Column, n: Int): Column = TextCols.shingles(text, n)

@@ -191,6 +191,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (3L, 4L)), s"got $got")
   }
 
+  test("fixedSample: exact group sizes, deterministic, rank-consistent") {
+    val s1 = CorpusOps.fixedSample(docs, "lang", 7)
+    val rows = s1.select("lang", "doc_id", "smp_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sizes = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (g, n) =>
+      assert(sizes.getOrElse(g, 0) == math.min(7L, n),
+        s"group $g expected ${math.min(7L, n)} got ${sizes.getOrElse(g, 0)}")
+    }
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    val s2 = CorpusOps.fixedSample(docs, "lang", 7)
+      .select("lang", "doc_id", "smp_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet == s2.toSet, "fixed sample not deterministic")
+  }
+
+  test("groupQuantiles == brute-force order statistics") {
+    val got = CorpusOps.groupQuantiles(docs, "lang",
+        graft.functions.TextCols.tokenCount(col("text")), Seq(0.25, 0.5, 1.0))
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getLong(2))).toMap
+    val all = docs.select(col("lang"),
+        graft.functions.TextCols.tokenCount(col("text")).cast("long"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    all.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.sortBy(t => (t._2, t._3)).map(_._2)
+      for (q <- Seq(0.25, 0.5, 1.0)) {
+        val want = sorted(math.ceil(q * sorted.length).toInt - 1)
+        assert(got((g, q)) == want, s"group $g q=$q")
+      }
+    }
+    // max quantile is the group max
+    assert(got.keys.count(_._2 == 1.0) == all.map(_._1).distinct.length)
+  }
+
   test("chunkDocuments == driver-side sliding windows, incl. short docs") {
     import spark.implicits._
     val fixture = docs.select("doc_id", "text").as[(Long, String)].collect() ++
