@@ -742,8 +742,11 @@ object SparkEntry {
         s""" SELECT rid, sid, round(dist, 6) AS dist FROM emds
            | ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
 
+    // prefix-sum-difference form: the melody 1-D columnar path carries
+    // per-side running sums (the q_emd1d scalar-cums shape), which is
+    // FP-distinct from the cum-of-differences form mrsim's kernel uses
     "q_melody1d_pairs" ->
-      (EmdCte +
+      (EmdCtePrefix +
         s" SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= $Theta"),
 
     "q_mrsim1d_pairs" ->

