@@ -9,7 +9,8 @@ object Prof1d {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cfg = SparkEntry.melodyCfg1d
+    val cfg = SparkEntry.melodyCfg1d.copy(
+      sideNum = sys.env.getOrElse("PROF_SIDE", "16").toInt)
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"STAGE $name%-12s ${(System.nanoTime()-t0)/1e9}%7.2f s"); r
