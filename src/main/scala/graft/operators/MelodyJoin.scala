@@ -688,29 +688,7 @@ object MelodyJoin {
       }
     }.toDF("gid", "gweights", "combo")
 
-    // Columnar Rubner centroid prune (D10, L2-only: EMD >= ||centroid
-    // diff||_2 by Jensen). The cascade already applies this bound, but
-    // per-pair AFTER the join's encoder boundary; as a whole-stage-
-    // codegen filter on the joined rows it culls the ~99% of candidate
-    // pairs the grid admits at a wide theta BEFORE any row
-    // deserialization or kernel call (measured 48M -> ~1M rows into the
-    // cascade at sf0.1 / theta 0.153). The 1e-9 slack keeps the filter
-    // strictly weaker than the cascade's own exact arithmetic, so the
-    // pair set cannot change (survivors are still fully verified).
     val l2 = cfg.groundDist == GroundDist.L2
-    def centroid(w: Column, k: Int): Column = {
-      val posK = Array.tabulate(cfg.numBins)(i => cfg.bins(i * cfg.dimension + k))
-      graft.functions.EmdCols.dot(w, lit(posK))
-    }
-    def withCentroids(df: DataFrame, w: String, pre: String): DataFrame =
-      if (!l2) df
-      else (0 until cfg.dimension).foldLeft(df)((d, k) =>
-        d.withColumn(s"$pre$k", centroid(col(w), k)))
-    val rubGate: Column =
-      if (!l2) lit(true)
-      else (0 until cfg.dimension)
-        .map(k => (col(s"ca$k") - col(s"cb$k")) * (col(s"ca$k") - col(s"cb$k")))
-        .reduce(_ + _) <= lit(theta * theta + 1e-9)
 
     // 1-D single-vector L2 configs: the whole cascade reduces to the
     // closed-form 1-D EMD, expressible as scalar prefix-sum columns
@@ -751,15 +729,18 @@ object MelodyJoin {
       return cross.union(inner)
     }
 
-    val natives = withCentroids(
-      enriched.select(col("id"), col("weights"), col("combo")), "weights", "ca")
+    // Multi-dim configs keep the mapPartitions cascade: a columnar
+    // Rubner centroid gate was tried here and REMOVED — the 3 cell-level
+    // prunes already cull candidates, and the extra per-row columns +
+    // filter cost ~1s on q_emd3d_pairs at sf0.1 (gate selectivity too
+    // low after cell pruning to pay for itself).
+    val natives = enriched.select(col("id"), col("weights"), col("combo"))
     val cascade = new Cascade(cfg, duals)
     val cascadeB = spark.sparkContext.broadcast(cascade)
 
     // native x guest (cross-cell pairs, each qualifying pair exactly once
     // because guests go only to combos > their native combo)
-    val crossPairs = natives.join(withCentroids(guests, "gweights", "cb"), "combo")
-      .filter(rubGate)
+    val crossPairs = natives.join(guests, "combo")
       .select(col("id"), col("weights"), col("gid"), col("gweights"))
       .as[(Long, Array[Double], Long, Array[Double])]
       .mapPartitions { it =>
@@ -775,11 +756,9 @@ object MelodyJoin {
       }
 
     // native x native within each cell
-    val n2 = natives.select(
-      Seq(col("combo"), col("id").as("id_b"), col("weights").as("w_b")) ++
-        (0 until (if (l2) cfg.dimension else 0)).map(k => col(s"ca$k").as(s"cb$k")): _*)
+    val n2 = natives.select(col("combo"), col("id").as("id_b"), col("weights").as("w_b"))
     val innerPairs = natives.join(n2, "combo")
-      .filter(col("id") < col("id_b") && rubGate)
+      .filter(col("id") < col("id_b"))
       .select(col("id"), col("weights"), col("id_b"), col("w_b"))
       .as[(Long, Array[Double], Long, Array[Double])]
       .mapPartitions { it =>
