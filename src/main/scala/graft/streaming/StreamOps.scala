@@ -130,6 +130,29 @@ object StreamOps {
       .dropDuplicates("rid", "sid")
   }
 
+  /** Stream-stream event-time interval join: pairs of (left, right)
+    * events sharing `keyCol` within `deltaSec` of each other — the
+    * streaming twin of EventOps.rangeJoin, expressed with Spark's native
+    * watermarked interval-join support so state eviction is automatic
+    * (each side retains only `watermark + delta` of history). Output
+    * matches the batch operator: (left_id, right_id, lag_us). */
+  def streamingRangeJoin(left: DataFrame, right: DataFrame,
+                         keyCol: String, tsCol: String, idCol: String,
+                         deltaSec: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col(keyCol).as("k"), col(tsCol).as("lts"),
+        col(idCol).cast("long").as("left_id"))
+      .withWatermark("lts", watermark)
+    val r = right.select(col(keyCol).as("rk"), col(tsCol).as("rts"),
+        col(idCol).cast("long").as("right_id"))
+      .withWatermark("rts", watermark)
+    l.join(r,
+        col("k") === col("rk") &&
+          col("rts") >= col("lts") - expr(s"INTERVAL $deltaSec SECONDS") &&
+          col("rts") <= col("lts") + expr(s"INTERVAL $deltaSec SECONDS"))
+      .select(col("left_id"), col("right_id"),
+        (unix_micros(col("lts")) - unix_micros(col("rts"))).as("lag_us"))
+  }
+
   /** Streaming EMD filter: match each incoming histogram (id, weights)
     * against a static, broadcast reference set; emit (streamId, refId,
     * dist) for pairs within theta. The static side's cost matrix and

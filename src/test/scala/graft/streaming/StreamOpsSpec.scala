@@ -97,6 +97,58 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.forall { case (r, s, _) => r < s })
   }
 
+  test("streaming interval join emits exactly the batch rangeJoin pair set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // micros -> ms-based
+    val rnd = new scala.util.Random(13)
+    // 2023-era base: timestamps near epoch 0 sit on the clamped global
+    // watermark and get dropped as late — not the semantics under test
+    val base = 1700000000000000L
+    // (id, key, tsMicros): second-aligned so Timestamp ms precision is exact
+    val leftRows = (0 until 80).map(i =>
+      (i.toLong, rnd.nextInt(3).toLong, base + rnd.nextInt(200).toLong * 1000000L))
+    val rightRows = (0 until 60).map(i =>
+      (1000L + i, rnd.nextInt(3).toLong, base + rnd.nextInt(200).toLong * 1000000L)) ++
+      Seq((2000L, 0L, base)) // boundary partner candidate
+    val delta = 15L
+    val memL = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memR = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val l = memL.toDF().toDF("event_id", "user_id", "ts")
+    val r = memR.toDF().toDF("event_id", "user_id", "ts")
+    val joined = StreamOps.streamingRangeJoin(l, r, "user_id", "ts", "event_id", delta)
+    val query = joined.writeStream.format("memory").queryName("rjoin")
+      .outputMode("append").start()
+    // two micro-batches per side so cross-batch pairs are exercised
+    val (l1, l2) = leftRows.splitAt(40)
+    val (r1, r2) = rightRows.splitAt(30)
+    memL.addData(l1.map(t => (t._1, t._2, ts(t._3))): _*)
+    memR.addData(r1.map(t => (t._1, t._2, ts(t._3))): _*)
+    query.processAllAvailable()
+    memL.addData(l2.map(t => (t._1, t._2, ts(t._3))): _*)
+    memR.addData(r2.map(t => (t._1, t._2, ts(t._3))): _*)
+    query.processAllAvailable()
+    val streamed = spark.sql("select * from rjoin").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
+    query.stop()
+    val want = (for {
+      (li, lk, lt) <- leftRows
+      (ri, rk, rt) <- rightRows
+      if lk == rk && math.abs(lt - rt) <= delta * 1000000L
+    } yield (li, ri, lt - rt)).toSet
+    assert(streamed == want,
+      s"stream != batch: missing=${want -- streamed} extra=${streamed -- want}")
+    // batch operator agrees on the same input
+    val batch = graft.operators.EventOps.rangeJoin(
+      leftRows.toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us"))),
+      rightRows.toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us"))),
+      "user_id", "ts", "event_id", delta)
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2))).toSet
+    assert(batch == want)
+  }
+
   test("streaming EMD match against static refs emits within-theta pairs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
