@@ -448,6 +448,17 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
+    // --- batch retrieval: exact top-5 corpus neighbors for EVERY query
+    //     in a broadcast query set (the 10 lowest vec_ids) — the
+    //     multi-query retrieval workload behind RAG/eval pipelines ---
+    "q_ann_batch" -> ((s, dir) => {
+      val embs = Fixtures.embeddings(s, dir)
+      val qs = embs.orderBy(col("vec_id")).limit(10)
+      Ann.topKJoinExact(embs, qs, k = 5)
+        .select(col("qid"), col("id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
+
     // --- multimodal: binary payload + stub decode features ---
     "q_multimodal" -> ((s, dir) => {
       Multimodal.extractFeatures(s,
@@ -1248,6 +1259,21 @@ object SparkEntry {
         |)
         |SELECT id, round(cosine, 6) AS cosine FROM scored
         |ORDER BY round(cosine, 6) DESC, id LIMIT 20""".stripMargin,
+
+    "q_ann_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |  FROM embeddings ORDER BY vec_id LIMIT 10
+        |), scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+        |)
+        |SELECT qid, id, round(cosine, 6) AS cosine, cast(rank AS BIGINT) AS rank
+        |FROM (SELECT qid, id, cosine, row_number() OVER (
+        |        PARTITION BY qid ORDER BY round(cosine, 6) DESC, id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin,
 
     "q_multimodal" ->
       """WITH chars AS (

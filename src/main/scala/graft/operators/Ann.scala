@@ -36,8 +36,11 @@ object Ann {
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
         EmdCols.cosine(col("v"), col("qv")).as("cosine"))
+    // rounding-bucket rank order (the repo-wide top-k convention): ties
+    // at 6 decimals break on id identically in Spark and the oracle, so
+    // sub-rounding FP-shape noise cannot flip a rank
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
+      .partitionBy(col("qid")).orderBy(round(col("cosine"), 6).desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("cosine"), col("rank"))

@@ -194,6 +194,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size}")
   }
 
+  test("topKJoinExact == per-query brute-force top-k with rounded-tie order") {
+    val qs = embs.orderBy(col("vec_id")).limit(5)
+    val got = Ann.topKJoinExact(embs, qs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val all = embs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = all.sortBy(_._1).take(5).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, BigDecimal(cos(v, qv)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("blocked exact all-pairs equals broadcast exact all-pairs") {
     val blocked = Ann.cosineAllPairsBlocked(spark, embs, 0.35, numBlocks = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
