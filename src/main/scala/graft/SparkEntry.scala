@@ -341,6 +341,23 @@ object SparkEntry {
           col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // --- C4-style span ownership: fraction of each document's distinct
+    //     3-gram shingles first seen in an earlier document (what a
+    //     span-dedup pass would strip); integer counts + one division ---
+    "q_span_dedup" -> ((s, dir) => {
+      CorpusOps.spanOwnership(Fixtures.documents(s, dir), n = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_owned"),
+          round(col("dup_frac"), 6).as("dup_frac"))
+    }),
+
+    // --- tokenizer coverage: per-doc OOV rate against the corpus'
+    //     top-50 tokens ((count desc, token) total order) ---
+    "q_oov_rate" -> ((s, dir) => {
+      CorpusOps.oovRate(Fixtures.documents(s, dir), vocabSize = 50)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("oov_frac"), 6).as("oov_frac"))
+    }),
+
     // --- exact TF-IDF cosine similarity join, suffix-norm prefix filter
     //     (AllPairs): the corpus-weighted counterpart of q_jaccard_pairs.
     //     tau = 0.9: measured boundary gap ~7e-4 both sides at both SFs ---
@@ -1061,6 +1078,41 @@ object SparkEntry {
         |)
         |SELECT lang, gram, cast(cnt AS BIGINT) AS cnt, cast(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS id, unnest(
+        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])
+        |    END) AS gram
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |), owners AS (
+        |  SELECT gram, min(id) AS owner FROM sh GROUP BY gram
+        |)
+        |SELECT s.id AS doc_id,
+        |       cast(count(*) AS BIGINT) AS n_shingles,
+        |       cast(sum(CASE WHEN o.owner = s.id THEN 1 ELSE 0 END) AS BIGINT) AS n_owned,
+        |       round(1.0 - cast(sum(CASE WHEN o.owner = s.id THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS dup_frac
+        |FROM sh s JOIN owners o USING (gram)
+        |GROUP BY s.id""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), vocab AS (
+        |  SELECT tok, 1 AS in_vocab FROM (
+        |    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        |    ORDER BY c DESC, tok LIMIT 50)
+        |)
+        |SELECT t.id AS doc_id,
+        |       cast(count(*) AS BIGINT) AS n_tokens,
+        |       cast(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       round(cast(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS oov_frac
+        |FROM toks t LEFT JOIN vocab v USING (tok)
+        |GROUP BY t.id""".stripMargin,
 
     "q_contamination" ->
       """WITH sh AS (

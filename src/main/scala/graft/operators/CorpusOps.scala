@@ -217,6 +217,50 @@ object CorpusOps {
       .filter(col("cum") <= budget)
   }
 
+  /** C4-style span-ownership analysis — the repeated-span dedup
+    * primitive: every distinct n-token shingle is "owned" by the lowest
+    * doc_id containing it; per document, how many of its distinct
+    * shingles it owns vs duplicates of earlier documents (dup_frac = the
+    * fraction a span-dedup pass would remove). Shapes: distinct postings
+    * (ids only), a gram-keyed min aggregation, and one id-keyed count —
+    * all map-side-combined shuffles, no driver-side data. */
+  def spanOwnership(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val postings = widen(docs)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val owners = postings.groupBy(col("gram")).agg(min(col("id")).as("owner"))
+    postings.join(owners, "gram")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("id"), 1L).otherwise(0L)).as("n_owned"))
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_owned"),
+        (lit(1.0) - col("n_owned").cast("double") / col("n_shingles"))
+          .as("dup_frac"))
+  }
+
+  /** Tokenizer-coverage analysis: per-document out-of-vocabulary rate
+    * against the corpus' top-`vocabSize` tokens (by count desc, token —
+    * a total order, so the vocabulary boundary is deterministic). Fully
+    * relational (vocab join, no driver collect): one token-count
+    * aggregation, a distributed top-k over it (TakeOrderedAndProject —
+    * not a single-task global rank window), and a per-document count —
+    * the pass a tokenizer-budget decision runs before training. */
+  def oovRate(docs: DataFrame, vocabSize: Int, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = widen(docs)
+      .select(col(idCol).as("id"), explode(TextCols.tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(vocab, Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"))
+  }
+
   /** Benchmark decontamination: for every (train, eval) document pair
     * that shares at least one distinct n-token shingle, the number of
     * distinct shingles they share. Any hit means the training document

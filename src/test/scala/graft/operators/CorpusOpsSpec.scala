@@ -229,6 +229,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.keys.count(_._2 == 1.0) == all.map(_._1).distinct.length)
   }
 
+  test("spanOwnership == brute-force first-occurrence shingle ownership") {
+    import spark.implicits._
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    def sh(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set(text.replace(' ', '_'))
+      else (0 to t.length - 3).map(i => s"${t(i)}_${t(i + 1)}_${t(i + 2)}").toSet
+    }
+    val owner = scala.collection.mutable.Map.empty[String, Long]
+    all.sortBy(_._1).foreach { case (id, text) =>
+      sh(text).foreach(g => if (!owner.contains(g)) owner(g) = id) }
+    val want = all.map { case (id, text) =>
+      val gs = sh(text)
+      (id, gs.size.toLong, gs.count(g => owner(g) == id).toLong)
+    }.toSet
+    val got = CorpusOps.spanOwnership(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // at least one document must actually duplicate an earlier span
+    assert(want.exists(t => t._3 < t._2), "fixture has no cross-doc duplicate spans")
+  }
+
+  test("oovRate == brute-force top-vocab coverage") {
+    import spark.implicits._
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val counts = all.flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20).map(_._1).toSet
+    val want = all.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      (id, t.length.toLong, t.count(tok => !vocab(tok)).toLong)
+    }.toSet
+    val got = CorpusOps.oovRate(docs, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("chunkDocuments == driver-side sliding windows, incl. short docs") {
     import spark.implicits._
     val fixture = docs.select("doc_id", "text").as[(Long, String)].collect() ++
