@@ -13,6 +13,8 @@ object BenchEach {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // timings measure one engine; the 3-D witness assertion runs in Verify
+    System.setProperty("graft.crosscheck", "off")
     val only = args.toSet
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {

@@ -42,6 +42,35 @@ object SparkEntry {
   // is 2.9e-6 away at sf0.01 — far above FP noise
   private val Rubner3dTheta = 0.0309
 
+  /** Cross-engine witness for the three `no_oracle` 3-D LP rows: LP-EMD
+    * is not DuckDB-expressible (SURVEY §7.4), so each declared 3-D query
+    * runs a SECOND, independently-built exact engine and requires pair-set
+    * equality on (rid, sid, round(dist,6)) before returning — a seeded
+    * fault in either engine fails the driver's Verify run loudly instead
+    * of producing unverified rows. This mirrors the reference's own core
+    * promise of answer-equivalent engines over one corpus (Join.java:42-131).
+    *
+    * Gated by -Dgraft.crosscheck=off: Bench disables it so per-query
+    * timings keep measuring ONE engine (the witness is a correctness
+    * assertion, not part of the operator's work); Verify never sets the
+    * property, so the correctness gate always runs the assertion. */
+  private[graft] def crossCheckPairs(primary: DataFrame, witness: => DataFrame,
+                                     label: String): DataFrame = {
+    if (sys.props.getOrElse("graft.crosscheck", "on") != "off") {
+      def canon(df: DataFrame): DataFrame = df.select(
+        least(col("rid"), col("sid")).as("a"),
+        greatest(col("rid"), col("sid")).as("b"),
+        round(col("dist"), 6).as("d"))
+      val p = canon(primary)
+      val w = canon(witness)
+      val diff = p.exceptAll(w).unionAll(w.exceptAll(p)).limit(5).collect()
+      require(diff.isEmpty,
+        s"$label: cross-engine pair-set mismatch (primary vs witness): " +
+          diff.map(_.toString).mkString("; "))
+    }
+    primary
+  }
+
   /** 1-D melody config: with integer bins and one identity vector, exact
     * LP-EMD reduces to the closed-form 1-D EMD, making the whole
     * grid-pruned engine DuckDB-checkable. */
@@ -187,36 +216,49 @@ object SparkEntry {
         .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
     }),
 
-    // --- grid-pruned melody engine, 3-D exact LP-EMD (J1; rows-only
-    //     check: LP not expressible in DuckDB, equivalence covered by
-    //     MelodyJoinSpec against the brute-force oracle). Engine state is
+    // --- grid-pruned melody engine, 3-D exact LP-EMD (J1; LP not
+    //     expressible in DuckDB, so the declared query is SELF-VERIFYING:
+    //     the tree-exact engine recomputes the answer and crossCheckPairs
+    //     requires pair-set equality before returning). Engine state is
     //     theta-independent and shared with q_emd3d_topk via the session
     //     prepare cache — the reference pairing of query types over one
     //     corpus (Join.java:42-131) pays the grid/enrichment once ---
     "q_emd3d_pairs" -> ((s, dir) => {
       val hists = Fixtures.tripleHists(s, dir)
       val prep = MelodyJoin.prepareCached(s, hists, melodyCfg3d)
-      MelodyJoin.thresholdJoinPrepared(s, prep, Theta3d, melodyCfg3d)
-        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+      crossCheckPairs(
+        MelodyJoin.thresholdJoinPrepared(s, prep, Theta3d, melodyCfg3d)
+          .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
+        EmdJoins.treeExact3dThresholdJoin(hists, Theta3d),
+        "q_emd3d_pairs")
     }),
 
     // --- tree-exact 3-D engine (FlowTree-style: banded tree candidates
     //     at the certified 2*theta distortion radius + LP verify) — the
-    //     fourth answer-identical exact 3-D engine; rows-only driver
-    //     check like q_emd3d_pairs (LP not SQL-expressible), pair-set
-    //     equivalence spec-proven in MelodyJoinSpec ---
+    //     fourth answer-identical exact 3-D engine; self-verifying against
+    //     the melody engine (LP not SQL-expressible) ---
     "q_treeexact3d_pairs" -> ((s, dir) => {
       val hists = Fixtures.tripleHists(s, dir)
-      EmdJoins.treeExact3dThresholdJoin(hists, Theta3d)
-        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+      crossCheckPairs(
+        EmdJoins.treeExact3dThresholdJoin(hists, Theta3d)
+          .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
+        MelodyJoin.thresholdJoinPrepared(s,
+          MelodyJoin.prepareCached(s, hists, melodyCfg3d), Theta3d, melodyCfg3d),
+        "q_treeexact3d_pairs")
     }),
 
-    // --- 3-D exact EMD top-k (J2/A7; shares the cached engine state) ---
+    // --- 3-D exact EMD top-k (J2/A7; shares the cached engine state;
+    //     self-verifying against the tree-exact top-k — both engines use
+    //     the unified (round(dist,6), rid, sid) tie-break, so the k-sets
+    //     must agree pair-for-pair) ---
     "q_emd3d_topk" -> ((s, dir) => {
       val hists = Fixtures.tripleHists(s, dir)
       val prep = MelodyJoin.prepareCached(s, hists, melodyCfg3d)
-      MelodyJoin.topKJoinPrepared(s, prep, TopK, melodyCfg3d)
-        .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+      crossCheckPairs(
+        MelodyJoin.topKJoinPrepared(s, prep, TopK, melodyCfg3d)
+          .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
+        EmdJoins.treeExact3dTopK(hists, TopK),
+        "q_emd3d_topk")
     }),
 
     // --- generator-analog pipeline (S8 -> J1): binary payload -> byte
@@ -712,7 +754,7 @@ object SparkEntry {
        |  SELECT id, v, cid, d2,
        |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
        |  FROM (SELECT q.id, q.v, c.cid,
-       |          cast(list_sum(list_transform(range(1, 65),
+       |          cast(list_sum(list_transform(range(1, len(q.v) + 1),
        |            i -> (q.v[i] - c.m[i]) * (q.v[i] - c.m[i]))) AS BIGINT) AS d2
        |        FROM q CROSS JOIN $prev c)
        |), u$t AS (
@@ -742,7 +784,7 @@ object SparkEntry {
         |  SELECT id, cid, d2,
         |         row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
         |  FROM (SELECT q.id, c.cid,
-        |          cast(list_sum(list_transform(range(1, 65),
+        |          cast(list_sum(list_transform(range(1, len(q.v) + 1),
         |            i -> (q.v[i] - c.m[i]) * (q.v[i] - c.m[i]))) AS BIGINT) AS d2
         |        FROM q CROSS JOIN c2 c)
         |)

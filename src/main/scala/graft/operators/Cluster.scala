@@ -68,6 +68,11 @@ object Cluster {
       var cents: Array[Array[Long]] = q.orderBy(col("id")).limit(k)
         .select(col("v")).collect()
         .map(_.getSeq[Long](0).toArray)
+      // fewer rows than k: Array.tabulate(k) below would index past the
+      // seed — fail loudly instead of an ArrayIndexOutOfBoundsException
+      // mid-iteration
+      require(cents.length >= k,
+        s"kmeans: k=$k exceeds input row count ${cents.length}")
       for (_ <- 0 until iters) {
         val (cid, _) = assignCols(cents)
         val sums = (0 until dim).map(i =>

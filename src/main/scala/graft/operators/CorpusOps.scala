@@ -61,8 +61,10 @@ object CorpusOps {
     * smallest md5("<group>:<id>") per group — the fixed-budget companion
     * to the rate-based stratifiedSample ("give me exactly 10k docs per
     * language, stably across runs and engines"). One per-group rank
-    * window (single shuffle); ties are impossible (md5 of distinct ids
-    * within a group is distinct), ordering is total via (hash, id). */
+    * window (single shuffle). Determinism comes from the (hash, id)
+    * tie-break being a total order — NOT from hash uniqueness: the
+    * 32-bit md5 prefix can collide within a group (~50% by ~77k
+    * rows/group), and id breaks those ties identically in both engines. */
   def fixedSample(docs: DataFrame, groupCol: String, n: Int,
                   idCol: String = "doc_id"): DataFrame = {
     val h = TextCols.md5Bits32(

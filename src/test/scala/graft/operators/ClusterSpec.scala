@@ -71,4 +71,15 @@ class ClusterSpec extends AnyFunSuite {
     assert(got(0L) == got(1L))
     assert(got(2L) != got(0L))
   }
+
+  test("kmeans fails loudly when k exceeds the row count") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Array.fill(4)(0.1f)), (1L, Array.fill(4)(0.6f))
+    ).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Cluster.kmeans(spark, tiny, k = 5, iters = 1)
+    }
+    assert(e.getMessage.contains("exceeds input row count"))
+  }
 }
