@@ -392,6 +392,14 @@ object SparkEntry {
           round(col("dup_frac"), 6).as("dup_frac"))
     }),
 
+    // --- C4-style span REMOVAL (the rewrite q_span_dedup scores):
+    //     tokens covered by an earlier document's shingle are dropped,
+    //     the surviving text is re-emitted — all-integer/string output,
+    //     full DuckDB oracle ---
+    "q_span_rewrite" -> ((s, dir) => {
+      CorpusOps.spanRewrite(Fixtures.documents(s, dir), n = 3)
+    }),
+
     // --- tokenizer coverage: per-doc OOV rate against the corpus'
     //     top-50 tokens ((count desc, token) total order) ---
     "q_oov_rate" -> ((s, dir) => {
@@ -533,6 +541,16 @@ object SparkEntry {
     //     the encode -> decode -> featurize path end-to-end ---
     "q_image_hist" -> ((s, dir) => {
       Multimodal.imageRedHist(s,
+        Multimodal.withImagePayload(Fixtures.documents(s, dir)))
+        .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
+    }),
+
+    // --- resize/recompress lifecycle: decode -> 16x16 -> 9x9 nearest-
+    //     neighbor resize -> re-encode -> decode -> red histogram. 9 is a
+    //     non-divisor of 16, so the oracle's integer floor index math is
+    //     genuinely exercised (a divisor would hide a rounding bug) ---
+    "q_resize_hist" -> ((s, dir) => {
+      Multimodal.imageResizeHist(s,
         Multimodal.withImagePayload(Fixtures.documents(s, dir)))
         .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
     }),
@@ -1140,6 +1158,43 @@ object SparkEntry {
         |FROM sh s JOIN owners o USING (gram)
         |GROUP BY s.id""".stripMargin,
 
+    // Span-removal rewrite: occurrence-level spans (start s, inclusive end
+    // e) whose gram is owned by an earlier doc mark their covered token
+    // positions; surviving tokens re-join with ' '. Short docs (<3 tokens)
+    // carry one whole-text span covering every position — the same
+    // convention as the Spark shingles() function.
+    "q_span_rewrite" ->
+      """WITH tt AS (
+        |  SELECT doc_id AS id, text, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT id, i AS s, i + 2 AS e, t[i] || '_' || t[i+1] || '_' || t[i+2] AS gram
+        |  FROM (SELECT id, t, unnest(range(1, len(t) - 1)) AS i FROM tt WHERE len(t) >= 3)
+        |  UNION ALL
+        |  SELECT id, 1 AS s, len(t) AS e, replace(text, ' ', '_') AS gram
+        |  FROM tt WHERE len(t) < 3
+        |), owners AS (
+        |  SELECT gram, min(id) AS owner
+        |  FROM (SELECT DISTINCT id, gram FROM sh) GROUP BY gram
+        |), bad AS (
+        |  SELECT DISTINCT sh.id, sh.s, sh.e
+        |  FROM sh JOIN owners USING (gram) WHERE owners.owner <> sh.id
+        |), pos AS (
+        |  SELECT id, i, t[i] AS tok
+        |  FROM (SELECT id, t, unnest(range(1, len(t) + 1)) AS i FROM tt)
+        |), kept AS (
+        |  SELECT p.id, p.i, p.tok FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM bad b
+        |                    WHERE b.id = p.id AND p.i BETWEEN b.s AND b.e)
+        |)
+        |SELECT tt.id AS doc_id,
+        |       cast(len(tt.t) AS BIGINT) AS n_tokens,
+        |       cast(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(k.rewritten, '') AS rewritten
+        |FROM tt LEFT JOIN (
+        |  SELECT id, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY i) AS rewritten
+        |  FROM kept GROUP BY id) k ON k.id = tt.id""".stripMargin,
+
     "q_oov_rate" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -1408,6 +1463,33 @@ object SparkEntry {
         |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = bb.bin
         |)
         |SELECT doc_id, bin, round(c / 256.0, 6) AS w FROM dense""".stripMargin,
+
+    // Resize lifecycle: output pixel i of the 9x9 plane (y = i//9,
+    // x = i%9) samples source pixel (sy, sx) = (y*16//9, x*16//9) of the
+    // 16x16 plane, whose red byte is text[(3*(sy*16+sx)) % len] — same
+    // cycled-text analytic layout as q_image_hist, composed with the
+    // nearest-neighbor floor index math; normalized over the 81 resized
+    // pixels.
+    "q_resize_hist" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN length(d.text) = 0 THEN 0
+        |              ELSE ascii(substr(d.text,
+        |                ((3 * (((cast(r.range AS INTEGER) // 9) * 16 // 9) * 16
+        |                       + ((cast(r.range AS INTEGER) % 9) * 16 // 9)))
+        |                 % length(d.text)) + 1, 1))
+        |         END AS b
+        |  FROM documents d CROSS JOIN range(81) r
+        |), counts AS (
+        |  SELECT doc_id, b // 32 AS bin, cast(count(*) AS DOUBLE) AS c
+        |  FROM px GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT d.doc_id, bb.bin, coalesce(c.c, 0.0) AS c
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT cast(range AS BIGINT) AS bin FROM range(8)) bb
+        |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = bb.bin
+        |)
+        |SELECT doc_id, bin, round(c / 81.0, 6) AS w FROM dense""".stripMargin,
 
     // Payload bytes = the 13-byte "P6\n16 16\n255\n" header + 768 cycled
     // text bytes (16x16 RGB); frames are blocks 0/4/8 of 64 bytes. The

@@ -241,6 +241,50 @@ object CorpusOps {
           .as("dup_frac"))
   }
 
+  /** C4-style span REMOVAL — the action [[spanOwnership]] scores: every
+    * distinct n-token shingle is owned by the lowest doc_id containing it;
+    * a token survives iff NO shingle occurrence covering it belongs to an
+    * earlier document. Emits the rewritten text (kept tokens joined by
+    * ' ', '' when nothing survives) plus token accounting. Documents
+    * shorter than n tokens carry one whole-text shingle covering every
+    * position (shingles() convention), so a short duplicate empties.
+    *
+    * Shapes: ownership is the same ids-only gram-keyed min aggregation as
+    * spanOwnership; each document then receives its non-owned grams back
+    * as ONE array value (bounded by the doc's own distinct-gram count) and
+    * the rewrite itself is pure per-row Catalyst — token array and shingle
+    * array bound once per row (no re-tokenization inside lambdas), no
+    * further shuffle, and the text column never enters the ownership
+    * exchange. */
+  def spanRewrite(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val grams = widen(docs)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val owners = grams.groupBy(col("gram")).agg(min(col("id")).as("owner"))
+    val dups = grams.join(owners, "gram")
+      .filter(col("owner") =!= col("id"))
+      .groupBy(col("id")).agg(collect_list(col("gram")).as("dups"))
+    val withDups = widen(docs)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(dups, Seq("id"), "left")
+      .withColumn("dups", coalesce(col("dups"), array().cast("array<string>")))
+    // token i (1-based) is covered by shingle starts [max(i-n+1,1),
+    // min(i, numShingles)]; it survives iff none of those starts carries a
+    // non-owned gram. Short docs have one whole-text shingle and the same
+    // bounds collapse to [1, 1].
+    val kept = flatten(transform(array(TextCols.tokens(col("text"))), t =>
+      flatten(transform(array(shingles(col("text"), n)), sh =>
+        filter(t, (_, i0) =>
+          !exists(sequence(greatest(i0 + (2 - n), lit(1)),
+              least(i0 + 1, size(sh))),
+            b => array_contains(col("dups"), element_at(sh, b))))))))
+    withDups.select(col("id").as(idCol),
+      size(TextCols.tokens(col("text"))).cast("long").as("n_tokens"),
+      size(kept).cast("long").as("n_kept"),
+      concat_ws(" ", kept).as("rewritten"))
+  }
+
   /** Tokenizer-coverage analysis: per-document out-of-vocabulary rate
     * against the corpus' top-`vocabSize` tokens (by count desc, token —
     * a total order, so the vocabulary boundary is deterministic). Fully
@@ -272,15 +316,34 @@ object CorpusOps {
     * text never enters the shuffle — equijoined on the shingle, then a
     * count per pair. One shuffle each for the two distinct-izes, one for
     * the join; hot shingles (boilerplate) are the skew risk at corpus
-    * scale, handled by AQE skew splitting; a df-cap on shingles is the
-    * standard mitigation and composes here as a pre-filter if needed. */
+    * scale, handled by AQE skew splitting.
+    *
+    * @param maxTrainDf optional hot-shingle cap (0 = uncapped): shingles
+    *        appearing in more than this many TRAIN documents are excluded
+    *        before the join — the standard boilerplate mitigation (a gram
+    *        in 10M training docs is navigation chrome, not leakage, and
+    *        its postings product would dominate the join). Exclusion can
+    *        only remove shared-gram evidence, so capped n_shared <=
+    *        uncapped n_shared and pairs sharing only hot grams vanish;
+    *        when no shingle exceeds the cap the output is identical
+    *        (spec-checked). The hot set is tiny (boilerplate tail), so
+    *        the anti-join broadcasts under AQE. */
   def decontaminationJoin(train: DataFrame, eval: DataFrame, n: Int,
                           idCol: String = "doc_id",
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text",
+                          maxTrainDf: Int = 0): DataFrame = {
     def postings(df: DataFrame, out: String) = widen(df)
       .select(col(idCol).as(out), explode(shingles(col(textCol), n)).as("gram"))
       .distinct()
-    postings(train, "train_id")
+    val tp = postings(train, "train_id")
+    val tpCapped = if (maxTrainDf > 0) {
+      val hot = tp.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxTrainDf)
+        .select(col("gram"))
+      tp.join(hot, Seq("gram"), "left_anti")
+    } else tp
+    tpCapped
       .join(postings(eval, "eval_id"), "gram")
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))

@@ -68,10 +68,23 @@ object Dedup {
     // all pairwise similarity math runs on distinct sets (training corpora
     // are duplicate-heavy — that is the point of this operator); qualifying
     // set pairs expand back to document pairs at the end with no math.
+    // The dedup groupBy keys on md5 of the canonical set encoding, NOT on
+    // the token array itself: an array key makes every shuffle-spill sort
+    // comparison and aggregate-hash probe O(set size) and ships the whole
+    // tokenized corpus as exchange KEY bytes — at corpus scale that is the
+    // dominant byte mover. The 16-byte fingerprint is collision-safe by
+    // the same 128-bit argument the exactDedup fingerprint makes
+    // (TextCols.fingerprint); the encoding is unambiguous because tokens
+    // come from split(text, " ") and cannot contain the separator. The
+    // representative's array rides along as a first() VALUE — partial
+    // aggregation keeps one copy per distinct set per map partition, which
+    // is never more array bytes than the old array-as-key exchange moved.
     val toks = CorpusOps.widen(docs).select(col(idCol).as("id"),
       sort_array(TextCols.distinctTokens(col(textCol))).as("key"))
-    val groups = toks.groupBy(col("key"))
-      .agg(collect_list(col("id")).as("members"), min(col("id")).as("gid"))
+      .withColumn("fp", md5(concat_ws(" ", col("key"))))
+    val groups = toks.groupBy(col("fp"))
+      .agg(collect_list(col("id")).as("members"), min(col("id")).as("gid"),
+        first(col("key")).as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every persist below registers in `pinned`; the catch frees them if
     // any action throws mid-call (the success paths free their own via

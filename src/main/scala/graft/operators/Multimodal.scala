@@ -166,6 +166,29 @@ object Multimodal {
       }.toDF("doc_id", "bin", "w")
   }
 
+  /** Full resize/recompress lifecycle: PPM payload -> real decode ->
+    * nearest-neighbor resize -> RE-ENCODE as PPM -> decode again ->
+    * red-channel 8-bin histogram (L1-normalized over the resized plane).
+    * The re-encode/decode roundtrip is pixel-identity but drives the
+    * encoder on the hot path — the recompress step of a real pipeline.
+    * DuckDB-checkable: nearest-neighbor picks source pixel
+    * (x*w/newW, y*h/newH) with integer floor, so every resized byte is
+    * still an analytic function of the text. */
+  def imageResizeHist(spark: SparkSession, withPayloadDf: DataFrame,
+                      newW: Int = 9, newH: Int = 9): DataFrame = {
+    import spark.implicits._
+    withPayloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        for {
+          (w, h, rgb) <- decodePpm(payload).toSeq
+          reencoded = encodePpm(newW, newH, resizeRgb(w, h, rgb, newW, newH))
+          (_, _, rgb2) <- decodePpm(reencoded).toSeq
+          (wv, b) <- decodeColorHist(rgb2)(0).zipWithIndex
+        } yield (id, b.toLong, wv)
+      }.toDF("doc_id", "bin", "w")
+  }
+
   /** Attach a binary payload column + metadata struct to the documents
     * table (payload = utf-8 bytes of text; stands in for an image/audio
     * blob column read via spark.read.format("binaryFile")). */

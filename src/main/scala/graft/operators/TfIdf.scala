@@ -82,10 +82,18 @@ object TfIdf {
               <= denseVocabMax) {
           // dense path: intern tokens to 1-based positions in the (gate-
           // bounded) vocabulary, assemble per-document dense vectors, and
-          // let the blocked kernel do the quadratic part shuffle-free
-          val tokIds = w.select(col("tok")).distinct()
-            .withColumn("tid", row_number().over(Window.orderBy(col("tok"))))
-          val vocabSize = tokIds.count().toInt
+          // let the blocked kernel do the quadratic part shuffle-free.
+          // The gate just proved the vocabulary fits the driver, so the id
+          // assignment is a sorted collect + local relation — the
+          // row_number-over-unpartitioned-window alternative plans a
+          // single-partition WindowExec (and warns about it) for the same
+          // bounded work
+          import spark.implicits._
+          val vocab = w.select(col("tok")).distinct().orderBy(col("tok"))
+            .collect().map(_.getString(0))
+          val vocabSize = vocab.length
+          val tokIds = vocab.zipWithIndex
+            .map { case (t, i) => (t, i + 1) }.toSeq.toDF("tok", "tid")
           val dense = w.join(broadcast(tokIds), "tok")
             .groupBy(col("id"))
             .agg(map_from_entries(collect_list(struct(col("tid"), col("w"))))

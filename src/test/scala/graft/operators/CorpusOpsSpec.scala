@@ -89,6 +89,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == expected,
       s"pairs got=${got.size} expected=${expected.size}")
     assert(expected.nonEmpty, "decontamination test vacuous at sf0.001")
+
+    // df-cap: with the cap above every shingle's train-df the output is
+    // IDENTICAL; with a cap of 1, only shingles unique to one training
+    // doc count — replayed against the brute force under the same rule
+    val maxDf = trainRows.flatMap(_._2).groupBy(identity).values.map(_.size).max
+    val gotUncapped = CorpusOps.decontaminationJoin(train, eval, n = 3,
+        maxTrainDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotUncapped == expected, "cap above max df must not change output")
+    val hot = trainRows.flatMap(_._2).groupBy(identity)
+      .collect { case (g, occ) if occ.size > 1 => g }.toSet
+    val expectedCapped = (for {
+      (eid, es) <- evalRows; (tid, ts) <- trainRows
+      shared = ((es & ts) -- hot).size if shared > 0
+    } yield (eid, tid) -> shared.toLong).toMap
+    val gotCapped = CorpusOps.decontaminationJoin(train, eval, n = 3,
+        maxTrainDf = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotCapped == expectedCapped)
+    assert(gotCapped.size < got.size, "cap=1 must actually drop hot-only pairs")
   }
 
   test("tfidf cosineJoin: prefix filter has perfect recall vs unfiltered join") {
@@ -249,6 +269,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == want)
     // at least one document must actually duplicate an earlier span
     assert(want.exists(t => t._3 < t._2), "fixture has no cross-doc duplicate spans")
+  }
+
+  test("spanRewrite == brute-force span removal, incl. emptied short dups") {
+    import spark.implicits._
+    // fixture docs plus seeded cases: a full duplicate (must empty), a
+    // partial overlap (prefix stolen by the earlier doc), and a short
+    // duplicate (whole-text shingle, must empty)
+    val fixture = docs.select("doc_id", "text").as[(Long, String)].collect() ++ Seq(
+      (8001L, "alpha beta gamma delta epsilon zeta"),
+      (8002L, "alpha beta gamma delta epsilon zeta"),
+      (8003L, "alpha beta gamma NEW1 NEW2 NEW3 NEW4"),
+      (8004L, "tiny doc"), (8005L, "tiny doc"))
+    val df = fixture.toSeq.toDF("doc_id", "text")
+    def shOcc(text: String): Seq[(Int, Int, String)] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Seq((1, t.length, text.replace(' ', '_')))
+      else (0 to t.length - 3).map(i =>
+        (i + 1, i + 3, s"${t(i)}_${t(i + 1)}_${t(i + 2)}"))
+    }
+    val owner = scala.collection.mutable.Map.empty[String, Long]
+    fixture.sortBy(_._1).foreach { case (id, text) =>
+      shOcc(text).foreach { case (_, _, g) =>
+        if (!owner.contains(g)) owner(g) = id } }
+    val want = fixture.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      val badSpans = shOcc(text).filter { case (_, _, g) => owner(g) != id }
+      val keep = t.indices.filter { i0 =>
+        val i = i0 + 1
+        !badSpans.exists { case (s, e, _) => s <= i && i <= e }
+      }.map(t)
+      (id, t.length.toLong, keep.length.toLong, keep.mkString(" "))
+    }.toSet
+    val got = CorpusOps.spanRewrite(df, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == want)
+    // the seeded shapes actually exercised their paths
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(8002L)._4 == "", "full duplicate must empty")
+    assert(byId(8005L)._4 == "", "short duplicate must empty")
+    assert(byId(8003L)._3 > 0 && byId(8003L)._3 < 7, "partial overlap must lose its stolen prefix only")
   }
 
   test("oovRate == brute-force top-vocab coverage") {

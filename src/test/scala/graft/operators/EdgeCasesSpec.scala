@@ -107,6 +107,48 @@ class EdgeCasesSpec extends AnyFunSuite {
         s"prefixOnly=${(viaPrefix -- viaBitmask).size}")
   }
 
+  test("per-group window operators survive one hot key with 100k rows") {
+    // the documented per-group-window contract (asOfJoin, tokenBudget,
+    // fixedSample): a pathological key serializes its group into one
+    // window task but must still complete with the exact answer — this
+    // turns the prose contract into tested behavior
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // asOfJoin: 100k left events on ONE key, rights every 100 us; match
+    // is analytically floor(i/100) with lag i % 100 (equal-ts rights
+    // sort before lefts, so an exact-tick left matches its own tick)
+    val left = (0L until 100000L).map(i => ("hot", i, i)).toDF("k", "us", "id")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("id"))
+    val right = (0L to 1000L).map(j => ("hot", j * 100L, j)).toDF("k", "us", "id")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("id"))
+    val matched = EventOps.asOfJoin(left, right, "k", "ts", "id").collect()
+    assert(matched.length == 100000)
+    assert(matched.forall { r =>
+      r.getLong(1) == r.getLong(0) / 100 && r.getLong(2) == r.getLong(0) % 100
+    })
+
+    // tokenBudget: 100k identical-score 3-token docs in ONE group; the
+    // running cut must keep exactly the budget/3 lowest ids
+    val docs = (1L to 100000L).map(i => (i, "grp", "tok tok tok"))
+      .toDF("doc_id", "lang", "text")
+    val kept = CorpusOps.tokenBudget(docs, "lang", budget = 150000L)
+      .select(col("id")).collect().map(_.getLong(0))
+    assert(kept.length == 50000 && kept.max == 50000L)
+
+    // fixedSample: exactly n survivors from the hot group, and the chosen
+    // set equals a driver-side replay of the same (hash, id) total order
+    val sampled = CorpusOps.fixedSample(docs, "lang", n = 100)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(sampled.size == 100)
+    val hashes = docs.select(col("doc_id"),
+        graft.functions.TextCols.md5Bits32(
+          concat(col("lang"), lit(":"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = hashes.sortBy { case (id, h) => (h, id) }.take(100).map(_._1).toSet
+    assert(sampled == want)
+  }
+
   test("mrsim with more pivots than records") {
     val rnd = new scala.util.Random(9)
     val hists = df((1L to 6L).map(i => (i, Array.fill(8)(rnd.nextDouble()))))

@@ -90,6 +90,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"missed=${(brute -- viaPrefix).size} extra=${(viaPrefix -- brute).size}")
   }
 
+  test("md5-keyed dedup groupBy: exact output on near-identical long documents") {
+    // the round-6 shuffle-hygiene fix keys the dedup groupBy on a 16-byte
+    // md5 of the canonical set encoding instead of the token array itself;
+    // this fixture is the adversarial shape for that change — LONG
+    // documents (array-key bytes would dominate the old exchange) in
+    // exact-duplicate families plus one-token perturbations right at the
+    // threshold boundary — and must produce the identical pair set
+    import spark.implicits._
+    val base = (0 until 400).map(i => s"tok$i")
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    for (fam <- 0 until 6) {
+      val famToks = base.map(t => s"${t}_f$fam")
+      // three exact duplicates per family (same token SET, shuffled order)
+      rows += ((fam * 10L, famToks.mkString(" ")))
+      rows += ((fam * 10L + 1, famToks.reverse.mkString(" ")))
+      rows += ((fam * 10L + 2, (famToks.drop(7) ++ famToks.take(7)).mkString(" ")))
+      // near-identical: one token replaced (J = 399/401 ~ 0.995)
+      rows += ((fam * 10L + 3,
+        (famToks.tail :+ s"alt_f$fam").mkString(" ")))
+      // distant: half the tokens replaced (J ~ 1/3)
+      rows += ((fam * 10L + 4,
+        (famToks.take(200) ++ (0 until 200).map(i => s"far${i}_f$fam")).mkString(" ")))
+    }
+    val longDocs = rows.toSeq.toDF("doc_id", "text")
+    val tau = 0.9
+    val got = Dedup.jaccardJoin(longDocs, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val toks = longDocs.select(col("doc_id").as("id"),
+      array_distinct(split(col("text"), " ")).as("s"))
+    val t2 = toks.select(col("id").as("id_b"), col("s").as("s_b"))
+    val inter = size(array_intersect(col("s"), col("s_b"))).cast("double")
+    val brute = toks.crossJoin(t2).filter(col("id") < col("id_b"))
+      .withColumn("j", inter / (size(col("s")) + size(col("s_b")) - inter))
+      .filter(col("j") >= tau)
+      .select(col("id"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sanity: the fixture exercises both the intra (exact-dup) and inter
+    // (near-identical) paths, and excludes the distant variants
+    assert(brute.contains((0L, 1L)) && brute.contains((0L, 3L)))
+    assert(!brute.exists { case (a, b) => b % 10 == 4 || a % 10 == 4 })
+    assert(got == brute,
+      s"missed=${(brute -- got).size} extra=${(got -- brute).size}")
+    // simhash on the same fixture: every emitted pair's Hamming distance
+    // verified, exact-duplicate families always present (distance 0)
+    val sh = Dedup.simhashDedup(spark, longDocs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val shSet = sh.map(t => (t._1, t._2)).toSet
+    assert(shSet.contains((0L, 1L)) && shSet.contains((0L, 2L)))
+    assert(sh.forall(_._3 <= 3))
+  }
+
   test("minhash LSH recall >= 0.9 at tau 0.5 vs exact shingle jaccard") {
     val lsh = Dedup.minhashLsh(spark, docs, 0.5, numHashes = 64, bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
