@@ -383,6 +383,29 @@ object SparkEntry {
           col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // --- decontamination with the hot-shingle df-cap engaged (cap 2:
+    //     grams in >2 training docs are boilerplate, excluded before the
+    //     join) — drives the capped path end-to-end against a DuckDB
+    //     replay of the same rule ---
+    "q_contamination_capped" -> ((s, dir) => {
+      val d = Fixtures.documents(s, dir)
+      CorpusOps.decontaminationJoin(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+        n = 3, maxTrainDf = 2)
+        .select(col("eval_id"), col("train_id"),
+          col("n_shared").cast("long").as("n_shared"))
+    }),
+
+    // --- CCNet/Gopher-style unigram-LM surprisal (the "perplexity
+    //     filter"): whole-bit surprisal bitlen(T) - bitlen(c) per token,
+    //     integer-exact in both engines (binary string length, no
+    //     transcendental log), mean per doc ---
+    "q_lm_surprisal" -> ((s, dir) => {
+      CorpusOps.unigramSurprisal(Fixtures.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+          round(col("mean_bits"), 6).as("mean_bits"))
+    }),
+
     // --- C4-style span ownership: fraction of each document's distinct
     //     3-gram shingles first seen in an earlier document (what a
     //     span-dedup pass would strip); integer counts + one division ---
@@ -1227,6 +1250,48 @@ object SparkEntry {
         |FROM ds e JOIN ds t ON e.gram = t.gram
         |WHERE e.source = 'src0' AND t.source <> 'src0'
         |GROUP BY 1, 2""".stripMargin,
+
+    // Capped decontamination: identical shape, but grams appearing in
+    // more than 2 distinct TRAIN documents are excluded before the join.
+    "q_contamination_capped" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, unnest(
+        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])
+        |    END) AS gram
+        |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents)
+        |), ds AS (
+        |  SELECT DISTINCT doc_id, source, gram FROM sh
+        |), hot AS (
+        |  SELECT gram FROM ds WHERE source <> 'src0'
+        |  GROUP BY gram HAVING count(*) > 2
+        |)
+        |SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+        |       cast(count(*) AS BIGINT) AS n_shared
+        |FROM ds e JOIN ds t ON e.gram = t.gram
+        |WHERE e.source = 'src0' AND t.source <> 'src0'
+        |  AND e.gram NOT IN (SELECT gram FROM hot)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Unigram surprisal: bitlen via binary-string length in both engines
+    // (Spark bin(), DuckDB bin() — no leading zeros either side), so the
+    // whole score is integer arithmetic plus one rational mean.
+    "q_lm_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), counts AS (
+        |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT cast(sum(c) AS BIGINT) AS total_c FROM counts
+        |)
+        |SELECT t.id AS doc_id,
+        |       cast(count(*) AS BIGINT) AS n_tokens,
+        |       cast(sum(length(bin(tot.total_c)) - length(bin(c.c))) AS BIGINT) AS sum_bits,
+        |       round(cast(sum(length(bin(tot.total_c)) - length(bin(c.c))) AS DOUBLE)
+        |             / count(*), 6) AS mean_bits
+        |FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
+        |GROUP BY t.id""".stripMargin,
 
     // mirrors TfIdf.cosineJoin's arithmetic shape exactly: raw-weight dot
     // divided by the two norms (NOT a dot of pre-normalized weights —

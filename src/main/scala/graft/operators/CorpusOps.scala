@@ -307,6 +307,34 @@ object CorpusOps {
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"))
   }
 
+  /** CCNet/Gopher-style unigram-LM surprisal score — the "perplexity
+    * filter" of a real pretraining pipeline, in ENGINE-EXACT arithmetic:
+    * a token's surprisal is measured in whole bits as
+    * bitlen(T) - bitlen(c) (T = total corpus token occurrences, c = the
+    * token's occurrence count; bitlen = floor(log2)+1 via the binary
+    * string length, integer-exact in both Spark and DuckDB — no
+    * transcendental log whose last-ulp could diverge between engines).
+    * High mean surprisal = rare-token-heavy (gibberish / OCR noise),
+    * low = boilerplate — the same decision signal as an LM perplexity
+    * gate, on a log2 scale.
+    *
+    * Shapes: one token-count aggregation (vocabulary-sized), the counts
+    * join back to the token stream by token equijoin (AQE handles hot
+    * tokens), one per-doc aggregation. No driver-side data, no windows. */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val toks = widen(docs)
+      .select(col(idCol).as("id"), explode(TextCols.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c"))).head().getLong(0)
+    val bits = (length(bin(lit(total))) - length(bin(col("c")))).cast("long")
+    toks.join(counts, "tok")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(bits).as("sum_bits"))
+      .select(col("id").as(idCol), col("n_tokens"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens")).as("mean_bits"))
+  }
+
   /** Benchmark decontamination: for every (train, eval) document pair
     * that shares at least one distinct n-token shingle, the number of
     * distinct shingles they share. Any hit means the training document

@@ -311,6 +311,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byId(8003L)._3 > 0 && byId(8003L)._3 < 7, "partial overlap must lose its stolen prefix only")
   }
 
+  test("unigramSurprisal == brute-force whole-bit surprisal") {
+    import spark.implicits._
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val counts = all.flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val total = counts.values.sum
+    def bitlen(x: Long): Long = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val want = all.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      val s = t.map(tok => bitlen(total) - bitlen(counts(tok))).sum
+      (id, t.length.toLong, s)
+    }.toSet
+    val got = CorpusOps.unigramSurprisal(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // rare-token docs must actually score higher than boilerplate ones
+    assert(want.map(_._3).size > 1, "vacuous: all docs identical surprisal")
+  }
+
   test("oovRate == brute-force top-vocab coverage") {
     import spark.implicits._
     val all = docs.select("doc_id", "text").as[(Long, String)].collect()
