@@ -14,7 +14,9 @@ object Plans {
         "q_jaccard_pairs", "q_treeemd3d_pairs", "q_tfidf_pairs",
         "q_contamination", "q_stratified_sample", "q_token_budget",
         "q_asof_join", "q_range_join", "q_chunking", "q_repetition",
-        "q_kmeans", "q_ann_batch", "q_span_dedup", "q_oov_rate")) {
+        "q_kmeans", "q_ann_batch", "q_span_dedup", "q_oov_rate",
+        "q_span_rewrite", "q_lm_surprisal", "q_contamination_capped",
+        "q_resize_hist")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

@@ -396,6 +396,13 @@ object SparkEntry {
           col("n_shared").cast("long").as("n_shared"))
     }),
 
+    // --- deterministic training-order shuffle: stable global rank in
+    //     md5-random (hash, id) order via distributed prefix sum — never
+    //     a single-task global window ---
+    "q_shuffle_rank" -> ((s, dir) => {
+      CorpusOps.shuffleRank(Fixtures.documents(s, dir))
+    }),
+
     // --- CCNet/Gopher-style unigram-LM surprisal (the "perplexity
     //     filter"): whole-bit surprisal bitlen(T) - bitlen(c) per token,
     //     integer-exact in both engines (binary string length, no
@@ -1273,6 +1280,12 @@ object SparkEntry {
         |WHERE e.source = 'src0' AND t.source <> 'src0'
         |  AND e.gram NOT IN (SELECT gram FROM hot)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_shuffle_rank" ->
+      """SELECT doc_id, cast(row_number() OVER (
+        |  ORDER BY ('0x' || substr(md5('shuf:' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |           doc_id) AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
 
     // Unigram surprisal: bitlen via binary-string length in both engines
     // (Spark bin(), DuckDB bin() — no leading zeros either side), so the

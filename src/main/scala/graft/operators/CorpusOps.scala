@@ -200,6 +200,50 @@ object CorpusOps {
     }
   }
 
+  /** Deterministic training-order shuffle: every document gets a stable
+    * 1-based global rank in md5-random order ((hash, id) total order —
+    * reproducible across runs, engines, and cluster sizes, unlike an
+    * rng-seeded shuffle whose partition-order dependence breaks exact
+    * reproducibility). The global ranking is range-partition + sort +
+    * two-phase per-partition offsets — the same distributed prefix-sum
+    * shape as [[packSequences]], NEVER a single-task global window, so
+    * the plan holds at any corpus size.
+    *
+    * Returns (idCol, shuffle_rank). `salt` varies the permutation. */
+  def shuffleRank(docs: DataFrame, idCol: String = "doc_id",
+                  salt: String = "shuf"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs.select(col(idCol).cast("long").as("id"))
+      .withColumn("h", TextCols.md5Bits32(
+        concat(lit(salt), lit(":"), col("id").cast("string"))))
+      .repartitionByRange(col("h"), col("id"))
+      .sortWithinPartitions("h", "id")
+      .select(col("id"), col("h"))
+    // pin ONE evaluation (range boundaries come from sampling — same
+    // argument as packSequences)
+    val rdd = hashed.as[(Long, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var n = 0L; it.foreach(_ => n += 1); Iterator.single((i, n))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val offB = spark.sparkContext.broadcast(offsets)
+      val out = rdd.mapPartitionsWithIndex { (i, it) =>
+        var r = offB.value(i)
+        it.map { case (id, _) => r += 1; (id, r) }
+      }.toDF(idCol, "shuffle_rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally {
+      rdd.unpersist(false)
+    }
+  }
+
   /** Token-budget subset selection: per group, keep the highest-quality
     * documents until the group's token budget is spent ("fill N tokens
     * per language, best first"). Ordering ties break on the 6-decimal

@@ -311,6 +311,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byId(8003L)._3 > 0 && byId(8003L)._3 < 7, "partial overlap must lose its stolen prefix only")
   }
 
+  test("shuffleRank == driver-side (hash, id) sort; dense, 1-based, deterministic") {
+    import spark.implicits._
+    // many partitions so per-partition offsets genuinely compose
+    val ids = (1L to 5000L).map(i => (i, s"text $i"))
+    val df = ids.toDF("doc_id", "text").repartition(16)
+    val got = CorpusOps.shuffleRank(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hashes = df.select(col("doc_id"),
+        graft.functions.TextCols.md5Bits32(
+          concat(lit("shuf"), lit(":"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = hashes.sortBy { case (id, h) => (h, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got == want)
+    assert(got.values.toSeq.sorted == (1L to 5000L), "ranks not dense 1..N")
+    // a different salt is a different permutation (not the identity map)
+    val other = CorpusOps.shuffleRank(df, salt = "epoch2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(other != got)
+  }
+
   test("unigramSurprisal == brute-force whole-bit surprisal") {
     import spark.implicits._
     val all = docs.select("doc_id", "text").as[(Long, String)].collect()
