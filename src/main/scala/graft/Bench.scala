@@ -77,10 +77,14 @@ object Bench {
     println(line)
     // machine-readable artifact: the stdout line drowns in sbt noise and
     // the driver's BENCH_r*.json "parsed" field has been null every round
-    // — also write the bare JSON line to a file when the driver asks
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
-    }
+    // — write the bare JSON line to SPARK_GRAFT_BENCH_OUT when set, and
+    // always (best-effort) to BENCH_LAST.json in the working directory so
+    // any consumer can find the latest run without knowing the env var
+    def writeTo(path: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
+      catch { case _: java.io.IOException => () }
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(writeTo)
+    writeTo("BENCH_LAST.json")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILURES: ${errors.keys.toSeq.sorted.mkString(", ")}")

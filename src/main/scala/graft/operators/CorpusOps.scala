@@ -369,14 +369,25 @@ object CorpusOps {
                        textCol: String = "text"): DataFrame = {
     val toks = widen(docs)
       .select(col(idCol).as("id"), explode(TextCols.tokens(col(textCol))).as("tok"))
+    // persisted for the call: the vocabulary-sized LM is consumed twice
+    // (grand total, then the token join) — without the pin the corpus
+    // would be re-tokenized and re-aggregated for each use
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum(col("c"))).head().getLong(0)
-    val bits = (length(bin(lit(total))) - length(bin(col("c")))).cast("long")
-    toks.join(counts, "tok")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(bits).as("sum_bits"))
-      .select(col("id").as(idCol), col("n_tokens"), col("sum_bits"),
-        (col("sum_bits").cast("double") / col("n_tokens")).as("mean_bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = counts.agg(sum(col("c"))).head().getLong(0)
+      val bits = (length(bin(lit(total))) - length(bin(col("c")))).cast("long")
+      val out = toks.join(counts, "tok")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(bits).as("sum_bits"))
+        .select(col("id").as(idCol), col("n_tokens"), col("sum_bits"),
+          (col("sum_bits").cast("double") / col("n_tokens")).as("mean_bits"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally {
+      counts.unpersist(false)
+    }
   }
 
   /** Benchmark decontamination: for every (train, eval) document pair
