@@ -307,6 +307,13 @@ object SparkEntry {
         round(TextCols.qualityScore(col("text")), 6).as("score"))
     }),
 
+    // --- Gopher-style quality GATE (the actionable counterpart of the
+    //     q_quality score): one boolean per rule + combined keep; every
+    //     rule is an integer cross-multiplied comparison, engine-exact ---
+    "q_quality_gate" -> ((s, dir) => {
+      CorpusOps.qualityGate(Fixtures.documents(s, dir))
+    }),
+
     // --- heuristic language ID ---
     "q_lang_id" -> ((s, dir) => {
       Fixtures.documents(s, dir).select(col("doc_id"), col("lang"),
@@ -1394,6 +1401,38 @@ object SparkEntry {
         |        (cast(n_distinct AS DOUBLE) / n_tokens) * 0.4 +
         |        least((cast(en_hits AS DOUBLE) / n_distinct) * 5.0, 1.0) * 0.3, 6) AS score
         |FROM h""".stripMargin,
+
+    // Quality gate: every rule is integer arithmetic (cross-multiplied
+    // ratios), so the booleans are engine-exact — no FP threshold.
+    "q_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        |), h AS (
+        |  SELECT doc_id, text, t,
+        |    len(t) AS n, len(list_distinct(t)) AS d,
+        |    len(list_filter(['the','and','of','to','in','is','with','for'],
+        |        m -> list_contains(list_distinct(t), m))) AS stops,
+        |    list_max(list_transform(list_distinct(t),
+        |        x -> len(list_filter(t, y -> y = x)))) AS m,
+        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])
+        |    END AS g3
+        |  FROM t
+        |), r AS (
+        |  SELECT doc_id, cast(n AS BIGINT) AS n_tokens,
+        |    n BETWEEN 15 AND 5000 AS len_ok,
+        |    d * 5 >= n * 2 AS diversity_ok,
+        |    stops >= 1 AS stop_ok,
+        |    m * 5 <= n AS toptok_ok,
+        |    (len(g3) - len(list_distinct(g3))) * 50 <= len(g3) AS rep_ok
+        |  FROM h
+        |)
+        |SELECT doc_id, n_tokens, len_ok, diversity_ok, stop_ok, toptok_ok,
+        |       rep_ok,
+        |       len_ok AND diversity_ok AND stop_ok AND toptok_ok AND rep_ok
+        |         AS keep
+        |FROM r""".stripMargin,
 
     "q_lang_id" -> {
       val hitExprs = TextCols.LangMarkers.map { case (lang, ms) =>

@@ -200,6 +200,38 @@ object CorpusOps {
     }
   }
 
+  /** Gopher-style composite quality GATE — the actionable counterpart of
+    * the q_quality score (analysis -> action, like spanOwnership ->
+    * spanRewrite): per document, one boolean per rule plus the combined
+    * keep decision. Every rule is an INTEGER cross-multiplied comparison
+    * (5*d >= 2*n instead of d/n >= 0.4), so both engines evaluate the
+    * boundary exactly — no FP threshold to probe, no reachable-rational
+    * risk. Rule constants are fixture-calibrated so each rule passes AND
+    * fails somewhere (non-vacuous at both gate SFs).
+    *
+    * Pure per-row Catalyst (no shuffle, codegen end-to-end); the rules:
+    * length window, lexical diversity >= 0.4, >= 1 English stopword,
+    * top-token fraction <= 0.2, duplicate-3-gram fraction <= 0.02. */
+  def qualityGate(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val n = TextCols.tokenCount(t).cast("long")
+    val d = size(TextCols.distinctTokens(t)).cast("long")
+    val stops = TextCols.markerHits(t, TextCols.LangMarkers.head._2).cast("long")
+    val m = TextCols.maxTokenCount(t).cast("long")
+    val g3 = size(shingles(t, 3)).cast("long")
+    val g3d = size(array_distinct(shingles(t, 3))).cast("long")
+    val lenOk = n.between(15L, 5000L)
+    val divOk = d * 5 >= n * 2
+    val stopOk = stops >= 1
+    val topOk = m * 5 <= n
+    val repOk = (g3 - g3d) * 50 <= g3
+    docs.select(col(idCol), n.as("n_tokens"),
+      lenOk.as("len_ok"), divOk.as("diversity_ok"), stopOk.as("stop_ok"),
+      topOk.as("toptok_ok"), repOk.as("rep_ok"),
+      (lenOk && divOk && stopOk && topOk && repOk).as("keep"))
+  }
+
   /** Deterministic training-order shuffle: every document gets a stable
     * 1-based global rank in md5-random order ((hash, id) total order —
     * reproducible across runs, engines, and cluster sizes, unlike an

@@ -311,6 +311,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byId(8003L)._3 > 0 && byId(8003L)._3 < 7, "partial overlap must lose its stolen prefix only")
   }
 
+  test("qualityGate == brute-force integer rules; every rule non-vacuous") {
+    import spark.implicits._
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val stops = Set("the", "and", "of", "to", "in", "is", "with", "for")
+    def rules(text: String): (Long, Boolean, Boolean, Boolean, Boolean, Boolean) = {
+      val t = text.split(" ", -1)
+      val n = t.length.toLong
+      val dset = t.distinct
+      val d = dset.length.toLong
+      val st = dset.count(stops).toLong
+      val m = dset.map(x => t.count(_ == x)).max.toLong
+      val g3 = if (t.length < 3) Seq(text.replace(' ', '_'))
+        else t.sliding(3).map(_.mkString("_")).toSeq
+      val rep = (g3.size - g3.distinct.size).toLong * 50 <= g3.size
+      (n, n >= 15 && n <= 5000, d * 5 >= n * 2, st >= 1, m * 5 <= n, rep)
+    }
+    val want = all.map { case (id, text) =>
+      val (n, a, b, c, dd, e) = rules(text)
+      (id, n, a, b, c, dd, e, a && b && c && dd && e)
+    }.toSet
+    val got = CorpusOps.qualityGate(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7))).toSet
+    assert(got == want)
+    // calibration holds: each rule both passes and fails somewhere, and
+    // the combined gate actually splits the corpus
+    for ((idx, nm) <- Seq(3 -> "len", 4 -> "div", 5 -> "stop", 6 -> "top", 7 -> "rep")) {
+      val vals = want.map(_.productElement(idx - 1).asInstanceOf[Boolean])
+      assert(vals.size == 2, s"rule $nm vacuous (all ${vals.head})")
+    }
+    assert(want.map(_._8).size == 2, "combined gate vacuous")
+  }
+
   test("shuffleRank == driver-side (hash, id) sort; dense, 1-based, deterministic") {
     import spark.implicits._
     // many partitions so per-partition offsets genuinely compose
