@@ -130,6 +130,43 @@ object StreamOps {
       .dropDuplicates("rid", "sid")
   }
 
+  final case class DedupVerdict(docId: Long, keeper: Long, isDup: Boolean)
+  final case class DedupState(keeper: Long)
+
+  /** Incremental exact dedup — the in-flight twin of
+    * [[graft.operators.Dedup.exactDedup]]: every arriving document gets a
+    * verdict the moment it lands (keep, or duplicate-of-keeper), keyed by
+    * the same canonical md5 fingerprint. State per distinct content is
+    * ONE long (the keeper id) — unlike the near-dup operator there is no
+    * per-document state growth, so unbounded retention is safe at any
+    * corpus size.
+    *
+    * Keeper semantics: first-seen wins, ties within a micro-batch break
+    * to the lowest id. When ids arrive in ascending order (the usual
+    * ingestion contract) the keeper set is identical to the batch
+    * operator's min-id keepers (spec-checked). */
+  def streamingExactDedup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(
+        graft.functions.TextCols.fingerprint(col("text")).as("fp"),
+        col("doc_id").cast("long").as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DedupState, DedupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[DedupState]) =>
+          var keeper = state.getOption.map(_.keeper).getOrElse(-1L)
+          val out = scala.collection.mutable.ArrayBuffer[DedupVerdict]()
+          rows.toSeq.sortBy(_._2).foreach { case (_, id) =>
+            if (keeper < 0L) { keeper = id; out += DedupVerdict(id, id, false) }
+            else out += DedupVerdict(id, keeper, true)
+          }
+          state.update(DedupState(keeper))
+          out.iterator
+      }
+      .toDF("doc_id", "keeper", "is_dup")
+  }
+
   /** Stream-stream event-time interval join: pairs of (left, right)
     * events sharing `keyCol` within `deltaSec` of each other — the
     * streaming twin of EventOps.rangeJoin, expressed with Spark's native

@@ -97,6 +97,39 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.forall { case (r, s, _) => r < s })
   }
 
+  test("streaming exact dedup: one verdict per doc, keepers match the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // exact duplicates up to case/whitespace (the fingerprint convention),
+    // arriving id-ordered across micro-batches so first-seen == min-id
+    val texts = Seq(
+      1L -> "alpha beta gamma", 2L -> "delta epsilon", 3L -> "ALPHA  beta   GAMMA",
+      4L -> "unique content here", 5L -> "delta epsilon", 6L -> "alpha beta gamma")
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val verdicts = StreamOps.streamingExactDedup(spark, stream)
+    val query = verdicts.writeStream.format("memory").queryName("exactdedup")
+      .outputMode("append").start()
+    mem.addData(texts.take(3): _*)
+    query.processAllAvailable()
+    mem.addData(texts.drop(3): _*)
+    query.processAllAvailable()
+    val streamed = spark.sql("select * from exactdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    query.stop()
+    assert(streamed.length == texts.length, "exactly one verdict per document")
+    // dup 3 (case/whitespace variant of 1) and dups 5, 6 point at their keepers
+    val byId = streamed.map(t => t._1 -> t).toMap
+    assert(byId(3L) == ((3L, 1L, true)) && byId(5L) == ((5L, 2L, true)) &&
+      byId(6L) == ((6L, 1L, true)))
+    assert(!byId(1L)._3 && !byId(2L)._3 && !byId(4L)._3)
+    // keeper set == the batch operator's min-id keepers
+    val batchKeepers = graft.operators.Dedup.exactDedup(texts.toDF("doc_id", "text"))
+      .collect().map(_.getLong(1)).toSet
+    val streamKeepers = streamed.filter(!_._3).map(_._1).toSet
+    assert(streamKeepers == batchKeepers)
+  }
+
   test("streaming interval join emits exactly the batch rangeJoin pair set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
