@@ -82,21 +82,38 @@ object Dedup {
     val toks = CorpusOps.widen(docs).select(col(idCol).as("id"),
       sort_array(TextCols.distinctTokens(col(textCol))).as("key"))
       .withColumn("fp", md5(concat_ws(" ", col("key"))))
+    // One row per DISTINCT set, with the representative's token array
+    // riding as a first() value — bounded by DOCUMENT size. No state here
+    // scales with duplicate-family size: member ids live as (id, gid)
+    // assignment rows (below), never as one collected array — a 10^7-member
+    // boilerplate family is 10^7 16-byte rows spread across tasks, not one
+    // ~80 MB row on one executor.
     val groups = toks.groupBy(col("fp"))
-      .agg(collect_list(col("id")).as("members"), min(col("id")).as("gid"),
-        first(col("key")).as("key"))
+      .agg(min(col("id")).as("gid"), first(col("key")).as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every persist below registers in `pinned`; the catch frees them if
     // any action throws mid-call (the success paths free their own via
     // materializeAndFree; unpersist is idempotent so double-free is safe)
     val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](groups)
     try {
+      // (id, gid) assignment rows — the connectedComponents output shape.
+      // Used three times (intra pairs + both expansion joins): persist.
+      val assign = toks.select(col("id"), col("fp"))
+        .join(groups.select(col("fp"), col("gid")), "fp")
+        .select(col("id"), col("gid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += assign
 
-      // intra-group pairs: identical sets, J = 1 >= tau always
-      val intra = groups.select(col("members"))
-        .select(explode(col("members")).as("rid"), col("members"))
-        .select(col("rid"), explode(col("members")).as("sid"))
-        .filter(col("rid") < col("sid"))
+      // intra-group pairs: identical sets, J = 1 >= tau always. A gid-keyed
+      // self-join (sort-merge, spillable buffered side) instead of an
+      // array explode, so the inherent m^2 pair output of a duplicate
+      // family streams out of a join rather than materializing from a
+      // single row's task. Callers who only need family structure should
+      // use exactDedup / connectedComponents (q_dedup_clusters) — the
+      // PAIR contract is quadratic in family size by definition.
+      val intra = assign.as("a").join(assign.as("b"),
+          col("a.gid") === col("b.gid") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("rid"), col("b.id").as("sid"))
         .withColumn("jaccard", lit(1.0))
 
       // inter-group: prefix-filter join over DISTINCT sets. Sets order their
@@ -142,7 +159,8 @@ object Dedup {
           .withColumn("jaccard", interBits / unionBits)
           .filter(col("jaccard") >= tau)
           .select(col("gid").as("ga"), col("gb"), col("jaccard"))
-        return materializeAndFree(expandGroupPairs(intra, interSets, groups), groups, dfreq)
+        return materializeAndFree(expandGroupPairs(intra, interSets, assign),
+          groups, assign, dfreq)
       }
       val tokRanks = sets.select(col("id"), explode(col("toks")).as("tok"))
         .join(dfreq, "tok")
@@ -177,7 +195,8 @@ object Dedup {
         .filter(col("jaccard") >= tau)
         .select(col("ga"), col("gb"), col("jaccard"))
 
-      materializeAndFree(expandGroupPairs(intra, interSets, groups), groups, tokRanks, dfreq)
+      materializeAndFree(expandGroupPairs(intra, interSets, assign),
+        groups, assign, tokRanks, dfreq)
     } catch {
       case t: Throwable =>
         pinned.foreach(_.unpersist(false))
@@ -185,18 +204,14 @@ object Dedup {
     }
   }
 
-  /** Expand qualifying (set, set) pairs to document pairs via member-list
-    * joins + explodes (no per-pair math), union with intra-set pairs. */
+  /** Expand qualifying (set, set) pairs to document pairs via two
+    * gid-keyed equijoins against the (id, gid) assignment rows (no
+    * per-pair math, no member arrays), union with intra-set pairs. */
   private def expandGroupPairs(intra: DataFrame, interSets: DataFrame,
-                               groups: DataFrame): DataFrame = {
-    val membersByGid = groups.select(col("gid"), col("members"))
+                               assign: DataFrame): DataFrame = {
     val inter2 = interSets
-      .join(membersByGid.withColumnRenamed("gid", "ga")
-        .withColumnRenamed("members", "ma"), "ga")
-      .join(membersByGid.withColumnRenamed("gid", "gb")
-        .withColumnRenamed("members", "mb"), "gb")
-      .select(explode(col("ma")).as("ida"), col("mb"), col("jaccard"))
-      .select(col("ida"), explode(col("mb")).as("idb"), col("jaccard"))
+      .join(assign.select(col("gid").as("ga"), col("id").as("ida")), "ga")
+      .join(assign.select(col("gid").as("gb"), col("id").as("idb")), "gb")
       .select(least(col("ida"), col("idb")).as("rid"),
         greatest(col("ida"), col("idb")).as("sid"), col("jaccard"))
     intra.select(col("rid"), col("sid"), col("jaccard"))
@@ -480,18 +495,21 @@ object Dedup {
     val nBands = maxHamming + 1
     val width = 64 / nBands
     // dedup-first: identical signatures collapse; all banding and Hamming
-    // math runs on distinct signatures only, then expands back
+    // math runs on distinct signatures only, then expands back. The
+    // (id, sim) assignment rows are the ONLY id-side state — never a
+    // collected member array, so no single row scales with the largest
+    // duplicate family (the pair OUTPUT is inherently m^2 per family;
+    // the sim-keyed joins below at least stream it out distributed).
     val sigs = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, simhash64(text)) }
       .toDF("id", "sim")
-    val groups = sigs.groupBy(col("sim"))
-      .agg(sort_array(collect_list(col("id"))).as("members"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val intra = groups.select(col("members"))
-      .select(explode(col("members")).as("rid"), col("members"))
-      .select(col("rid"), explode(col("members")).as("sid"))
-      .filter(col("rid") < col("sid"))
+    val groups = sigs.select(col("sim")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val intra = sigs.as("a").join(sigs.as("b"),
+        col("a.sim") === col("b.sim") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("rid"), col("b.id").as("sid"))
       .withColumn("hamming", lit(0))
     val banded = groups.select(col("sim"), explode(array(
       (0 until nBands).map { b =>
@@ -509,17 +527,13 @@ object Dedup {
       .withColumn("hamming", bit_count(col("simA").bitwiseXOR(col("simB"))))
       .filter(col("hamming") <= maxHamming)
     val inter = simPairs
-      .join(groups.withColumnRenamed("sim", "simA")
-        .withColumnRenamed("members", "ma"), "simA")
-      .join(groups.withColumnRenamed("sim", "simB")
-        .withColumnRenamed("members", "mb"), "simB")
-      .select(explode(col("ma")).as("ida"), col("mb"), col("hamming"))
-      .select(col("ida"), explode(col("mb")).as("idb"), col("hamming"))
+      .join(sigs.select(col("sim").as("simA"), col("id").as("ida")), "simA")
+      .join(sigs.select(col("sim").as("simB"), col("id").as("idb")), "simB")
       .select(least(col("ida"), col("idb")).as("rid"),
         greatest(col("ida"), col("idb")).as("sid"), col("hamming"))
     materializeAndFree(
       intra.select(col("rid"), col("sid"), col("hamming")).union(inter),
-      groups)
+      sigs, groups)
   }
 
   /** Embedding near-duplicates: random-hyperplane LSH buckets (sign

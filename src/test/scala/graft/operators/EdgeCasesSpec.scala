@@ -149,6 +149,45 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(sampled == want)
   }
 
+  test("dedup survives one mega duplicate family without family-sized rows") {
+    // The round-6 flag: collect_list member arrays put one row's size in
+    // proportion to the largest duplicate family. The fix keeps all
+    // family state as (id, gid) assignment ROWS, so no single row scales
+    // with family size. Pair OUTPUT is inherently m^2 per family — that
+    // is the pair contract, and the group-level APIs (exactDedup /
+    // connectedComponents, q_dedup_clusters) are the 100 TB path for
+    // mega-families. Tested accordingly:
+    //  - 100k-member family through the GROUP-level path: O(1) output;
+    //  - 4k-member family (~8M pairs) through BOTH pair operators: the
+    //    quadratic expansion now streams from a distributed gid-keyed
+    //    self-join, never from one collected row.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val mega = (1L to 100000L).map(i => (i, "dup boiler plate text"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactDedup(mega).collect()
+    assert(g.length == 1 && g.head.getLong(1) == 1L && g.head.getLong(2) == 100000L)
+
+    val m = 4000L
+    val fam = (1L to m).map(i => (i, "alpha beta gamma delta")) ++
+      Seq((m + 1L, "alpha beta gamma epsilon"), (m + 2L, "zeta eta theta iota"))
+    val docs = fam.toDF("doc_id", "text")
+    val jp = Dedup.jaccardJoin(docs, 0.6)
+    // C(m,2) intra pairs at J=1 + m inter pairs (family vs m+1, J=3/5)
+    val wantIntra = m * (m - 1) / 2
+    val byJ = jp.groupBy(col("jaccard")).count().collect()
+      .map(r => (math.round(r.getDouble(0) * 1e6), r.getLong(1))).toMap
+    assert(byJ(1000000L) == wantIntra, s"intra: ${byJ.get(1000000L)}")
+    assert(byJ(600000L) == m, s"inter: ${byJ.get(600000L)}")
+    assert(jp.count() == wantIntra + m)
+    jp.unpersist()
+
+    val sh = Dedup.simhashDedup(spark, docs, maxHamming = 0)
+    assert(sh.count() == wantIntra) // identical text = hamming 0
+    sh.unpersist()
+  }
+
   test("mrsim with more pivots than records") {
     val rnd = new scala.util.Random(9)
     val hists = df((1L to 6L).map(i => (i, Array.fill(8)(rnd.nextDouble()))))
