@@ -53,10 +53,25 @@ object SparkEntry {
     * Gated by -Dgraft.crosscheck=off: Bench disables it so per-query
     * timings keep measuring ONE engine (the witness is a correctness
     * assertion, not part of the operator's work); Verify never sets the
-    * property, so the correctness gate always runs the assertion. */
+    * property, so the correctness gate always runs the assertion. The
+    * property is read per call as the DEFAULT of `enabled` — specs pass
+    * the flag explicitly instead of mutating the process-global property
+    * (suites share one forked JVM and run in parallel).
+    *
+    * `audit` runs after pair-set equality passes: the solver-independent
+    * distance check ([[simplexAudit3d]]). The pair-set witness alone
+    * cannot catch a regression in the shared SSP kernel (both engines
+    * compute final distances with `Emd.exact` — MelodyJoin.scala:379,
+    * EmdJoins.scala:231); the audit recomputes every survivor distance
+    * with the commons-math3 simplex formulation, which shares no solver
+    * code, restoring the reference's promise of answer-equivalent
+    * INDEPENDENT engines (Join.java:42-131). */
   private[graft] def crossCheckPairs(primary: DataFrame, witness: => DataFrame,
-                                     label: String): DataFrame = {
-    if (sys.props.getOrElse("graft.crosscheck", "on") != "off") {
+                                     label: String,
+                                     enabled: Boolean =
+                                       sys.props.getOrElse("graft.crosscheck", "on") != "off",
+                                     audit: DataFrame => Unit = _ => ()): DataFrame = {
+    if (enabled) {
       def canon(df: DataFrame): DataFrame = df.select(
         least(col("rid"), col("sid")).as("a"),
         greatest(col("rid"), col("sid")).as("b"),
@@ -67,8 +82,43 @@ object SparkEntry {
       require(diff.isEmpty,
         s"$label: cross-engine pair-set mismatch (primary vs witness): " +
           diff.map(_.toString).mkString("; "))
+      audit(primary)
     }
     primary
+  }
+
+  /** Solver-independent distance audit for the 3-D LP rows: joins each
+    * survivor pair back to its histograms and recomputes the distance on
+    * executors with [[graft.core.Emd.exactSimplex]] (commons-math3
+    * SimplexSolver over the reference's exact constraint formulation,
+    * utils/DistanceUtil.java:112-146) — zero code shared with the SSP
+    * kernel. Tolerance 2e-6 covers the 6-decimal output rounding (5e-7)
+    * plus simplex epsilon; a real solver regression moves distances by
+    * orders of magnitude more (CrossCheckSpec seeds one). Gate-scale
+    * only (~1.4k survivor pairs at sf0.01, 8-bin LPs): runs inside
+    * Verify, never in Bench (same `enabled` gate as the witness). */
+  private[graft] def simplexAudit3d(hists: DataFrame, label: String)
+                                   (pairs: DataFrame): Unit = {
+    val h = hists.select(col("id"), col("weights"))
+    val joined = pairs
+      .join(h.select(col("id").as("rid"), col("weights").as("wa")), "rid")
+      .join(h.select(col("id").as("sid"), col("weights").as("wb")), "sid")
+      .select(col("rid").cast("long"), col("sid").cast("long"),
+        col("dist").cast("double"), col("wa"), col("wb"))
+    val bad = joined.rdd.flatMap { row =>
+      val d = row.getDouble(2)
+      val wa = row.getSeq[Double](3).toArray
+      val wb = row.getSeq[Double](4).toArray
+      val sx = graft.core.Emd.exactSimplex(wa, wb,
+        Fixtures.Dim3, Fixtures.Bins3d, graft.core.GroundDist.L2)
+      if (math.abs(d - sx) > 2e-6)
+        Some((row.getLong(0), row.getLong(1), d, sx))
+      else None
+    }.take(5)
+    require(bad.isEmpty,
+      s"$label: simplex audit mismatch (engine dist vs independent simplex): " +
+        bad.map { case (r, sd, d, sx) => s"($r,$sd) engine=$d simplex=$sx" }
+          .mkString("; "))
   }
 
   /** 1-D melody config: with integer bins and one identity vector, exact
@@ -230,7 +280,8 @@ object SparkEntry {
         MelodyJoin.thresholdJoinPrepared(s, prep, Theta3d, melodyCfg3d)
           .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
         EmdJoins.treeExact3dThresholdJoin(hists, Theta3d),
-        "q_emd3d_pairs")
+        "q_emd3d_pairs",
+        audit = simplexAudit3d(hists, "q_emd3d_pairs"))
     }),
 
     // --- tree-exact 3-D engine (FlowTree-style: banded tree candidates
@@ -244,7 +295,8 @@ object SparkEntry {
           .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
         MelodyJoin.thresholdJoinPrepared(s,
           MelodyJoin.prepareCached(s, hists, melodyCfg3d), Theta3d, melodyCfg3d),
-        "q_treeexact3d_pairs")
+        "q_treeexact3d_pairs",
+        audit = simplexAudit3d(hists, "q_treeexact3d_pairs"))
     }),
 
     // --- 3-D exact EMD top-k (J2/A7; shares the cached engine state;
@@ -258,7 +310,8 @@ object SparkEntry {
         MelodyJoin.topKJoinPrepared(s, prep, TopK, melodyCfg3d)
           .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
         EmdJoins.treeExact3dTopK(hists, TopK),
-        "q_emd3d_topk")
+        "q_emd3d_topk",
+        audit = simplexAudit3d(hists, "q_emd3d_topk"))
     }),
 
     // --- generator-analog pipeline (S8 -> J1): binary payload -> byte

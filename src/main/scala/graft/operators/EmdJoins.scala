@@ -189,8 +189,15 @@ object EmdJoins {
     * discard whole regions before any per-pair work.
     *
     * Input hists must be L1-normalized (id, weights[8]) on the
-    * `Fixtures.Bins3d` corner bins. */
-  def treeExact3dThresholdJoin(hists: DataFrame, theta: Double): DataFrame = {
+    * `Fixtures.Bins3d` corner bins.
+    *
+    * `solver` exists ONLY so CrossCheckSpec can seed a solver fault and
+    * prove the simplex audit catches a regression both engines would
+    * otherwise agree on (they share Emd.exact); production callers never
+    * pass it. */
+  def treeExact3dThresholdJoin(hists: DataFrame, theta: Double,
+      solver: (Array[Double], Array[Double], Array[Double]) => Double =
+        graft.core.Emd.exact): DataFrame = {
     import org.apache.spark.sql.Row
     val spark = hists.sparkSession
     import spark.implicits._
@@ -228,7 +235,7 @@ object EmdJoins {
         graft.sources.Fixtures.Bins3d, graft.sources.Fixtures.Dim3,
         graft.core.GroundDist.L2)
       it.flatMap { case (ra, wa, rb, wb) =>
-        val d = graft.core.Emd.exact(wa, wb, cost)
+        val d = solver(wa, wb, cost)
         if (d <= theta) Some((ra, rb, d)) else None
       }
     }.toDF("rid", "sid", "dist")

@@ -50,14 +50,54 @@ class CrossCheckSpec extends AnyFunSuite {
     }
   }
 
-  test("crosscheck=off skips the witness (bench mode)") {
+  test("crosscheck disabled skips the witness (bench mode)") {
+    // enabled is passed explicitly: Bench/Verify resolve the
+    // -Dgraft.crosscheck property at their entry points; mutating the
+    // process-global property here would race parallel suites in the
+    // shared forked test JVM
     val p = pairsDf(Seq((1L, 2L, 0.25)))
     val bad = pairsDf(Seq((9L, 10L, 0.9)))
-    System.setProperty("graft.crosscheck", "off")
-    try {
-      val out = SparkEntry.crossCheckPairs(p, bad, "spec")
-      assert(out.count() == 1)
-    } finally System.clearProperty("graft.crosscheck")
+    val out = SparkEntry.crossCheckPairs(p, bad, "spec", enabled = false)
+    assert(out.count() == 1)
+  }
+
+  test("a solver regression shared by BOTH engines fails the simplex audit") {
+    // Both 3-D engines compute final distances with the same SSP kernel
+    // (Emd.exact), so a solver fault leaves the pair-set witness in
+    // silent agreement — the simplex audit (independent commons-math3
+    // formulation, zero shared solver code) is what must catch it. Run
+    // the real tree-exact engine with a 0.1%-scaled solver as BOTH
+    // primary and witness: pair sets match, every nonzero distance is
+    // wrong, the audit must throw.
+    import spark.implicits._
+    val rnd = new Random(47)
+    // perturbation pairs: each base hist gets a lightly-noised twin, so
+    // survivor pairs at theta=0.05 are guaranteed and their distances
+    // (~1e-2) make the 1% solver fault ~1e-4 — far above the audit's
+    // 2e-6 tolerance
+    val hists = (0 until 30).flatMap { i =>
+      val w = Array.fill(8)(0.2 + rnd.nextDouble())
+      val w2 = w.map(x => x + 0.05 * rnd.nextDouble())
+      Seq((2L * i, graft.core.HistOps.normalize(w)),
+        (2L * i + 1, graft.core.HistOps.normalize(w2)))
+    }.toDF("id", "weights")
+    val theta = 0.05
+    val faulty: (Array[Double], Array[Double], Array[Double]) => Double =
+      (a, b, c) => graft.core.Emd.exact(a, b, c) * 1.01
+    val bad = graft.operators.EmdJoins
+      .treeExact3dThresholdJoin(hists, theta, solver = faulty)
+      .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+    assert(bad.count() > 0, "fixture must produce survivor pairs")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.crossCheckPairs(bad, bad, "spec-solver-fault",
+        enabled = true, audit = SparkEntry.simplexAudit3d(hists, "spec-solver-fault"))
+    }
+    assert(e.getMessage.contains("simplex audit mismatch"))
+    // and the healthy solver passes the same audit end-to-end
+    val good = graft.operators.EmdJoins.treeExact3dThresholdJoin(hists, theta)
+      .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+    SparkEntry.crossCheckPairs(good, good, "spec-solver-ok",
+      enabled = true, audit = SparkEntry.simplexAudit3d(hists, "spec-solver-ok"))
   }
 
   test("tree-exact 3-D top-k == melody 3-D top-k on random histograms") {
