@@ -301,12 +301,21 @@ object CorpusOps {
     * shingles it owns vs duplicates of earlier documents (dup_frac = the
     * fraction a span-dedup pass would remove). Shapes: distinct postings
     * (ids only), a gram-keyed min aggregation, and one id-keyed count —
-    * all map-side-combined shuffles, no driver-side data. */
+    * all map-side-combined shuffles, no driver-side data.
+    *
+    * @param maxDf optional hot-gram cap (0 = uncapped): grams appearing in
+    *        more than this many documents leave the analysis entirely
+    *        (neither n_shingles nor dup evidence) — the decontaminationJoin
+    *        boilerplate mitigation, here for the gram-keyed join's skew:
+    *        a navigation-chrome gram in 10M docs is one join key carrying
+    *        10M posting rows. Identical output when no gram exceeds the
+    *        cap (spec-checked); the hot set is tiny, so the anti-join
+    *        broadcasts under AQE. */
   def spanOwnership(docs: DataFrame, n: Int, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
-    val postings = widen(docs)
+                    textCol: String = "text", maxDf: Int = 0): DataFrame = {
+    val postings = capHotGrams(widen(docs)
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("gram"))
-      .distinct()
+      .distinct(), maxDf)
     val owners = postings.groupBy(col("gram")).agg(min(col("id")).as("owner"))
     postings.join(owners, "gram")
       .groupBy(col("id"))
@@ -326,35 +335,58 @@ object CorpusOps {
     * position (shingles() convention), so a short duplicate empties.
     *
     * Shapes: ownership is the same ids-only gram-keyed min aggregation as
-    * spanOwnership; each document then receives its non-owned grams back
-    * as ONE array value (bounded by the doc's own distinct-gram count) and
-    * the rewrite itself is pure per-row Catalyst — token array and shingle
-    * array bound once per row (no re-tokenization inside lambdas), no
-    * further shuffle, and the text column never enters the ownership
-    * exchange. */
+    * spanOwnership, but over POSITIONED occurrences (posexplode): each
+    * document receives back only the 0-based START POSITIONS of its
+    * non-owned shingle occurrences as ONE int array (bounded by the doc's
+    * own shingle count), and the rewrite itself is pure per-row Catalyst —
+    * no further shuffle, and the text column never enters the ownership
+    * exchange. Kept token indices are computed as
+    * array_except(all indices, union of covered ranges): array_except
+    * hashes its second argument (OpenHashSet), so the subtraction is
+    * O(tokens + n·|dup_starts|) per row — linear in doc length even when
+    * every shingle is a duplicate. (Two prior shapes were quadratic on a
+    * fully-duplicated doc: a per-start array_contains scan of the doc's
+    * dup-gram set, and its map_from_arrays replacement — Spark map
+    * lookups are LINEAR scans over ArrayBasedMapData, not hash probes.
+    * Measured evidence in PLANS.md.)
+    *
+    * @param maxDf optional hot-gram cap (0 = uncapped), as in
+    *        [[spanOwnership]]: capped grams are chrome — they never enter
+    *        the dup set, so the tokens they cover survive unless another
+    *        non-owned gram covers them. Identical output when no gram
+    *        exceeds the cap (spec-checked). */
   def spanRewrite(docs: DataFrame, n: Int, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
-    val grams = widen(docs)
+                  textCol: String = "text", maxDf: Int = 0): DataFrame = {
+    val occ = widen(docs)
       .select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), n))).as("gram"))
-    val owners = grams.groupBy(col("gram")).agg(min(col("id")).as("owner"))
-    val dups = grams.join(owners, "gram")
+        posexplode(shingles(col(textCol), n)).as(Seq("b0", "gram")))
+    // doc-frequency for the cap is over distinct (id, gram), not
+    // occurrences — a gram repeated inside one doc counts once
+    val occCapped =
+      if (maxDf <= 0) occ
+      else occ.join(hotGrams(occ.select(col("id"), col("gram")).distinct(), maxDf),
+        Seq("gram"), "left_anti")
+    val owners = occCapped.groupBy(col("gram")).agg(min(col("id")).as("owner"))
+    val dups = occCapped.join(owners, "gram")
       .filter(col("owner") =!= col("id"))
-      .groupBy(col("id")).agg(collect_list(col("gram")).as("dups"))
+      .groupBy(col("id")).agg(collect_list(col("b0")).as("dup_starts"))
     val withDups = widen(docs)
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .join(dups, Seq("id"), "left")
-      .withColumn("dups", coalesce(col("dups"), array().cast("array<string>")))
-    // token i (1-based) is covered by shingle starts [max(i-n+1,1),
-    // min(i, numShingles)]; it survives iff none of those starts carries a
-    // non-owned gram. Short docs have one whole-text shingle and the same
-    // bounds collapse to [1, 1].
+      .withColumn("dup_starts",
+        coalesce(col("dup_starts"), array().cast("array<int>")))
+    // start b0 (0-based) covers tokens [b0+1, b0+n] (1-based); a token
+    // survives iff no non-owned start covers it. Short docs have one
+    // whole-text shingle at b0=0 covering [1, n] — indices past the last
+    // token are harmless (array_except ignores absent values). Token
+    // array bound once per row via the 1-element transform.
     val kept = flatten(transform(array(TextCols.tokens(col("text"))), t =>
-      flatten(transform(array(shingles(col("text"), n)), sh =>
-        filter(t, (_, i0) =>
-          !exists(sequence(greatest(i0 + (2 - n), lit(1)),
-              least(i0 + 1, size(sh))),
-            b => array_contains(col("dups"), element_at(sh, b))))))))
+      when(size(t) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          array_except(sequence(lit(1), size(t)),
+            flatten(transform(col("dup_starts"),
+              b0 => sequence(b0 + 1, b0 + lit(n))))),
+          i => element_at(t, i)))))
     withDups.select(col("id").as(idCol),
       size(TextCols.tokens(col("text"))).cast("long").as("n_tokens"),
       size(kept).cast("long").as("n_kept"),
@@ -450,17 +482,28 @@ object CorpusOps {
     def postings(df: DataFrame, out: String) = widen(df)
       .select(col(idCol).as(out), explode(shingles(col(textCol), n)).as("gram"))
       .distinct()
-    val tp = postings(train, "train_id")
-    val tpCapped = if (maxTrainDf > 0) {
-      val hot = tp.groupBy(col("gram"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxTrainDf)
-        .select(col("gram"))
-      tp.join(hot, Seq("gram"), "left_anti")
-    } else tp
-    tpCapped
+    capHotGrams(postings(train, "train_id"), maxTrainDf)
       .join(postings(eval, "eval_id"), "gram")
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Shared hot-gram df-cap: drop grams present in more than `maxDf`
+    * input rows' documents (0 = no-op). The hot set is the boilerplate
+    * tail — tiny, so the anti-join broadcasts under AQE; dropping it
+    * bounds every downstream gram-keyed join key's fan-out. `postings`
+    * must be (idLikeCol, gram)-distinct so the count is a document
+    * frequency. */
+  private def capHotGrams(postings: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf <= 0) postings
+    else postings.join(hotGrams(postings, maxDf), Seq("gram"), "left_anti")
+
+  /** The grams present in more than `maxDf` rows of `distinctPostings`
+    * (which must be (idLike, gram)-distinct so the count is a document
+    * frequency). */
+  private def hotGrams(distinctPostings: DataFrame, maxDf: Int): DataFrame =
+    distinctPostings.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("gram"))
 }

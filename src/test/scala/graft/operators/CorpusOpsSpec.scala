@@ -311,6 +311,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byId(8003L)._3 > 0 && byId(8003L)._3 < 7, "partial overlap must lose its stolen prefix only")
   }
 
+  test("span maxDf cap: identity when unexceeded, hot grams leave the analysis") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hot hot hot uniq1 uniq2 uniq3"),
+      (2L, "hot hot hot uniq4 uniq5 uniq6"),
+      (3L, "hot hot hot uniq7 uniq8 uniq9")).toDF("doc_id", "text")
+    // hot_hot_hot has df=3; every other gram df=1
+    def ownRows(maxDf: Int) = CorpusOps.spanOwnership(df, 3, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def rewRows(maxDf: Int) = CorpusOps.spanRewrite(df, 3, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(ownRows(3) == ownRows(0), "cap above max df must not change ownership")
+    assert(rewRows(3) == rewRows(0), "cap above max df must not change rewrite")
+    // cap=2 drops hot_hot_hot: docs 2/3 no longer carry any dup evidence
+    // (their only shared gram is capped), so every token survives
+    val capped = rewRows(2).toMap
+    assert(capped(2L) == "hot hot hot uniq4 uniq5 uniq6")
+    assert(capped(3L) == "hot hot hot uniq7 uniq8 uniq9")
+    // uncapped, the shared hot gram kills docs 2/3's covered prefix
+    val uncapped = rewRows(0).toMap
+    assert(uncapped(2L) == "uniq4 uniq5 uniq6" && uncapped(3L) == "uniq7 uniq8 uniq9")
+    // ownership with cap=2: the capped gram is in neither n_shingles nor
+    // dup evidence
+    val own = ownRows(2).map(t => t._1 -> t).toMap
+    assert(own(2L)._2 == 3L && own(2L)._3 == 3L, s"got ${own(2L)}")
+  }
+
+  test("spanRewrite is not quadratic in a fully-duplicated long doc") {
+    import spark.implicits._
+    // 20k-token doc duplicated: ~20k dup starts and every token has a
+    // covering dup gram. The position-based array_except subtraction is
+    // O(tokens + n*|dup_starts|) per row; both earlier shapes (per-start
+    // array_contains over the dup-gram set; its map_from_arrays variant —
+    // Spark map lookups are linear scans) were O(tokens * n * |dups|)
+    // ~ 1.2G comparisons in this fixture (measured evidence in PLANS.md).
+    val text = (0 until 20000).map(i => s"w${i % 19997}").mkString(" ")
+    val df = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val got = CorpusOps.spanRewrite(df, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3).isEmpty)).toSet
+    assert(got == Set((1L, 20000L, 20000L, false), (2L, 20000L, 0L, true)))
+  }
+
   test("qualityGate == brute-force integer rules; every rule non-vacuous") {
     import spark.implicits._
     val all = docs.select("doc_id", "text").as[(Long, String)].collect()
