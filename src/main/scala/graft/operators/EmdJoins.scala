@@ -246,27 +246,26 @@ object EmdJoins {
   }
 
   /** Top-k closest pairs by exact 3-D LP-EMD through the tree-exact
-    * engine: the sampled k-th exact distance (driver-side LP over a
-    * deterministic sample, same D14 shape as [[MelodyJoin.topKJoinPrepared]])
-    * is a valid global upper bound, [[treeExact3dThresholdJoin]] runs at
-    * that radius, and the global bounded-heap top-k takes over. Radius
-    * covers the full 6-decimal rounding bucket (+2e-6) and ties break on
-    * (round(dist,6), rid, sid) — the unified convention shared by every
-    * top-k engine, so the answer is identical pair-for-pair to the melody
-    * 3-D top-k (the cross-engine witness SparkEntry asserts). */
+    * engine: the sampled k-th exact distance (executor-side LPs over a
+    * deterministic hash-spread sample, same D14 shape as
+    * [[MelodyJoin.topKJoinPrepared]]) is a valid global upper bound,
+    * [[treeExact3dThresholdJoin]] runs at that radius, and the global
+    * bounded-heap top-k takes over. Radius covers the full 6-decimal
+    * rounding bucket (+2e-6) and ties break on (round(dist,6), rid, sid)
+    * — the unified convention shared by every top-k engine, so the answer
+    * is identical pair-for-pair to the melody 3-D top-k (the cross-engine
+    * witness SparkEntry asserts). */
   def treeExact3dTopK(hists: DataFrame, k: Int, sampleSize: Int = 64): DataFrame = {
     import hists.sparkSession.implicits._
     val sample = hists.select("id", "weights").as[(Long, Array[Double])]
-      .orderBy(col("id")).limit(sampleSize).collect()
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(sampleSize).collect()
     val cost = graft.core.Emd.costMatrix(
       graft.sources.Fixtures.Bins3d, graft.sources.Fixtures.Dim3,
       graft.core.GroundDist.L2)
-    val dists = for {
-      i <- sample.indices; j <- sample.indices if i < j
-    } yield graft.core.Emd.exact(sample(i)._2, sample(j)._2, cost)
-    val sorted = dists.sorted
     // valid only when k sample pairs exist (else no bound on the k-th)
-    val ub = if (sorted.length >= k) sorted(k - 1) else Double.MaxValue
+    val ub = MelodyJoin.kthSampleDist(hists.sparkSession,
+      sample.map(_._2), k, cost)
     treeExact3dThresholdJoin(hists, math.min(ub + 2e-6, Double.MaxValue))
       .orderBy(round(col("dist"), 6), col("rid"), col("sid"))
       .limit(k)

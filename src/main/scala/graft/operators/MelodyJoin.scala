@@ -799,13 +799,15 @@ object MelodyJoin {
   def topKJoinPrepared(spark: SparkSession, prep: Prepared, k: Int, cfg: Config,
                        sampleSize: Int = 64, numRefs: Int = 8): DataFrame = {
     import spark.implicits._
+    // deterministic SPREAD sample: hash-ordered TakeOrdered decorrelates
+    // the sample from id assignment (the former lowest-64-ids pick
+    // clustered in one id region — a locally-dense region gives a loose
+    // k-th-distance bound and a needlessly wide candidate radius) without
+    // a global rank/count pass; already normalized
     val sample = prep.enriched.select("id", "weights").as[(Long, Array[Double])]
-      .orderBy(col("id")).limit(sampleSize).collect() // already normalized
-    val dists = for {
-      i <- sample.indices; j <- sample.indices if i < j
-    } yield Emd.exact(sample(i)._2, sample(j)._2, cfg.cost)
-    val sorted = dists.sorted
-    val sampleUb = if (sorted.length >= k) sorted(k - 1) else Double.MaxValue
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(sampleSize).collect()
+    val sampleUb = kthSampleDist(spark, sample.map(_._2), k, cfg.cost)
 
     val refs = sample.take(numRefs)
     val refsB = spark.sparkContext.broadcast(refs)
@@ -848,5 +850,25 @@ object MelodyJoin {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count() // O(k) rows; the Prepared's owner frees the enrichment
     result
+  }
+
+  /** k-th smallest exact EMD among the sample's C(n,2) pairs — a valid
+    * global upper bound on the k-th best pair distance (every sample pair
+    * is a feasible pair), or MaxValue when fewer than k pairs exist. The
+    * pair LPs run ON EXECUTORS (parallelize + takeOrdered), not as a
+    * serial driver loop: constant work, but at production bin counts a
+    * few thousand driver-serial LPs would stall the job between stages. */
+  private[operators] def kthSampleDist(spark: SparkSession,
+      ws: Array[Array[Double]], k: Int, cost: Array[Double]): Double = {
+    val pairs = for { i <- ws.indices; j <- ws.indices if i < j } yield (i, j)
+    if (pairs.size < k) Double.MaxValue
+    else {
+      val wsB = spark.sparkContext.broadcast(ws)
+      val costB = spark.sparkContext.broadcast(cost)
+      val slices = math.min(spark.sparkContext.defaultParallelism, pairs.size)
+      spark.sparkContext.parallelize(pairs, slices)
+        .map { case (i, j) => Emd.exact(wsB.value(i), wsB.value(j), costB.value) }
+        .takeOrdered(k).last
+    }
   }
 }
