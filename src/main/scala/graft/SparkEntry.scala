@@ -657,6 +657,21 @@ object SparkEntry {
           col("frame_hash"))
     }),
 
+    // --- audio lifecycle with a REAL codec: synthesize a valid WAV
+    //     (RIFF PCM s16le mono) per document, decode it chunk-by-chunk,
+    //     nearest-index resample 320 -> 240 samples (ratio 4/3 — a
+    //     non-integer step so the floor index math is genuinely
+    //     exercised), then per-60-sample-window RMS + mod-2^31-1 rolling
+    //     fingerprint. The oracle re-derives the resampled signal
+    //     analytically from the text (sample = byte*256 - 16384), so a
+    //     hash match proves encode -> decode -> resample -> featurize ---
+    "q_audio_rms" -> ((s, dir) => {
+      Multimodal.audioRmsFingerprint(s,
+        Multimodal.withAudioPayload(Fixtures.documents(s, dir)))
+        .select(col("doc_id"), col("win_idx"),
+          round(col("rms"), 6).as("rms"), col("fp"))
+    }),
+
     // --- JSON property extraction over the event stream ---
     "q_events_props" -> ((s, dir) => {
       Fixtures.events(s, dir)
@@ -1683,6 +1698,34 @@ object SparkEntry {
         |      p.b[64 * fr.f + 1 : 64 * fr.f + 64]),
         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS frame_hash
         |FROM payload p CROSS JOIN frames fr""".stripMargin,
+
+    // Resampled sample j reads source index (j*4)//3 (320->240 is
+    // exactly 4/3), whose value is text byte (idx % len) * 256 - 16384
+    // (empty text -> one zero byte -> -16384). Windows are 60 samples;
+    // the sum of squares stays a BIGINT (< 2^53) so the DOUBLE division
+    // and the IEEE-correctly-rounded sqrt match Spark bit-for-bit; the
+    // fingerprint fold over (sample + 32768) shares the q_frame_hash
+    // congruence.
+    "q_audio_rms" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    list_transform(range(240), j ->
+        |      CASE WHEN length(text) = 0 THEN cast(-16384 AS BIGINT)
+        |           ELSE cast(ascii(substr(text,
+        |             (((cast(j AS INTEGER) * 4) // 3) % length(text)) + 1,
+        |             1)) * 256 - 16384 AS BIGINT)
+        |      END) AS s
+        |  FROM documents
+        |), w AS (SELECT unnest([0, 1, 2, 3]) AS wi)
+        |SELECT r.doc_id, cast(w.wi AS BIGINT) AS win_idx,
+        |  round(sqrt(cast(list_reduce(
+        |      list_transform(r.s[60 * w.wi + 1 : 60 * w.wi + 60],
+        |        x -> x * x), (a, b) -> a + b) AS DOUBLE) / 60.0), 6) AS rms,
+        |  list_reduce(list_prepend(1125899906842597 % 2147483647,
+        |      list_transform(r.s[60 * w.wi + 1 : 60 * w.wi + 60],
+        |        x -> x + 32768)),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+        |FROM r CROSS JOIN w""".stripMargin,
 
     "q_events_props" ->
       """SELECT event_type, count(*) AS n,

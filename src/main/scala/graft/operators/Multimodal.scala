@@ -189,6 +189,147 @@ object Multimodal {
       }.toDF("doc_id", "bin", "w")
   }
 
+  // ==== Audio (RIFF/WAVE, PCM s16le mono) — the waveform analog of the
+  // PPM path: a real, externally-playable uncompressed format, so the
+  // decode path exercises genuine chunk-walking byte parsing while the
+  // synthesized samples stay an analytic function of the text (DuckDB
+  // replays them; compressed codecs remain behind the stub seam). ====
+
+  /** Encode mono 16-bit PCM as a real RIFF/WAVE file (s16le): RIFF
+    * header, canonical 16-byte PCM fmt chunk, data chunk. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = 2 * samples.length
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE payload: walks chunks word-aligned (tolerant of
+    * extras like LIST/INFO), requires a PCM mono 16-bit fmt chunk before
+    * the data chunk. Returns None for malformed payloads — reject, not
+    * crash, at corpus scale. */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (payload.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(at: Int) = new String(payload, at, 4, "US-ASCII")
+    if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return None
+    var pos = 12
+    var rate = -1
+    var fmtOk = false
+    while (pos + 8 <= payload.length) {
+      val id = tag4(pos)
+      val len = buf.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val fmt = buf.getShort(pos + 8)
+          val ch = buf.getShort(pos + 10)
+          val sr = buf.getInt(pos + 12)
+          val bits = buf.getShort(pos + 22)
+          if (fmt != 1 || ch != 1 || bits != 16 || sr <= 0) return None
+          rate = sr; fmtOk = true
+        case "data" =>
+          if (!fmtOk || len % 2 != 0) return None
+          val out = new Array[Short](len / 2)
+          var i = 0
+          while (i < out.length) { out(i) = buf.getShort(pos + 8 + 2 * i); i += 1 }
+          return Some((rate, out))
+        case _ => () // unknown chunk: skip (real WAV files carry LIST etc.)
+      }
+      pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    None
+  }
+
+  val AudioLen = 320     // synthesized samples per document
+  val AudioRate = 8000
+  val ResampleLen = 240  // 8000 -> 6000 Hz nearest-index resample
+  val RmsWindow = 60     // -> 4 full windows over the resampled signal
+
+  /** Deterministic synthetic waveform per document: text byte (i % len)
+    * maps to bipolar sample b*256 - 16384, encoded as a REAL WAV file
+    * (any audio tool plays it). Empty text -> one zero source byte, the
+    * [[withImagePayload]] convention. */
+  def withAudioPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val src = if (raw.isEmpty) Array[Byte](0) else raw
+          val samples = new Array[Short](AudioLen)
+          var i = 0
+          while (i < AudioLen) {
+            samples(i) = ((src(i % src.length) & 0xff) * 256 - 16384).toShort
+            i += 1
+          }
+          (id, encodeWav(AudioRate, samples))
+        }
+      }.toDF("doc_id", "payload")
+      .withColumn("meta", struct(
+        length(col("payload")).as("n_bytes"), lit("audio/wav").as("mime")))
+  }
+
+  /** Nearest-index resample — the audio analog of [[resizeRgb]]:
+    * out(i) = in((i * n) / newN) with integer floor. */
+  def resampleNearest(samples: Array[Short], newN: Int): Array[Short] = {
+    val out = new Array[Short](newN)
+    var i = 0
+    while (i < newN) {
+      out(i) = samples((i.toLong * samples.length / newN).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Full audio lifecycle: WAV payload -> real chunk-walking decode ->
+    * nearest-index resample -> per-window RMS + rolling fingerprint.
+    * Output (doc_id, win_idx, rms, fp); partial tail windows are dropped;
+    * malformed payloads are rejected by the decoder.
+    *
+    * Oracle-exact by construction: the window sum of squares accumulates
+    * in a Long (60 * 32768^2 < 2^53, so the Long->Double conversion is
+    * exact), sqrt is IEEE correctly rounded in both engines, and the
+    * fingerprint is the mod-2^31-1 polynomial fold over (sample + 32768)
+    * — the [[frameSample]] / TextCols rolling-hash convention. */
+  def audioRmsFingerprint(spark: SparkSession, withAudioDf: DataFrame,
+                          newN: Int = ResampleLen,
+                          window: Int = RmsWindow): DataFrame = {
+    import spark.implicits._
+    withAudioDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        decodeWav(payload).toSeq.flatMap { case (_, samples) =>
+          val r = resampleNearest(samples, newN)
+          (0 until r.length / window).map { wi =>
+            var sumSq = 0L
+            var fp = 1125899906842597L % 2147483647L
+            var j = wi * window
+            val until = j + window
+            while (j < until) {
+              val s = r(j).toLong
+              sumSq += s * s
+              fp = (31 * fp + (s + 32768L)) % 2147483647L
+              j += 1
+            }
+            (id, wi.toLong, math.sqrt(sumSq.toDouble / window), fp)
+          }
+        }
+      }.toDF("doc_id", "win_idx", "rms", "fp")
+  }
+
   /** Attach a binary payload column + metadata struct to the documents
     * table (payload = utf-8 bytes of text; stands in for an image/audio
     * blob column read via spark.read.format("binaryFile")). */

@@ -193,6 +193,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hist.length == 3 && hist.forall(ch => math.abs(ch.sum - 1.0) < 1e-9))
   }
 
+  test("WAV codec: roundtrip, chunk tolerance, malformed rejection, resample") {
+    val rnd = new scala.util.Random(31)
+    val pcm = Array.fill(320)(rnd.nextInt(65536).toShort)
+    // roundtrip
+    val enc = Multimodal.encodeWav(8000, pcm)
+    assert(enc.length == 44 + 640)
+    val dec = Multimodal.decodeWav(enc)
+    assert(dec.exists { case (sr, s) => sr == 8000 && s.sameElements(pcm) })
+    // unknown chunks between fmt and data are skipped (real files carry
+    // LIST/INFO), including an ODD-size chunk exercising word alignment
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0) // 5 + pad
+    val withList = enc.take(36) ++ listChunk ++ enc.drop(36)
+    val dec2 = Multimodal.decodeWav(withList)
+    assert(dec2.exists { case (sr, s) => sr == 8000 && s.sameElements(pcm) })
+    // malformed inputs are rejected, not crashed on
+    assert(Multimodal.decodeWav(Array[Byte]()).isEmpty)
+    assert(Multimodal.decodeWav("RIFF1234AVI ".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decodeWav(enc.take(50)).isEmpty, "truncated data chunk")
+    assert(Multimodal.decodeWav(enc.updated(20, 2.toByte)).isEmpty,
+      "non-PCM format code")
+    val noFmt = enc.take(12) ++ enc.drop(36) // data before any fmt chunk
+    assert(Multimodal.decodeWav(noFmt).isEmpty)
+    // nearest-index resample: 320 -> 240 reads source (j*4)//3; 320 -> 160
+    // picks every other sample
+    val r = Multimodal.resampleNearest(pcm, 240)
+    assert(r.length == 240)
+    for (j <- 0 until 240) assert(r(j) == pcm(j * 4 / 3))
+    val half = Multimodal.resampleNearest(pcm, 160)
+    for (j <- 0 until 160) assert(half(j) == pcm(2 * j))
+  }
+
+  test("audioRmsFingerprint == brute force over synthesized payloads") {
+    import spark.implicits._
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val got = Multimodal.audioRmsFingerprint(spark,
+        Multimodal.withAudioPayload(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got.size == all.length * 4, "4 windows per document")
+    for ((id, text) <- all.take(40)) {
+      val raw = text.getBytes("UTF-8")
+      val src = if (raw.isEmpty) Array[Byte](0) else raw
+      val samples = Array.tabulate(320)(i =>
+        ((src(i % src.length) & 0xff) * 256 - 16384).toShort)
+      val r = Multimodal.resampleNearest(samples, 240)
+      for (wi <- 0 until 4) {
+        val win = r.slice(60 * wi, 60 * wi + 60).map(_.toLong)
+        val rms = math.sqrt(win.map(s => s * s).sum.toDouble / 60)
+        val fp = win.foldLeft(1125899906842597L % 2147483647L)(
+          (acc, s) => (31 * acc + (s + 32768L)) % 2147483647L)
+        assert(got((id, wi.toLong)) == ((rms, fp)), s"doc $id window $wi")
+      }
+    }
+  }
+
   test("scaledCentroids derives ~sqrt(N) within clamps") {
     assert(Ann.scaledCentroids(0L) == 16)
     assert(Ann.scaledCentroids(100L) == 16)
