@@ -80,9 +80,13 @@ object Bench {
     // — write the bare JSON line to SPARK_GRAFT_BENCH_OUT when set, and
     // always (best-effort) to BENCH_LAST.json in the working directory so
     // any consumer can find the latest run without knowing the env var
+    // best-effort means best-effort: an unwritable path must not fail the
+    // run after the measurements succeeded. NonFatal, not just
+    // IOException — Paths.get throws InvalidPathException (a
+    // RuntimeException) on a malformed SPARK_GRAFT_BENCH_OUT value.
     def writeTo(path: String): Unit =
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
-      catch { case _: java.io.IOException => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(writeTo)
     writeTo("BENCH_LAST.json")
     spark.stop()

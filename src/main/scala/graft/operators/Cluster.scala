@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -62,7 +63,7 @@ object Cluster {
              vecCol: String = "embedding"): DataFrame = {
     require(k > 0 && iters >= 0, s"k=$k iters=$iters")
     val q = quantize(embs, scale, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     try {
       val dim = q.select(size(col("v"))).head().getInt(0)
       var cents: Array[Array[Long]] = q.orderBy(col("id")).limit(k)
@@ -94,7 +95,7 @@ object Cluster {
       }
       val (cid, d2) = assignCols(cents)
       val out = q.select(col("id"), cid.as("cluster"), d2.as("d2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
       out.count()
       out
     } finally {

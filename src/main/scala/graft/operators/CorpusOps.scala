@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -192,7 +193,7 @@ object CorpusOps {
           (id, n, start / maxLen, (cum - 1) / maxLen, start % maxLen)
         }
       }.toDF("doc_id", "n_tokens", "seq_start", "seq_end", "seq_offset")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
       out.count()
       out
     } finally {
@@ -241,7 +242,14 @@ object CorpusOps {
     * shape as [[packSequences]], NEVER a single-task global window, so
     * the plan holds at any corpus size.
     *
-    * Returns (idCol, shuffle_rank). `salt` varies the permutation. */
+    * Returns (idCol, shuffle_rank). `salt` varies the permutation.
+    *
+    * The RESULT comes back persisted (and materialized): the rank
+    * assignment pins one evaluation — an unpinned re-evaluation could
+    * range-partition differently and hand out different ranks. The cache
+    * is the caller's to unpersist once consumed (the Dedup
+    * materialize-and-free contract); Bench's between-pass
+    * cacheManager.clearCache() covers repeat passes. */
   def shuffleRank(docs: DataFrame, idCol: String = "doc_id",
                   salt: String = "shuf"): DataFrame = {
     val spark = docs.sparkSession
@@ -268,7 +276,7 @@ object CorpusOps {
         var r = offB.value(i)
         it.map { case (id, _) => r += 1; (id, r) }
       }.toDF(idCol, "shuffle_rank")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
       out.count()
       out
     } finally {
@@ -428,7 +436,12 @@ object CorpusOps {
     *
     * Shapes: one token-count aggregation (vocabulary-sized), the counts
     * join back to the token stream by token equijoin (AQE handles hot
-    * tokens), one per-doc aggregation. No driver-side data, no windows. */
+    * tokens), one per-doc aggregation. No driver-side data, no windows.
+    *
+    * The RESULT comes back persisted (and materialized) so the
+    * vocabulary-sized LM pin can be freed before returning; the result
+    * cache is the caller's to unpersist once consumed (the Dedup
+    * materialize-and-free contract). */
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     val toks = widen(docs)
@@ -437,16 +450,20 @@ object CorpusOps {
     // (grand total, then the token join) — without the pin the corpus
     // would be re-tokenized and re-aggregated for each use
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     try {
-      val total = counts.agg(sum(col("c"))).head().getLong(0)
+      val totalRow = counts.agg(sum(col("c"))).head()
+      // empty corpus: sum(c) is NULL. Any placeholder total works — the
+      // token join over the empty stream yields the (correct) empty
+      // result; the NPE from getLong was the only failure mode.
+      val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
       val bits = (length(bin(lit(total))) - length(bin(col("c")))).cast("long")
       val out = toks.join(counts, "tok")
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_tokens"), sum(bits).as("sum_bits"))
         .select(col("id").as(idCol), col("n_tokens"), col("sum_bits"),
           (col("sum_bits").cast("double") / col("n_tokens")).as("mean_bits"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
       out.count()
       out
     } finally {

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching._
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
 import graft.functions.TextCols
@@ -36,7 +37,7 @@ object Dedup {
     * (see the object-level eager-execution contract). */
   private def materializeAndFree(result: DataFrame,
                                  intermediates: DataFrame*): DataFrame = {
-    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = result.persistOnce()
     out.count()
     intermediates.foreach(_.unpersist(false))
     out
@@ -90,7 +91,7 @@ object Dedup {
     // ~80 MB row on one executor.
     val groups = toks.groupBy(col("fp"))
       .agg(min(col("id")).as("gid"), first(col("key")).as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     // every persist below registers in `pinned`; the catch frees them if
     // any action throws mid-call (the success paths free their own via
     // materializeAndFree; unpersist is idempotent so double-free is safe)
@@ -101,7 +102,7 @@ object Dedup {
       val assign = toks.select(col("id"), col("fp"))
         .join(groups.select(col("fp"), col("gid")), "fp")
         .select(col("id"), col("gid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
       pinned += assign
 
       // intra-group pairs: identical sets, J = 1 >= tau always. A gid-keyed
@@ -124,7 +125,7 @@ object Dedup {
       // prefix path's rank join — cache for the duration of the call
       val dfreq = sets.select(explode(col("toks")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("dfreq"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
       pinned += dfreq
 
       // Fast path: vocabulary fits one 64-bit word -> each distinct set is a
@@ -168,7 +169,7 @@ object Dedup {
         .agg(sort_array(collect_list(struct(col("dfreq"), col("tok")))).as("rt"))
         .select(col("id"), transform(col("rt"), x => x.getField("tok")).as("sorted"),
           size(col("rt")).as("len"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
       pinned += tokRanks
       // prefix length = len - ceil(tau*len) + 1. Only (id, len, ptok) flows
       // through the candidate shuffle — the sorted token arrays are the
@@ -308,7 +309,7 @@ object Dedup {
         require(done, s"connectedComponents did not converge in $maxIter rounds")
         val labels = e.reduceByKey(math.min(_, _), parts)
         val out = spark.createDataset(labels).toDF("id", "cluster")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistOnce()
         out.count()
         e.unpersist(false)
         out
@@ -357,7 +358,7 @@ object Dedup {
         require(done, s"connectedComponents did not converge in $maxIter rounds")
         val labels = e.groupBy(col("u")).agg(min(col("v")).as("cluster"))
           .select(col("u").as("id"), col("cluster"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistOnce()
         labels.count()
         eRdd.unpersist(false)
         labels
@@ -421,7 +422,7 @@ object Dedup {
           (id, sh, minhashSig(sh, numHashes, seed))
         }
       }.toDF("id", "shingles", "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     // ids-only banding: the shingle arrays are the heavy payload, and the
     // band explode would replicate them x bands through the candidate
     // shuffle — only (id, band, bucket) flows there; shingles re-attach
@@ -504,9 +505,9 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, text) => (id, simhash64(text)) }
       .toDF("id", "sim")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val groups = sigs.select(col("sim")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val intra = sigs.as("a").join(sigs.as("b"),
         col("a.sim") === col("b.sim") && col("a.id") < col("b.id"))
       .select(col("a.id").as("rid"), col("b.id").as("sid"))
@@ -580,7 +581,7 @@ object Dedup {
         }
         (id, v, sig)
       }.toDF("id", "v", "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val banded = sigs.select(col("id"), explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"),

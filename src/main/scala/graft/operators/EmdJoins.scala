@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching._
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 import graft.functions.EmdCols
@@ -93,7 +94,7 @@ object EmdJoins {
     val flat = hists.select((col("id") +: cums): _*)
       .withColumn("_mean",
         lit(numBins - 1.0) - (0 until numBins - 1).map(i => col(s"_c$i")).reduce(_ + _))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     flat.count()
     // NOTE: 2-D banding on (mean, mid-cum) was measured 2.7x SLOWER here —
     // the 9x right-side replication and finer partitioning cost more than
@@ -117,7 +118,7 @@ object EmdJoins {
       .withColumn("dist", dist)
       .filter(col("dist") <= lit(theta))
       .select(col("id_a").as("rid"), col("id_b").as("sid"), col("dist"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     result.count()
     flat.unpersist(false)
     result
@@ -219,7 +220,7 @@ object EmdJoins {
         if (i % 2 == 0) col(s"_f$i") else -col(s"_f$i")).reduce(_ + _))
       .withColumn("_s2", feats.indices.map(i =>
         if (halfSign(i) > 0) col(s"_f$i") else -col(s"_f$i")).reduce(_ + _))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     flat.count()
     val pairs = bandedSelfPairs2(flat, "id", "_s", Some("_s2"), tau2)
     val terms = feats.indices.map(i => abs(col(s"_f${i}_a") - col(s"_f${i}_b")))
@@ -239,7 +240,7 @@ object EmdJoins {
         if (d <= theta) Some((ra, rb, d)) else None
       }
     }.toDF("rid", "sid", "dist")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     result.count()
     flat.unpersist(false)
     result
@@ -352,7 +353,7 @@ object EmdJoins {
     val flat = hists.select((col("id") +: featCols): _*)
       .withColumn("_s", feats.indices.map(i =>
         if (i % 2 == 0) col(s"_f$i") else -col(s"_f$i")).reduce(_ + _))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     flat.count()
     val pairs = bandedSelfPairs(flat, "id", "_s", tau)
     val terms = feats.indices.map(i => abs(col(s"_f${i}_a") - col(s"_f${i}_b")))
@@ -366,7 +367,7 @@ object EmdJoins {
       .withColumn("dist", dist)
       .filter(col("dist") <= lit(tau))
       .select(col("id_a").as("rid"), col("id_b").as("sid"), col("dist"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     result.count()
     flat.unpersist(false)
     result

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching._
 import org.apache.spark.sql.{DataFrame, SparkSession, Row, Column}
 import org.apache.spark.sql.functions._
 import graft.core._
@@ -152,7 +153,7 @@ object MelodyJoin {
           (id, mb)
         }
       }.toDF("id", "mb")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     // domains per vector
     val domAgg = (0 until cfg.numVectors).flatMap { j =>
       Seq(min(col("mb")(2 * j)).as(s"minM$j"), max(col("mb")(2 * j)).as(s"maxM$j"),
@@ -644,7 +645,7 @@ object MelodyJoin {
       if (cfg.dimension == 1 && cfg.numVectors == 1) None
       else TreeEmd.build(cfg.bins, cfg.dimension)
     val enriched = enrich(spark, hists, cfg, grids, duals, tree)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val summaries = summarize(enriched, cfg, duals.length,
       tree.map(_.numFeatures).getOrElse(0))
     Prepared(grids, duals, enriched, summaries, tree)
@@ -655,7 +656,7 @@ object MelodyJoin {
                     cfg: Config): DataFrame = {
     val prep = prepare(spark, hists, cfg)
     val result = thresholdJoinPrepared(spark, prep, theta, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     // materialize the O(pairs) result so the data-sized enrichment cache
     // can be freed immediately rather than leak across a session
     result.count()
@@ -847,7 +848,7 @@ object MelodyJoin {
         math.min(ub + 2e-6, Double.MaxValue), cfg)
       .orderBy(round(col("dist"), 6), col("rid"), col("sid"))
       .limit(k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     result.count() // O(k) rows; the Prepared's owner frees the enrichment
     result
   }

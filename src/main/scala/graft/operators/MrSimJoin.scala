@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
@@ -63,7 +64,7 @@ object MrSimJoin {
       "(triangle inequality); use BaselineJoin for arbitrary costs")
     import spark.implicits._
     val src = hists.select(col("id"), col("weights"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     val p =
       if (numPivots > 0) numPivots
       else {
@@ -165,7 +166,7 @@ object MrSimJoin {
           }
         }
       }.toDF("pivot", "id", "weights", "isBase")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
 
     // per-pivot sizes (window copies included) -> sub-block counts.
     // O(pivots) rows to the driver, never data-sized.
@@ -244,7 +245,7 @@ object MrSimJoin {
       }
       .toDF("rid", "sid", "dist")
       .dropDuplicates("rid", "sid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     // materialize the (small) pair result so the data-sized cached
     // intermediates can be freed now instead of leaking across a
     // multi-query session; the persisted result is O(pairs), not O(N).

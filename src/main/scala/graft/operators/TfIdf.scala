@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.core.Caching._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -74,7 +75,7 @@ object TfIdf {
     require(tau > 0.0 && tau <= 1.0, s"tau $tau outside (0, 1]")
     val n = docs.count()
     val w = weights(docs, n, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistOnce()
     try {
       val raw =
         if (denseVocabMax > 0 &&
@@ -137,7 +138,7 @@ object TfIdf {
             .filter(col("cosine") >= tau)
         }
       val result = raw.select(col("rid"), col("sid"), col("cosine"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistOnce()
       result.count() // O(pairs); lets the data-sized weights cache go now
       result
     } finally {

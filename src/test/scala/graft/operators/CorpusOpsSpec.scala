@@ -427,6 +427,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(want.map(_._3).size > 1, "vacuous: all docs identical surprisal")
   }
 
+  test("unigramSurprisal degrades to an empty result on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // sum(c) over zero rows is NULL — must yield 0 rows, not an NPE
+    assert(CorpusOps.unigramSurprisal(empty).count() == 0)
+  }
+
   test("oovRate == brute-force top-vocab coverage") {
     import spark.implicits._
     val all = docs.select("doc_id", "text").as[(Long, String)].collect()
