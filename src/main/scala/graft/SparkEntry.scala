@@ -332,6 +332,16 @@ object SparkEntry {
       Dedup.exactDedup(Fixtures.documents(s, dir))
     }),
 
+    // --- STREAMING exact dedup, driver-visible: the corpus is replayed
+    //     through the real flatMapGroupsWithState operator as ascending-id
+    //     micro-batches (MemoryStream harness); the oracle replays the
+    //     first-seen-keeper semantics (min doc_id per fingerprint under
+    //     that ingestion order), so the hash gate checks actual streaming
+    //     state execution, not just a batch re-declaration ---
+    "q_stream_dedup" -> ((s, dir) => {
+      graft.streaming.StreamOps.replayExactDedup(s, Fixtures.documents(s, dir))
+    }),
+
     // --- token counting + lexical stats ---
     "q_token_stats" -> ((s, dir) => {
       Fixtures.documents(s, dir).select(col("doc_id"),
@@ -1089,6 +1099,17 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |       min(doc_id) AS keeper, count(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // streaming replay: ascending-id ingestion makes first-seen == min id
+    "q_stream_dedup" ->
+      """WITH k AS (
+        |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |         min(doc_id) AS keeper
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT d.doc_id, k.keeper, d.doc_id <> k.keeper AS is_dup
+        |FROM documents d
+        |JOIN k ON md5(regexp_replace(lower(d.text), '\s+', ' ', 'g')) = k.fp""".stripMargin,
 
     "q_token_stats" ->
       """SELECT doc_id,

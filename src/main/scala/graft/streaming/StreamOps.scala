@@ -167,6 +167,48 @@ object StreamOps {
       .toDF("doc_id", "keeper", "is_dup")
   }
 
+  /** Verification replay at gate scale: feeds `docs` through the REAL
+    * [[streamingExactDedup]] operator — a MemoryStream source, ascending-id
+    * micro-batches, the actual flatMapGroupsWithState execution — and
+    * returns the collected verdicts as a batch DataFrame. This is the
+    * declared driver-visible row for the streaming dedup path
+    * (q_stream_dedup): under the ascending ingestion order the verdicts
+    * are exactly "keeper = min doc_id per fingerprint", which the DuckDB
+    * oracle replays, so a regression in keeper assignment, cross-batch
+    * state carry, or verdict emission fails the hash gate — not just a
+    * spec.
+    *
+    * HARNESS, not a production operator: it collects the corpus on the
+    * driver to feed the MemoryStream (the only batch->stream bridge that
+    * exercises real micro-batch execution deterministically). Production
+    * streams come from readStream sources; the operator itself holds ONE
+    * long per distinct content at any scale. */
+  def replayExactDedup(spark: SparkSession, docs: DataFrame,
+                       numBatches: Int = 8): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val name = "graft_replay_exactdedup"
+    val query = streamingExactDedup(spark, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val per = math.max(1, (rows.length + numBatches - 1) / numBatches)
+      rows.grouped(per).foreach { chunk =>
+        mem.addData(chunk.toSeq: _*)
+        query.processAllAvailable()
+      }
+      val verdicts = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      spark.createDataset(verdicts.toSeq).toDF("doc_id", "keeper", "is_dup")
+    } finally {
+      query.stop()
+    }
+  }
+
   /** Stream-stream event-time interval join: pairs of (left, right)
     * events sharing `keyCol` within `deltaSec` of each other — the
     * streaming twin of EventOps.rangeJoin, expressed with Spark's native
