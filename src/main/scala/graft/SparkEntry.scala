@@ -500,6 +500,21 @@ object SparkEntry {
       CorpusOps.spanRewrite(Fixtures.documents(s, dir), n = 3)
     }),
 
+    // --- the same rewrite with the hot-gram df-cap engaged (maxDf=2:
+    //     grams in >2 documents are chrome and leave the analysis) — the
+    //     boilerplate-skew mitigation as a first-class checked row, the
+    //     q_contamination_capped convention ---
+    "q_span_rewrite_capped" -> ((s, dir) => {
+      CorpusOps.spanRewrite(Fixtures.documents(s, dir), n = 3, maxDf = 2)
+    }),
+
+    // --- winnowing fingerprints (MOSS local fingerprinting): 3-gram
+    //     hashes, window 4, leftmost-lowest selection — detects any
+    //     shared run of >= 6 tokens while keeping ~2/(w+1) of grams ---
+    "q_winnow" -> ((s, dir) => {
+      CorpusOps.winnowFingerprints(Fixtures.documents(s, dir), k = 3, w = 4)
+    }),
+
     // --- tokenizer coverage: per-doc OOV rate against the corpus'
     //     top-50 tokens ((count desc, token) total order) ---
     "q_oov_rate" -> ((s, dir) => {
@@ -1320,6 +1335,76 @@ object SparkEntry {
         |  SELECT id, count(*) AS n_kept,
         |         string_agg(tok, ' ' ORDER BY i) AS rewritten
         |  FROM kept GROUP BY id) k ON k.id = tt.id""".stripMargin,
+
+    // Capped span rewrite: identical shape, but grams present in more
+    // than 2 distinct documents leave the analysis entirely (neither
+    // ownership nor dup evidence) before owners/bad are derived.
+    "q_span_rewrite_capped" ->
+      """WITH tt AS (
+        |  SELECT doc_id AS id, text, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT id, i AS s, i + 2 AS e, t[i] || '_' || t[i+1] || '_' || t[i+2] AS gram
+        |  FROM (SELECT id, t, unnest(range(1, len(t) - 1)) AS i FROM tt WHERE len(t) >= 3)
+        |  UNION ALL
+        |  SELECT id, 1 AS s, len(t) AS e, replace(text, ' ', '_') AS gram
+        |  FROM tt WHERE len(t) < 3
+        |), hot AS (
+        |  SELECT gram FROM (SELECT DISTINCT id, gram FROM sh)
+        |  GROUP BY gram HAVING count(*) > 2
+        |), shc AS (
+        |  SELECT * FROM sh WHERE gram NOT IN (SELECT gram FROM hot)
+        |), owners AS (
+        |  SELECT gram, min(id) AS owner
+        |  FROM (SELECT DISTINCT id, gram FROM shc) GROUP BY gram
+        |), bad AS (
+        |  SELECT DISTINCT shc.id, shc.s, shc.e
+        |  FROM shc JOIN owners USING (gram) WHERE owners.owner <> shc.id
+        |), pos AS (
+        |  SELECT id, i, t[i] AS tok
+        |  FROM (SELECT id, t, unnest(range(1, len(t) + 1)) AS i FROM tt)
+        |), kept AS (
+        |  SELECT p.id, p.i, p.tok FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM bad b
+        |                    WHERE b.id = p.id AND p.i BETWEEN b.s AND b.e)
+        |)
+        |SELECT tt.id AS doc_id,
+        |       cast(len(tt.t) AS BIGINT) AS n_tokens,
+        |       cast(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(k.rewritten, '') AS rewritten
+        |FROM tt LEFT JOIN (
+        |  SELECT id, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY i) AS rewritten
+        |  FROM kept GROUP BY id) k ON k.id = tt.id""".stripMargin,
+
+    // Winnowing replay: per-start packed key = 32-bit-md5(gram) * 2^30 +
+    // position (lexicographic (hash, pos) min under integer order), one
+    // list_min per window of 4, distinct selections. Shingle CTE shares
+    // the q_span_rewrite shape; the md5-prefix hash is the documented
+    // md5Bits32 twin.
+    "q_winnow" ->
+      """WITH tt AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])
+        |    END AS g
+        |  FROM tt
+        |), keys AS (
+        |  SELECT doc_id, list_transform(range(len(g)),
+        |    i -> ('0x' || substr(md5(g[i + 1]), 1, 8))::BIGINT * 1073741824
+        |         + (i + 1)) AS ks
+        |  FROM sh
+        |), sel AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(greatest(len(ks) - 3, 1)),
+        |      j -> list_min(ks[j + 1 : j + 4])))) AS key
+        |  FROM keys
+        |)
+        |SELECT doc_id, cast(key % 1073741824 AS BIGINT) AS pos,
+        |       cast(key // 1073741824 AS BIGINT) AS fp
+        |FROM sel""".stripMargin,
 
     "q_oov_rate" ->
       """WITH toks AS (

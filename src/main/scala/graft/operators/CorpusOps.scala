@@ -401,6 +401,44 @@ object CorpusOps {
       concat_ws(" ", kept).as("rewritten"))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the MOSS algorithm): hash every k-token shingle, slide a window of
+    * `w` consecutive hashes, select each window's minimum; the selected
+    * (position, hash) set is the document's fingerprint. Guarantee: any
+    * shared token run of length >= w + k - 1 between two documents shares
+    * at least one selected fingerprint, while only ~2/(w+1) of all grams
+    * are kept — the local-fingerprinting dedup primitive between exact
+    * hashing (all grams: spanOwnership) and MinHash (no locality).
+    *
+    * Selection convention: leftmost-lowest — (hash, position) is packed
+    * into one long (hash * 2^30 + pos, lexicographic under integer order;
+    * positions bounded by 2^30 tokens per document) so the per-window
+    * argmin is a single `array_min`. Any fixed tie convention preserves
+    * the winnowing guarantee. Pure per-row Catalyst (one md5 per gram,
+    * O(shingles * w) per row), no shuffle — the fingerprint table feeds a
+    * gram-keyed equijoin exactly like [[decontaminationJoin]]'s postings.
+    * Output: (doc_id, pos, fp), pos 1-based shingle start. */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val Pack = 1073741824L // 2^30
+    // (hash, position) packed per shingle start; shingle array bound once
+    val keysExpr = flatten(transform(array(shingles(col(textCol), k)), g =>
+      transform(sequence(lit(1), size(g)),
+        i => TextCols.md5Bits32(element_at(g, i)) * lit(Pack) + i)))
+    widen(docs)
+      .select(col(idCol).as("doc_id"), keysExpr.as("keys"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          flatten(transform(array(col("keys")), ks =>
+            transform(sequence(lit(1), greatest(size(ks) - (w - 1), lit(1))),
+              j => array_min(slice(ks, j, lit(w)))))))).as("key"))
+      .select(col("doc_id"),
+        pmod(col("key"), lit(Pack)).as("pos"),
+        expr(s"key DIV $Pack").as("fp"))
+  }
+
   /** Tokenizer-coverage analysis: per-document out-of-vocabulary rate
     * against the corpus' top-`vocabSize` tokens (by count desc, token —
     * a total order, so the vocabulary boundary is deterministic). Fully

@@ -184,7 +184,7 @@ object StreamOps {
     * streams come from readStream sources; the operator itself holds ONE
     * long per distinct content at any scale. */
   def replayExactDedup(spark: SparkSession, docs: DataFrame,
-                       numBatches: Int = 8): DataFrame = {
+                       numBatches: Int = 4): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = docs.select(col("doc_id").cast("long"), col("text"))

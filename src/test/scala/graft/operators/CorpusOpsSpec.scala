@@ -353,6 +353,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 20000L, 20000L, false), (2L, 20000L, 0L, true)))
   }
 
+  test("winnowFingerprints == brute force; winnowing guarantee holds") {
+    import spark.implicits._
+    val k = 3; val w = 4
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    def md5b32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def grams(text: String): Seq[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < k) Seq(text.replace(' ', '_'))
+      else (0 to t.length - k).map(i => t.slice(i, i + k).mkString("_"))
+    }
+    def winnow(text: String): Set[(Long, Long)] = {
+      val keys = grams(text).zipWithIndex
+        .map { case (g, i0) => md5b32(g) * 1073741824L + (i0 + 1) }
+      val nW = math.max(keys.length - (w - 1), 1)
+      (1 to nW).map(j => keys.slice(j - 1, j - 1 + w).min).distinct
+        .map(key => (key % 1073741824L, key / 1073741824L)).toSet
+    }
+    val got = CorpusOps.winnowFingerprints(docs, k, w).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((id, text) <- all.take(40)) assert(got(id) == winnow(text), s"doc $id")
+    // guarantee: docs sharing a run of >= w+k-1 tokens share >= 1 fp
+    val shared = (0 until 10).map(i => s"shared$i").mkString(" ")
+    val two = Seq(
+      9001L -> (shared + " " + (0 until 7).map(i => s"ax$i").mkString(" ")),
+      9002L -> ((0 until 5).map(i => s"bx$i").mkString(" ") + " " + shared))
+      .toDF("doc_id", "text")
+    val fps = CorpusOps.winnowFingerprints(two, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert((fps.filter(_._1 == 9001L).map(_._2).toSet
+      intersect fps.filter(_._1 == 9002L).map(_._2).toSet).nonEmpty,
+      "winnowing guarantee: a shared 10-token run must share a fingerprint")
+    // the selection is genuinely sparse on the real corpus
+    val nGrams = all.map(d => grams(d._2).length.toLong).sum
+    val nSel = got.values.map(_.size.toLong).sum
+    assert(nSel < nGrams, "vacuous: selection kept every gram")
+  }
+
   test("qualityGate == brute-force integer rules; every rule non-vacuous") {
     import spark.implicits._
     val all = docs.select("doc_id", "text").as[(Long, String)].collect()
