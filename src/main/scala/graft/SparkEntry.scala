@@ -515,6 +515,13 @@ object SparkEntry {
       CorpusOps.winnowFingerprints(Fixtures.documents(s, dir), k = 3, w = 4)
     }),
 
+    // --- the JOIN use of winnowing: near-dup candidate pairs sharing
+    //     >= 2 selected fingerprints (ids-only postings equijoin) ---
+    "q_winnow_pairs" -> ((s, dir) => {
+      CorpusOps.winnowJoin(Fixtures.documents(s, dir), k = 3, w = 4,
+        minShared = 2)
+    }),
+
     // --- tokenizer coverage: per-doc OOV rate against the corpus'
     //     top-50 tokens ((count desc, token) total order) ---
     "q_oov_rate" -> ((s, dir) => {
@@ -1405,6 +1412,36 @@ object SparkEntry {
         |SELECT doc_id, cast(key % 1073741824 AS BIGINT) AS pos,
         |       cast(key // 1073741824 AS BIGINT) AS fp
         |FROM sel""".stripMargin,
+
+    // Same winnowing replay, then a distinct-fingerprint self-join.
+    "q_winnow_pairs" ->
+      """WITH tt AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])
+        |    END AS g
+        |  FROM tt
+        |), keys AS (
+        |  SELECT doc_id, list_transform(range(len(g)),
+        |    i -> ('0x' || substr(md5(g[i + 1]), 1, 8))::BIGINT * 1073741824
+        |         + (i + 1)) AS ks
+        |  FROM sh
+        |), sel AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(greatest(len(ks) - 3, 1)),
+        |      j -> list_min(ks[j + 1 : j + 4])))) AS key
+        |  FROM keys
+        |), fpd AS (
+        |  SELECT DISTINCT doc_id, key // 1073741824 AS fp FROM sel
+        |)
+        |SELECT a.doc_id AS rid, b.doc_id AS sid,
+        |       cast(count(*) AS BIGINT) AS n_shared
+        |FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin,
 
     "q_oov_rate" ->
       """WITH toks AS (

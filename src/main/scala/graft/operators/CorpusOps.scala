@@ -439,6 +439,35 @@ object CorpusOps {
         expr(s"key DIV $Pack").as("fp"))
   }
 
+  /** Winnowing near-dup candidate pairs: documents sharing at least
+    * `minShared` selected fingerprints, with the shared count — the JOIN
+    * use of [[winnowFingerprints]] (MOSS-style containment/plagiarism
+    * detection: a shared fingerprint witnesses a shared local token run,
+    * so unlike MinHash the evidence is positional and unlike full-gram
+    * Jaccard only ~2/(w+1) of grams enter the shuffle).
+    *
+    * Shape: distinct (doc_id, fp) postings — ids only — self-equijoined
+    * on the fingerprint, count per pair; the same postings discipline as
+    * [[decontaminationJoin]], with the same optional `maxDf` hot-key cap
+    * (a fingerprint selected in >maxDf documents is boilerplate; capped
+    * fps leave the evidence entirely, identical output when uncapped). */
+  def winnowJoin(docs: DataFrame, k: Int, w: Int, minShared: Int = 1,
+                 maxDf: Int = 0, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col("doc_id"), col("fp")).distinct()
+    val capped =
+      if (maxDf <= 0) fps
+      else fps.join(hotGrams(fps, maxDf, keyCol = "fp"), Seq("fp"), "left_anti")
+    capped.select(col("fp"), col("doc_id").as("rid"))
+      .join(capped.select(col("fp"), col("doc_id").as("sid")), "fp")
+      .filter(col("rid") < col("sid"))
+      .groupBy(col("rid"), col("sid"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Tokenizer-coverage analysis: per-document out-of-vocabulary rate
     * against the corpus' top-`vocabSize` tokens (by count desc, token —
     * a total order, so the vocabulary boundary is deterministic). Fully
@@ -553,12 +582,13 @@ object CorpusOps {
     if (maxDf <= 0) postings
     else postings.join(hotGrams(postings, maxDf), Seq("gram"), "left_anti")
 
-  /** The grams present in more than `maxDf` rows of `distinctPostings`
-    * (which must be (idLike, gram)-distinct so the count is a document
+  /** The keys present in more than `maxDf` rows of `distinctPostings`
+    * (which must be (idLike, key)-distinct so the count is a document
     * frequency). */
-  private def hotGrams(distinctPostings: DataFrame, maxDf: Int): DataFrame =
-    distinctPostings.groupBy(col("gram"))
+  private def hotGrams(distinctPostings: DataFrame, maxDf: Int,
+                       keyCol: String = "gram"): DataFrame =
+    distinctPostings.groupBy(col(keyCol))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
-      .select(col("gram"))
+      .select(col(keyCol))
 }

@@ -395,6 +395,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(nSel < nGrams, "vacuous: selection kept every gram")
   }
 
+  test("winnowJoin == brute-force shared-fp pair counts; cap identity") {
+    import spark.implicits._
+    val fps = CorpusOps.winnowFingerprints(docs, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).distinct
+    val want = fps.groupBy(_._2).values.flatMap { ds =>
+      val ids = ds.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2L).toMap
+    def run(maxDf: Int) = CorpusOps.winnowJoin(docs, 3, 4, minShared = 2,
+        maxDf = maxDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = run(0)
+    assert(got == want)
+    assert(got.nonEmpty, "vacuous: no shared-fingerprint pairs in the corpus")
+    // a cap above the max document frequency must not change the output
+    val maxdf = fps.groupBy(_._2).values.map(_.map(_._1).distinct.size).max
+    assert(run(maxdf) == got)
+  }
+
   test("qualityGate == brute-force integer rules; every rule non-vacuous") {
     import spark.implicits._
     val all = docs.select("doc_id", "text").as[(Long, String)].collect()
