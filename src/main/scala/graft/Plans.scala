@@ -16,7 +16,8 @@ object Plans {
         "q_asof_join", "q_range_join", "q_chunking", "q_repetition",
         "q_kmeans", "q_ann_batch", "q_span_dedup", "q_oov_rate",
         "q_span_rewrite", "q_lm_surprisal", "q_contamination_capped",
-        "q_resize_hist")) {
+        "q_resize_hist", "q_winnow", "q_winnow_pairs", "q_audio_rms",
+        "q_span_rewrite_capped")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

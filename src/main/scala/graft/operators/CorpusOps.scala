@@ -455,17 +455,32 @@ object CorpusOps {
                  maxDf: Int = 0, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    import graft.core.Caching._
+    // pin the postings: both self-join sides (and the optional hot-fp
+    // count) read them — unpinned, the whole scan+hash+window derivation
+    // runs once PER SIDE (seen in the explain dump)
     val fps = winnowFingerprints(docs, k, w, idCol, textCol)
       .select(col("doc_id"), col("fp")).distinct()
-    val capped =
-      if (maxDf <= 0) fps
-      else fps.join(hotGrams(fps, maxDf, keyCol = "fp"), Seq("fp"), "left_anti")
-    capped.select(col("fp"), col("doc_id").as("rid"))
-      .join(capped.select(col("fp"), col("doc_id").as("sid")), "fp")
-      .filter(col("rid") < col("sid"))
-      .groupBy(col("rid"), col("sid"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+      .persistOnce()
+    try {
+      val capped =
+        if (maxDf <= 0) fps
+        else fps.join(hotGrams(fps, maxDf, keyCol = "fp"), Seq("fp"), "left_anti")
+      // O(pairs) result persisted so the postings pin can be freed now;
+      // the result cache is the caller's (Dedup materialize-and-free
+      // contract)
+      val result = capped.select(col("fp"), col("doc_id").as("rid"))
+        .join(capped.select(col("fp"), col("doc_id").as("sid")), "fp")
+        .filter(col("rid") < col("sid"))
+        .groupBy(col("rid"), col("sid"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .persistOnce()
+      result.count()
+      result
+    } finally {
+      fps.unpersist(false)
+    }
   }
 
   /** Tokenizer-coverage analysis: per-document out-of-vocabulary rate
