@@ -704,6 +704,14 @@ object SparkEntry {
           round(col("rms"), 6).as("rms"), col("fp"))
     }),
 
+    // --- batch sessionization (24h inactivity gap): the batch twin of
+    //     the streaming sessionizer, one row per (user, session) with
+    //     integer-micros bounds — gap compares are exact integers, no
+    //     FP threshold ---
+    "q_sessionize" -> ((s, dir) => {
+      EventOps.sessionize(Fixtures.events(s, dir), gapSec = 86400L)
+    }),
+
     // --- JSON property extraction over the event stream ---
     "q_events_props" -> ((s, dir) => {
       Fixtures.events(s, dir)
@@ -1869,6 +1877,25 @@ object SparkEntry {
         |        x -> x + 32768)),
         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
         |FROM r CROSS JOIN w""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id AS eid, value
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 86400000000 THEN 1
+        |            ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, eid)
+        |), s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, eid
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id, cast(session_idx AS BIGINT) AS session_idx,
+        |       count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+        |       round(cast(sum(value) AS DOUBLE), 6) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_events_props" ->
       """SELECT event_type, count(*) AS n,

@@ -83,4 +83,41 @@ object EventOps {
       .select(col("left_id"), col("right_id"),
         (col("left_id_us") - col("right_id_us")).as("lag_us"))
   }
+
+  /** Batch sessionization — the batch twin of
+    * [[graft.streaming.StreamOps.sessionize]]: per user, events ordered
+    * by (ts, event_id); a gap of MORE than `gapSec` from the previous
+    * event starts a new session. One row per session:
+    * (user_id, session_idx, n_events, start_us, end_us, sum_value),
+    * session_idx 1-based in time order.
+    *
+    * Session-boundary arithmetic is integer microseconds (the gap
+    * compare is exact in both engines — no FP threshold, no probing);
+    * sum_value follows the q_events_window 6dp rounding convention.
+    * Shape: two window passes + the final aggregation, all partitioned
+    * by user — ONE shuffle; a user's events must fit one task's stream
+    * (the per-group window contract shared with asOfJoin: keys are
+    * human-scale users, not corpus-sized groups). */
+  def sessionize(events: DataFrame, gapSec: Long,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 idCol: String = "event_id",
+                 valueCol: String = "value"): DataFrame = {
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    val pre = events.select(col(userCol).as("user_id"),
+      unix_micros(col(tsCol)).as("us"), col(idCol).as("eid"),
+      col(valueCol).as("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("eid"))
+    pre
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        round(sum(col("value")), 6).as("sum_value"))
+  }
 }

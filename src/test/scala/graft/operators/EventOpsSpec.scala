@@ -85,4 +85,45 @@ class EventOpsSpec extends AnyFunSuite {
         "user_id", "ts", "event_id", delta).collect()
     assert(gotList.length == want.size, "bucketed join emitted duplicates")
   }
+
+  test("sessionize == brute-force gap splitting, incl. boundary gap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val gapSec = 100L
+    val gapUs = gapSec * 1000000L
+    // per user: random walk of inter-event gaps straddling the threshold,
+    // including EXACTLY-equal gaps (same session: the rule is strict >)
+    val rows = (0 until 20).flatMap { u =>
+      var t = 1700000000000000L + u * 777L
+      (0 until 50).map { i =>
+        val gap = Seq(gapUs / 2, gapUs, gapUs + 1, 3 * gapUs)(rnd.nextInt(4))
+        t += gap
+        // dyadic values: session sums are exact in any summation order,
+        // so the 6dp compare cannot straddle a rounding boundary
+        (u * 1000L + i, u.toLong, t, rnd.nextInt(1024) / 8.0)
+      }
+    }
+    val df = rows.toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._1))
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+        case (acc @ cur :: rest, e) =>
+          if (e._3 - cur.head._3 > gapUs) List(e) :: acc
+          else (e :: cur) :: rest
+        case (Nil, _) => Nil // unreachable
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (ses, i) =>
+        (u, i + 1L, ses.length.toLong, ses.map(_._3).min, ses.map(_._3).max,
+          BigDecimal(ses.map(_._4).sum).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toSet
+    val got = EventOps.sessionize(df, gapSec).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got == want)
+    assert(want.exists(_._3 > 1) && want.size > 20,
+      "vacuous: need multi-event sessions and multi-session users")
+  }
 }
