@@ -188,6 +188,52 @@ class EdgeCasesSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("winnowJoin mega boilerplate family: the df-cap bounds the join") {
+    // A 20k-member identical-doc family shares every selected fingerprint:
+    // uncapped pair output is inherently C(m,2) (the pair contract, as in
+    // jaccardJoin). The hot-fp cap is the 100 TB lever: capped, the
+    // boilerplate fingerprints leave the evidence entirely and the join
+    // collapses to the genuine (distinct-content) pairs only.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = 20000L
+    val fam = (1L to m).map(i => (i, "dup boiler plate text run on and on")) ++
+      Seq((m + 1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (m + 2L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val docs = fam.toDF("doc_id", "text")
+    // capped at 2: family fps (df = 20000) vanish; the two alpha docs
+    // share their common-prefix fingerprints (df <= 2) and survive
+    val pairs = CorpusOps.winnowJoin(docs, k = 3, w = 4, minShared = 1,
+      maxDf = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((m + 1L, m + 2L)),
+      s"capped join must keep only the genuine near-dup pair, got $pairs")
+  }
+
+  test("sessionize survives one hot user with 100k events") {
+    // same per-group window contract as asOfJoin/tokenBudget: one
+    // pathological user serializes into one task but completes exactly.
+    // Events every 1 s, a 2 h jump every 1000 events, 1 h gap threshold
+    // -> exactly 100 sessions of 1000 events each (boundaries analytic).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val evs = (0L until 100000L).map { i =>
+      val us = i * 1000000L + (i / 1000L) * 7200000000L
+      (i, 7L, us, 0.125)
+    }.toDF("event_id", "user_id", "us", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+    val got = EventOps.sessionize(evs, gapSec = 3600L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(got.length == 100)
+    assert(got.forall(_._2 == 1000L), "every session has exactly 1000 events")
+    val want = (0L until 100L).map { s =>
+      val start = s * 1000L * 1000000L + s * 7200000000L
+      (s + 1L, 1000L, start, start + 999L * 1000000L, 125.0)
+    }.toSet
+    assert(got.toSet == want)
+  }
+
   test("mrsim with more pivots than records") {
     val rnd = new scala.util.Random(9)
     val hists = df((1L to 6L).map(i => (i, Array.fill(8)(rnd.nextDouble()))))
