@@ -582,6 +582,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // --- the ACTION the clustering feeds: keep the best-quality member
+    //     per near-dup cluster ((round(score,6) DESC, id) total order —
+    //     the rounded score is itself the hash-checked q_quality row) ---
+    "q_keep_best" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val edges = Dedup.simhashDedup(s, docs, maxHamming = 7)
+        .select(col("rid"), col("sid"))
+      Dedup.keepBest(s, docs, edges)
+    }),
+
     // --- brute-force cosine top-k (exact ANN baseline) ---
     "q_cosine_topk" -> ((s, dir) => {
       val embs = Fixtures.embeddings(s, dir)
@@ -1194,6 +1204,47 @@ object SparkEntry {
           |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
           |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
           |GROUP BY d.doc_id""".stripMargin),
+
+    // Keep-best: the q_dedup_clusters recursive closure + the q_quality
+    // score, ranked (score DESC, id) per cluster.
+    "q_keep_best" ->
+      ("WITH RECURSIVE " + SimhashCteBody +
+        """, e AS (
+          |  SELECT rid AS u, sid AS v FROM pairs WHERE hamming <= 7
+          |), bidir AS (
+          |  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+          |), reach(u, v) AS (
+          |  SELECT u, v FROM bidir
+          |  UNION
+          |  SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u
+          |), cl AS (
+          |  SELECT d.doc_id AS id,
+          |         least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
+          |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+          |  GROUP BY d.doc_id
+          |), sc AS (
+          |  SELECT doc_id,
+          |    round(least(cast(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
+          |                1.0) * 0.3 +
+          |          (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          |           / len(string_split(text, ' '))) * 0.4 +
+          |          least((cast(len(list_filter(
+          |              ['the','and','of','to','in','is','with','for'],
+          |              m -> list_contains(list_distinct(string_split(text, ' ')),
+          |                                 m))) AS DOUBLE)
+          |                 / len(list_distinct(string_split(text, ' ')))) * 5.0,
+          |                1.0) * 0.3, 6) AS score
+          |  FROM documents
+          |), ranked AS (
+          |  SELECT cl.cluster, cl.id,
+          |    row_number() OVER (PARTITION BY cl.cluster
+          |                       ORDER BY sc.score DESC, cl.id) AS rnk,
+          |    count(*) OVER (PARTITION BY cl.cluster) AS n_members
+          |  FROM cl JOIN sc ON sc.doc_id = cl.id
+          |)
+          |SELECT cluster, id AS keeper, cast(n_members AS BIGINT) AS n_members,
+          |       cast(n_members - 1 AS BIGINT) AS n_dropped
+          |FROM ranked WHERE rnk = 1""".stripMargin),
 
     // Exact 3-token-shingle Jaccard join: equals the minhash-LSH output
     // because candidates are verified with the exact shingle Jaccard and

@@ -630,4 +630,36 @@ object Dedup {
       }.toDF("rid", "sid", "cosine")
     materializeAndFree(verified, sigs)
   }
+
+  /** Near-dup representative selection — the "which document survives"
+    * decision a dedup pass feeds the training mix: cluster the given
+    * near-dup edges ([[connectedComponents]]) and keep the best-quality
+    * member per cluster, ranked by (round(qualityScore, 6) DESC, id) —
+    * the tokenBudget total-order convention, engine-exact because the
+    * 6dp-rounded score is itself a hash-checked row (q_quality).
+    * Singleton documents are their own keepers. Output:
+    * (cluster, keeper, n_members, n_dropped).
+    *
+    * Shapes: CC's edge-list-only shuffles, one quality join, one
+    * per-cluster rank window — cluster groups are duplicate families,
+    * so the window task is bounded by the largest family (the
+    * documented per-group window contract; family-scale m² never
+    * materializes — output is one row per cluster). */
+  def keepBest(spark: SparkSession, docs: DataFrame, edges: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(spark, edges, docs.select(col(idCol)))
+    val scored = docs.select(col(idCol).cast("long").as("id"),
+      round(graft.functions.TextCols.qualityScore(col(textCol)), 6).as("score"))
+    val w = Window.partitionBy(col("cluster"))
+    val result = cc.join(scored, "id")
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("score").desc, col("id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cluster"), col("id").as("keeper"),
+        col("n_members").cast("long").as("n_members"),
+        (col("n_members") - 1).cast("long").as("n_dropped"))
+    materializeAndFree(result, cc)
+  }
 }

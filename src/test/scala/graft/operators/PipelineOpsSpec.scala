@@ -193,6 +193,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(hist.length == 3 && hist.forall(ch => math.abs(ch.sum - 1.0) < 1e-9))
   }
 
+  test("keepBest == brute-force per-cluster quality argmax; singletons self-keep") {
+    import spark.implicits._
+    val edges = Dedup.simhashDedup(spark, docs, maxHamming = 7)
+      .select(col("rid"), col("sid"))
+    val cc = Dedup.connectedComponents(spark, edges, docs.select(col("doc_id")))
+    val members = cc.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val scores = docs.select(col("doc_id"),
+        round(graft.functions.TextCols.qualityScore(col("text")), 6).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = members.groupBy(_._2).map { case (cl, ms) =>
+      val keeper = ms.map(_._1).minBy(id => (-scores(id), id))
+      (cl, keeper, ms.length.toLong, ms.length - 1L)
+    }.toSet
+    val got = Dedup.keepBest(spark, docs, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(want.exists(_._3 > 1L), "vacuous: need at least one real cluster")
+    assert(want.exists(t => t._3 > 1L && t._2 != t._1),
+      "vacuous: some keeper must beat the lowest-id member on quality")
+    cc.unpersist(); edges.unpersist()
+  }
+
   test("WAV codec: roundtrip, chunk tolerance, malformed rejection, resample") {
     val rnd = new scala.util.Random(31)
     val pcm = Array.fill(320)(rnd.nextInt(65536).toShort)
