@@ -42,6 +42,7 @@ object Bench {
       if (pass > 1 && name == names.head) {
         graft.sources.Fixtures.clearCache(spark)
         graft.operators.MelodyJoin.clearPrepCache(spark)
+        SparkEntry.clearEdgeCache(spark)
         // drop EVERY cached plan, not just the known session caches:
         // operators that return a persisted result (materializeAndFree
         // pattern) leave plan-cache entries a later pass of the same

@@ -143,6 +143,30 @@ object SparkEntry {
       Array(1.0, 1.0, -2.0)),
     sideNum = 6, numDuals = 4, numReductions = 4, reducedDim = 4)
 
+  /** Session-shared simhash near-dup edges over the documents corpus —
+    * the q_dedup_clusters / q_keep_best pairing pays the signature +
+    * banding + verify pass once, exactly as the 3-D queries share
+    * engine state via [[MelodyJoin.prepareCached]] (the reference pairs
+    * query types over one corpus, Join.java:42-131). Keyed by
+    * (session, dir) — the histCache convention, with its documented
+    * rewrite-within-a-session caveat; stopped sessions evicted on
+    * access. Bench clears this between repeat passes so pass minimums
+    * keep covering the edge build. */
+  private val edgeCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def simhashEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.synchronized {
+      edgeCache.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
+      edgeCache.getOrElseUpdate((s, dir),
+        Dedup.simhashDedup(s, Fixtures.documents(s, dir), maxHamming = 7))
+    }
+
+  def clearEdgeCache(spark: SparkSession): Unit = edgeCache.synchronized {
+    val dead = edgeCache.keys.filter(_._1 eq spark).toSeq
+    dead.foreach { k => edgeCache.remove(k).foreach(_.unpersist(false)) }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- scans + aggregation smoke (S1, A1-analog) ---
     "q1_agg" -> ((s, dir) => {
@@ -576,19 +600,18 @@ object SparkEntry {
     //     cluster = min doc_id reachable (canonical keeper per cluster) ---
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
-      val edges = Dedup.simhashDedup(s, docs, maxHamming = 7)
-        .select(col("rid"), col("sid"))
+      val edges = simhashEdges(s, dir).select(col("rid"), col("sid"))
       Dedup.connectedComponents(s, edges, docs.select(col("doc_id")))
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
     // --- the ACTION the clustering feeds: keep the best-quality member
     //     per near-dup cluster ((round(score,6) DESC, id) total order —
-    //     the rounded score is itself the hash-checked q_quality row) ---
+    //     the rounded score is itself the hash-checked q_quality row);
+    //     shares the session-cached edge set with q_dedup_clusters ---
     "q_keep_best" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
-      val edges = Dedup.simhashDedup(s, docs, maxHamming = 7)
-        .select(col("rid"), col("sid"))
+      val edges = simhashEdges(s, dir).select(col("rid"), col("sid"))
       Dedup.keepBest(s, docs, edges)
     }),
 
