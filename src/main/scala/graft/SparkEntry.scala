@@ -152,19 +152,40 @@ object SparkEntry {
     * rewrite-within-a-session caveat; stopped sessions evicted on
     * access. Bench clears this between repeat passes so pass minimums
     * keep covering the edge build. */
-  private val edgeCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-
-  private def simhashEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.synchronized {
-      edgeCache.filterInPlace { case ((ss, _), _) => !ss.sparkContext.isStopped }
-      edgeCache.getOrElseUpdate((s, dir),
-        Dedup.simhashDedup(s, Fixtures.documents(s, dir), maxHamming = 7))
+  private final class EdgeMemo(s: SparkSession, dir: String) {
+    @volatile private var built: DataFrame = null
+    // per-key monitor: same-(session, dir) callers serialize here, but a
+    // concurrent session building a DIFFERENT corpus never waits behind
+    // this multi-job simhash build (the cache map's lock only guards
+    // lookup/insert)
+    def df: DataFrame = synchronized {
+      if (built == null)
+        built = Dedup.simhashDedup(s, Fixtures.documents(s, dir), maxHamming = 7)
+      built
     }
+    def unpersistIfBuilt(): Unit = {
+      val b = built
+      // Try: unpersist on an already-stopped session throws, and the
+      // blocks die with the session anyway — eviction symmetry only
+      if (b != null) scala.util.Try(b.unpersist(false))
+    }
+  }
+
+  private val edgeCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), EdgeMemo]
+
+  private def simhashEdges(s: SparkSession, dir: String): DataFrame = {
+    val memo = edgeCache.synchronized {
+      edgeCache.filterInPlace { case ((ss, _), m) =>
+        !ss.sparkContext.isStopped || { m.unpersistIfBuilt(); false } }
+      edgeCache.getOrElseUpdate((s, dir), new EdgeMemo(s, dir))
+    }
+    memo.df
+  }
 
   def clearEdgeCache(spark: SparkSession): Unit = edgeCache.synchronized {
     val dead = edgeCache.keys.filter(_._1 eq spark).toSeq
-    dead.foreach { k => edgeCache.remove(k).foreach(_.unpersist(false)) }
+    dead.foreach { k => edgeCache.remove(k).foreach(_.unpersistIfBuilt()) }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -318,19 +318,27 @@ object CorpusOps {
     *        a navigation-chrome gram in 10M docs is one join key carrying
     *        10M posting rows. Identical output when no gram exceeds the
     *        cap (spec-checked); the hot set is tiny, so the anti-join
-    *        broadcasts under AQE. */
+    *        broadcasts under AQE. Per-doc contract holds under the cap: a
+    *        document whose EVERY gram is hot still gets a row
+    *        (n_shingles = 0, dup_frac = 0.0 — nothing attributable to
+    *        dedup remains), matching the uncapped one-row-per-doc shape. */
   def spanOwnership(docs: DataFrame, n: Int, idCol: String = "doc_id",
                     textCol: String = "text", maxDf: Int = 0): DataFrame = {
     val postings = capHotGrams(widen(docs)
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("gram"))
       .distinct(), maxDf)
     val owners = postings.groupBy(col("gram")).agg(min(col("id")).as("owner"))
-    postings.join(owners, "gram")
+    val perDoc = postings.join(owners, "gram")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("owner") === col("id"), 1L).otherwise(0L)).as("n_owned"))
-      .select(col("id").as("doc_id"), col("n_shingles"), col("n_owned"),
-        (lit(1.0) - col("n_owned").cast("double") / col("n_shingles"))
+    widen(docs).select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_owned"), lit(0L)).as("n_owned"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_owned").cast("double") / col("n_shingles"))
           .as("dup_frac"))
   }
 

@@ -640,24 +640,25 @@ object Dedup {
     * Singleton documents are their own keepers. Output:
     * (cluster, keeper, n_members, n_dropped).
     *
-    * Shapes: CC's edge-list-only shuffles, one quality join, one
-    * per-cluster rank window — cluster groups are duplicate families,
-    * so the window task is bounded by the largest family (the
-    * documented per-group window contract; family-scale m² never
-    * materializes — output is one row per cluster). */
+    * Shapes: CC's edge-list-only shuffles, one quality join, then ONE
+    * hash aggregation — max_by(id, (score, -id)) picks the
+    * (score DESC, id ASC) winner with map-side partial aggregation, so
+    * no per-cluster window task exists at all: even a degenerate
+    * all-duplicates corpus (one cluster = the whole corpus) reduces in
+    * constant per-row state. (The previous rank+count window pair was
+    * bounded by the largest family; this removes that bound entirely.) */
   def keepBest(spark: SparkSession, docs: DataFrame, edges: DataFrame,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cc = connectedComponents(spark, edges, docs.select(col(idCol)))
     val scored = docs.select(col(idCol).cast("long").as("id"),
       round(graft.functions.TextCols.qualityScore(col(textCol)), 6).as("score"))
-    val w = Window.partitionBy(col("cluster"))
+    // struct lexicographic max: higher score wins, then higher -id
+    // (= lower id) — exact ties only, the score is already 6dp-rounded
     val result = cc.join(scored, "id")
-      .withColumn("rnk", row_number().over(
-        w.orderBy(col("score").desc, col("id"))))
-      .withColumn("n_members", count(lit(1)).over(w))
-      .filter(col("rnk") === 1)
-      .select(col("cluster"), col("id").as("keeper"),
+      .groupBy(col("cluster"))
+      .agg(max_by(col("id"), struct(col("score"), -col("id"))).as("keeper"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("keeper"),
         col("n_members").cast("long").as("n_members"),
         (col("n_members") - 1).cast("long").as("n_dropped"))
     materializeAndFree(result, cc)

@@ -304,7 +304,12 @@ object EmdJoins {
     val featCols = treeFeatExprs(numBins, levels).zipWithIndex
       .map { case (c, i) => c.as(s"_f$i") }
     val nf = featCols.length
-    val sample = hists.orderBy(col("id")).limit(sampleSize)
+    // deterministic SPREAD sample (hash-ordered, same convention as
+    // MelodyJoin.topKJoinPrepared): a lowest-ids pick clusters in one id
+    // region, and id-correlated ingestion then yields a needlessly loose
+    // k-th-distance radius for the banded join below
+    val sample = hists
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(sampleSize)
       .select((col("id") +: featCols): _*)
     val right = sample.select(sample.columns.map(c => col(c).as(c + "_b")): _*)
     val sDist = (0 until nf).map(i => abs(col(s"_f$i") - col(s"_f${i}_b"))).reduce(_ + _)
@@ -395,7 +400,11 @@ object EmdJoins {
       aggregate(slice(col("weights"), 1, i + 1), lit(0.0), (a, x) => a + x)
         .as(s"_c$i")
     }
-    val sample = hists.orderBy(col("id")).limit(sampleSize)
+    // deterministic SPREAD sample (hash-ordered, same convention as
+    // MelodyJoin.topKJoinPrepared) — decorrelates the radius from id
+    // assignment without a global rank/count pass
+    val sample = hists
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(sampleSize)
       .select((col("id") +: cums): _*)
     val right = sample.select(sample.columns.map(c => col(c).as(c + "_b")): _*)
     val sDist = (0 until numBins - 1)

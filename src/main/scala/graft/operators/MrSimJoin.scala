@@ -268,8 +268,12 @@ object MrSimJoin {
     // proportionally to it — a 4x larger sample costs ~33k extra driver
     // solves (micro-seconds each) and buys a visibly tighter radius
     import spark.implicits._
+    // deterministic SPREAD sample (hash-ordered, same convention as
+    // MelodyJoin.topKJoinPrepared) — a lowest-ids pick gives an
+    // id-clustered corpus a needlessly loose radius
     val sample = hists.select("id", "weights").as[(Long, Array[Double])]
-      .orderBy(col("id")).limit(sampleSize).collect()
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(sampleSize).collect()
       .map { case (id, w) => (id, HistOps.normalize(w)) }
     val oneD = cfg.dimension == 1 && cfg.numVectors == 1 &&
       cfg.groundDist == graft.core.GroundDist.L2

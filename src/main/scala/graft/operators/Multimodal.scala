@@ -228,7 +228,9 @@ object Multimodal {
     while (pos + 8 <= payload.length) {
       val id = tag4(pos)
       val len = buf.getInt(pos + 4)
-      if (len < 0 || pos + 8 + len > payload.length) return None
+      // bound check in Long: a crafted len near Int.MaxValue overflows
+      // `pos + 8 + len` to negative and would slip past an Int compare
+      if (len < 0 || pos.toLong + 8 + len > payload.length) return None
       id match {
         case "fmt " =>
           if (len < 16) return None

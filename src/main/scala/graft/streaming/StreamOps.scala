@@ -178,17 +178,24 @@ object StreamOps {
     * state carry, or verdict emission fails the hash gate — not just a
     * spec.
     *
-    * HARNESS, not a production operator: it collects the corpus on the
-    * driver to feed the MemoryStream (the only batch->stream bridge that
-    * exercises real micro-batch execution deterministically). Production
-    * streams come from readStream sources; the operator itself holds ONE
-    * long per distinct content at any scale. */
+    * HARNESS, not a production operator: it bridges batch->stream via a
+    * MemoryStream (the only deterministic way to exercise real
+    * micro-batch execution). The corpus streams to the driver through a
+    * sorted toLocalIterator — one partition of text in driver memory at
+    * a time, never the whole corpus; only the O(rows) SMALL verdict
+    * triples (3 scalars, no text) accumulate driver-side, in the memory
+    * sink. Production streams come from readStream sources; the operator
+    * itself holds ONE long per distinct content at any scale. */
   def replayExactDedup(spark: SparkSession, docs: DataFrame,
                        numBatches: Int = 4): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)].collect().sortBy(_._1)
+    val src = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+    // O(1) driver state: row count for batch sizing, then a range-sorted
+    // iterator that pulls partitions sequentially in ascending-id order
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val name = "graft_replay_exactdedup"
@@ -196,11 +203,12 @@ object StreamOps {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      val per = math.max(1, (rows.length + numBatches - 1) / numBatches)
-      rows.grouped(per).foreach { chunk =>
-        mem.addData(chunk.toSeq: _*)
-        query.processAllAvailable()
-      }
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("doc_id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
       val verdicts = spark.table(name).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
       spark.createDataset(verdicts.toSeq).toDF("doc_id", "keeper", "is_dup")

@@ -338,6 +338,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(own(2L)._2 == 3L && own(2L)._3 == 3L, s"got ${own(2L)}")
   }
 
+  test("spanOwnership keeps one row per doc when every gram is capped") {
+    import spark.implicits._
+    // doc 2's ONLY gram (short doc -> one whole-text shingle) is shared
+    // by all three docs; cap=2 removes it from the analysis entirely,
+    // but the per-doc contract must still emit doc 2's row
+    val df = Seq(
+      (1L, "same same same uniq1 uniq2"),
+      (2L, "same same same"),
+      (3L, "same same same uniq3 uniq4")).toDF("doc_id", "text")
+    val rows = CorpusOps.spanOwnership(df, 3, maxDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), s"got ${rows.keySet}")
+    assert(rows(2L) == ((0L, 0L, 0.0)), s"got ${rows(2L)}")
+  }
+
   test("spanRewrite is not quadratic in a fully-duplicated long doc") {
     import spark.implicits._
     // 20k-token doc duplicated: ~20k dup starts and every token has a
