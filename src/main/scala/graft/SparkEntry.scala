@@ -387,6 +387,16 @@ object SparkEntry {
       graft.streaming.StreamOps.replayExactDedup(s, Fixtures.documents(s, dir))
     }),
 
+    // --- STREAMING near-dup, driver-visible: the corpus replays through
+    //     the real per-bucket flatMapGroupsWithState + streaming
+    //     dropDuplicates chain (MemoryStream harness); the pair set is
+    //     ingestion-order-invariant, so the batch simhash oracle checks
+    //     actual streaming bucket-state execution ---
+    "q_stream_neardup" -> ((s, dir) => {
+      graft.streaming.StreamOps.replayNearDup(s, Fixtures.documents(s, dir),
+        maxHamming = 7)
+    }),
+
     // --- token counting + lexical stats ---
     "q_token_stats" -> ((s, dir) => {
       Fixtures.documents(s, dir).select(col("doc_id"),
@@ -564,6 +574,14 @@ object SparkEntry {
     //     >= 2 selected fingerprints (ids-only postings equijoin) ---
     "q_winnow_pairs" -> ((s, dir) => {
       CorpusOps.winnowJoin(Fixtures.documents(s, dir), k = 3, w = 4,
+        minShared = 2)
+    }),
+
+    // --- the positional evidence behind those pairs (MOSS matched
+    //     regions): per qualifying pair, min/max matched shingle-start
+    //     positions on each side + the shared-fingerprint count ---
+    "q_winnow_spans" -> ((s, dir) => {
+      CorpusOps.winnowSpans(Fixtures.documents(s, dir), k = 3, w = 4,
         minShared = 2)
     }),
 
@@ -1229,6 +1247,14 @@ object SparkEntry {
           |SELECT rid, sid, cast(hamming AS BIGINT) AS hamming
           |FROM pairs WHERE hamming <= 7""".stripMargin),
 
+    // streaming near-dup replay: the pair set is ingestion-order-invariant
+    // and equals the batch simhash pair set at the same radius
+    "q_stream_neardup" ->
+      ("WITH " + SimhashCteBody +
+        """
+          |SELECT rid, sid, cast(hamming AS BIGINT) AS hamming
+          |FROM pairs WHERE hamming <= 7""".stripMargin),
+
     // Near-dup clustering: simhash pairs -> undirected graph -> connected
     // components with cluster = min reachable doc_id. The oracle computes
     // the transitive closure with a recursive CTE (fine at oracle scale);
@@ -1545,6 +1571,43 @@ object SparkEntry {
         |FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+
+    // Same winnowing replay with positions kept: per qualifying pair,
+    // count(DISTINCT fp) (== q_winnow_pairs' n_shared) + min/max matched
+    // positions per side over the (fp, rpos, spos) evidence rows.
+    "q_winnow_spans" ->
+      """WITH tt AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])
+        |    END AS g
+        |  FROM tt
+        |), keys AS (
+        |  SELECT doc_id, list_transform(range(len(g)),
+        |    i -> ('0x' || substr(md5(g[i + 1]), 1, 8))::BIGINT * 1073741824
+        |         + (i + 1)) AS ks
+        |  FROM sh
+        |), sel AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(greatest(len(ks) - 3, 1)),
+        |      j -> list_min(ks[j + 1 : j + 4])))) AS key
+        |  FROM keys
+        |), fpp AS (
+        |  SELECT doc_id, key // 1073741824 AS fp, key % 1073741824 AS pos
+        |  FROM sel
+        |)
+        |SELECT a.doc_id AS rid, b.doc_id AS sid,
+        |       cast(count(DISTINCT a.fp) AS BIGINT) AS n_shared,
+        |       cast(min(a.pos) AS BIGINT) AS rid_lo,
+        |       cast(max(a.pos) AS BIGINT) AS rid_hi,
+        |       cast(min(b.pos) AS BIGINT) AS sid_lo,
+        |       cast(max(b.pos) AS BIGINT) AS sid_hi
+        |FROM fpp a JOIN fpp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(DISTINCT a.fp) >= 2""".stripMargin,
 
     "q_oov_rate" ->
       """WITH toks AS (

@@ -491,6 +491,54 @@ object CorpusOps {
     }
   }
 
+  /** Winnowing containment SPANS — the positional evidence behind a
+    * [[winnowJoin]] pair (MOSS's actual report is matched regions, not
+    * bare pair counts): per qualifying pair, the extent of the matched
+    * material on EACH side as min/max selected-shingle start positions,
+    * plus the shared-fingerprint count (identical to winnowJoin's
+    * n_shared for the same pair — evidence consistency is spec-checked).
+    * A tight span on one side + a wide span on the other is the
+    * containment signature (quote vs quilt); downstream span-dedup
+    * (spanRewrite) consumes exactly these extents.
+    *
+    * Shape: the (doc_id, fp, pos) selections self-join on fp — ids and
+    * two ints per row, no text — then ONE hash aggregation per pair.
+    * A fingerprint selected at m positions in one doc and n in the other
+    * contributes m*n join rows; within-doc repeats of a selected gram are
+    * rare by construction (selection keeps ~2/(w+1) of grams) and the
+    * `maxDf` cap bounds cross-doc fan-out exactly as in winnowJoin. */
+  def winnowSpans(docs: DataFrame, k: Int, w: Int, minShared: Int = 1,
+                  maxDf: Int = 0, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    import graft.core.Caching._
+    val fps = winnowFingerprints(docs, k, w, idCol, textCol).persistOnce()
+    try {
+      val capped =
+        if (maxDf <= 0) fps
+        else fps.join(
+          hotGrams(fps.select(col("doc_id"), col("fp")).distinct(), maxDf,
+            keyCol = "fp"),
+          Seq("fp"), "left_anti")
+      val a = capped.select(col("fp"), col("doc_id").as("rid"),
+        col("pos").as("rpos"))
+      val b = capped.select(col("fp"), col("doc_id").as("sid"),
+        col("pos").as("spos"))
+      val result = a.join(b, "fp")
+        .filter(col("rid") < col("sid"))
+        .groupBy(col("rid"), col("sid"))
+        .agg(countDistinct(col("fp")).as("n_shared"),
+          min(col("rpos")).as("rid_lo"), max(col("rpos")).as("rid_hi"),
+          min(col("spos")).as("sid_lo"), max(col("spos")).as("sid_hi"))
+        .filter(col("n_shared") >= minShared)
+        .persistOnce()
+      result.count()
+      result
+    } finally {
+      fps.unpersist(false)
+    }
+  }
+
   /** Tokenizer-coverage analysis: per-document out-of-vocabulary rate
     * against the corpus' top-`vocabSize` tokens (by count desc, token —
     * a total order, so the vocabulary boundary is deterministic). Fully

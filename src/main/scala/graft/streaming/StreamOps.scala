@@ -189,6 +189,39 @@ object StreamOps {
   def replayExactDedup(spark: SparkSession, docs: DataFrame,
                        numBatches: Int = 4): DataFrame = {
     import spark.implicits._
+    val verdicts = replayDocStream(spark, docs, numBatches,
+      "graft_replay_exactdedup")(streamingExactDedup(spark, _))
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    spark.createDataset(verdicts.toSeq).toDF("doc_id", "keeper", "is_dup")
+  }
+
+  /** Verification replay for the streaming NEAR-dup path — same harness
+    * contract as [[replayExactDedup]], driving [[streamingNearDup]]: real
+    * per-bucket flatMapGroupsWithState execution plus the streaming
+    * dropDuplicates stage, fed ascending-id micro-batches. The pair set is
+    * ingestion-order-invariant (a pair is emitted when its second member
+    * arrives, whichever band sees it first), so the batch simhash oracle
+    * replays it exactly — a regression in banding, bucket state carry, or
+    * cross-band dedup fails the hash gate. Only the O(pairs) scalar
+    * triples accumulate driver-side. */
+  def replayNearDup(spark: SparkSession, docs: DataFrame,
+                    maxHamming: Int = 7, numBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val pairs = replayDocStream(spark, docs, numBatches,
+      "graft_replay_neardup")(streamingNearDup(spark, _, maxHamming))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    spark.createDataset(pairs.toSeq).toDF("rid", "sid", "hamming")
+  }
+
+  /** Shared batch->stream bridge: pipes `docs` (doc_id, text) through a
+    * streaming transform as `numBatches` ascending-id micro-batches and
+    * returns the memory-sink rows. The corpus reaches the driver through
+    * a sorted toLocalIterator — one partition of text in driver memory at
+    * a time, never the whole corpus. */
+  private def replayDocStream(spark: SparkSession, docs: DataFrame,
+                              numBatches: Int, name: String)(
+      op: DataFrame => DataFrame): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
@@ -198,8 +231,7 @@ object StreamOps {
     val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
-    val name = "graft_replay_exactdedup"
-    val query = streamingExactDedup(spark, mem.toDF().toDF("doc_id", "text"))
+    val query = op(mem.toDF().toDF("doc_id", "text"))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
@@ -209,9 +241,7 @@ object StreamOps {
           mem.addData(chunk.toSeq: _*)
           query.processAllAvailable()
         }
-      val verdicts = spark.table(name).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-      spark.createDataset(verdicts.toSeq).toDF("doc_id", "keeper", "is_dup")
+      spark.table(name).collect()
     } finally {
       query.stop()
     }

@@ -354,6 +354,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows(2L) == ((0L, 0L, 0.0)), s"got ${rows(2L)}")
   }
 
+  test("winnowSpans: planted shared run is bracketed by the pair's spans") {
+    import spark.implicits._
+    // 7 shared tokens >= w + k - 1 = 6 -> at least one shared selected
+    // fingerprint is guaranteed; all other tokens are doc-unique, so
+    // every matched position lies INSIDE the planted run on both sides
+    val shared = (1 to 7).map(i => s"s$i").mkString(" ")
+    val doc1 = s"a1 a2 a3 a4 $shared b1 b2" // run shingle starts 5..9
+    val doc2 = s"c1 $shared d1 d2 d3"       // run shingle starts 2..6
+    val df = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val spans = CorpusOps.winnowSpans(df, 3, 4, minShared = 1).collect()
+    assert(spans.length == 1, s"got ${spans.length} pairs")
+    val r = spans.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    val (nsh, rlo, rhi, slo, shi) =
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(nsh >= 1)
+    assert(rlo >= 5 && rhi <= 9, s"rid span [$rlo,$rhi] outside run")
+    assert(slo >= 2 && shi <= 6, s"sid span [$slo,$shi] outside run")
+    // the same grams matched on both sides: spans differ by the plant
+    // offset exactly
+    assert(rlo - slo == 3 && rhi - shi == 3, s"offset broken: $rlo/$slo $rhi/$shi")
+    // evidence consistency: n_shared identical to winnowJoin's count
+    val joins = CorpusOps.winnowJoin(df, 3, 4, minShared = 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(joins == Set((1L, 2L, nsh)))
+  }
+
   test("spanRewrite is not quadratic in a fully-duplicated long doc") {
     import spark.implicits._
     // 20k-token doc duplicated: ~20k dup starts and every token has a

@@ -97,6 +97,27 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.forall { case (r, s, _) => r < s })
   }
 
+  test("replayNearDup harness reproduces the batch simhash pair set") {
+    import spark.implicits._
+    // near-dup families split across the harness's micro-batch boundaries
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "a completely different document about spark joins",
+      4L -> "the quick brown fox jumps over the lazy dog",
+      5L -> "another unrelated text mentioning histograms and emd",
+      6L -> "a completely different document about spark joins today")
+    val maxHamming = 12
+    val replayed = StreamOps.replayNearDup(spark,
+        texts.toDF("doc_id", "text"), maxHamming, numBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Dedup.simhashDedup(spark,
+        texts.toDF("doc_id", "text"), maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(batch.nonEmpty && replayed == batch,
+      s"replay != batch: missing=${batch -- replayed} extra=${replayed -- batch}")
+  }
+
   test("streaming exact dedup: one verdict per doc, keepers match the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
