@@ -839,10 +839,14 @@ object SparkEntry {
     //     time arithmetic is integer micros — exact in both engines ---
     "q_asof_join" -> ((s, dir) => {
       val ev = Fixtures.events(s, dir)
+      // the SLICED scale path (output-identical to the per-key window,
+      // spec-checked): 1-day slices over the 30-day fixture, so the
+      // hash gate exercises within-slice matches AND cross-slice carries
       EventOps.asOfJoin(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
-        keyCol = "user_id", tsCol = "ts", idCol = "event_id")
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        sliceSec = 86400L)
     }),
 
     // --- banded range join: (click, purchase) pairs of one user within

@@ -25,33 +25,71 @@ object EventOps {
     * rows with no prior right row keep a NULL match (left-outer
     * semantics). Output: (leftIdOut, match_id, lag_us).
     *
-    * Shape: tag the two sides, union, and take a running `last` of the
-    * right id over a per-key window ordered by (ts, side, id) — right
-    * rows sort before left rows at equal ts so equality matches, and
-    * ascending id makes the running last the max-id tie winner. One
-    * shuffle on the key; per-key streams are processed by a single task
-    * (the standard window contract — at 100 TB the keys are users/
-    * entities, millions of them, so parallelism is ample; a single
-    * pathological hot key would need time-sliced pre-bucketing, which
-    * this corpus does not).
-    */
+    * Shape (sliceSec = 0): tag the two sides, union, and take a running
+    * `last` of the right id over a per-key window ordered by
+    * (ts, side, id) — right rows sort before left rows at equal ts so
+    * equality matches, and ascending id makes the running last the
+    * max-id tie winner. One shuffle on the key; per-key streams are
+    * processed by a single task (the standard window contract — at
+    * 100 TB the keys are users/entities, millions of them, so
+    * parallelism is ample).
+    *
+    * Shape (sliceSec > 0) — the hot-key scale path, output-identical
+    * (spec-checked): rows bucket into (key, floor(ts / slice)) so the
+    * heavy running-last window is per SLICE, not per key — task memory
+    * is bounded by a slice's rows no matter how hot the key. Cross-slice
+    * state flows through a per-slice carry summary (the latest right row
+    * of each slice, max (ts, id) — the same tie convention), prefixed
+    * per key over slice-count-sized rows by a second, tiny window; a
+    * left row with no within-slice predecessor coalesces to its slice's
+    * carry. Cost: one extra aggregation + one co-partitioned join. */
   def asOfJoin(left: DataFrame, right: DataFrame,
                keyCol: String, tsCol: String, idCol: String,
                leftIdOut: String = "event_id",
-               matchIdOut: String = "match_id"): DataFrame = {
+               matchIdOut: String = "match_id",
+               sliceSec: Long = 0): DataFrame = {
     val l = left.select(col(keyCol).as("k"), col(tsCol).as("t"),
       col(idCol).cast("long").as("i"), lit(1).as("side"))
     val r = right.select(col(keyCol).as("k"), col(tsCol).as("t"),
       col(idCol).cast("long").as("i"), lit(0).as("side"))
-    val w = Window.partitionBy(col("k"))
-      .orderBy(col("t"), col("side"), col("i"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.union(r)
-      .withColumn("m", last(when(col("side") === 0, col("i")), ignoreNulls = true).over(w))
-      .withColumn("mt", last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
-      .select(col("i").as(leftIdOut), col("m").as(matchIdOut),
-        (unix_micros(col("t")) - unix_micros(col("mt"))).as("lag_us"))
+    val u = l.union(r)
+    if (sliceSec <= 0) {
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("t"), col("side"), col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("m", last(when(col("side") === 0, col("i")), ignoreNulls = true).over(w))
+        .withColumn("mt", last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("i").as(leftIdOut), col("m").as(matchIdOut),
+          (unix_micros(col("t")) - unix_micros(col("mt"))).as("lag_us"))
+    } else {
+      val sliceUs = sliceSec * 1000000L
+      val sliced = u.withColumn("slice", floor(unix_micros(col("t")) / sliceUs))
+      val ws = Window.partitionBy(col("k"), col("slice"))
+        .orderBy(col("t"), col("side"), col("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val within = sliced
+        .withColumn("m", last(when(col("side") === 0, col("i")), ignoreNulls = true).over(ws))
+        .withColumn("mt", last(when(col("side") === 0, col("t")), ignoreNulls = true).over(ws))
+      // one row per (key, slice): the slice's latest right row — max
+      // (us, id) replicates the (ts, larger-id) tie convention
+      val summaries = sliced.groupBy(col("k"), col("slice"))
+        .agg(max(when(col("side") === 0,
+          struct(unix_micros(col("t")).as("cus"), col("i").as("ci")))).as("cr"))
+      // strictly-preceding slices only; rows here are slice summaries
+      // (time-range / slice wide per key), never data-sized
+      val wc = Window.partitionBy(col("k")).orderBy(col("slice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carries = summaries
+        .withColumn("carry", last(col("cr"), ignoreNulls = true).over(wc))
+        .select(col("k"), col("slice"), col("carry"))
+      within.join(carries, Seq("k", "slice"))
+        .filter(col("side") === 1)
+        .select(col("i").as(leftIdOut),
+          coalesce(col("m"), col("carry.ci")).as(matchIdOut),
+          (unix_micros(col("t")) -
+            coalesce(unix_micros(col("mt")), col("carry.cus"))).as("lag_us"))
+    }
   }
 
   /** Banded range join: all (left, right) pairs sharing `keyCol` with

@@ -234,6 +234,28 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(got.toSet == want)
   }
 
+  test("asOfJoin sliced path completes one hot user with 100k events at bounded task state") {
+    // one pathological key, 100k left + 10k right rows: the sliced path
+    // buckets into 100 time slices (~1.1k rows per (key, slice) window
+    // task instead of 110k in one), with matches both within-slice and
+    // through the cross-slice carry. Expectation is analytic: left i at
+    // t=i s matches the latest right at t=10*floor(i/10) s.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def mk(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val left = (0L until 100000L).map(i => (i, 7L, i * 1000000L))
+    // rights every 10 s, ids offset so they never collide with left ids
+    val right = (0L until 10000L).map(j => (1000000L + j, 7L, j * 10000000L))
+    val got = EventOps.asOfJoin(mk(left), mk(right),
+        "user_id", "ts", "event_id", sliceSec = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 100000)
+    assert(got.forall { case (i, m, lag) =>
+      m == 1000000L + i / 10 && lag == (i % 10) * 1000000L })
+  }
+
   test("mrsim with more pivots than records") {
     val rnd = new scala.util.Random(9)
     val hists = df((1L to 6L).map(i => (i, Array.fill(8)(rnd.nextDouble()))))

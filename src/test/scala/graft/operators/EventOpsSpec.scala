@@ -55,6 +55,30 @@ class EventOpsSpec extends AnyFunSuite {
     assert(want.exists(_._2 == -1L), "fixture must hit the no-match case")
   }
 
+  test("asOfJoin sliced path is output-identical to the per-key window path") {
+    // the random fixture spans 1000 s; a 7 s slice forces ~143 slices, so
+    // cross-slice carries (including multi-empty-slice gaps), within-slice
+    // equal-ts ties, and no-match-yet lefts are all exercised
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 1000000L))
+    val right = (0 until 150).map(i =>
+      (1000L + i, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 1000000L)) ++
+      Seq((2000L, 0L, 500000000L), (2001L, 0L, 500000000L))
+    def run(sliceSec: Long) = EventOps.asOfJoin(mkEvents(left), mkEvents(right),
+        "user_id", "ts", "event_id", sliceSec = sliceSec)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val unsliced = run(0)
+    assert(run(7) == unsliced)
+    // degenerate widths too: one slice per distinct second (maximum
+    // slicing — every match crosses slices) and one slice swallowing
+    // everything (the carry path never fires)
+    assert(run(1) == unsliced)
+    assert(run(100000) == unsliced)
+  }
+
   test("rangeJoin == brute-force filter, incl. boundary and bucket-straddling pairs") {
     val delta = 10L // seconds
     val dUs = delta * 1000000L
