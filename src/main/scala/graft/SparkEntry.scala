@@ -739,6 +739,17 @@ object SparkEntry {
         .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
     }),
 
+    // --- COMPRESSED-image lifecycle with the pure-JVM baseline JFIF
+    //     codec: 16x16 grayscale JPEG of four constant 8x8 blocks per
+    //     doc (constant blocks are DC-only, so the lossy codec is
+    //     exactly lossless and the pixels stay analytic), real Huffman +
+    //     dequant + IDCT decode, 8-bin gray histogram ---
+    "q_jpeg_hist" -> ((s, dir) => {
+      Multimodal.jpegGrayHist(s,
+        Multimodal.withJpegPayload(Fixtures.documents(s, dir)))
+        .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
+    }),
+
     // --- resize/recompress lifecycle: decode -> 16x16 -> 9x9 nearest-
     //     neighbor resize -> re-encode -> decode -> red histogram. 9 is a
     //     non-divisor of 16, so the oracle's integer floor index math is
@@ -1954,6 +1965,30 @@ object SparkEntry {
         |), counts AS (
         |  SELECT doc_id, b // 32 AS bin, cast(count(*) AS DOUBLE) AS c
         |  FROM px GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT d.doc_id, bb.bin, coalesce(c.c, 0.0) AS c
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT cast(range AS BIGINT) AS bin FROM range(8)) bb
+        |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = bb.bin
+        |)
+        |SELECT doc_id, bin, round(c / 256.0, 6) AS w FROM dense""".stripMargin,
+
+    // JPEG lifecycle: block b (raster order, b = (y//8)*2 + x//8) of the
+    // 16x16 gray plane is the constant text byte (b % len); each block
+    // contributes 64 pixels to bin v//32. A hash match proves the whole
+    // baseline JFIF encode -> Huffman/dequant/IDCT decode chain is
+    // exactly lossless on DC-only blocks.
+    "q_jpeg_hist" ->
+      """WITH bl AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN length(d.text) = 0 THEN 0
+        |              ELSE ascii(substr(d.text,
+        |                (cast(r.range AS INTEGER) % length(d.text)) + 1, 1))
+        |         END AS v
+        |  FROM documents d CROSS JOIN range(4) r
+        |), counts AS (
+        |  SELECT doc_id, v // 32 AS bin, cast(64 * count(*) AS DOUBLE) AS c
+        |  FROM bl GROUP BY 1, 2
         |), dense AS (
         |  SELECT d.doc_id, bb.bin, coalesce(c.c, 0.0) AS c
         |  FROM (SELECT DISTINCT doc_id FROM documents) d

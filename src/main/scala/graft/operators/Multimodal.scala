@@ -15,14 +15,19 @@ import org.apache.spark.sql.functions._
   *   `decodeColorHist` turns decoded pixels into the per-channel color
   *   histograms the reference's Lire featurizer produces. The whole
   *   encode -> decode -> histogram lifecycle is DuckDB-hash-checked
-  *   (`q_image_hist`). Uncompressed formats need no codec libraries;
-  *   COMPRESSED codecs (JPEG/PNG/audio) are not available in this
-  *   container, so those formats route through the same partition-batched
-  *   seam but remain out of scope.
+  *   (`q_image_hist`).
+  * - REAL, COMPRESSED: a pure-JVM baseline JFIF codec ([[Jpeg]]) —
+  *   Huffman + dequant + IDCT decode (1/3-component, 4:2:0-capable,
+  *   restart markers) cross-checked against the JDK's independent
+  *   ImageIO implementation, plus a grayscale encoder whose
+  *   constant-block synthesis is exactly lossless, making the lossy
+  *   format DuckDB-hash-checkable (`q_jpeg_hist`). RIFF/WAV PCM audio
+  *   is likewise a real chunk-walking codec (`q_audio_rms`).
   * - STUB: `decodeFeatures` (byte histogram + entropy) stands in for
-  *   codec-dependent formats; everything around it — binary column
-  *   schema, partition-batched execution, feature schema, downstream
-  *   joins — is real and tested.
+  *   the remaining codec-dependent formats (PNG inflate, video
+  *   containers); everything around it — binary column schema,
+  *   partition-batched execution, feature schema, downstream joins —
+  *   is real and tested.
   */
 object Multimodal {
 
@@ -330,6 +335,59 @@ object Multimodal {
           }
         }
       }.toDF("doc_id", "win_idx", "rms", "fp")
+  }
+
+  val JpegW = 16
+  val JpegH = 16
+
+  /** Deterministic synthetic COMPRESSED image per document: a 16x16
+    * grayscale JPEG of four constant 8x8 blocks, block b's value = text
+    * byte (b % len) — the [[withImagePayload]] convention, but through
+    * the real baseline JFIF encoder ([[Jpeg.encodeGray]], unit quant).
+    * Constant blocks make the lossy codec exactly lossless (DC-only
+    * blocks), so the decode output stays an analytic function of the
+    * text and the lifecycle is DuckDB-hash-checkable like the PPM path. */
+  def withJpegPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val src = if (raw.isEmpty) Array[Byte](0) else raw
+          val px = new Array[Byte](JpegW * JpegH)
+          var i = 0
+          while (i < px.length) {
+            val bx = (i % JpegW) / 8
+            val by = (i / JpegW) / 8
+            px(i) = src((by * 2 + bx) % src.length)
+            i += 1
+          }
+          (id, Jpeg.encodeGray(JpegW, JpegH, px))
+        }
+      }.toDF("doc_id", "payload")
+      .withColumn("meta", struct(
+        length(col("payload")).as("n_bytes"), lit("image/jpeg").as("mime")))
+  }
+
+  /** Full COMPRESSED-image lifecycle: JFIF payload -> real baseline
+    * decode (Huffman + dequant + IDCT) -> 8-bin gray histogram, long
+    * format (doc_id, bin, w). Malformed payloads are dropped (decoder
+    * rejects). The constant-block synthesis keeps every decoded pixel
+    * analytic, so a hash match proves the whole encoder+decoder chain. */
+  def jpegGrayHist(spark: SparkSession, withJpegDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    withJpegDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        Jpeg.decode(payload).toSeq.flatMap { img =>
+          val hist = new Array[Double](8)
+          val n = (img.width * img.height).toDouble
+          img.planes(0).foreach(v => hist(v >> 5) += 1.0)
+          hist.zipWithIndex.map { case (c, b) => (id, b.toLong, c / n) }
+        }
+      }.toDF("doc_id", "bin", "w")
   }
 
   /** Attach a binary payload column + metadata struct to the documents
