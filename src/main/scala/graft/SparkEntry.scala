@@ -750,6 +750,17 @@ object SparkEntry {
         .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
     }),
 
+    // --- PNG lifecycle with the pure-JVM codec (JDK zlib, no external
+    //     jars): 16x16 gray PNG of the cycled text bytes per doc,
+    //     CRC-verified chunk walk -> inflate -> unfilter -> 8-bin gray
+    //     histogram; PNG is lossless so the pixels are directly the
+    //     analytic cycled bytes ---
+    "q_png_hist" -> ((s, dir) => {
+      Multimodal.pngGrayHist(s,
+        Multimodal.withPngPayload(Fixtures.documents(s, dir)))
+        .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
+    }),
+
     // --- resize/recompress lifecycle: decode -> 16x16 -> 9x9 nearest-
     //     neighbor resize -> re-encode -> decode -> red histogram. 9 is a
     //     non-divisor of 16, so the oracle's integer floor index math is
@@ -1989,6 +2000,30 @@ object SparkEntry {
         |), counts AS (
         |  SELECT doc_id, v // 32 AS bin, cast(64 * count(*) AS DOUBLE) AS c
         |  FROM bl GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT d.doc_id, bb.bin, coalesce(c.c, 0.0) AS c
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT cast(range AS BIGINT) AS bin FROM range(8)) bb
+        |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = bb.bin
+        |)
+        |SELECT doc_id, bin, round(c / 256.0, 6) AS w FROM dense""".stripMargin,
+
+    // PNG lifecycle: pixel i of the 16x16 gray plane is text byte
+    // (i % len) — the q_image_hist cycled layout without the PPM red
+    // stride; lossless codec, so the decoded bytes ARE the analytic
+    // synthesis (a hash match proves chunk walk + CRC + inflate +
+    // unfilter reproduce them exactly).
+    "q_png_hist" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN length(d.text) = 0 THEN 0
+        |              ELSE ascii(substr(d.text,
+        |                (cast(r.range AS INTEGER) % length(d.text)) + 1, 1))
+        |         END AS b
+        |  FROM documents d CROSS JOIN range(256) r
+        |), counts AS (
+        |  SELECT doc_id, b // 32 AS bin, cast(count(*) AS DOUBLE) AS c
+        |  FROM px GROUP BY 1, 2
         |), dense AS (
         |  SELECT d.doc_id, bb.bin, coalesce(c.c, 0.0) AS c
         |  FROM (SELECT DISTINCT doc_id FROM documents) d

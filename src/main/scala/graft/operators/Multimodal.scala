@@ -390,6 +390,47 @@ object Multimodal {
       }.toDF("doc_id", "bin", "w")
   }
 
+  /** Deterministic synthetic PNG per document: the utf-8 text bytes
+    * cycled into a 16x16 GRAY plane (pixel i = byte i % len), deflated
+    * through the real PNG encoder. PNG is lossless, so unlike the JPEG
+    * row no constant-block trick is needed — every decoded pixel is the
+    * cycled text byte, directly DuckDB-replayable. */
+  def withPngPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          val src = if (raw.isEmpty) Array[Byte](0) else raw
+          val px = new Array[Byte](JpegW * JpegH)
+          var i = 0
+          while (i < px.length) { px(i) = src(i % src.length); i += 1 }
+          (id, Png.encode(JpegW, JpegH, 1, px))
+        }
+      }.toDF("doc_id", "payload")
+      .withColumn("meta", struct(
+        length(col("payload")).as("n_bytes"), lit("image/png").as("mime")))
+  }
+
+  /** Full PNG lifecycle: payload -> CRC-verified chunk walk -> inflate
+    * -> unfilter -> 8-bin gray histogram, long format (doc_id, bin, w).
+    * Malformed payloads are dropped (decoder rejects). */
+  def pngGrayHist(spark: SparkSession, withPngDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    withPngDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        Png.decode(payload).toSeq.flatMap { img =>
+          val hist = new Array[Double](8)
+          val n = (img.width * img.height).toDouble
+          img.pixels.foreach(v => hist((v & 0xff) >> 5) += 1.0)
+          hist.zipWithIndex.map { case (c, b) => (id, b.toLong, c / n) }
+        }
+      }.toDF("doc_id", "bin", "w")
+  }
+
   /** Attach a binary payload column + metadata struct to the documents
     * table (payload = utf-8 bytes of text; stands in for an image/audio
     * blob column read via spark.read.format("binaryFile")). */
