@@ -806,6 +806,17 @@ object SparkEntry {
       EventOps.sessionize(Fixtures.events(s, dir), gapSec = 86400L)
     }),
 
+    // --- STREAMING sessionize, driver-visible: the event table replays
+    //     through the real flatMapGroupsWithState operator as
+    //     ascending-time micro-batches; explicit integer-micros gap
+    //     splits + sentinel-flushed event-time timeouts reproduce the
+    //     batch session set exactly, so the q_sessionize oracle checks
+    //     actual streaming state splits/carries/timeout flushes ---
+    "q_stream_sessionize" -> ((s, dir) => {
+      graft.streaming.StreamOps.replaySessionize(s, Fixtures.events(s, dir),
+        gapUs = 86400000000L)
+    }),
+
     // --- JSON property extraction over the event stream ---
     "q_events_props" -> ((s, dir) => {
       Fixtures.events(s, dir)
@@ -2111,6 +2122,28 @@ object SparkEntry {
         |FROM r CROSS JOIN w""".stripMargin,
 
     "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id AS eid, value
+        |  FROM events
+        |), f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 86400000000 THEN 1
+        |            ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, eid)
+        |), s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, eid
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id, cast(session_idx AS BIGINT) AS session_idx,
+        |       count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+        |       round(cast(sum(value) AS DOUBLE), 6) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // streaming sessionize replay: under the ascending-time feed the
+    // closed-session set equals the batch gap split — same SQL as
+    // q_sessionize
+    "q_stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_id AS eid, value
         |  FROM events

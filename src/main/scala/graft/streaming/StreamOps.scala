@@ -31,42 +31,67 @@ object StreamOps {
         col("n"), col("sum_value"))
 
   final case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double,
+                                 startUs: Long, endUs: Long,
                                  sessionClosed: Boolean)
   final case class SessionState(nEvents: Long, totalValue: Double,
-                                        lastTs: Long)
+                                startUs: Long, lastUs: Long)
 
-  /** Stateful sessionization: per-user running session (count + value sum)
-    * that closes after `gap` of event-time inactivity — custom state via
-    * mapGroupsWithState with EVENT-time timeout. Event time + watermark
-    * (not processing time) keeps replays deterministic and avoids
-    * wall-clock-driven empty micro-batches. */
+  /** Stateful sessionization: per-user sessions that close after `gapUs`
+    * MICROSECONDS of event-time inactivity, via flatMapGroupsWithState
+    * with EVENT-time timeout. The gap split is EXPLICIT integer-micros
+    * arithmetic inside the state function (an arriving event more than
+    * gapUs after the session's last event closes it and opens a new one
+    * — within a micro-batch or across batches), so session boundaries
+    * match the batch twin ([[graft.operators.EventOps.sessionize]])
+    * exactly under in-order ingestion and never depend on when the
+    * watermark happens to advance; the event-time TIMEOUT only flushes a
+    * trailing session once the watermark passes its gap. Each batch also
+    * emits a running (sessionClosed = false) update for the open
+    * session. Out-of-order events within the watermark merge into the
+    * open session (state cannot reorder history); a replay that needs
+    * batch-exact equality feeds events time-ordered. */
   def sessionize(spark: SparkSession, events: DataFrame,
-                 gapMs: Long = 30 * 60 * 1000L,
+                 gapUs: Long = 30 * 60 * 1000000L,
                  watermark: String = "1 hour"): Dataset[SessionUpdate] = {
     import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     events
       .withWatermark("ts", watermark)
       .select(col("user_id").cast("long").as("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[SessionState, SessionUpdate](
-        GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionUpdate(userId, s.nEvents, s.totalValue, sessionClosed = true)
+            Iterator(SessionUpdate(userId, s.nEvents, s.totalValue,
+              s.startUs, s.lastUs, sessionClosed = true))
           } else {
-            val buf = rows.toSeq
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-            val next = SessionState(
-              prev.nEvents + buf.size,
-              prev.totalValue + buf.map(_._3).sum,
-              math.max(prev.lastTs,
-                if (buf.nonEmpty) buf.map(_._2.getTime).max else 0L))
-            state.update(next)
-            state.setTimeoutTimestamp(next.lastTs + gapMs)
-            SessionUpdate(userId, next.nEvents, next.totalValue, sessionClosed = false)
+            val out = scala.collection.mutable.ArrayBuffer[SessionUpdate]()
+            var cur = state.getOption
+            rows.toSeq.sortBy(r => micros(r._2)).foreach { case (_, ts, v) =>
+              val t = micros(ts)
+              cur match {
+                case Some(s) if t > s.lastUs + gapUs =>
+                  out += SessionUpdate(userId, s.nEvents, s.totalValue,
+                    s.startUs, s.lastUs, sessionClosed = true)
+                  cur = Some(SessionState(1L, v, t, t))
+                case Some(s) =>
+                  cur = Some(SessionState(s.nEvents + 1L, s.totalValue + v,
+                    s.startUs, math.max(s.lastUs, t)))
+                case None =>
+                  cur = Some(SessionState(1L, v, t, t))
+              }
+            }
+            val s = cur.get // rows is non-empty when not timed out
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+            out += SessionUpdate(userId, s.nEvents, s.totalValue,
+              s.startUs, s.lastUs, sessionClosed = false)
+            out.iterator
           }
       }
   }
@@ -211,6 +236,72 @@ object StreamOps {
       "graft_replay_neardup")(streamingNearDup(spark, _, maxHamming))
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
     spark.createDataset(pairs.toSeq).toDF("rid", "sid", "hamming")
+  }
+
+  /** Verification replay for the streaming SESSIONIZE path — same
+    * harness contract as [[replayExactDedup]]: the event table streams
+    * through the real flatMapGroupsWithState operator as ascending-TIME
+    * micro-batches (a time-ordered feed is the production ingestion
+    * contract the operator documents), a far-future sentinel user
+    * advances the watermark so every trailing session's event-time
+    * timeout fires, and the closed-session verdicts come back as a batch
+    * DataFrame with the batch twin's exact schema
+    * (user_id, session_idx, n_events, start_us, end_us, sum_value) —
+    * session_idx ranked over the collected closed rows. Under in-order
+    * ingestion the output equals [[graft.operators.EventOps.sessionize]]
+    * row-for-row, so the q_sessionize oracle SQL checks real streaming
+    * state splits, carries, and timeout flushes. */
+  def replaySessionize(spark: SparkSession, events: DataFrame,
+                       gapUs: Long, numBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = events.select(col("user_id").cast("long"),
+        col("ts").cast("timestamp"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val maxUs = events.select(max(unix_micros(col("ts")))).head().getLong(0)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val name = "graft_replay_sessionize"
+    // 1-second watermark lag: small enough that the two sentinel batches
+    // below deterministically flush every open session, nonzero so an
+    // event tied exactly with the previous batch's max ts can never be
+    // dropped as late under the ascending feed
+    val query = sessionize(spark, mem.toDF().toDF("user_id", "ts", "value"),
+        gapUs, watermark = "1 second")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("ts"), col("user_id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      // sentinel user -1, two batches: the first advances the watermark
+      // past every (lastUs + gap), the second triggers the timeout sweep
+      def sentinel(us: Long) =
+        (-1L, new java.sql.Timestamp((us + gapUs) / 1000L + 2000L), 0.0)
+      mem.addData(sentinel(maxUs))
+      query.processAllAvailable()
+      mem.addData(sentinel(maxUs + 5000000L))
+      query.processAllAvailable()
+      val closed = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5)))
+        .filter(t => t._6 && t._1 >= 0L)
+      import org.apache.spark.sql.expressions.Window
+      spark.createDataset(closed.toSeq.map(t => (t._1, t._2, t._3, t._4, t._5)))
+        .toDF("user_id", "n_events", "sum_value", "start_us", "end_us")
+        .withColumn("session_idx", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("start_us"))))
+        .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
+          col("n_events"), col("start_us"), col("end_us"),
+          round(col("sum_value"), 6).as("sum_value"))
+    } finally {
+      query.stop()
+    }
   }
 
   /** Shared batch->stream bridge: pipes `docs` (doc_id, text) through a

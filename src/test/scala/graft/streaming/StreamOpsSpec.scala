@@ -50,7 +50,11 @@ class StreamOpsSpec extends AnyFunSuite {
     def ts(m: String) = java.sql.Timestamp.valueOf(m)
     mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
       (1L, ts("2024-01-01 10:01:00"), 2.0),
-      (2L, ts("2024-01-01 10:02:00"), 5.0))
+      (2L, ts("2024-01-01 10:02:00"), 5.0),
+      // user 3: two events 45 min apart INSIDE one micro-batch — the
+      // explicit gap split must close the first session immediately
+      (3L, ts("2024-01-01 09:00:00"), 7.0),
+      (3L, ts("2024-01-01 09:45:00"), 9.0))
     query.processAllAvailable()
     mem.addData((1L, ts("2024-01-01 10:05:00"), 3.0))
     query.processAllAvailable()
@@ -60,6 +64,42 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(u1.getLong(1) == 3L, s"user1 events ${u1.getLong(1)}")
     assert(math.abs(u1.getDouble(2) - 6.0) < 1e-9)
     assert(rows.exists(r => r.getLong(0) == 2L && r.getLong(1) == 1L))
+    // the intra-batch split: one CLOSED single-event session at 09:00
+    // and an open one at 09:45
+    val u3closed = rows.filter(r => r.getLong(0) == 3L && r.getBoolean(5))
+    assert(u3closed.length == 1 && u3closed.head.getLong(1) == 1L &&
+      math.abs(u3closed.head.getDouble(2) - 7.0) < 1e-9,
+      s"intra-batch gap split missing: ${u3closed.mkString(",")}")
+    assert(rows.exists(r => r.getLong(0) == 3L && !r.getBoolean(5) &&
+      math.abs(r.getDouble(2) - 9.0) < 1e-9))
+  }
+
+  test("replaySessionize reproduces the batch sessionize rows exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    // 4 users, 120 events over ~40 hours, gap 1 hour: multiple sessions
+    // per user, boundaries landing inside and across micro-batches
+    val base = 1700000000000000L
+    val evs = (0 until 120).map { i =>
+      (i.toLong, rnd.nextInt(4).toLong,
+        base + rnd.nextInt(144000).toLong * 1000000L,
+        (rnd.nextInt(1000) + 1).toDouble / 8.0) // exact eighths: FP-safe
+    }
+    val df = evs.toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val gapUs = 3600L * 1000000L
+    val streamed = StreamOps.replaySessionize(spark, df, gapUs, numBatches = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val batch = graft.operators.EventOps.sessionize(df, gapSec = 3600L)
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(batch.exists(_._2 >= 2L), "fixture must produce multi-session users")
+    assert(streamed == batch,
+      s"stream != batch: missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
   test("streaming near-dup emits exactly the batch simhash pair set across batches") {
