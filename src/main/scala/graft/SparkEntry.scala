@@ -893,6 +893,20 @@ object SparkEntry {
         deltaSec = 7200L)
     }),
 
+    // --- STREAMING interval join, driver-visible: both event sides
+    //     replay as ascending-time micro-batches through the real
+    //     watermarked stream-stream join (global-watermark eviction
+    //     never drops a within-delta partner under ascending feeds);
+    //     the q_range_join oracle replays the append-mode pair set ---
+    "q_stream_rangejoin" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir)
+      graft.streaming.StreamOps.replayRangeJoin(s,
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        deltaSec = 7200L)
+    }),
+
     // --- normal fit + Hough + uniform grid cell id (P4/P5/P8/A1) ---
     "q_cell_assign" -> ((s, dir) => {
       val hists = Fixtures.quantityHists(s, dir)
@@ -2229,6 +2243,16 @@ object SparkEntry {
         |  PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) = 1""".stripMargin,
 
     "q_range_join" ->
+      """SELECT l.event_id AS left_id, r.event_id AS right_id,
+        |       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 7200000000""".stripMargin,
+
+    // streaming interval-join replay: pair set identical to the batch
+    // bucketed join under ascending feeds — same SQL as q_range_join
+    "q_stream_rangejoin" ->
       """SELECT l.event_id AS left_id, r.event_id AS right_id,
         |       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
         |FROM (SELECT * FROM events WHERE event_type = 'click') l

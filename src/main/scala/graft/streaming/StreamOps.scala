@@ -304,6 +304,59 @@ object StreamOps {
     }
   }
 
+  /** Verification replay for the STREAM-STREAM interval join — the
+    * [[replayExactDedup]] harness contract with two sources: both event
+    * sides stream in as ascending-time micro-batches (one chunk per side
+    * per step, toLocalIterator bridge) through the real watermarked
+    * interval join, and the append-mode pair set comes back as a batch
+    * DataFrame. State eviction is governed by the GLOBAL watermark (the
+    * min across sources), so under ascending feeds no within-delta
+    * partner is ever evicted before its match arrives (delta = 2h,
+    * watermark lag 1h: a needed partner is always >= watermark - 1h,
+    * above the watermark - delta eviction line) — the batch rangeJoin
+    * oracle replays the pair set exactly. */
+  def replayRangeJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
+                      keyCol: String, tsCol: String, idCol: String,
+                      deltaSec: Long, numBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def srcOf(df: DataFrame) = df.select(col(idCol).cast("long"),
+        col(keyCol).cast("long"), col(tsCol).cast("timestamp"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    val (ls, rs) = (srcOf(left), srcOf(right))
+    def chunks(ds: org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp)]) = {
+      val n = ds.count()
+      val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+      import scala.jdk.CollectionConverters._
+      ds.orderBy(col(tsCol), col(idCol)).toLocalIterator().asScala.grouped(per)
+    }
+    val memL = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memR = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def named(m: org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      m.toDF().toDF(idCol, keyCol, tsCol)
+    val name = "graft_replay_rangejoin"
+    val query = streamingRangeJoin(named(memL), named(memR),
+        keyCol, tsCol, idCol, deltaSec)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val (lc, rc) = (chunks(ls), chunks(rs))
+      while (lc.hasNext || rc.hasNext) {
+        if (lc.hasNext) memL.addData(lc.next().toSeq: _*)
+        if (rc.hasNext) memR.addData(rc.next().toSeq: _*)
+        query.processAllAvailable()
+      }
+      val pairs = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      spark.createDataset(pairs.toSeq).toDF("left_id", "right_id", "lag_us")
+    } finally {
+      query.stop()
+    }
+  }
+
   /** Shared batch->stream bridge: pipes `docs` (doc_id, text) through a
     * streaming transform as `numBatches` ascending-id micro-batches and
     * returns the memory-sink rows. The corpus reaches the driver through
