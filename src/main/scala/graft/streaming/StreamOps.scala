@@ -252,7 +252,8 @@ object StreamOps {
     * row-for-row, so the q_sessionize oracle SQL checks real streaming
     * state splits, carries, and timeout flushes. */
   def replaySessionize(spark: SparkSession, events: DataFrame,
-                       gapUs: Long, numBatches: Int = 4): DataFrame = {
+                       gapUs: Long, numBatches: Int = 4): DataFrame =
+      withReplayShuffle(spark) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = events.select(col("user_id").cast("long"),
@@ -304,6 +305,22 @@ object StreamOps {
     }
   }
 
+  /** Replay harnesses run at verification scale: micro-batch stateful
+    * execution commits one state-store instance per shuffle partition
+    * per stateful operator per batch, so the session's scan-sized
+    * partition count buys nothing here but per-batch commit overhead
+    * (the interval join alone keeps 4 stores per partition). Streaming
+    * pins `spark.sql.shuffle.partitions` into the query at start, so
+    * narrowing it around the replay affects ONLY the harness query; the
+    * session value is restored afterwards. Production streams size this
+    * normally — the operators themselves are partition-count-agnostic. */
+  private def withReplayShuffle[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Verification replay for the STREAM-STREAM interval join — the
     * [[replayExactDedup]] harness contract with two sources: both event
     * sides stream in as ascending-time micro-batches (one chunk per side
@@ -317,7 +334,8 @@ object StreamOps {
     * oracle replays the pair set exactly. */
   def replayRangeJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
                       keyCol: String, tsCol: String, idCol: String,
-                      deltaSec: Long, numBatches: Int = 4): DataFrame = {
+                      deltaSec: Long, numBatches: Int = 4): DataFrame =
+      withReplayShuffle(spark) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def srcOf(df: DataFrame) = df.select(col(idCol).cast("long"),
@@ -357,6 +375,7 @@ object StreamOps {
     }
   }
 
+
   /** Shared batch->stream bridge: pipes `docs` (doc_id, text) through a
     * streaming transform as `numBatches` ascending-id micro-batches and
     * returns the memory-sink rows. The corpus reaches the driver through
@@ -364,7 +383,8 @@ object StreamOps {
     * a time, never the whole corpus. */
   private def replayDocStream(spark: SparkSession, docs: DataFrame,
                               numBatches: Int, name: String)(
-      op: DataFrame => DataFrame): Array[org.apache.spark.sql.Row] = {
+      op: DataFrame => DataFrame): Array[org.apache.spark.sql.Row] =
+      withReplayShuffle(spark) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = docs.select(col("doc_id").cast("long"), col("text"))
