@@ -907,6 +907,36 @@ object SparkEntry {
         deltaSec = 7200L)
     }),
 
+    // --- STREAMING tumbling-window aggregation, driver-visible: events
+    //     replay time-ordered through the real watermarked window agg in
+    //     APPEND mode (each window row emitted once, on watermark close;
+    //     sentinel batches flush the trailing windows) — the emitted set
+    //     equals the q_events_window batch groupBy row-for-row ---
+    "q_stream_window" -> ((s, dir) => {
+      graft.streaming.StreamOps.replayWindowAgg(s, Fixtures.events(s, dir))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+    }),
+
+    // --- STREAMING stream-static EMD match, driver-visible: the
+    //     histogram corpus (ids not divisible by 10) streams against the
+    //     broadcast reference set (ids divisible by 10) through the real
+    //     cascade kernel; 1-D config, so emitted distances carry the
+    //     cum-of-differences closed form the EmdCte oracle mirrors ---
+    "q_stream_emd" -> ((s, dir) => {
+      val hists = Fixtures.quantityHists(s, dir)
+      val refs = hists.filter(col("id") % 10 === 0)
+        .select(col("id").cast("long"), col("weights"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      graft.streaming.StreamOps.replayEmdMatch(s,
+          hists.filter(col("id") % 10 =!= 0), refs, melodyCfg1d, Theta)
+        .select(col("stream_id"), col("ref_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
+
     // --- normal fit + Hough + uniform grid cell id (P4/P5/P8/A1) ---
     "q_cell_assign" -> ((s, dir) => {
       val hists = Fixtures.quantityHists(s, dir)
@@ -2259,6 +2289,34 @@ object SparkEntry {
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id
         | AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 7200000000""".stripMargin,
+
+    // streaming window-agg replay: append-mode close-once emission under
+    // an ascending feed equals the batch groupBy — same SQL as
+    // q_events_window
+    "q_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n,
+        |       round(cast(sum(value) AS DOUBLE), 6) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // stream-static EMD match: cum-of-differences form (the cascade's
+    // 1-D closed-form kernel, the EmdCte shape), stream side id % 10 <> 0
+    // vs reference side id % 10 = 0
+    "q_stream_emd" ->
+      (HistCte +
+        s""", diffs AS (
+           |  SELECT a.id AS stream_id, b.id AS ref_id, a.bin AS bin, a.w - b.w AS d
+           |  FROM hist a JOIN hist b ON a.bin = b.bin
+           |  WHERE a.id % 10 <> 0 AND b.id % 10 = 0
+           |), cums AS (
+           |  SELECT stream_id, ref_id,
+           |         sum(d) OVER (PARTITION BY stream_id, ref_id ORDER BY bin) AS cum
+           |  FROM diffs
+           |), emds AS (
+           |  SELECT stream_id, ref_id, sum(abs(cum)) AS dist FROM cums GROUP BY 1, 2
+           |)
+           | SELECT stream_id, ref_id, round(dist, 6) AS dist
+           | FROM emds WHERE dist <= $Theta""".stripMargin),
 
     "q_cell_assign" ->
       (HistCte +

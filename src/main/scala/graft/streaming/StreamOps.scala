@@ -436,35 +436,133 @@ object StreamOps {
 
   /** Streaming EMD filter: match each incoming histogram (id, weights)
     * against a static, broadcast reference set; emit (streamId, refId,
-    * dist) for pairs within theta. The static side's cost matrix and
-    * cascade config are broadcast once; per micro-batch work is a
+    * dist) for pairs within theta. The static side and the shared filter
+    * CASCADE (the same [[MelodyJoin.Cascade]] kernel every batch engine
+    * runs — tree sure-accept/reject, projection/dual/reduction/IndMin
+    * bounds, then exact) are broadcast once; per micro-batch work is a
     * mapPartitions over the batch — the streaming analog of J1's probe
-    * side. */
+    * side. Sharing the kernel also means emitted distances carry the
+    * batch engines' exact arithmetic shape (1-D configs: the
+    * cum-of-differences closed form), so stream and batch results are
+    * bit-comparable. */
   def streamingEmdMatch(spark: SparkSession, histStream: DataFrame,
                         staticRefs: Array[(Long, Array[Double])],
                         cfg: MelodyJoin.Config, theta: Double): DataFrame = {
     import spark.implicits._
     val refsB = spark.sparkContext.broadcast(
       staticRefs.map { case (id, w) => (id, HistOps.normalize(w)) })
-    val cfgB = spark.sparkContext.broadcast(cfg)
+    val cascadeB = spark.sparkContext.broadcast(
+      new MelodyJoin.Cascade(cfg, Array.empty))
     histStream.select(col("id").cast("long").as("id"),
         col("weights").cast("array<double>").as("weights"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val refs = refsB.value
-        val c = cfgB.value
+        val casc = cascadeB.value
         it.flatMap { case (id, w0) =>
           val w = HistOps.normalize(w0)
           refs.iterator.flatMap { case (rid, rw) =>
-            // cheap projection prune then exact
-            val pruned = c.projBins.exists(pb => Emd.emd1d(w, rw, pb) > theta)
-            if (pruned) None
-            else {
-              val d = Emd.exact(w, rw, c.cost)
-              if (d <= theta) Some((id, rid, d)) else None
-            }
+            val d = casc.emdIfCandidate(w, rw, theta)
+            if (d >= 0) Some((id, rid, d)) else None
           }
         }
       }.toDF("stream_id", "ref_id", "dist")
+  }
+
+  /** Verification replay for the stream-static EMD match — the
+    * [[replayExactDedup]] harness contract driving [[streamingEmdMatch]]:
+    * the histogram corpus streams in as ascending-id micro-batches
+    * against the broadcast reference set. The operator is stateless per
+    * batch (the static side is the only carried structure), so the
+    * append-mode match set is ingestion-order-invariant and the batch
+    * closed-form oracle replays it exactly. */
+  def replayEmdMatch(spark: SparkSession, hists: DataFrame,
+                     staticRefs: Array[(Long, Array[Double])],
+                     cfg: MelodyJoin.Config, theta: Double,
+                     numBatches: Int = 4): DataFrame =
+      withReplayShuffle(spark) {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = hists.select(col("id").cast("long"),
+        col("weights").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Double])]
+    val name = "graft_replay_emd"
+    val query = streamingEmdMatch(spark,
+        mem.toDF().toDF("id", "weights"), staticRefs, cfg, theta)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      spark.createDataset(rows.toSeq).toDF("stream_id", "ref_id", "dist")
+    } finally {
+      query.stop()
+    }
+  }
+
+  /** Verification replay for the watermarked tumbling-window aggregation
+    * — drives [[windowedEventAgg]] in APPEND mode (a window row is
+    * emitted exactly once, when the watermark closes it), fed
+    * ascending-time micro-batches. Two far-future sentinel batches (the
+    * [[replaySessionize]] flush pattern, event_type "~flush", filtered
+    * from the result) push the watermark past every real window end so
+    * the trailing windows finalize. Under the ascending feed no event is
+    * late, so the emitted set equals the batch groupBy row-for-row. */
+  def replayWindowAgg(spark: SparkSession, events: DataFrame,
+                      windowDur: String = "1 hour",
+                      numBatches: Int = 4): DataFrame =
+      withReplayShuffle(spark) {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = events.select(col("ts").cast("timestamp"),
+        col("event_type").cast("string"), col("value").cast("double"))
+      .as[(java.sql.Timestamp, String, Double)]
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val maxUs = events.select(max(unix_micros(col("ts")))).head().getLong(0)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Double)]
+    val name = "graft_replay_window"
+    // 1-second watermark lag (vs the production 2-hour default): small
+    // enough that the sentinels below deterministically close every real
+    // window, nonzero so a boundary tie can never be dropped as late
+    val query = windowedEventAgg(
+        mem.toDF().toDF("ts", "event_type", "value"),
+        windowDur, watermark = "1 second")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("ts"), col("event_type")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      def sentinel(us: Long) =
+        (new java.sql.Timestamp(us / 1000L), "~flush", 0.0)
+      // 2 days clears any window_dur + watermark at the gate granularity
+      mem.addData(sentinel(maxUs + 2L * 86400L * 1000000L))
+      query.processAllAvailable()
+      mem.addData(sentinel(maxUs + 4L * 86400L * 1000000L))
+      query.processAllAvailable()
+      val rows = spark.table(name)
+        .filter(col("event_type") =!= "~flush").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      spark.createDataset(rows.toSeq)
+        .toDF("window_start", "event_type", "n", "sum_value")
+    } finally {
+      query.stop()
+    }
   }
 }
