@@ -317,7 +317,7 @@ object StreamOps {
   private def withReplayShuffle[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
+    spark.conf.set(key, "1")
     try body finally spark.conf.set(key, prev)
   }
 
