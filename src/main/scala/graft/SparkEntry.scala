@@ -709,6 +709,37 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
+    // --- product-quantized ANN (the IVF-PQ memory path): 4 subspaces x
+    //     8-centroid integer codebooks trained with the q_kmeans Lloyd's
+    //     arithmetic, corpus stored as 4 codes/vector, query scored via
+    //     an integer ADC lookup table. Training, encoding, and scoring
+    //     are pure BIGINT, so the oracle replays ALL of it exactly ---
+    "q_pq_topk" -> ((s, dir) => {
+      val embs = Fixtures.embeddings(s, dir)
+      val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+      val rest = embs.filter(col("vec_id") =!= minId)
+      val cbs = Ann.pqTrain(s, rest, numSub = 4, ksub = 8, iters = 2)
+      val qq = Cluster.quantize(embs.filter(col("vec_id") === minId), 1000)
+        .select(col("v")).head().getSeq[Long](0).toArray
+      Ann.pqTopK(Ann.pqEncode(rest, cbs), cbs, qq, 20)
+    }),
+
+    // --- PQ with exact rerank (the production IVF-PQ read path): finer
+    //     books (16 x 4-dim, 16 codes = 16 bytes/vector, 16x smaller
+    //     than the raw floats), ADC top-200 shortlist, exact integer-L2
+    //     rerank of the fetched shortlist. Measured shortlist recall@20
+    //     is 1.00 on the fixture corpus (PipelineOpsSpec pins >= 0.95) ---
+    "q_pq_rerank" -> ((s, dir) => {
+      val embs = Fixtures.embeddings(s, dir)
+      val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+      val rest = embs.filter(col("vec_id") =!= minId)
+      val cbs = Ann.pqTrain(s, rest, numSub = 16, ksub = 16, iters = 2)
+      val qq = Cluster.quantize(embs.filter(col("vec_id") === minId), 1000)
+        .select(col("v")).head().getSeq[Long](0).toArray
+      Ann.pqTopKRerank(rest, Ann.pqEncode(rest, cbs), cbs, qq,
+        k = 20, shortlist = 200)
+    }),
+
     // --- batch retrieval: exact top-5 corpus neighbors for EVERY query
     //     in a broadcast query set (the 10 lowest vec_ids) — the
     //     multi-query retrieval workload behind RAG/eval pipelines ---
@@ -1107,8 +1138,109 @@ object SparkEntry {
         |SELECT id AS vec_id, cast(cid AS BIGINT) AS cluster, d2
         |FROM af WHERE rn = 1""".stripMargin
 
+  /** One per-subspace Lloyd's round of the PQ oracles — the kmeansRound
+    * arithmetic with an extra `m` (subspace) key: assign each subDim-dim
+    * sub-vector (BIGINT squared-L2 argmin, ties to the lowest code),
+    * then rounded-integer-mean codebook update with empty codes keeping
+    * the previous centroid — exactly what Ann.pqTrain's per-subspace
+    * lloydCentroids calls perform. */
+  private def pqRound(t: Int, subDim: Int): String = {
+    val prev = if (t == 1) "pc0" else s"pc${t - 1}"
+    s""", pa$t AS (
+       |  SELECT id, m, sv, cid, d2,
+       |         row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+       |  FROM (SELECT s.id, s.m, s.sv, c.cid,
+       |          cast(list_sum(list_transform(range(1, ${subDim + 1}),
+       |            i -> (s.sv[i] - c.cm[i]) * (s.sv[i] - c.cm[i]))) AS BIGINT) AS d2
+       |        FROM psub s JOIN $prev c ON s.m = c.m)
+       |), pu$t AS (
+       |  SELECT m, cid, list(mi ORDER BY dim) AS cm FROM (
+       |    SELECT m, cid, dim, cast(round(sum(val) / count(*)) AS BIGINT) AS mi
+       |    FROM (SELECT m, cid, unnest(sv) AS val, generate_subscripts(sv, 1) AS dim
+       |          FROM pa$t WHERE rn = 1)
+       |    GROUP BY m, cid, dim) GROUP BY m, cid
+       |), pc$t AS (
+       |  SELECT p.m, p.cid, coalesce(u.cm, p.cm) AS cm
+       |  FROM $prev p LEFT JOIN pu$t u ON u.m = p.m AND u.cid = p.cid
+       |)""".stripMargin
+  }
+
+  /** Shared PQ oracle pipeline up to the integer ADC score table `padc`:
+    * quantize, slice numSub x subDim subspaces, seed per-subspace books
+    * from the ksub lowest-id corpus sub-slices, 2 Lloyd's rounds,
+    * encode, and score against the min-id query's lookup table. Every
+    * step is BIGINT, mirroring pqTrain/pqEncode/pqTopK. */
+  private def pqAdcSql(numSub: Int, subDim: Int, ksub: Int): String =
+    s"""WITH qz AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> cast(round(x * 1000) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), corp AS (
+       |  SELECT id, v FROM qz WHERE id <> (SELECT min(id) FROM qz)
+       |), psub AS (
+       |  SELECT c.id, mm.m,
+       |         list_transform(range(mm.m * $subDim + 1, mm.m * $subDim + ${subDim + 1}),
+       |           i -> c.v[i]) AS sv
+       |  FROM corp c CROSS JOIN (SELECT unnest(range($numSub)) AS m) mm
+       |), pc0 AS (
+       |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY id) - 1 AS cid,
+       |         sv AS cm
+       |  FROM psub WHERE id IN (SELECT id FROM corp ORDER BY id LIMIT $ksub)
+       |)""".stripMargin +
+      pqRound(1, subDim) + pqRound(2, subDim) +
+      s""", penc AS (
+         |  SELECT id, m, cid FROM (
+         |    SELECT s.id, s.m, c.cid,
+         |           row_number() OVER (PARTITION BY s.id, s.m
+         |             ORDER BY cast(list_sum(list_transform(range(1, ${subDim + 1}),
+         |               i -> (s.sv[i] - c.cm[i]) * (s.sv[i] - c.cm[i]))) AS BIGINT),
+         |               c.cid) AS rn
+         |    FROM psub s JOIN pc2 c ON s.m = c.m)
+         |  WHERE rn = 1
+         |), qsub AS (
+         |  SELECT mm.m,
+         |         list_transform(range(mm.m * $subDim + 1, mm.m * $subDim + ${subDim + 1}),
+         |           i -> q.v[i]) AS sv
+         |  FROM (SELECT v FROM qz WHERE id = (SELECT min(id) FROM qz)) q
+         |  CROSS JOIN (SELECT unnest(range($numSub)) AS m) mm
+         |), plut AS (
+         |  SELECT c.m, c.cid,
+         |         cast(list_sum(list_transform(range(1, ${subDim + 1}),
+         |           i -> (q.sv[i] - c.cm[i]) * (q.sv[i] - c.cm[i]))) AS BIGINT) AS d2
+         |  FROM pc2 c JOIN qsub q ON c.m = q.m
+         |), padc AS (
+         |  SELECT e.id, cast(sum(l.d2) AS BIGINT) AS adc_d2
+         |  FROM penc e JOIN plut l ON e.m = l.m AND e.cid = l.cid
+         |  GROUP BY e.id
+         |)""".stripMargin
+
+  /** q_pq_topk: 4 x 16-dim subspaces, 8-code books — pure ADC ranking. */
+  private val PqSql: String =
+    pqAdcSql(4, 16, 8) +
+      "\nSELECT id, adc_d2 FROM padc ORDER BY adc_d2, id LIMIT 20"
+
+  /** q_pq_rerank: 16 x 4-dim subspaces, 16-code books (16 bytes/vector),
+    * ADC top-200 shortlist, then EXACT integer-L2 rerank of the
+    * shortlist against the full query vector — the production IVF-PQ
+    * read path (Ann.pqTopKRerank). */
+  private val PqRerankSql: String =
+    pqAdcSql(16, 4, 16) +
+      """, pshort AS (
+        |  SELECT id FROM padc ORDER BY adc_d2, id LIMIT 200
+        |), prr AS (
+        |  SELECT c.id,
+        |         cast(list_sum(list_transform(range(1, 65),
+        |           i -> (c.v[i] - q.v[i]) * (c.v[i] - q.v[i]))) AS BIGINT) AS d2
+        |  FROM corp c JOIN pshort USING (id)
+        |  CROSS JOIN (SELECT v FROM qz WHERE id = (SELECT min(id) FROM qz)) q
+        |)
+        |SELECT id, d2 FROM prr ORDER BY d2, id LIMIT 20""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_kmeans" -> KmeansSql,
+    "q_pq_topk" -> PqSql,
+    "q_pq_rerank" -> PqRerankSql,
 
     "q1_agg" ->
       """SELECT l_returnflag, round(cast(sum(l_quantity) AS DOUBLE), 6) AS sum_qty,

@@ -272,4 +272,108 @@ object Ann {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization — the IVF-PQ memory path. Vectors are split
+  // into M contiguous subspaces; each subspace trains its own
+  // ksub-centroid codebook with the SAME integer-exact Lloyd's
+  // arithmetic as Cluster.kmeans (quantize once, BIGINT squared-L2
+  // argmin with ties to the lowest code, rounded-integer-mean updates),
+  // so a SQL oracle can replay training, encoding, and scoring
+  // bit-for-bit. At 100 TB this is the difference between holding
+  // 4*dim bytes and M code bytes per vector: the encoded index fits in
+  // executor memory where raw vectors cannot, and a query scans codes
+  // against a broadcast M x ksub table of integer distances (asymmetric
+  // distance computation) — whole-stage-codegen lookups + one
+  // TakeOrderedAndProject, no shuffle of the score set.
+  // -------------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks over the integer-quantized corpus:
+    * element m is a ksub x (dim/numSub) centroid table. numSub passes
+    * over one cached quantized frame; seeds per subspace are the
+    * sub-slices of the ksub lowest-id vectors (the Cluster.kmeans seed
+    * rule, replayed per subspace by the oracle). */
+  def pqTrain(spark: SparkSession, embs: DataFrame, numSub: Int, ksub: Int,
+              iters: Int = 2, scale: Int = 1000, idCol: String = "vec_id",
+              vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+    import graft.core.Caching._
+    require(numSub > 0 && ksub > 0 && iters >= 0,
+      s"pqTrain: numSub=$numSub ksub=$ksub iters=$iters")
+    val q = Cluster.quantize(embs, scale, idCol, vecCol).persistOnce()
+    try {
+      val dim = q.select(size(col("v"))).head().getInt(0)
+      require(dim % numSub == 0, s"pqTrain: dim=$dim % numSub=$numSub != 0")
+      val sub = dim / numSub
+      Array.tabulate(numSub) { m =>
+        val qm = q.select(col("id"), slice(col("v"), m * sub + 1, sub).as("v"))
+        Cluster.lloydCentroids(qm, ksub, iters, sub)
+      }
+    } finally q.unpersist(false)
+  }
+
+  /** PQ-encode: (id, codes ARRAY<INT>), codes(m) = argmin codebook entry
+    * of subspace m (ties to the lowest code — the Cluster.assignCols
+    * order). One codegen'd projection; nothing is collected. */
+  def pqEncode(embs: DataFrame, codebooks: Array[Array[Array[Long]]],
+               scale: Int = 1000, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val sub = codebooks(0)(0).length
+    val codeCols = codebooks.zipWithIndex.map { case (cb, m) =>
+      Cluster.assignCols(cb, slice(col("v"), m * sub + 1, sub))._1
+    }
+    Cluster.quantize(embs, scale, idCol, vecCol)
+      .select(col("id"), array(codeCols.toIndexedSeq: _*).as("codes"))
+  }
+
+  /** ADC top-k over a PQ-encoded index: the ALREADY-QUANTIZED query
+    * (quantize it with [[Cluster.quantize]] so driver and oracle share
+    * Spark's exact rounding) is turned into an M x ksub integer lookup
+    * table of per-subspace centroid distances; each row's score is M
+    * literal-array lookups summed — pure BIGINT, ranked by
+    * (adc_d2, id), a total order with no FP boundary. */
+  def pqTopK(index: DataFrame, codebooks: Array[Array[Array[Long]]],
+             quantizedQuery: Array[Long], k: Int): DataFrame = {
+    val sub = codebooks(0)(0).length
+    val lut: Array[Array[Long]] = codebooks.zipWithIndex.map { case (cb, m) =>
+      cb.map { cent =>
+        var d = 0L
+        var i = 0
+        while (i < sub) {
+          val t = quantizedQuery(m * sub + i) - cent(i)
+          d += t * t
+          i += 1
+        }
+        d
+      }
+    }
+    val score = lut.zipWithIndex.map { case (lm, m) =>
+      element_at(lit(lm), element_at(col("codes"), m + 1) + 1)
+    }.reduce(_ + _)
+    index.select(col("id"), score.as("adc_d2"))
+      .orderBy(col("adc_d2"), col("id"))
+      .limit(k)
+  }
+
+  /** ADC shortlist + exact rerank — the production IVF-PQ read path:
+    * the `shortlist` best ADC candidates are fetched by id (a broadcast
+    * semi-join of R ids against the corpus, not a corpus shuffle) and
+    * ranked by EXACT integer squared-L2 against the quantized query.
+    * ADC quantization error only costs recall if a true neighbor misses
+    * the whole shortlist; the returned order is exact. Output (id, d2)
+    * top-k under the total (d2, id) order. */
+  def pqTopKRerank(embs: DataFrame, index: DataFrame,
+                   codebooks: Array[Array[Array[Long]]],
+                   quantizedQuery: Array[Long], k: Int, shortlist: Int,
+                   scale: Int = 1000, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val cand = pqTopK(index, codebooks, quantizedQuery, shortlist)
+      .select(col("id"))
+    Cluster.quantize(embs, scale, idCol, vecCol)
+      .join(broadcast(cand), "id")
+      .select(col("id"),
+        aggregate(zip_with(col("v"), lit(quantizedQuery),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"))
+      .orderBy(col("d2"), col("id"))
+      .limit(k)
+  }
 }

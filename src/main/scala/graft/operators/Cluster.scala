@@ -38,20 +38,59 @@ object Cluster {
     embs.select(col(idCol).as("id"),
       transform(col(vecCol), x => round(x.cast("double") * scale).cast("long")).as("v"))
 
-  private def d2To(cent: Array[Long]): Column =
+  private def d2To(cent: Array[Long], vcol: Column): Column =
     aggregate(
-      zip_with(col("v"), lit(cent), (a, b) => (a - b) * (a - b)),
+      zip_with(vcol, lit(cent), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
   /** (cluster, d2) argmin columns against the k centroid literals. */
-  private def assignCols(cents: Array[Array[Long]]): (Column, Column) = {
-    val ds = cents.map(d2To)
+  private[operators] def assignCols(cents: Array[Array[Long]],
+                                    vcol: Column = col("v")): (Column, Column) = {
+    val ds = cents.map(d2To(_, vcol))
     val best = ds.reduce((a, b) => least(a, b))
     // first (lowest cid) centroid attaining the min — ties deterministic
     val cid = ds.zipWithIndex.reverse.foldLeft(lit(-1)) {
       case (acc, (d, c)) => when(d === best, lit(c)).otherwise(acc)
     }
     (cid, best)
+  }
+
+  /** The Lloyd's centroid loop over an already-quantized `(id, v)` frame:
+    * `iters` update rounds from the deterministic seed (the k lowest-id
+    * vectors). Empty clusters keep their previous centroid. Exposed so
+    * product quantization ([[Ann.pqTrain]]) can run the IDENTICAL
+    * arithmetic per subspace — one oracle-replayable iteration shape for
+    * every codebook in the repo. */
+  private[operators] def lloydCentroids(q: DataFrame, k: Int, iters: Int,
+                                        dim: Int): Array[Array[Long]] = {
+    var cents: Array[Array[Long]] = q.orderBy(col("id")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    // fewer rows than k: Array.tabulate(k) below would index past the
+    // seed — fail loudly instead of an ArrayIndexOutOfBoundsException
+    // mid-iteration
+    require(cents.length >= k,
+      s"kmeans: k=$k exceeds input row count ${cents.length}")
+    for (_ <- 0 until iters) {
+      val (cid, _) = assignCols(cents)
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1)).as(s"s$i"))
+      val upd = q.select(cid.as("c"), col("v"))
+        .groupBy(col("c"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          r.getInt(0) -> Array.tabulate(dim) { i =>
+            // one IEEE division + half-away-from-zero round: the only
+            // FP step, bit-identical from identical integer sums
+            BigDecimal(r.getLong(i + 2).toDouble / n)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          }
+        }.toMap
+      cents = Array.tabulate(k)(c => upd.getOrElse(c, cents(c)))
+    }
+    cents
   }
 
   /** Full integer Lloyd's: `iters` update rounds from the deterministic
@@ -66,33 +105,7 @@ object Cluster {
       .persistOnce()
     try {
       val dim = q.select(size(col("v"))).head().getInt(0)
-      var cents: Array[Array[Long]] = q.orderBy(col("id")).limit(k)
-        .select(col("v")).collect()
-        .map(_.getSeq[Long](0).toArray)
-      // fewer rows than k: Array.tabulate(k) below would index past the
-      // seed — fail loudly instead of an ArrayIndexOutOfBoundsException
-      // mid-iteration
-      require(cents.length >= k,
-        s"kmeans: k=$k exceeds input row count ${cents.length}")
-      for (_ <- 0 until iters) {
-        val (cid, _) = assignCols(cents)
-        val sums = (0 until dim).map(i =>
-          sum(element_at(col("v"), i + 1)).as(s"s$i"))
-        val upd = q.select(cid.as("c"), col("v"))
-          .groupBy(col("c"))
-          .agg(count(lit(1)).as("n"), sums: _*)
-          .collect()
-          .map { r =>
-            val n = r.getLong(1)
-            r.getInt(0) -> Array.tabulate(dim) { i =>
-              // one IEEE division + half-away-from-zero round: the only
-              // FP step, bit-identical from identical integer sums
-              BigDecimal(r.getLong(i + 2).toDouble / n)
-                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-            }
-          }.toMap
-        cents = Array.tabulate(k)(c => upd.getOrElse(c, cents(c)))
-      }
+      val cents = lloydCentroids(q, k, iters, dim)
       val (cid, d2) = assignCols(cents)
       val out = q.select(col("id"), cid.as("cluster"), d2.as("d2"))
         .persistOnce()

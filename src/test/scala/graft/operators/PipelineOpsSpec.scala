@@ -292,6 +292,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall")
   }
 
+  test("PQ: ADC scores == driver-recomputed codebook distances; planted " +
+    "exact twin of the query ranks first") {
+    import spark.implicits._
+    val query = embs.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    // plant an exact copy of the query at a low id: its codes are the
+    // query's own argmin codes, so its ADC score is the global minimum
+    // sum(lut[m][code_q(m)]) and (score, id) ranks it first
+    val planted = embs.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .union(Seq((-1L, query)).toDF("vec_id", "embedding"))
+    val cbs = Ann.pqTrain(spark, planted, numSub = 4, ksub = 8, iters = 2)
+    val idx = Ann.pqEncode(planted, cbs)
+    val qq = Cluster.quantize(planted.filter(col("vec_id") === -1L), 1000)
+      .select(col("v")).head().getSeq[Long](0).toArray
+    val top = Ann.pqTopK(idx, cbs, qq, 10).collect()
+    assert(top.head.getLong(0) == -1L, s"twin not first: ${top.head}")
+    // independently recompute every returned score from the codebooks
+    val codes = idx.filter(col("id").isin(top.map(_.getLong(0)): _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    top.foreach { r =>
+      val cs = codes(r.getLong(0))
+      val want = cs.zipWithIndex.map { case (c, m) =>
+        val cent = cbs(m)(c)
+        cent.indices.map { i =>
+          val t = qq(m * cent.length + i) - cent(i); t * t
+        }.sum
+      }.sum
+      assert(r.getLong(1) == want, s"ADC mismatch for ${r.getLong(0)}")
+    }
+  }
+
+  test("PQ rerank (16x16 books, ADC top-200 shortlist) recall >= 0.95 vs " +
+    "exact integer-L2 top-20; returned distances are the exact ones") {
+    val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+    val rest = embs.filter(col("vec_id") =!= minId)
+    val cbs = Ann.pqTrain(spark, rest, numSub = 16, ksub = 16, iters = 2)
+    val qq = Cluster.quantize(embs.filter(col("vec_id") === minId), 1000)
+      .select(col("v")).head().getSeq[Long](0).toArray
+    val got = Ann.pqTopKRerank(rest, Ann.pqEncode(rest, cbs), cbs, qq,
+        k = 20, shortlist = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val exact = Cluster.quantize(rest, 1000)
+      .select(col("id"), aggregate(zip_with(col("v"), lit(qq),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"))
+      .orderBy(col("d2"), col("id")).limit(20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val recall = (exact.map(_._1).toSet & got.map(_._1).toSet).size / 20.0
+    assert(recall >= 0.95, s"PQ rerank recall $recall")
+    // every returned (id, d2) is the exact distance, not the ADC estimate
+    val exactById = exact.toMap
+    got.filter(p => exactById.contains(p._1))
+      .foreach { case (id, d2) => assert(d2 == exactById(id), s"d2 for $id") }
+  }
+
   test("embedding LSH near-dup: all reported pairs truly >= tau (loose tau " +
     "triggers the adaptive exact fallback, so the answer is also complete)") {
     val pairs = Dedup.embeddingNearDup(spark, embs, 0.4, planes = 16, bands = 8)
