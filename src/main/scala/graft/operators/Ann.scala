@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.EmdCols
 
@@ -288,11 +288,33 @@ object Ann {
   // TakeOrderedAndProject, no shuffle of the score set.
   // -------------------------------------------------------------------
 
+  /** The codebook set as ONE nested array literal — indexing it inside
+    * loop-based higher-order functions keeps the expression tree
+    * O(1)-sized regardless of numSub x ksub, where per-centroid unrolled
+    * aggregates would explode codegen compile time. */
+  private def cbLit(cbs: Array[Array[Array[Long]]]) =
+    typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Argmin code of sub-vector `sv` within subspace `m` (0-based Column):
+    * BIGINT squared-L2 against each centroid, ties to the LOWEST code
+    * (array_position returns the first match) — the Cluster.assignCols
+    * order, replayed by the oracle's (d2, cid) row_number. */
+  private def argminCode(cb: Column, m: Column, sv: Column): Column = {
+    val d2s = transform(element_at(cb, m + 1), cent =>
+      aggregate(zip_with(sv, cent, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    (array_position(d2s, array_min(d2s)) - 1).cast("int")
+  }
+
   /** Per-subspace PQ codebooks over the integer-quantized corpus:
-    * element m is a ksub x (dim/numSub) centroid table. numSub passes
-    * over one cached quantized frame; seeds per subspace are the
-    * sub-slices of the ksub lowest-id vectors (the Cluster.kmeans seed
-    * rule, replayed per subspace by the oracle). */
+    * element m is a ksub x (dim/numSub) centroid table. Seeds per
+    * subspace are the sub-slices of the ksub lowest-id vectors (the
+    * Cluster.kmeans seed rule, replayed per subspace by the oracle);
+    * updates are rounded integer means with empty codes keeping the
+    * previous centroid. ALL subspaces train together: each iteration is
+    * ONE job over an exploded (id, m, sv) frame — numSub sequential
+    * Lloyd's loops would pay the ~0.8 s/job Catalyst re-planning tax
+    * numSub x iters times for identical arithmetic. */
   def pqTrain(spark: SparkSession, embs: DataFrame, numSub: Int, ksub: Int,
               iters: Int = 2, scale: Int = 1000, idCol: String = "vec_id",
               vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
@@ -304,25 +326,58 @@ object Ann {
       val dim = q.select(size(col("v"))).head().getInt(0)
       require(dim % numSub == 0, s"pqTrain: dim=$dim % numSub=$numSub != 0")
       val sub = dim / numSub
-      Array.tabulate(numSub) { m =>
-        val qm = q.select(col("id"), slice(col("v"), m * sub + 1, sub).as("v"))
-        Cluster.lloydCentroids(qm, ksub, iters, sub)
-      }
+      val subDf = q.select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(numSub - 1)),
+            m => slice(col("v"), m * sub + 1, lit(sub)))).as(Seq("m", "sv")))
+        .persistOnce()
+      try {
+        val seedRows = q.orderBy(col("id")).limit(ksub)
+          .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
+        require(seedRows.length >= ksub,
+          s"pqTrain: ksub=$ksub exceeds input row count ${seedRows.length}")
+        var cbs: Array[Array[Array[Long]]] = Array.tabulate(numSub)(m =>
+          seedRows.map(v => v.slice(m * sub, m * sub + sub)))
+        for (_ <- 0 until iters) {
+          val code = argminCode(cbLit(cbs), col("m"), col("sv"))
+          val upd = subDf
+            .select(col("m"), code.as("c"),
+              posexplode(col("sv")).as(Seq("dim", "val")))
+            .groupBy(col("m"), col("c"), col("dim"))
+            .agg(count(lit(1)).as("n"), sum(col("val")).as("s"))
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+              (r.getLong(3), r.getLong(4))).toMap
+          val prev = cbs
+          cbs = Array.tabulate(numSub)(m => Array.tabulate(ksub)(c =>
+            Array.tabulate(sub) { i =>
+              upd.get((m, c, i)) match {
+                // one IEEE division + half-away-from-zero round — the
+                // Cluster.lloydCentroids update step, bit-identical
+                case Some((n, s)) => BigDecimal(s.toDouble / n)
+                  .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+                case None => prev(m)(c)(i)
+              }
+            }))
+        }
+        cbs
+      } finally subDf.unpersist(false)
     } finally q.unpersist(false)
   }
 
   /** PQ-encode: (id, codes ARRAY<INT>), codes(m) = argmin codebook entry
-    * of subspace m (ties to the lowest code — the Cluster.assignCols
-    * order). One codegen'd projection; nothing is collected. */
+    * of subspace m. One codegen'd projection with a loop-based
+    * expression (numSub x ksub unrolled aggregates would be a codegen
+    * compile bomb); nothing is collected. */
   def pqEncode(embs: DataFrame, codebooks: Array[Array[Array[Long]]],
                scale: Int = 1000, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
+    val numSub = codebooks.length
     val sub = codebooks(0)(0).length
-    val codeCols = codebooks.zipWithIndex.map { case (cb, m) =>
-      Cluster.assignCols(cb, slice(col("v"), m * sub + 1, sub))._1
-    }
+    val cb = cbLit(codebooks)
+    val codes = transform(sequence(lit(0), lit(numSub - 1)), m =>
+      argminCode(cb, m, slice(col("v"), m * sub + 1, lit(sub))))
     Cluster.quantize(embs, scale, idCol, vecCol)
-      .select(col("id"), array(codeCols.toIndexedSeq: _*).as("codes"))
+      .select(col("id"), codes.as("codes"))
   }
 
   /** ADC top-k over a PQ-encoded index: the ALREADY-QUANTIZED query
