@@ -17,7 +17,9 @@ object Plans {
         "q_kmeans", "q_ann_batch", "q_span_dedup", "q_oov_rate",
         "q_span_rewrite", "q_lm_surprisal", "q_contamination_capped",
         "q_resize_hist", "q_winnow", "q_winnow_pairs", "q_audio_rms",
-        "q_span_rewrite_capped", "q_keep_best", "q_sessionize")) {
+        "q_span_rewrite_capped", "q_keep_best", "q_sessionize",
+        "q_winnow_spans", "q_jpeg_hist", "q_png_hist",
+        "q_pq_topk", "q_pq_rerank")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
