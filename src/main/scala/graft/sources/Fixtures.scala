@@ -39,13 +39,20 @@ object Fixtures {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; read nanos as long and convert (integer division — a double
-    * roundtrip would lose precision at 2024-epoch nanos). */
+  /** events.parquet has stored `ts` as TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS) in others. Spark 4 rejects NANOS by
+    * default; with nanosAsLong a NANOS column surfaces as LongType (convert
+    * via integer division — a double roundtrip would lose precision at
+    * 2024-epoch nanos) while a MICROS column still reads as a native
+    * timestamp. Dispatch on the surfaced type so both generations load. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
   }
 
   /** Long-format histograms: (id, bin, w) with dense bins and normalized
