@@ -6,7 +6,8 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cfg = SparkEntry.melodyCfg3d.copy(sideNum = sys.env.getOrElse("PROF_SIDE", "6").toInt)
     val hists = graft.sources.Fixtures.tripleHists(spark, "/root/testdata/sf0.1")

@@ -7,7 +7,8 @@ object Prof1d {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cfg = SparkEntry.melodyCfg1d.copy(
       sideNum = sys.env.getOrElse("PROF_SIDE", "16").toInt)

@@ -39,18 +39,33 @@ object Fixtures {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** events.parquet has stored `ts` as TIMESTAMP(NANOS) in some testdata
-    * generations and TIMESTAMP(MICROS) in others. Spark 4 rejects NANOS by
-    * default; with nanosAsLong a NANOS column surfaces as LongType (convert
-    * via integer division — a double roundtrip would lose precision at
-    * 2024-epoch nanos) while a MICROS column still reads as a native
-    * timestamp. Dispatch on the surfaced type so both generations load. */
+  /** events.parquet's `ts` column has drifted across testdata generations
+    * through three distinct parquet encodings, each surfacing as a
+    * different Spark 4 type:
+    *
+    *   1. TIMESTAMP(NANOS): rejected by default; with
+    *      spark.sql.legacy.parquet.nanosAsLong it surfaces as LongType
+    *      (raw nanos). Convert via integer division `ts DIV 1000` — a
+    *      double roundtrip would lose precision at 2024-epoch nanos.
+    *   2. TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces as
+    *      TimestampNTZType (inferTimestampNTZ defaults true). Cast to
+    *      TIMESTAMP — value-preserving only under a UTC session timezone,
+    *      which we pin here so downstream unix_micros(ts) arithmetic
+    *      matches DuckDB's naive epoch_us(ts) exactly.
+    *   3. TIMESTAMP(MICROS, isAdjustedToUTC=true): surfaces as
+    *      TimestampType natively; pass through.
+    *
+    * Dispatch on the surfaced type so all three generations load; the
+    * normalized column is always TimestampType in UTC micros. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
