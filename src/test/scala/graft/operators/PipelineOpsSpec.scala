@@ -238,6 +238,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       "non-PCM format code")
     val noFmt = enc.take(12) ++ enc.drop(36) // data before any fmt chunk
     assert(Multimodal.decodeWav(noFmt).isEmpty)
+    // crafted chunk length near Int.MaxValue: pos + 8 + len overflows a
+    // 32-bit compare to negative and would slip past the bounds check —
+    // the decoder compares in Long, so this must reject, not read OOB
+    val hugeLen = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MaxValue - 4).array()
+    val crafted = enc.take(40) ++ hugeLen ++ enc.drop(44)
+    assert(Multimodal.decodeWav(crafted).isEmpty, "overflowing chunk length")
+    // negative length is rejected outright
+    val negLen = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-8).array()
+    assert(Multimodal.decodeWav(enc.take(40) ++ negLen ++ enc.drop(44)).isEmpty,
+      "negative chunk length")
     // nearest-index resample: 320 -> 240 reads source (j*4)//3; 320 -> 160
     // picks every other sample
     val r = Multimodal.resampleNearest(pcm, 240)
