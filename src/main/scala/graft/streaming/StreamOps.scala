@@ -259,16 +259,17 @@ object StreamOps {
     val src = events.select(col("user_id").cast("long"),
         col("ts").cast("timestamp"), col("value").cast("double"))
       .as[(Long, java.sql.Timestamp, Double)]
-    val n = src.count()
+    // one job for both batch-sizing count and the sentinel's max ts
+    val sized = events.select(count(lit(1)), max(unix_micros(col("ts")))).head()
+    val (n, maxUs) = (sized.getLong(0), sized.getLong(1))
     val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
-    val maxUs = events.select(max(unix_micros(col("ts")))).head().getLong(0)
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, java.sql.Timestamp, Double)]
     val name = "graft_replay_sessionize"
-    // 1-second watermark lag: small enough that the two sentinel batches
-    // below deterministically flush every open session, nonzero so an
-    // event tied exactly with the previous batch's max ts can never be
-    // dropped as late under the ascending feed
+    // 1-second watermark lag: small enough that the sentinel batch below
+    // deterministically flushes every open session, nonzero so an event
+    // tied exactly with the previous batch's max ts can never be dropped
+    // as late under the ascending feed
     val query = sessionize(spark, mem.toDF().toDF("user_id", "ts", "value"),
         gapUs, watermark = "1 second")
       .writeStream.format("memory").queryName(name)
@@ -280,13 +281,13 @@ object StreamOps {
           mem.addData(chunk.toSeq: _*)
           query.processAllAvailable()
         }
-      // sentinel user -1, two batches: the first advances the watermark
-      // past every (lastUs + gap), the second triggers the timeout sweep
-      def sentinel(us: Long) =
-        (-1L, new java.sql.Timestamp((us + gapUs) / 1000L + 2000L), 0.0)
-      mem.addData(sentinel(maxUs))
-      query.processAllAvailable()
-      mem.addData(sentinel(maxUs + 5000000L))
+      // sentinel user -1: one batch advances the watermark past every
+      // (lastUs + gap); the engine then self-schedules the timeout-sweep
+      // batch (stateful operators report shouldRunAnotherBatch when the
+      // watermark moves) and processAllAvailable blocks through it —
+      // verified to emit the identical closed-session set as an explicit
+      // second sentinel round
+      mem.addData((-1L, new java.sql.Timestamp((maxUs + gapUs) / 1000L + 2000L), 0.0))
       query.processAllAvailable()
       val closed = spark.table(name).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
@@ -513,11 +514,12 @@ object StreamOps {
   /** Verification replay for the watermarked tumbling-window aggregation
     * — drives [[windowedEventAgg]] in APPEND mode (a window row is
     * emitted exactly once, when the watermark closes it), fed
-    * ascending-time micro-batches. Two far-future sentinel batches (the
+    * ascending-time micro-batches. One far-future sentinel batch (the
     * [[replaySessionize]] flush pattern, event_type "~flush", filtered
-    * from the result) push the watermark past every real window end so
-    * the trailing windows finalize. Under the ascending feed no event is
-    * late, so the emitted set equals the batch groupBy row-for-row. */
+    * from the result) pushes the watermark past every real window end;
+    * the engine self-schedules the eviction batch that emits the closed
+    * windows. Under the ascending feed no event is late, so the emitted
+    * set equals the batch groupBy row-for-row. */
   def replayWindowAgg(spark: SparkSession, events: DataFrame,
                       windowDur: String = "1 hour",
                       numBatches: Int = 4): DataFrame =
@@ -527,14 +529,15 @@ object StreamOps {
     val src = events.select(col("ts").cast("timestamp"),
         col("event_type").cast("string"), col("value").cast("double"))
       .as[(java.sql.Timestamp, String, Double)]
-    val n = src.count()
+    // one job for both batch-sizing count and the sentinel's max ts
+    val sized = events.select(count(lit(1)), max(unix_micros(col("ts")))).head()
+    val (n, maxUs) = (sized.getLong(0), sized.getLong(1))
     val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
-    val maxUs = events.select(max(unix_micros(col("ts")))).head().getLong(0)
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(java.sql.Timestamp, String, Double)]
     val name = "graft_replay_window"
     // 1-second watermark lag (vs the production 2-hour default): small
-    // enough that the sentinels below deterministically close every real
+    // enough that the sentinel below deterministically closes every real
     // window, nonzero so a boundary tie can never be dropped as late
     val query = windowedEventAgg(
         mem.toDF().toDF("ts", "event_type", "value"),
@@ -548,12 +551,11 @@ object StreamOps {
           mem.addData(chunk.toSeq: _*)
           query.processAllAvailable()
         }
-      def sentinel(us: Long) =
-        (new java.sql.Timestamp(us / 1000L), "~flush", 0.0)
-      // 2 days clears any window_dur + watermark at the gate granularity
-      mem.addData(sentinel(maxUs + 2L * 86400L * 1000000L))
-      query.processAllAvailable()
-      mem.addData(sentinel(maxUs + 4L * 86400L * 1000000L))
+      // 2 days clears any window_dur + watermark at the gate granularity;
+      // the eviction batch after the watermark moves is self-scheduled
+      // and processAllAvailable blocks through it (see replaySessionize)
+      mem.addData((new java.sql.Timestamp(
+        (maxUs + 2L * 86400L * 1000000L) / 1000L), "~flush", 0.0))
       query.processAllAvailable()
       val rows = spark.table(name)
         .filter(col("event_type") =!= "~flush").collect()
