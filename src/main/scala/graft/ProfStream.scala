@@ -87,6 +87,54 @@ object ProfStream {
         spark.conf.set("spark.sql.shuffle.partitions", prev)
       }
     }
+
+    for (round <- 1 to 2) {
+      println(s"== replayRangeJoin round $round ==")
+      val left = events.filter(col("event_type") === "click")
+      val right = events.filter(col("event_type") === "purchase")
+      def srcOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("event_id").cast("long"), col("user_id").cast("long"),
+            col("ts").cast("timestamp"))
+          .as[(Long, Long, java.sql.Timestamp)]
+      val (ls, rs) = (srcOf(left), srcOf(right))
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val memL = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val memR = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val query = time("start") {
+        graft.streaming.StreamOps.streamingRangeJoin(
+            memL.toDF().toDF("event_id", "user_id", "ts"),
+            memR.toDF().toDF("event_id", "user_id", "ts"),
+            "user_id", "ts", "event_id", 7200L)
+          .writeStream.format("memory").queryName(s"prof_rj_$round")
+          .outputMode("append").start()
+      }
+      try {
+        import scala.jdk.CollectionConverters._
+        def chunks(ds: org.apache.spark.sql.Dataset[(Long, Long, java.sql.Timestamp)]) = {
+          val n = ds.count()
+          val per = math.max(1L, (n + 3) / 4).toInt
+          ds.orderBy(col("ts"), col("event_id")).toLocalIterator().asScala.grouped(per)
+        }
+        val (lc, rc) = (time("chunks")(chunks(ls)), time("chunksR")(chunks(rs)))
+        var i = 0
+        while (lc.hasNext || rc.hasNext) {
+          i += 1
+          time(s"batch$i") {
+            if (lc.hasNext) memL.addData(lc.next().toSeq: _*)
+            if (rc.hasNext) memR.addData(rc.next().toSeq: _*)
+            query.processAllAvailable()
+          }
+        }
+        println(s"PAIRS round$round = ${time("collect")(
+          spark.table(s"prof_rj_$round").collect().length)}")
+      } finally {
+        query.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+    }
     spark.stop()
   }
 }

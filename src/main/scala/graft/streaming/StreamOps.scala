@@ -317,9 +317,34 @@ object StreamOps {
     * normally — the operators themselves are partition-count-agnostic. */
   private def withReplayShuffle[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val ckKey = "spark.sql.streaming.checkpointLocation"
     val prev = spark.conf.get(key)
+    val prevCk = spark.conf.getOption(ckKey)
+    // Per-batch cost is dominated by checkpoint fsyncs (offset log,
+    // commit log, state-store delta per store per batch) — on a disk
+    // /tmp that's several forced writes per micro-batch. The replay's
+    // checkpoint is throwaway (each harness run gets a FRESH dir, so a
+    // repeat pass can never resume stale offsets); put it on tmpfs when
+    // available. Production streams set durable checkpoints normally.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckDir =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        Some(java.nio.file.Files.createTempDirectory(shm, "graft-replay-ck"))
+      else None
     spark.conf.set(key, "1")
-    try body finally spark.conf.set(key, prev)
+    ckDir.foreach(d => spark.conf.set(ckKey, d.toString))
+    try body finally {
+      spark.conf.set(key, prev)
+      prevCk match {
+        case Some(v) => spark.conf.set(ckKey, v)
+        case None => spark.conf.unset(ckKey)
+      }
+      ckDir.foreach { d =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
   }
 
   /** Verification replay for the STREAM-STREAM interval join — the
