@@ -359,6 +359,56 @@ object SparkEntry {
         audit = simplexAudit3d(hists, "q_emd3d_topk"))
     }),
 
+    // --- ORACLE-VISIBLE witness verdict for the three no_oracle LP rows:
+    //     recomputes each primary/witness pair-set diff and emits one row
+    //     per LP query (only_primary, only_witness, engines_agree). The
+    //     oracle expects literal zeros/true, so the driver's hash check
+    //     SEES the cross-engine agreement directly instead of recording
+    //     `no_oracle`. Under -Dgraft.crosscheck=off (Bench/BenchEach
+    //     timing runs only — Verify NEVER sets it, per the gate contract)
+    //     the expensive second-engine runs are skipped and the literal
+    //     expected rows come back, exactly like the in-query witness
+    //     assertions those runs also skip ---
+    "q_lp_witness" -> ((s, dir) => {
+      import s.implicits._
+      val enabled = sys.props.getOrElse("graft.crosscheck", "on") != "off"
+      val rows =
+        if (!enabled)
+          Seq(("q_emd3d_pairs", 0L, 0L, true), ("q_emd3d_topk", 0L, 0L, true),
+            ("q_treeexact3d_pairs", 0L, 0L, true))
+        else {
+          val hists = Fixtures.tripleHists(s, dir)
+          val prep = MelodyJoin.prepareCached(s, hists, melodyCfg3d)
+          def canon(df: DataFrame): DataFrame = df.select(
+            least(col("rid"), col("sid")).as("a"),
+            greatest(col("rid"), col("sid")).as("b"),
+            round(col("dist"), 6).as("d"))
+          // persist each canonical pair-set: every frame feeds two
+          // exceptAll counts (the threshold sets feed four — both diff
+          // directions of two verdict rows), and an unpersisted plan
+          // would re-run its whole engine per count
+          val melodyC = canon(MelodyJoin.thresholdJoinPrepared(
+            s, prep, Theta3d, melodyCfg3d)).persist()
+          val treeC = canon(EmdJoins.treeExact3dThresholdJoin(hists, Theta3d))
+            .persist()
+          val topkMC = canon(MelodyJoin.topKJoinPrepared(
+            s, prep, TopK, melodyCfg3d)).persist()
+          val topkTC = canon(EmdJoins.treeExact3dTopK(hists, TopK)).persist()
+          def verdict(name: String, po: DataFrame, wo: DataFrame) = {
+            val onlyP = po.exceptAll(wo).count()
+            val onlyW = wo.exceptAll(po).count()
+            (name, onlyP, onlyW, onlyP == 0L && onlyW == 0L)
+          }
+          try Seq(
+            verdict("q_emd3d_pairs", melodyC, treeC),
+            verdict("q_emd3d_topk", topkMC, topkTC),
+            verdict("q_treeexact3d_pairs", treeC, melodyC))
+          finally Seq(melodyC, treeC, topkMC, topkTC)
+            .foreach(_.unpersist(false))
+        }
+      rows.toDF("query", "only_primary", "only_witness", "engines_agree")
+    }),
+
     // --- generator-analog pipeline (S8 -> J1): binary payload -> byte
     //     histogram -> 1-D EMD threshold join (the reference's
     //     image->histogram->join lifecycle, mr/EmdGenerate.java) ---
@@ -1238,6 +1288,19 @@ object SparkEntry {
         |SELECT id, d2 FROM prr ORDER BY d2, id LIMIT 20""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // The LP rows themselves stay no_oracle (LP-EMD is not DuckDB-
+    // expressible), but their cross-engine witness verdict is a fixed
+    // contract: zero pairs unique to either engine, for every LP query,
+    // at any scale factor. Literal oracle rows make that verdict
+    // hash-checked by the driver.
+    "q_lp_witness" ->
+      """SELECT query, CAST(only_primary AS BIGINT) AS only_primary,
+        |       CAST(only_witness AS BIGINT) AS only_witness, engines_agree
+        |FROM (VALUES ('q_emd3d_pairs', 0, 0, true),
+        |             ('q_emd3d_topk', 0, 0, true),
+        |             ('q_treeexact3d_pairs', 0, 0, true))
+        |     t(query, only_primary, only_witness, engines_agree)""".stripMargin,
+
     "q_kmeans" -> KmeansSql,
     "q_pq_topk" -> PqSql,
     "q_pq_rerank" -> PqRerankSql,
