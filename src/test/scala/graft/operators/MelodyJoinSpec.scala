@@ -194,6 +194,20 @@ class MelodyJoinSpec extends AnyFunSuite {
     assert(exactQ.nonEmpty, "vacuous quantile test")
     assert(approxQ == exactQ,
       s"missed=${(exactQ -- approxQ).size} extra=${(approxQ -- exactQ).size}")
+    // top-k path under the same flag: k-sets must agree pair-for-pair
+    // (both sides use the unified (round(dist,6), rid, sid) tie-break)
+    def topk(c: MelodyJoin.Config) =
+      MelodyJoin.topKJoin(spark, hists, 15, c)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topk(cfg3d.copy(exactQuantiles = false)) == topk(cfg3d))
+    // and on the derived parquet histograms the gate actually runs
+    val derived = graft.sources.Fixtures.tripleHists(spark, "/root/testdata/sf0.001")
+    def derivedPairs(c: MelodyJoin.Config) =
+      MelodyJoin.thresholdJoin(spark, derived, 0.05, c)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactD = derivedPairs(cfg3d)
+    assert(exactD.nonEmpty, "vacuous derived-data quantile test")
+    assert(derivedPairs(cfg3d.copy(exactQuantiles = false)) == exactD)
   }
 
   test("non-metric / non-L2 configs are rejected by the pruning engines") {
