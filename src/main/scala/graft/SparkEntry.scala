@@ -76,13 +76,21 @@ object SparkEntry {
         least(col("rid"), col("sid")).as("a"),
         greatest(col("rid"), col("sid")).as("b"),
         round(col("dist"), 6).as("d"))
-      val p = canon(primary)
-      val w = canon(witness)
-      val diff = p.exceptAll(w).unionAll(w.exceptAll(p)).limit(5).collect()
-      require(diff.isEmpty,
-        s"$label: cross-engine pair-set mismatch (primary vs witness): " +
-          diff.map(_.toString).mkString("; "))
-      audit(primary)
+      // persist both canonical sets: the two exceptAll directions would
+      // otherwise each re-run a full engine (2x the LP work per gate row)
+      val p = canon(primary).persist()
+      val w = canon(witness).persist()
+      try {
+        val diff = p.exceptAll(w).unionAll(w.exceptAll(p)).limit(5).collect()
+        require(diff.isEmpty,
+          s"$label: cross-engine pair-set mismatch (primary vs witness): " +
+            diff.map(_.toString).mkString("; "))
+        // audit over the persisted canonical set (orientation-symmetric,
+        // dist already 6dp-rounded in every declared LP query) — running
+        // it on `primary` would re-execute the engine a third time
+        audit(p.select(col("a").as("rid"), col("b").as("sid"),
+          col("d").as("dist")))
+      } finally { p.unpersist(false); w.unpersist(false) }
     }
     primary
   }
