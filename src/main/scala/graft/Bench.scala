@@ -23,6 +23,7 @@ object Bench {
     // Verify (the correctness gate) always runs it.
     System.setProperty("graft.crosscheck", "off")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

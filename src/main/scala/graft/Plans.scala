@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Dumps physical plans of representative queries for plan review. */
 object Plans {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions").master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.MelodyJoin
 object Prof {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()

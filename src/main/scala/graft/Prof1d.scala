@@ -5,7 +5,8 @@ import graft.operators.MelodyJoin
 /** Stage timings for the 1-D melody engine (quantityHists, sf0.1). */
 object Prof1d {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 object ProfStream {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark: SparkSession = SparkSession.builder().master("local[8]")
+    val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions").master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
