@@ -212,6 +212,23 @@ object SparkEntry {
           round(col("w"), 6).as("w"))
     }),
 
+    // --- the SQL surface: graft_* functions resolved from the registry,
+    //     RubnerPrefilter grafting the LB cascade into plain user SQL.
+    //     The mod-7 id subset keeps the deliberately-naive a.id < b.id
+    //     pair join (the whole point: NO hand blocking — the optimizer
+    //     rule is what prunes) bounded at bench scale ---
+    "q_sql_emd" -> ((s, dir) => {
+      graft.plans.GraftFunctions.ensureRegistered(s)
+      Fixtures.quantityHists(s, dir).filter(col("id") % 7 === 0)
+        .createOrReplaceTempView("graft_sql_emd_hists")
+      s.sql(
+        s"""SELECT a.id AS rid, b.id AS sid,
+           |       round(graft_emd1d(a.weights, b.weights), 6) AS dist
+           |FROM graft_sql_emd_hists a JOIN graft_sql_emd_hists b
+           |  ON a.id < b.id
+           |WHERE graft_emd1d(a.weights, b.weights) <= $Theta""".stripMargin)
+    }),
+
     // --- 1-D EMD threshold self-join (D2 + J1 semantics, banded blocking) ---
     "q_emd1d_pairs" -> ((s, dir) => {
       val hists = Fixtures.quantityHists(s, dir)
@@ -488,6 +505,29 @@ object SparkEntry {
     //     rule is an integer cross-multiplied comparison, engine-exact ---
     "q_quality_gate" -> ((s, dir) => {
       CorpusOps.qualityGate(Fixtures.documents(s, dir))
+    }),
+
+    // --- PII redaction audit: the synthetic corpus carries no PII, so
+    //     the fixture derives deterministic contact strings from doc_id
+    //     (replayed verbatim by the oracle CTE) — some docs get email +
+    //     phone + IP, some a subset, some nothing, exercising every
+    //     count-0 and multi-class path of the scrubber ---
+    "q_pii_scrub" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val idS = col("doc_id").cast("string")
+      val contact = docs.select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 5 =!= 4,
+          concat(lit(" contact user"), idS, lit("@mail.example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit(""))).as("text"))
+      CorpusOps.piiScrub(contact)
     }),
 
     // --- heuristic language ID ---
@@ -1326,6 +1366,24 @@ object SparkEntry {
       (EmdCtePrefix +
         s" SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= $Theta"),
 
+    // cum-of-differences form: the native Emd1d kernel folds
+    // run += a(i)-b(i); tot += |run|, which is the EmdCte arithmetic
+    // shape (NOT the prefix-sum-difference shape q_emd1d_pairs uses)
+    "q_sql_emd" ->
+      (HistCte +
+        s""", diffs AS (
+           |  SELECT a.id AS rid, b.id AS sid, a.bin AS bin, a.w - b.w AS d
+           |  FROM hist a JOIN hist b ON a.bin = b.bin AND a.id < b.id
+           |  WHERE a.id % 7 = 0 AND b.id % 7 = 0
+           |), cums AS (
+           |  SELECT rid, sid,
+           |         sum(d) OVER (PARTITION BY rid, sid ORDER BY bin) AS cum
+           |  FROM diffs
+           |), emds AS (
+           |  SELECT rid, sid, sum(abs(cum)) AS dist FROM cums GROUP BY rid, sid
+           |) SELECT rid, sid, round(dist, 6) AS dist FROM emds
+           | WHERE dist <= $Theta""".stripMargin),
+
     "q_emd1d_topk" ->
       (EmdCtePrefix +
         s""" SELECT rid, sid, round(dist, 6) AS dist FROM emds
@@ -2094,6 +2152,41 @@ object SparkEntry {
         |       len_ok AND diversity_ok AND stop_ok AND toptok_ok AND rep_ok
         |         AS keep
         |FROM r""".stripMargin,
+
+    // patterns interpolated from the SAME constants the operator uses
+    // (CorpusOps.EmailPattern etc.), so operator and oracle cannot drift;
+    // the three-step CTE chain replays the fixed email->phone->ip order
+    "q_pii_scrub" -> {
+      val em = CorpusOps.EmailPattern
+      val ph = CorpusOps.PhonePattern
+      val ip = CorpusOps.Ipv4Pattern
+      s"""WITH c AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 <> 4 THEN ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |      CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t0
+         |  FROM documents
+         |), s1 AS (
+         |  SELECT doc_id, CAST(len(regexp_extract_all(t0, '$em')) AS BIGINT) AS n_email,
+         |         regexp_replace(t0, '$em', '<EMAIL>', 'g') AS t1
+         |  FROM c
+         |), s2 AS (
+         |  SELECT doc_id, n_email,
+         |         CAST(len(regexp_extract_all(t1, '$ph')) AS BIGINT) AS n_phone,
+         |         regexp_replace(t1, '$ph', '<PHONE>', 'g') AS t2
+         |  FROM s1
+         |), s3 AS (
+         |  SELECT doc_id, n_email, n_phone,
+         |         CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_ip,
+         |         regexp_replace(t2, '$ip', '<IP>', 'g') AS t3
+         |  FROM s2
+         |)
+         |SELECT doc_id, t3 AS clean_text, n_email, n_phone, n_ip FROM s3""".stripMargin
+    },
 
     "q_lang_id" -> {
       val hitExprs = TextCols.LangMarkers.map { case (lang, ms) =>

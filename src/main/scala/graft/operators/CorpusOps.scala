@@ -662,4 +662,40 @@ object CorpusOps {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col(keyCol))
+
+  /** PII patterns, restricted to the regex subset with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): character
+    * classes, counted repetition, grouping — no lookaround, no
+    * backreferences, no `\b`/`\d` shorthands (whose Unicode behavior
+    * differs between the engines). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII redaction — the pre-training privacy scrub (emails, phone
+    * numbers, IPv4 addresses → typed placeholder tokens, plus per-class
+    * counts for the removal audit trail).
+    *
+    * Classes apply in a FIXED order (email, then phone, then IP), each
+    * counted on the text as left by the previous class: an address
+    * already collapsed to `<EMAIL>` can no longer donate its digit runs
+    * to the phone or IP count, so the three counts partition the
+    * redacted characters unambiguously — and the oracle replays the
+    * same three-step CTE chain, keeping the counts engine-exact.
+    *
+    * Pure per-row projection: no shuffle, no UDF (regexp_replace /
+    * regexp_count are codegen'd) — the shape scales to any corpus size
+    * untouched. Output: (idCol, clean_text, n_email, n_phone, n_ip). */
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailPattern, "<EMAIL>")
+    val t2 = regexp_replace(t1, PhonePattern, "<PHONE>")
+    val t3 = regexp_replace(t2, Ipv4Pattern, "<IP>")
+    docs.select(col(idCol),
+      t3.as("clean_text"),
+      regexp_count(t0, lit(EmailPattern)).cast("long").as("n_email"),
+      regexp_count(t1, lit(PhonePattern)).cast("long").as("n_phone"),
+      regexp_count(t2, lit(Ipv4Pattern)).cast("long").as("n_ip"))
+  }
 }

@@ -594,4 +594,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(2L)._1 == 1 && got(2L)._2 == 0.0)
     assert(got(3L)._1 == 1 && got(3L)._2 == 0.0)
   }
+
+  test("piiScrub: redaction classes, order, counts, and no-PII identity") {
+    import spark.implicits._
+    val in = Seq(
+      // two emails, adjacent PII, phone, ip
+      (1L, "mail a@x.co and b.c+tag@y.org call +1-555-0042 from 10.3.0.7 end"),
+      // PII at string start and end, back-to-back
+      (2L, "z@w.io +44-123-9999"),
+      // no PII: bare '@' without TLD dot, digits without shape
+      (3L, "keep a@b intact 12345 1-2-3 10.3 ok"),
+      // ip would also prefix-match inside a longer dotted run: leftmost
+      // match takes the first 4 octets, remainder stays
+      (4L, "route 10.1.2.3.4 left")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.piiScrub(in).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("mail <EMAIL> and <EMAIL> call <PHONE> from <IP> end", 2L, 1L, 1L)))
+    assert(out(2L) == (("<EMAIL> <PHONE>", 1L, 1L, 0L)))
+    assert(out(3L) == (("keep a@b intact 12345 1-2-3 10.3 ok", 0L, 0L, 0L)))
+    assert(out(4L) == (("route <IP>.4 left", 0L, 0L, 1L)))
+  }
+
+  test("piiScrub: email scrub runs first, so its digits never count as phone/ip") {
+    import spark.implicits._
+    val in = Seq((1L, "x +1-222-3333@host.com y")).toDF("doc_id", "text")
+    // the email pattern's local part swallows '1-222-3333' (digits and
+    // '-' are in its class, '+' too) -> whole token is ONE email, no phone
+    val r = CorpusOps.piiScrub(in).head()
+    assert(r.getString(1) == "x +<EMAIL> y" || r.getString(1) == "x <EMAIL> y")
+    assert(r.getLong(3) == 0L) // no phone counted after email removal
+  }
 }
