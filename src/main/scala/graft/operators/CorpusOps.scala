@@ -698,4 +698,53 @@ object CorpusOps {
       regexp_count(t1, lit(PhonePattern)).cast("long").as("n_phone"),
       regexp_count(t2, lit(Ipv4Pattern)).cast("long").as("n_ip"))
   }
+
+  /** EXACT frequency-fraction heavy hitters — every token whose count
+    * strictly exceeds 1/phiDen of the corpus token total — via two-pass
+    * Misra–Gries candidate pruning.
+    *
+    * Why not one `groupBy(token)`? At 100 TB that shuffles EVERY token
+    * occurrence key (the full vocabulary, long-tail included) to build
+    * counts that are then almost all thrown away. Here:
+    *
+    *  - pass 1 is shuffle-free: a `treeAggregate` of per-partition
+    *    [[graft.core.MisraGries]] sketches (k >= phiDen counters) whose
+    *    merge bound guarantees every true heavy hitter survives; the
+    *    driver receives ONE k-entry map regardless of cluster size;
+    *  - pass 2 re-scans, keeps only the <= k candidate tokens via a
+    *    broadcast semi-join, and counts THOSE exactly — the shuffle
+    *    carries at most partitions x k map-side-combined rows, not the
+    *    vocabulary.
+    *
+    * The sketch is candidates-only, so the output is EXACT (identical
+    * to the full groupBy, spec-checked) and carries a plain SQL oracle:
+    * `HAVING count(*) * phiDen > total`. Threshold semantics are
+    * integer cross-multiplication — no FP boundary, engine-exact.
+    *
+    * Guarantee: a token with count c where c * phiDen > n satisfies
+    * c > n/phiDen >= n/(k+1) (requires k + 1 >= phiDen, enforced), so
+    * it survives pass 1; pass 2 cannot lose or miscount survivors.
+    *
+    * Output: (token, cnt) for all tokens with cnt * phiDen > n. */
+  def heavyHitters(docs: DataFrame, phiDen: Long = 1000L,
+                   sketchSize: Int = 2048,
+                   textCol: String = "text"): DataFrame = {
+    require(phiDen >= 2, s"heavyHitters: phiDen=$phiDen")
+    require(sketchSize + 1 >= phiDen,
+      s"heavyHitters: sketchSize=$sketchSize breaks the survival " +
+        s"guarantee for phiDen=$phiDen (need sketchSize + 1 >= phiDen)")
+    val spark = docs.sparkSession
+    val toks = widen(docs)
+      .select(explode(TextCols.tokens(col(textCol))).as("token"))
+    val sketch = toks.rdd.map(_.getString(0))
+      .treeAggregate(new graft.core.MisraGries(sketchSize))(
+        (mg, t) => mg.add(t), (a, b) => a.merge(b), depth = 2)
+    val total = sketch.n
+    val candidates = spark.createDataFrame(
+      sketch.counts.keysIterator.map(Tuple1(_)).toSeq).toDF("token")
+    toks.join(broadcast(candidates), "token")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * phiDen > lit(total))
+  }
 }

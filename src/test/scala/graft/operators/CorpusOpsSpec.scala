@@ -625,4 +625,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(r.getString(1) == "x +<EMAIL> y" || r.getString(1) == "x <EMAIL> y")
     assert(r.getLong(3) == 0L) // no phone counted after email removal
   }
+
+  test("heavyHitters == full groupBy HAVING on the fixture corpus") {
+    for (phiDen <- Seq(100L, 1000L)) {
+      val got = CorpusOps.heavyHitters(docs, phiDen = phiDen, sketchSize = 2048)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+        .collect().map(_.getString(0))
+      val n = toks.length.toLong
+      val expected = toks.groupBy(identity).view
+        .mapValues(_.size.toLong).filter(_._2 * phiDen > n).toMap
+      assert(got == expected, s"phiDen=$phiDen")
+      assert(expected.nonEmpty, s"vacuous fixture at phiDen=$phiDen")
+    }
+  }
+
+  test("heavyHitters stays exact at minimal legal sketch size + skewed partitioning") {
+    import spark.implicits._
+    // heavy tokens buried in a distinct tail that constantly evicts a
+    // tiny sketch; single-token docs maximize partition imbalance churn
+    val rows = ((0 until 40).map(i => s"heavy${i % 2}") ++
+      (0 until 900).map(i => s"tail$i")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val in = spark.createDataset(rows).toDF("doc_id", "text").repartition(7)
+    // n = 940: at phiDen=40 the bar is cnt >= 24 (heavy tokens have 20
+    // each -> empty result); at phiDen=60 the bar is cnt >= 16 -> exactly
+    // the two heavy tokens. Both run at the minimal legal sketch size.
+    val got = CorpusOps.heavyHitters(in, phiDen = 40L, sketchSize = 39)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got2 = CorpusOps.heavyHitters(in, phiDen = 60L, sketchSize = 59)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.isEmpty)
+    assert(got2 == Map("heavy0" -> 20L, "heavy1" -> 20L))
+  }
+
+  test("heavyHitters rejects a sketch too small for the guarantee") {
+    intercept[IllegalArgumentException] {
+      CorpusOps.heavyHitters(docs, phiDen = 1000L, sketchSize = 512)
+    }
+  }
 }
