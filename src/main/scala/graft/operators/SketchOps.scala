@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based profiling with in-query error audits — the 100 TB
+  * cardinality/quantile path, wired so approximation NEVER reaches an
+  * unverified result:
+  *
+  *  - the sketch aggregates (HyperLogLog++, Greenwald–Khanna-style
+  *    approx_percentile) are Spark-native partial aggregates: map-side
+  *    mergeable state, one tiny shuffle row per group, no vocabulary /
+  *    value-set exchange — exactly what survives a 1000-executor scan;
+  *  - each query ALSO computes the exact statistic and emits a boolean
+  *    asserting the sketch landed inside its published error envelope.
+  *    The oracle pins that boolean to TRUE, so a sketch drifting out of
+  *    bounds is a driver-visible hash mismatch, not a silent estimate.
+  *
+  * At gate scale the exact side is cheap; at 100 TB a user keeps the
+  * sketch columns and drops the exact ones — the audit queries exist to
+  * prove the envelope claims those users rely on.
+  */
+object SketchOps {
+
+  /** Per-group exact distinct count + HyperLogLog++ estimate audit.
+    *
+    * One `groupBy` computes `count(DISTINCT v)` (exact, oracle-checked)
+    * and `approx_count_distinct(v, rsd)` side by side; `hll_ok` asserts
+    * `|est - exact| <= ceil(sigmas * rsd * exact)`. HLL++'s standard
+    * error is rsd (with sub-rsd bias-corrected sparse mode at low
+    * cardinalities), so `sigmas` standard deviations is a
+    * conservatively-wide envelope: a false FAIL is astronomically
+    * unlikely, while a broken sketch (or a future Spark regression in
+    * it) trips the oracle.
+    *
+    * Output: (groupCol, n_distinct BIGINT, hll_ok BOOLEAN). */
+  def distinctAudit(df: DataFrame, groupCol: String, value: Column,
+                    rsd: Double = 0.02, sigmas: Double = 6.0): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(countDistinct(value).as("n_distinct"),
+        approx_count_distinct(value, rsd).as("est"))
+      .select(col(groupCol), col("n_distinct"),
+        (abs(col("est") - col("n_distinct")) <=
+          ceil(lit(sigmas * rsd) * col("n_distinct"))).as("hll_ok"))
+
+  /** Global approx-percentile rank audit.
+    *
+    * `approx_percentile(v, q, accuracy)` guarantees the returned value's
+    * RANK is within eps*n of the target rank, eps = 1/accuracy (Spark's
+    * documented contract for the Greenwald–Khanna variant it ships).
+    * The audit recomputes each estimate's exact rank window
+    * [count(v < est) + 1, count(v <= est)] in ONE conditional-sum pass
+    * over the data (estimates ride as literals — O(|qs|) driver state)
+    * and checks it intersects [floor((q-eps)*n), ceil((q+eps)*n)].
+    *
+    * Output: one row per q — (q DOUBLE, n BIGINT, rank_ok BOOLEAN),
+    * oracle-pinned rank_ok = TRUE. */
+  def quantileAudit(df: DataFrame, valueCol: Column, qs: Seq[Double],
+                    accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs=$qs")
+    val spark = df.sparkSession
+    val value = valueCol.cast("double")
+    val ests = df.agg(
+        percentile_approx(value, typedLit(qs), lit(accuracy)).as("est"))
+      .head().getSeq[Double](0)
+    val eps = 1.0 / accuracy
+    val rankAggs = ests.zipWithIndex.flatMap { case (e, i) => Seq(
+      sum(when(value < e, 1L).otherwise(0L)).as(s"lt$i"),
+      sum(when(value <= e, 1L).otherwise(0L)).as(s"le$i"))
+    }
+    val r = df.agg(count(lit(1)).as("n"), rankAggs: _*).head()
+    val n = r.getLong(0)
+    val rows = qs.zipWithIndex.map { case (q, i) =>
+      val lo = r.getLong(1 + 2 * i) + 1 // rank window of the estimate
+      val hi = r.getLong(2 + 2 * i)
+      val tLo = math.floor((q - eps) * n).toLong
+      val tHi = math.ceil((q + eps) * n).toLong
+      (q, n, lo <= tHi && hi >= tLo)
+    }
+    spark.createDataFrame(rows).toDF("q", "n", "rank_ok")
+  }
+}
