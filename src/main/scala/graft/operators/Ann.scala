@@ -317,28 +317,85 @@ object Ann {
     * numSub x iters times for identical arithmetic. */
   def pqTrain(spark: SparkSession, embs: DataFrame, numSub: Int, ksub: Int,
               iters: Int = 2, scale: Int = 1000, idCol: String = "vec_id",
-              vecCol: String = "embedding"): Array[Array[Array[Long]]] = {
+              vecCol: String = "embedding",
+              cutover: Long = Cluster.IterCutover): Array[Array[Array[Long]]] = {
     import graft.core.Caching._
     require(numSub > 0 && ksub > 0 && iters >= 0,
       s"pqTrain: numSub=$numSub ksub=$ksub iters=$iters")
     val q = Cluster.quantize(embs, scale, idCol, vecCol).persistOnce()
+    var subDf: DataFrame = null // DF-path exploded frame, built on demand
     try {
       val dim = q.select(size(col("v"))).head().getInt(0)
       require(dim % numSub == 0, s"pqTrain: dim=$dim % numSub=$numSub != 0")
       val sub = dim / numSub
-      val subDf = q.select(col("id"),
-          posexplode(transform(sequence(lit(0), lit(numSub - 1)),
-            m => slice(col("v"), m * sub + 1, lit(sub)))).as(Seq("m", "sv")))
-        .persistOnce()
-      try {
-        val seedRows = q.orderBy(col("id")).limit(ksub)
-          .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
-        require(seedRows.length >= ksub,
-          s"pqTrain: ksub=$ksub exceeds input row count ${seedRows.length}")
-        var cbs: Array[Array[Array[Long]]] = Array.tabulate(numSub)(m =>
-          seedRows.map(v => v.slice(m * sub, m * sub + sub)))
-        for (_ <- 0 until iters) {
-          val code = argminCode(cbLit(cbs), col("m"), col("sv"))
+      val seedRows = q.orderBy(col("id")).limit(ksub)
+        .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
+      require(seedRows.length >= ksub,
+        s"pqTrain: ksub=$ksub exceeds input row count ${seedRows.length}")
+      var cbs: Array[Array[Array[Long]]] = Array.tabulate(numSub)(m =>
+        seedRows.map(v => v.slice(m * sub, m * sub + sub)))
+      // below the repo's iterative-loop cutover, each training pass is an
+      // RDD mapPartitions of plain-loop partial (count, sum) vectors per
+      // (subspace, code) — numSub*ksub rows per partition, merged by key,
+      // no interpreted HOF evaluation; identical integer arithmetic to
+      // the DataFrame pass (spec: ClusterSpec path equivalence)
+      val rddPath = iters > 0 && q.count() <= cutover
+      for (_ <- 0 until iters) {
+        val prev = cbs
+        if (rddPath) {
+          val sc = spark.sparkContext
+          val bc = sc.broadcast(prev)
+          val partials = q.select(col("v")).rdd
+            .mapPartitions { it =>
+              val cb = bc.value
+              val cnts = Array.fill(numSub)(new Array[Long](ksub))
+              val sums = Array.fill(numSub, ksub)(new Array[Long](sub))
+              it.foreach { row =>
+                val v = row.getSeq[Long](0).toArray
+                var m = 0
+                while (m < numSub) {
+                  var bd = Long.MaxValue
+                  var bcode = 0
+                  var c = 0
+                  while (c < ksub) {
+                    val cent = cb(m)(c)
+                    var d = 0L
+                    var i = 0
+                    while (i < sub) {
+                      val t = v(m * sub + i) - cent(i); d += t * t; i += 1
+                    }
+                    // strict < keeps the FIRST min — argminCode's
+                    // array_position tie rule (lowest code)
+                    if (d < bd) { bd = d; bcode = c }
+                    c += 1
+                  }
+                  cnts(m)(bcode) += 1
+                  var i = 0
+                  while (i < sub) { sums(m)(bcode)(i) += v(m * sub + i); i += 1 }
+                  m += 1
+                }
+              }
+              for {
+                m <- Iterator.range(0, numSub)
+                c <- Iterator.range(0, ksub) if cnts(m)(c) > 0
+              } yield ((m, c), (cnts(m)(c), sums(m)(c)))
+            }
+            .reduceByKey((a, b) =>
+              (a._1 + b._1, Array.tabulate(sub)(i => a._2(i) + b._2(i))))
+            .collect().toMap
+          bc.destroy()
+          cbs = Array.tabulate(numSub)(m => Array.tabulate(ksub)(c =>
+            partials.get((m, c)) match {
+              case Some((n, s)) => s.map(Cluster.roundedMean(_, n))
+              case None => prev(m)(c)
+            }))
+        } else {
+          if (subDf == null)
+            subDf = q.select(col("id"),
+                posexplode(transform(sequence(lit(0), lit(numSub - 1)),
+                  m => slice(col("v"), m * sub + 1, lit(sub)))).as(Seq("m", "sv")))
+              .persistOnce()
+          val code = argminCode(cbLit(prev), col("m"), col("sv"))
           val upd = subDf
             .select(col("m"), code.as("c"),
               posexplode(col("sv")).as(Seq("dim", "val")))
@@ -347,37 +404,70 @@ object Ann {
             .collect()
             .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
               (r.getLong(3), r.getLong(4))).toMap
-          val prev = cbs
           cbs = Array.tabulate(numSub)(m => Array.tabulate(ksub)(c =>
             Array.tabulate(sub) { i =>
               upd.get((m, c, i)) match {
-                // one IEEE division + half-away-from-zero round — the
-                // Cluster.lloydCentroids update step, bit-identical
-                case Some((n, s)) => BigDecimal(s.toDouble / n)
-                  .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+                // the Cluster.roundedMean update step, bit-identical
+                case Some((n, s)) => Cluster.roundedMean(s, n)
                 case None => prev(m)(c)(i)
               }
             }))
         }
-        cbs
-      } finally subDf.unpersist(false)
-    } finally q.unpersist(false)
+      }
+      cbs
+    } finally {
+      if (subDf != null) subDf.unpersist(false)
+      q.unpersist(false)
+    }
   }
 
   /** PQ-encode: (id, codes ARRAY<INT>), codes(m) = argmin codebook entry
-    * of subspace m. One codegen'd projection with a loop-based
-    * expression (numSub x ksub unrolled aggregates would be a codegen
-    * compile bomb); nothing is collected. */
+    * of subspace m — same BIGINT squared-L2 / lowest-code tie order as
+    * training, so the SQL oracle replays it row-for-row.
+    *
+    * Runs as a per-partition plain loop, not a Catalyst expression:
+    * `aggregate`/`zip_with` higher-order functions never enter
+    * whole-stage codegen (interpreted eval, per-element boxing), so at
+    * EVERY scale the numSub x ksub argmin is cheaper as primitive long
+    * arithmetic — a pure map with no shuffle either way, and nothing is
+    * collected. (The codebooks ride in the closure: O(numSub x ksub x
+    * dim/numSub) longs = the same payload the literal-expression form
+    * embedded in the plan.) */
   def pqEncode(embs: DataFrame, codebooks: Array[Array[Array[Long]]],
                scale: Int = 1000, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
     val numSub = codebooks.length
     val sub = codebooks(0)(0).length
-    val cb = cbLit(codebooks)
-    val codes = transform(sequence(lit(0), lit(numSub - 1)), m =>
-      argminCode(cb, m, slice(col("v"), m * sub + 1, lit(sub))))
-    Cluster.quantize(embs, scale, idCol, vecCol)
-      .select(col("id"), codes.as("codes"))
+    val q = Cluster.quantize(embs, scale, idCol, vecCol)
+    val schema = StructType(Seq(q.schema("id").copy(name = "id"),
+      StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    val rows = q.rdd.mapPartitions { it =>
+      it.map { r =>
+        val v = r.getSeq[Long](1).toArray
+        val codes = new Array[Int](numSub)
+        var m = 0
+        while (m < numSub) {
+          var bd = Long.MaxValue
+          var bcode = 0
+          var c = 0
+          while (c < codebooks(m).length) {
+            val cent = codebooks(m)(c)
+            var d = 0L
+            var i = 0
+            while (i < sub) { val t = v(m * sub + i) - cent(i); d += t * t; i += 1 }
+            // strict < keeps the FIRST min — the training tie rule
+            if (d < bd) { bd = d; bcode = c }
+            c += 1
+          }
+          codes(m) = bcode
+          m += 1
+        }
+        Row(r.get(0), codes.toSeq)
+      }
+    }
+    q.sparkSession.createDataFrame(rows, schema)
   }
 
   /** ADC top-k over a PQ-encoded index: the ALREADY-QUANTIZED query

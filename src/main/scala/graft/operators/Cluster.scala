@@ -55,14 +55,57 @@ object Cluster {
     (cid, best)
   }
 
+  /** The one FP step of the centroid update, shared by every path and
+    * replayed by the SQL oracles: one correctly-rounded IEEE division +
+    * half-away-from-zero round — bit-identical from identical integer
+    * sums in any engine. */
+  private[operators] def roundedMean(s: Long, n: Long): Long =
+    BigDecimal(s.toDouble / n)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Scala-loop argmin of BIGINT squared-L2 against the centroid table,
+    * ties to the lowest centroid id (strict `<` keeps the first min) —
+    * the exact [[assignCols]] total order, for the RDD iteration path. */
+  private[operators] def argminIdx(cents: Array[Array[Long]],
+                                   v: Array[Long]): (Int, Long) = {
+    var bc = 0
+    var bd = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0L
+      var i = 0
+      while (i < v.length) { val t = v(i) - cent(i); d += t * t; i += 1 }
+      if (d < bd) { bd = d; bc = c }
+      c += 1
+    }
+    (bc, bd)
+  }
+
+  /** Row-count cutover between the RDD and DataFrame iteration paths —
+    * the repo-wide rule for iterative loops: below it, per-iteration
+    * Catalyst re-planning plus interpreted higher-order-function
+    * evaluation (aggregate/zip_with never enter codegen) dominates and
+    * plain-loop RDD rounds with the SAME shuffle structure win; above
+    * it, Tungsten's managed memory wins (see Dedup.connectedComponents,
+    * which pioneered the cutover). */
+  private[operators] val IterCutover = 50L * 1000 * 1000
+
   /** The Lloyd's centroid loop over an already-quantized `(id, v)` frame:
     * `iters` update rounds from the deterministic seed (the k lowest-id
     * vectors). Empty clusters keep their previous centroid. Exposed so
-    * product quantization ([[Ann.pqTrain]]) can run the IDENTICAL
-    * arithmetic per subspace — one oracle-replayable iteration shape for
-    * every codebook in the repo. */
+    * product quantization ([[Ann.pqTrain]]) runs IDENTICAL arithmetic
+    * per subspace — one oracle-replayable iteration shape for every
+    * codebook in the repo.
+    *
+    * Below `cutover` rows each round is an RDD mapPartitions of
+    * plain-loop partial (count, sum) vectors per cluster — k rows out of
+    * each partition, merged by key, identical integer arithmetic (spec:
+    * ClusterSpec path equivalence). Above, the same shape runs as a
+    * codegen'd DataFrame aggregation. */
   private[operators] def lloydCentroids(q: DataFrame, k: Int, iters: Int,
-                                        dim: Int): Array[Array[Long]] = {
+                                        dim: Int,
+                                        cutover: Long = IterCutover): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = q.orderBy(col("id")).limit(k)
       .select(col("v")).collect()
       .map(_.getSeq[Long](0).toArray)
@@ -71,23 +114,47 @@ object Cluster {
     // mid-iteration
     require(cents.length >= k,
       s"kmeans: k=$k exceeds input row count ${cents.length}")
+    if (iters == 0) return cents
+    val rddPath = q.count() <= cutover
     for (_ <- 0 until iters) {
-      val (cid, _) = assignCols(cents)
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("v"), i + 1)).as(s"s$i"))
-      val upd = q.select(cid.as("c"), col("v"))
-        .groupBy(col("c"))
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .collect()
-        .map { r =>
-          val n = r.getLong(1)
-          r.getInt(0) -> Array.tabulate(dim) { i =>
-            // one IEEE division + half-away-from-zero round: the only
-            // FP step, bit-identical from identical integer sums
-            BigDecimal(r.getLong(i + 2).toDouble / n)
-              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-          }
-        }.toMap
+      val upd: Map[Int, Array[Long]] =
+        if (rddPath) {
+          val sc = q.sparkSession.sparkContext
+          val bc = sc.broadcast(cents)
+          val partials = q.select(col("v")).rdd
+            .mapPartitions { it =>
+              val cs = bc.value
+              val cnts = new Array[Long](k)
+              val sums = Array.fill(k)(new Array[Long](dim))
+              it.foreach { row =>
+                val v = row.getSeq[Long](0).toArray
+                val c = argminIdx(cs, v)._1
+                cnts(c) += 1
+                var i = 0
+                while (i < dim) { sums(c)(i) += v(i); i += 1 }
+              }
+              Iterator.range(0, k).filter(cnts(_) > 0)
+                .map(c => (c, (cnts(c), sums(c))))
+            }
+            .reduceByKey((a, b) =>
+              (a._1 + b._1, Array.tabulate(dim)(i => a._2(i) + b._2(i))))
+            .collect()
+          bc.destroy()
+          partials.map { case (c, (n, s)) => c -> s.map(roundedMean(_, n)) }
+            .toMap
+        } else {
+          val (cid, _) = assignCols(cents)
+          val sums = (0 until dim).map(i =>
+            sum(element_at(col("v"), i + 1)).as(s"s$i"))
+          q.select(cid.as("c"), col("v"))
+            .groupBy(col("c"))
+            .agg(count(lit(1)).as("n"), sums: _*)
+            .collect()
+            .map { r =>
+              val n = r.getLong(1)
+              r.getInt(0) -> Array.tabulate(dim)(i => roundedMean(r.getLong(i + 2), n))
+            }.toMap
+        }
       cents = Array.tabulate(k)(c => upd.getOrElse(c, cents(c)))
     }
     cents

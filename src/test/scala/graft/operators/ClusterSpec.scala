@@ -82,4 +82,28 @@ class ClusterSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exceeds input row count"))
   }
+
+  test("lloydCentroids: RDD and DataFrame iteration paths are bit-identical") {
+    val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+      .repartition(7) // uneven partials exercise the reduceByKey merge
+    val q = Cluster.quantize(embs, 1000).cache()
+    try {
+      val dim = q.select(size(col("v"))).head().getInt(0)
+      val rdd = Cluster.lloydCentroids(q, k = 6, iters = 3, dim = dim,
+        cutover = Long.MaxValue)
+      val df = Cluster.lloydCentroids(q, k = 6, iters = 3, dim = dim,
+        cutover = -1L)
+      assert(rdd.map(_.toSeq).toSeq == df.map(_.toSeq).toSeq)
+    } finally q.unpersist()
+  }
+
+  test("pqTrain: RDD and DataFrame training paths are bit-identical") {
+    val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+      .repartition(5)
+    val rdd = Ann.pqTrain(spark, embs, numSub = 4, ksub = 8, iters = 2,
+      cutover = Long.MaxValue)
+    val df = Ann.pqTrain(spark, embs, numSub = 4, ksub = 8, iters = 2,
+      cutover = -1L)
+    assert(rdd.map(_.map(_.toSeq).toSeq).toSeq == df.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 }
