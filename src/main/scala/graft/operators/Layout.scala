@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for write-side optimization of 100 TB lakes.
+  *
+  * Multi-dimensional range queries (the melody engine's cell scans, the
+  * event operators' time-key lookups) can only skip parquet row groups
+  * if rows that are close in EVERY filter dimension land in the SAME
+  * files. A linear sort clusters one dimension and scatters the rest;
+  * a Z-order (Morton) key bit-interleaves the dimensions so each
+  * 2^(d*b)-aligned key range is a d-dimensional grid block — min/max
+  * row-group statistics then prune on ALL interleaved columns at once.
+  *
+  * The key is pure integer bit arithmetic (shifts, masks, adds of
+  * disjoint bits) over the low `bits` bits of integer columns — exact,
+  * codegen'd, engine-independent (no FP quantization boundary), so the
+  * key column itself carries a plain SQL oracle.
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of each (integer) column:
+    * bit b of column i lands at position b * d + i. Columns are taken
+    * LITTLE-endian-first: cols(0) owns the least-significant interleaved
+    * bit, matching the classic Z-curve orientation. Total width
+    * bits * d must fit a BIGINT. */
+  def zOrderKey(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.length
+    require(d >= 2, s"zOrderKey: need >= 2 dims, got $d")
+    require(bits >= 1 && bits * d <= 63, s"zOrderKey: bits=$bits * dims=$d exceeds BIGINT")
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * d + i)
+    // all terms occupy disjoint bit positions, so + == bitwise OR
+    terms.reduce(_ + _)
+  }
+
+  /** Range-partition + locally sort by the Z-key: each output file holds
+    * one contiguous Z-range = one d-dimensional block of the key grid,
+    * giving parquet min/max pruning on every interleaved dimension. The
+    * shuffle is ONE range exchange (AQE-sized sampling), the same cost
+    * as any global sort — paid once at write time, repaid on every
+    * multi-dimensional scan. */
+  def zOrderLayout(df: DataFrame, dims: Seq[Column], bits: Int,
+                   partitions: Int = 0): DataFrame = {
+    val keyed = df.withColumn("zval", zOrderKey(dims, bits))
+    val ranged =
+      if (partitions > 0) keyed.repartitionByRange(partitions, col("zval"))
+      else keyed.repartitionByRange(col("zval"))
+    ranged.sortWithinPartitions(col("zval"))
+  }
+}
