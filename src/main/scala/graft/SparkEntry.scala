@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.Fixtures
 import graft.functions.{EmdCols, TextCols}
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -585,6 +585,65 @@ object SparkEntry {
       CorpusOps.groupQuantiles(Fixtures.documents(s, dir), "lang",
         TextCols.tokenCount(col("text")), Seq(0.25, 0.5, 0.75, 1.0))
         .select(col("grp").as("lang"), col("q"), col("value"), col("n"))
+    }),
+
+    // --- EXACT 1/1000-fraction heavy-hitter tokens via two-pass
+    //     Misra–Gries candidate pruning: shuffle-free treeAggregate
+    //     sketch pass + exact recount of the <= 2048 candidates (the
+    //     scale path that never shuffles the long-tail vocabulary);
+    //     output provably identical to the full groupBy the oracle runs ---
+    "q_heavy_hitters" -> ((s, dir) => {
+      CorpusOps.heavyHitters(Fixtures.documents(s, dir), phiDen = 1000L)
+    }),
+
+    // --- sketch audits: the 100 TB mergeable-sketch paths (HLL++
+    //     distinct, approx_percentile) computed NEXT TO their exact
+    //     statistics, with the error-envelope assertion emitted as a
+    //     boolean the oracle pins to TRUE — an out-of-bounds sketch is a
+    //     driver-visible hash mismatch, not a silent estimate ---
+    "q_approx_distinct" -> ((s, dir) => {
+      val toks = Fixtures.documents(s, dir)
+        .select(col("source"), explode(TextCols.tokens(col("text"))).as("token"))
+      SketchOps.distinctAudit(toks, "source", col("token"))
+    }),
+    "q_approx_quantiles" -> ((s, dir) => {
+      SketchOps.quantileAudit(Fixtures.events(s, dir), col("value"),
+          Seq(0.5, 0.9, 0.99))
+        .select(round(col("q"), 6).as("q"), col("n"), col("rank_ok"))
+    }),
+
+    // --- Z-order (Morton) layout key over (l_partkey, l_suppkey): the
+    //     write-side data-skipping primitive — the dumped column is the
+    //     pure-integer interleave key zOrderLayout range-partitions on
+    //     (the layout itself is exercised in LayoutSpec; the key
+    //     arithmetic is what an oracle can check) ---
+    "q_zorder_key" -> ((s, dir) => {
+      Fixtures.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        Layout.zOrderKey(Seq(col("l_partkey"), col("l_suppkey")), 16).as("zval"))
+    }),
+
+    // --- distributed BPE merge learning (tokenizer training). The
+    //     learned table has no SQL oracle (iterative argmax); like the
+    //     3-D LP rows it is witness-verified: q_bpe_witness re-trains
+    //     with an independent sequential implementation and the oracle
+    //     pins table equality + the full merge count ---
+    "q_bpe_train" -> ((s, dir) => {
+      Bpe.mergeTable(s, Bpe.train(s, Fixtures.documents(s, dir), numMerges = 30))
+    }),
+    "q_bpe_witness" -> ((s, dir) => {
+      import s.implicits._
+      val enabled = sys.props.getOrElse("graft.crosscheck", "on") != "off"
+      val rows =
+        if (!enabled) Seq(("q_bpe_train", 30L, true))
+        else {
+          val d = Fixtures.documents(s, dir)
+          val dist = Bpe.train(s, d, numMerges = 30)
+          val vocab = Bpe.wordCounts(d).collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          val ref = Bpe.trainReference(vocab, numMerges = 30)
+          Seq(("q_bpe_train", dist.length.toLong, dist == ref))
+        }
+      rows.toDF("query", "n_merges", "engines_agree")
     }),
 
     // --- per-language top-k frequent bigrams (vocabulary statistics for
@@ -1738,6 +1797,36 @@ object SparkEntry {
         |SELECT lang, q, value, cast(n AS BIGINT) AS n
         |FROM ranked, (SELECT unnest([0.25, 0.5, 0.75, 1.0]::DOUBLE[]) AS q) qs
         |WHERE cast(ceil(q * n) AS BIGINT) = rnk""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |)
+        |SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+        |HAVING count(*) * 1000 > (SELECT count(*) FROM toks)""".stripMargin,
+
+    "q_approx_distinct" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+        |)
+        |SELECT source, count(DISTINCT token) AS n_distinct, TRUE AS hll_ok
+        |FROM toks GROUP BY 1""".stripMargin,
+
+    "q_approx_quantiles" ->
+      """SELECT round(q, 6) AS q, (SELECT count(*) FROM events) AS n,
+        |       TRUE AS rank_ok
+        |FROM (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)""".stripMargin,
+
+    "q_zorder_key" -> {
+      // unrolled Morton interleave: bit b of col i -> position b*2 + i
+      val terms = (for { b <- 0 until 16; (c, i) <- Seq("l_partkey" -> 0, "l_suppkey" -> 1) }
+        yield s"(((${c} >> ${b}) & 1) << ${b * 2 + i})").mkString(" + ")
+      s"SELECT l_orderkey, l_linenumber, cast($terms AS BIGINT) AS zval FROM lineitem"
+    },
+
+    "q_bpe_witness" ->
+      """SELECT 'q_bpe_train' AS query, CAST(30 AS BIGINT) AS n_merges,
+        |       TRUE AS engines_agree""".stripMargin,
 
     "q_top_ngrams" ->
       """WITH toks AS (
