@@ -21,7 +21,8 @@ object Plans {
         "q_resize_hist", "q_winnow", "q_winnow_pairs", "q_audio_rms",
         "q_span_rewrite_capped", "q_keep_best", "q_sessionize",
         "q_winnow_spans", "q_jpeg_hist", "q_png_hist",
-        "q_pq_topk", "q_pq_rerank")) {
+        "q_pq_topk", "q_pq_rerank",
+        "q_heavy_hitters", "q_approx_distinct", "q_zorder_key")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

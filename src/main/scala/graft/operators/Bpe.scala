@@ -141,6 +141,46 @@ object Bpe {
       Nil, numMerges)
   }
 
+  /** Apply a learned merge table to one word — merges in RANK order,
+    * each greedy left-to-right (the reference decode rule: training
+    * order IS application order). */
+  private[operators] def segmentWord(word: String,
+                                     merges: Seq[(String, String)]): Array[String] = {
+    var syms = charSyms(word)
+    merges.foreach { case (a, b) =>
+      if (syms.length > 1) syms = applyMerge(syms, a, b)
+    }
+    syms
+  }
+
+  /** Segment the corpus with a learned merge table: per document, the
+    * subword count and the per-word expansion stats a tokenizer-budget
+    * pass consumes. One map over documents (merges ride in the
+    * closure, O(numMerges) strings); per-word segmentations are
+    * memoized per partition — Zipf makes the distinct-word working set
+    * tiny relative to the token stream. */
+  def segment(docs: DataFrame, merges: Seq[(String, String)],
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val in = docs.select(col(idCol), col(textCol))
+    val schema = StructType(Seq(in.schema.head.copy(name = "doc_id"),
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_subwords", LongType, nullable = false)))
+    val rows = in.rdd.mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap.empty[String, Int]
+      it.map { r =>
+        val words = r.getString(1).split(" ", -1)
+        var subs = 0L
+        words.foreach { w =>
+          subs += memo.getOrElseUpdate(w, segmentWord(w, merges).length)
+        }
+        Row(r.get(0), words.length.toLong, subs)
+      }
+    }
+    docs.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** Merge table as a DataFrame (rank, left, right). */
   def mergeTable(spark: SparkSession, merges: Seq[(String, String)]): DataFrame = {
     import spark.implicits._

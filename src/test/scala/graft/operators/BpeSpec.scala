@@ -47,6 +47,32 @@ class BpeSpec extends AnyFunSuite {
     assert(d7 == ref)
   }
 
+  test("segment: learned merges collapse trained words, leave novel words at chars+1") {
+    val corpus = df("ab ab ab")
+    val merges = Bpe.train(spark, corpus, numMerges = 10)
+    val out = Bpe.segment(df("ab ab xyz"), merges)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    // 'ab' -> [ab</w>] (1 subword) twice; 'xyz' unseen -> x y z </w> (4)
+    assert(out == ((3L, 6L)))
+  }
+
+  test("segment: subword count bounded by [n_words, chars + n_words] on the fixture corpus") {
+    val docs = graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.train(spark, docs, numMerges = 25)
+    val joined = Bpe.segment(docs, merges)
+      .join(docs, "doc_id")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val nWords = r.getAs[Long]("n_words")
+      val nSubs = r.getAs[Long]("n_subwords")
+      val text = r.getAs[String]("text")
+      val chars = text.replace(" ", "").length
+      assert(nSubs >= nWords, "every word yields at least one subword")
+      assert(nSubs <= chars + nWords, "subwords cannot exceed chars + eow markers")
+    }
+  }
+
   test("witness equality is falsifiable: a perturbed vocabulary diverges") {
     val docs = graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
     val vocab = Bpe.wordCounts(docs).collect()
