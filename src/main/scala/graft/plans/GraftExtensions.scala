@@ -74,7 +74,11 @@ object GraftFunctions {
       // eager conversion: the builder expands DURING analysis, where the
       // classic Dataset ColumnNode pass never runs — a lazy wrapper here
       // would reach codegen unresolved
-      e => ColumnBridge.eagerExpression(EmdCols.l1Normalize(ColumnBridge.column(e))))
+      e => ColumnBridge.eagerExpression(EmdCols.l1Normalize(ColumnBridge.column(e)))),
+    binary("graft_zorder",
+      "_FUNC_(x, y) - 16-bit-per-dim Morton interleave key (Z-order layout).",
+      (a, b) => ColumnBridge.eagerExpression(graft.operators.Layout.zOrderKey(
+        Seq(ColumnBridge.column(a), ColumnBridge.column(b)), 16)))
   )
 
   /** Idempotent late registration into an existing session (functions +

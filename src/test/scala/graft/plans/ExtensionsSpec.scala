@@ -136,6 +136,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rubners == 1)
   }
 
+  test("graft_zorder in SQL == Layout.zOrderKey column form") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq((3L, 5L), (65535L, 0L), (12345L, 54321L))
+      .toDF("x", "y")
+    df.createOrReplaceTempView("zin")
+    val viaSql = spark.sql("SELECT graft_zorder(x, y) AS z FROM zin")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = df.select(graft.operators.Layout.zOrderKey(
+        Seq(col("x"), col("y")), 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("GraftExtensions injects into a fresh SparkSessionExtensions") {
     // builder-path smoke test: injection must not throw (session-level
     // behavior is covered by Verify/Bench running with the conf set)
