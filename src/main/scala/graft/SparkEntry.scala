@@ -622,6 +622,14 @@ object SparkEntry {
         Layout.zOrderKey(Seq(col("l_partkey"), col("l_suppkey")), 16).as("zval"))
     }),
 
+    // --- ordered conversion funnel over the events stream: earliest
+    //     per-user completion time of each step strictly after the
+    //     previous step (integer-micros, one user-partition exchange
+    //     reused by all chained step windows) ---
+    "q_funnel" -> ((s, dir) => {
+      EventOps.funnel(Fixtures.events(s, dir), Seq("view", "click", "purchase"))
+    }),
+
     // --- distributed BPE merge learning (tokenizer training). The
     //     learned table has no SQL oracle (iterative argmax); like the
     //     3-D LP rows it is witness-verified: q_bpe_witness re-trains
@@ -1827,6 +1835,25 @@ object SparkEntry {
     "q_bpe_witness" ->
       """SELECT 'q_bpe_train' AS query, CAST(30 AS BIGINT) AS n_merges,
         |       TRUE AS engines_agree""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type AS et FROM events
+        |), s1 AS (
+        |  SELECT *, min(CASE WHEN et = 'view' THEN tus END)
+        |              OVER (PARTITION BY user_id) AS t1 FROM e
+        |), s2 AS (
+        |  SELECT *, min(CASE WHEN et = 'click' AND tus > t1 THEN tus END)
+        |              OVER (PARTITION BY user_id) AS t2 FROM s1
+        |), s3 AS (
+        |  SELECT *, min(CASE WHEN et = 'purchase' AND tus > t2 THEN tus END)
+        |              OVER (PARTITION BY user_id) AS t3 FROM s2
+        |)
+        |SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3,
+        |       CAST(CASE WHEN min(t3) IS NOT NULL THEN 3
+        |                 WHEN min(t2) IS NOT NULL THEN 2
+        |                 WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached
+        |FROM s3 GROUP BY user_id""".stripMargin,
 
     "q_top_ngrams" ->
       """WITH toks AS (

@@ -158,4 +158,48 @@ object EventOps {
         max(col("us")).as("end_us"),
         round(sum(col("value")), 6).as("sum_value"))
   }
+
+  /** Ordered funnel analysis — per user, the earliest time each step of
+    * `steps` completes STRICTLY AFTER the previous step's completion
+    * (the product-analytics conversion primitive: view -> click ->
+    * purchase). Step times are integer microseconds, strict `>` — no FP
+    * boundary, and a same-microsecond later step does NOT count (both
+    * engines agree exactly).
+    *
+    * Shape: ONE user-partition exchange. Step k's time is a windowed
+    * `min(CASE step-k-event and after t(k-1))` over the user partition;
+    * the k window passes chain over the SAME partitioning (window
+    * results are per-user constants, so each pass reads the previous
+    * pass's column as an ordinary value — no nested window
+    * expressions), and Catalyst plans one Exchange reused by every
+    * WindowExec. The final per-user reduction rides the same
+    * partitioning. Per-user state is O(k); no per-group iteration, so
+    * hot users cost nothing beyond their scan.
+    *
+    * Output: (user_id, t1..tk BIGINT nullable micros, reached BIGINT =
+    * deepest completed step). */
+  def funnel(events: DataFrame, steps: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel: empty step list")
+    val w = Window.partitionBy(col("user_id"))
+    var df = events.select(col(userCol).as("user_id"),
+      unix_micros(col(tsCol)).as("tus"), col(typeCol).as("et"))
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val cond =
+        if (i == 0) col("et") === s
+        else (col("et") === s) && col("tus") > col(s"t$i")
+      df = df.withColumn(s"t${i + 1}", min(when(cond, col("tus"))).over(w))
+    }
+    val tCols = steps.indices.map(i => min(col(s"t${i + 1}")).as(s"t${i + 1}"))
+    // fold deepest-step check to the OUTERMOST when: reached = max
+    // completed step (the chain guarantees t_i null => t_{i+1} null)
+    val reached = steps.indices.foldLeft(lit(0L)) { (acc, i) =>
+      when(col(s"t${i + 1}").isNotNull, lit((i + 1).toLong)).otherwise(acc)
+    }
+    df.groupBy(col("user_id"))
+      .agg(tCols.head, tCols.tail: _*)
+      .select(col("user_id") +: steps.indices.map(i => col(s"t${i + 1}")) :+
+        reached.as("reached"): _*)
+  }
 }

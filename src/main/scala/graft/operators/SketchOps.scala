@@ -71,12 +71,21 @@ object SketchOps {
     val r = df.agg(count(lit(1)).as("n"), rankAggs: _*).head()
     val n = r.getLong(0)
     val rows = qs.zipWithIndex.map { case (q, i) =>
-      val lo = r.getLong(1 + 2 * i) + 1 // rank window of the estimate
-      val hi = r.getLong(2 + 2 * i)
-      val tLo = math.floor((q - eps) * n).toLong
-      val tHi = math.ceil((q + eps) * n).toLong
-      (q, n, lo <= tHi && hi >= tLo)
+      (q, n, rankWindowOk(r.getLong(1 + 2 * i), r.getLong(2 + 2 * i), q, n, eps))
     }
     spark.createDataFrame(rows).toDF("q", "n", "rank_ok")
+  }
+
+  /** Does the estimate's exact rank window [ltCount+1, leCount]
+    * intersect the target window [(q-eps)*n, (q+eps)*n]? Factored pure
+    * so the envelope is directly falsifiable in specs (the DataFrame
+    * path can only ever feed it in-bounds estimates). */
+  private[operators] def rankWindowOk(ltCount: Long, leCount: Long,
+                                      q: Double, n: Long, eps: Double): Boolean = {
+    val lo = ltCount + 1
+    val hi = leCount
+    val tLo = math.floor((q - eps) * n).toLong
+    val tHi = math.ceil((q + eps) * n).toLong
+    lo <= tHi && hi >= tLo
   }
 }

@@ -659,6 +659,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got2 == Map("heavy0" -> 20L, "heavy1" -> 20L))
   }
 
+  test("heavyHitters pass 2 joins candidates by broadcast, never a shuffle join") {
+    val plan = CorpusOps.heavyHitters(docs, phiDen = 100L).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"), "candidate join fell back to a shuffle join")
+  }
+
   test("heavyHitters rejects a sketch too small for the guarantee") {
     intercept[IllegalArgumentException] {
       CorpusOps.heavyHitters(docs, phiDen = 1000L, sketchSize = 512)

@@ -150,4 +150,47 @@ class EventOpsSpec extends AnyFunSuite {
     assert(want.exists(_._3 > 1) && want.size > 20,
       "vacuous: need multi-event sessions and multi-session users")
   }
+
+  test("funnel == brute-force sequential scan, incl. same-ts and skipped-step cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val types = Seq("view", "click", "purchase", "error")
+    val rows = (0 until 800).map { i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(300).toLong * 1000000L,
+        types(rnd.nextInt(types.length)))
+    } ++ Seq(
+      // same-microsecond click as the first view: must NOT count (strict >)
+      (9000L, 100L, 5000000L, "view"), (9001L, 100L, 5000000L, "click"),
+      (9002L, 100L, 6000000L, "click"), (9003L, 100L, 7000000L, "purchase"),
+      // step 2 before step 1 only: reached stops at 1
+      (9010L, 101L, 5000000L, "click"), (9011L, 101L, 6000000L, "view"),
+      // step 2 with no step 1: reached 0
+      (9020L, 102L, 5000000L, "click"), (9021L, 102L, 6000000L, "purchase"))
+    val df = rows.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val steps = Seq("view", "click", "purchase")
+    val want = rows.groupBy(_._2).map { case (u, evs) =>
+      var prev = Option.empty[Long]
+      var first = true
+      val ts = steps.map { s =>
+        val cand = evs.filter(e => e._4 == s &&
+          (first || (prev.nonEmpty && e._3 > prev.get))).map(_._3)
+        val t = if ((first || prev.nonEmpty) && cand.nonEmpty) Some(cand.min) else None
+        prev = t; first = false
+        t
+      }
+      (u, ts(0), ts(1), ts(2), ts.lastIndexWhere(_.nonEmpty) + 1L)
+    }.toSet
+    val got = EventOps.funnel(df, steps).collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getLong(0), opt(1), opt(2), opt(3), r.getLong(4))
+    }.toSet
+    assert(got == want)
+    assert(want.exists(_._5 == 3L) && want.exists(_._5 == 0L), "vacuous mix")
+    // the crafted cases
+    val m = got.map(t => t._1 -> t).toMap
+    assert(m(100L) == ((100L, Some(5000000L), Some(6000000L), Some(7000000L), 3L)))
+    assert(m(101L)._5 == 1L && m(101L)._3.isEmpty)
+    assert(m(102L)._5 == 0L && m(102L)._2.isEmpty)
+  }
 }

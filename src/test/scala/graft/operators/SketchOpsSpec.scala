@@ -61,6 +61,18 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(out == Map(0.25 -> true, 1.0 -> true))
   }
 
+  test("rankWindowOk is falsifiable: far-off estimates fail, boundary estimates pass") {
+    // n=1000, q=0.5, eps=0.001 -> target window [499, 501]
+    assert(!SketchOps.rankWindowOk(ltCount = 600, leCount = 650, 0.5, 1000, 0.001))
+    assert(!SketchOps.rankWindowOk(ltCount = 100, leCount = 200, 0.5, 1000, 0.001))
+    assert(SketchOps.rankWindowOk(ltCount = 499, leCount = 499, 0.5, 1000, 0.001))
+    // heavy ties: a value spanning the target from both sides passes
+    assert(SketchOps.rankWindowOk(ltCount = 0, leCount = 1000, 0.5, 1000, 0.001))
+    // rank window just outside either edge fails
+    assert(!SketchOps.rankWindowOk(ltCount = 501, leCount = 600, 0.5, 1000, 0.001))
+    assert(!SketchOps.rankWindowOk(ltCount = 400, leCount = 498, 0.5, 1000, 0.001))
+  }
+
   test("quantileAudit rejects out-of-range q") {
     import spark.implicits._
     val df = (1 to 10).toDF("x")
