@@ -703,6 +703,16 @@ object SparkEntry {
           round(col("mean_bits"), 6).as("mean_bits"))
     }),
 
+    // --- second-order LM filter: bigram-conditional surprisal in whole
+    //     bits (-log2 P(cur|prev) via bitlen — integer-exact, no
+    //     transcendentals); repetition scores ~0, token soup scores the
+    //     context entropy ---
+    "q_bigram_surprisal" -> ((s, dir) => {
+      CorpusOps.bigramSurprisal(Fixtures.documents(s, dir))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+          round(col("mean_bits"), 6).as("mean_bits"))
+    }),
+
     // --- C4-style span ownership: fraction of each document's distinct
     //     3-gram shingles first seen in an earlier document (what a
     //     span-dedup pass would strip); integer counts + one division ---
@@ -2147,6 +2157,32 @@ object SparkEntry {
         |             / count(*), 6) AS mean_bits
         |FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
         |GROUP BY t.id""".stripMargin,
+
+    "q_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
+        |), bgs AS (
+        |  SELECT id, p[1] AS prev, p[2] AS cur FROM (
+        |    SELECT id, unnest(list_transform(range(1, len(t)),
+        |                  i -> [t[i], t[i + 1]])) AS p
+        |    FROM toks)
+        |), ctx AS (
+        |  SELECT prev, count(*) AS cp FROM bgs GROUP BY 1
+        |), pc AS (
+        |  SELECT prev, cur, count(*) AS cpc FROM bgs GROUP BY 1, 2
+        |), per AS (
+        |  SELECT b.id, cast(count(*) AS BIGINT) AS n_bigrams,
+        |         cast(sum(length(bin(ctx.cp)) - length(bin(pc.cpc))) AS BIGINT) AS sum_bits
+        |  FROM bgs b JOIN pc USING (prev, cur) JOIN ctx USING (prev)
+        |  GROUP BY b.id
+        |)
+        |SELECT d.doc_id,
+        |       cast(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       cast(coalesce(per.sum_bits, 0) AS BIGINT) AS sum_bits,
+        |       CASE WHEN per.n_bigrams IS NULL THEN 0.0
+        |            ELSE round(cast(per.sum_bits AS DOUBLE) / per.n_bigrams, 6)
+        |       END AS mean_bits
+        |FROM documents d LEFT JOIN per ON per.id = d.doc_id""".stripMargin,
 
     // mirrors TfIdf.cosineJoin's arithmetic shape exactly: raw-weight dot
     // divided by the two norms (NOT a dot of pre-normalized weights —

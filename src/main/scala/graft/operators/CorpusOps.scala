@@ -609,6 +609,54 @@ object CorpusOps {
     }
   }
 
+  /** Bigram-conditional LM surprisal — the second-order companion of
+    * [[unigramSurprisal]]: each adjacent token pair (prev, cur) costs
+    * `bitlen(count(prev as context)) - bitlen(count(prev, cur))` whole
+    * bits, i.e. -log2 P(cur | prev) rounded to the same integer-exact
+    * bitlen arithmetic (no transcendental log — identical in both
+    * engines). Repetitive machine-generated text scores near 0;
+    * incoherent token soup scores near the context entropy. A document
+    * with fewer than 2 tokens has no bigrams: it keeps its output row
+    * with (0, 0, 0.0) — the one-row-per-doc contract of the other
+    * per-doc scores.
+    *
+    * Shape: two vocabulary-sized aggregations (context counts, pair
+    * counts) + one per-doc re-join and sum — the unigram shape plus one
+    * join, all map-side-combined shuffles, no driver-side data. */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val t = TextCols.tokens(col(textCol))
+    val pairs = widen(docs)
+      .select(col(idCol).as("id"),
+        explode(arrays_zip(slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1)))
+          .as("bg"))
+      .select(col("id"), col("bg").getField("0").as("prev"),
+        col("bg").getField("1").as("cur"))
+      .persistOnce()
+    try {
+      val ctx = pairs.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+      val pc = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cpc"))
+      val bits = (length(bin(col("cp"))) - length(bin(col("cpc")))).cast("long")
+      val perDoc = pairs
+        .join(pc, Seq("prev", "cur"))
+        .join(ctx, Seq("prev"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(bits).as("sum_bits"))
+      val out = widen(docs).select(col(idCol).as("id"))
+        .join(perDoc, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+          when(col("n_bigrams").isNull, lit(0.0))
+            .otherwise(col("sum_bits").cast("double") / col("n_bigrams"))
+            .as("mean_bits"))
+        .persistOnce()
+      out.count()
+      out
+    } finally pairs.unpersist(false)
+  }
+
   /** Benchmark decontamination: for every (train, eval) document pair
     * that shares at least one distinct n-token shingle, the number of
     * distinct shingles they share. Any hit means the training document

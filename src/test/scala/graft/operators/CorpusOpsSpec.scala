@@ -659,6 +659,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got2 == Map("heavy0" -> 20L, "heavy1" -> 20L))
   }
 
+  test("bigramSurprisal == brute-force conditional bitlen, one row per doc") {
+    import spark.implicits._
+    def bitlen(x: Long) = java.lang.Long.toBinaryString(x).length
+    val extra = Seq((90001L, "solo"), (90002L, "a a a a"), (90003L, "b a b"))
+      .toDF("doc_id", "text")
+    val in = docs.select("doc_id", "text").union(extra)
+    val raw = in.collect().map(r => (r.getLong(0), r.getString(1)))
+    val all = raw.flatMap { case (id, t) =>
+      t.split(" ", -1).sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1)))
+    }
+    val ctx = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pc = all.groupBy(x => (x._2, x._3)).view.mapValues(_.size.toLong).toMap
+    val per = all.groupBy(_._1).view.mapValues { es =>
+      (es.size.toLong,
+        es.map(e => (bitlen(ctx(e._2)) - bitlen(pc((e._2, e._3)))).toLong).sum)
+    }.toMap
+    val want = raw.map { case (id, _) =>
+      per.get(id) match {
+        case Some((n, s)) => (id, n, s, s.toDouble / n)
+        case None => (id, 0L, 0L, 0.0)
+      }
+    }.toSet
+    val got = CorpusOps.bigramSurprisal(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    assert(want.exists(_._2 == 0L), "need a bigram-free doc in the mix")
+    // in an isolated corpus, pure repetition costs 0 conditional bits
+    val rep = CorpusOps.bigramSurprisal(
+        Seq((1L, "z z z z z")).toDF("doc_id", "text")).collect().head
+    assert(rep.getLong(1) == 4L && rep.getDouble(3) == 0.0)
+  }
+
   test("heavyHitters pass 2 joins candidates by broadcast, never a shuffle join") {
     val plan = CorpusOps.heavyHitters(docs, phiDen = 100L).queryExecution
       .executedPlan.toString
