@@ -1023,6 +1023,15 @@ object SparkEntry {
         gapUs = 86400000000L)
     }),
 
+    // --- STREAMING funnel, driver-visible: ascending-time micro-batch
+    //     replay through the real no-timeout flatMapGroupsWithState
+    //     operator; the last per-user update is the verdict, checked by
+    //     the same chained-window oracle as the batch twin ---
+    "q_stream_funnel" -> ((s, dir) => {
+      graft.streaming.StreamOps.replayFunnel(s, Fixtures.events(s, dir),
+        Seq("view", "click", "purchase"))
+    }),
+
     // --- JSON property extraction over the event stream ---
     "q_events_props" -> ((s, dir) => {
       Fixtures.events(s, dir)
@@ -1290,6 +1299,27 @@ object SparkEntry {
        |  FROM $prev p LEFT JOIN u$t USING (cid)
        |)""".stripMargin
   }
+
+  /** Chained per-step window minima — one oracle for both the batch
+    * funnel and its streaming replay (identical output contract). */
+  private val FunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_type AS et FROM events
+      |), s1 AS (
+      |  SELECT *, min(CASE WHEN et = 'view' THEN tus END)
+      |              OVER (PARTITION BY user_id) AS t1 FROM e
+      |), s2 AS (
+      |  SELECT *, min(CASE WHEN et = 'click' AND tus > t1 THEN tus END)
+      |              OVER (PARTITION BY user_id) AS t2 FROM s1
+      |), s3 AS (
+      |  SELECT *, min(CASE WHEN et = 'purchase' AND tus > t2 THEN tus END)
+      |              OVER (PARTITION BY user_id) AS t3 FROM s2
+      |)
+      |SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3,
+      |       CAST(CASE WHEN min(t3) IS NOT NULL THEN 3
+      |                 WHEN min(t2) IS NOT NULL THEN 2
+      |                 WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached
+      |FROM s3 GROUP BY user_id""".stripMargin
 
   private val KmeansSql: String =
     """WITH q AS (
@@ -1846,24 +1876,10 @@ object SparkEntry {
       """SELECT 'q_bpe_train' AS query, CAST(30 AS BIGINT) AS n_merges,
         |       TRUE AS engines_agree""".stripMargin,
 
-    "q_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS tus, event_type AS et FROM events
-        |), s1 AS (
-        |  SELECT *, min(CASE WHEN et = 'view' THEN tus END)
-        |              OVER (PARTITION BY user_id) AS t1 FROM e
-        |), s2 AS (
-        |  SELECT *, min(CASE WHEN et = 'click' AND tus > t1 THEN tus END)
-        |              OVER (PARTITION BY user_id) AS t2 FROM s1
-        |), s3 AS (
-        |  SELECT *, min(CASE WHEN et = 'purchase' AND tus > t2 THEN tus END)
-        |              OVER (PARTITION BY user_id) AS t3 FROM s2
-        |)
-        |SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3,
-        |       CAST(CASE WHEN min(t3) IS NOT NULL THEN 3
-        |                 WHEN min(t2) IS NOT NULL THEN 2
-        |                 WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached
-        |FROM s3 GROUP BY user_id""".stripMargin,
+    "q_funnel" -> FunnelSql,
+    // the streaming replay carries the batch twin's exact schema, so the
+    // same chained-window oracle checks the cross-batch state carries
+    "q_stream_funnel" -> FunnelSql,
 
     "q_top_ngrams" ->
       """WITH toks AS (

@@ -96,6 +96,49 @@ object StreamOps {
       }
   }
 
+  final case class FunnelState(times: List[Long])
+  final case class FunnelUpdate(userId: Long, times: Seq[Long], reached: Int)
+
+  /** Streaming twin of [[graft.operators.EventOps.funnel]]: per user,
+    * the completed-step-time prefix grows monotonically as events
+    * arrive — an event completes step k+1 iff it has the step's type
+    * and its integer-micros time is STRICTLY after step k's completion
+    * (the batch rule verbatim; within a batch events apply in ascending
+    * time order, so the first qualifying event is the minimal one and
+    * in-order replay equals the batch window form row-for-row).
+    *
+    * State is O(steps) longs per user and needs no timeout: every
+    * batch emits the user's current (times, reached) update, and the
+    * latest update IS the final verdict — no trailing flush, no
+    * sentinel, unlike the sessionizer (update-mode consumers read the
+    * running conversion state live). */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+                   steps: Seq[String]): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnelStream: empty step list")
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.times).getOrElse(Nil)
+          rows.toSeq.sortBy(r => micros(r._2)).foreach { case (_, ts, et) =>
+            val k = times.length
+            if (k < steps.length && et == steps(k)) {
+              val t = micros(ts)
+              if (k == 0 || t > times.last) times = times :+ t
+            }
+          }
+          state.update(FunnelState(times))
+          Iterator(FunnelUpdate(userId, times, times.length))
+      }
+  }
+
   final case class NearDupMatch(rid: Long, sid: Long, hamming: Int)
   final case class BucketState(entries: List[(Long, Long)])
 
@@ -301,6 +344,53 @@ object StreamOps {
         .select(col("user_id"), col("session_idx").cast("long").as("session_idx"),
           col("n_events"), col("start_us"), col("end_us"),
           round(col("sum_value"), 6).as("sum_value"))
+    } finally {
+      query.stop()
+    }
+  }
+
+  /** Verification replay for the streaming FUNNEL — the ascending-time
+    * micro-batch harness contract of [[replaySessionize]], minus the
+    * sentinel: funnel state never times out, so the last update per
+    * user (the one with max `reached` — updates are monotone and times
+    * are write-once) is the final verdict. Output carries the batch
+    * twin's exact (user_id, t1..tk, reached) schema, so the q_funnel
+    * oracle SQL checks real cross-batch streaming state carries. */
+  def replayFunnel(spark: SparkSession, events: DataFrame,
+                   steps: Seq[String], numBatches: Int = 4): DataFrame =
+      withReplayShuffle(spark) {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = events.select(col("user_id").cast("long"),
+        col("ts").cast("timestamp"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+    val n = events.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val name = "graft_replay_funnel"
+    val query = funnelStream(spark,
+        mem.toDF().toDF("user_id", "ts", "event_type"), steps)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("ts"), col("user_id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      val finals = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2)))
+        .groupBy(_._1).map { case (_, us) => us.maxBy(_._3) }
+      val rows = finals.toSeq.map { case (uid, ts, reached) =>
+        (uid, steps.indices.map(i => if (i < ts.length) Some(ts(i)) else None),
+          reached.toLong)
+      }
+      spark.createDataset(rows).toDF("user_id", "ts_opt", "reached")
+        .select(col("user_id") +:
+          steps.indices.map(i => col("ts_opt").getItem(i).as(s"t${i + 1}")) :+
+          col("reached"): _*)
     } finally {
       query.stop()
     }

@@ -102,6 +102,34 @@ class StreamOpsSpec extends AnyFunSuite {
       s"stream != batch: missing=${batch -- streamed} extra=${streamed -- batch}")
   }
 
+  test("replayFunnel reproduces the batch funnel rows exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31)
+    val types = Seq("view", "click", "purchase", "error")
+    val base = 1700000000000000L
+    val evs = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong,
+        base + rnd.nextInt(50000).toLong * 1000000L,
+        types(rnd.nextInt(types.length)))
+    } ++ Seq( // same-microsecond step-2 (must not count) straddling batches
+      (9000L, 50L, base, "view"), (9001L, 50L, base, "click"),
+      (9002L, 50L, base + 1000000L, "click"))
+    val df = evs.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val steps = Seq("view", "click", "purchase")
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), (1 to 3).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)),
+        r.getLong(4))
+    val streamed = StreamOps.replayFunnel(spark, df, steps, numBatches = 5)
+      .collect().map(norm).toSet
+    val batch = graft.operators.EventOps.funnel(df, steps)
+      .collect().map(norm).toSet
+    assert(batch.exists(_._3 == 3L) && batch.exists(_._3 < 3L), "vacuous mix")
+    assert(streamed == batch,
+      s"stream != batch: missing=${batch -- streamed} extra=${streamed -- batch}")
+  }
+
   test("streaming near-dup emits exactly the batch simhash pair set across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
