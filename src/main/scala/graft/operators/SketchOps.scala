@@ -60,9 +60,15 @@ object SketchOps {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs=$qs")
     val spark = df.sparkSession
     val value = valueCol.cast("double")
-    val ests = df.agg(
+    val estRow = df.agg(
         percentile_approx(value, typedLit(qs), lit(accuracy)).as("est"))
-      .head().getSeq[Double](0)
+      .head()
+    // empty (or all-null) input: the percentile aggregate is NULL and
+    // there is no rank to audit — zero rows, not an NPE
+    if (estRow.isNullAt(0))
+      return spark.createDataFrame(Seq.empty[(Double, Long, Boolean)])
+        .toDF("q", "n", "rank_ok")
+    val ests = estRow.getSeq[Double](0)
     val eps = 1.0 / accuracy
     val rankAggs = ests.zipWithIndex.flatMap { case (e, i) => Seq(
       sum(when(value < e, 1L).otherwise(0L)).as(s"lt$i"),

@@ -11,8 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * q_lp_witness verdict) so any new gap fails here, not at the driver. */
 class SparkEntrySpec extends AnyFunSuite {
 
+  /** The three 3-D LP queries (verified by the in-engine cross-check +
+    * the hash-checked q_lp_witness verdict) and the BPE merge table
+    * (iterative argmax — verified by the independent sequential trainer
+    * behind the hash-checked q_bpe_witness verdict; FIXTURES.md
+    * "witness-verdict queries"). */
   private val noOracleAllowlist = Set(
-    "q_emd3d_pairs", "q_emd3d_topk", "q_treeexact3d_pairs")
+    "q_emd3d_pairs", "q_emd3d_topk", "q_treeexact3d_pairs", "q_bpe_train")
 
   test("every declared query has an oracle or is on the LP allowlist") {
     val missing = SparkEntry.queries.keySet --
@@ -31,11 +36,13 @@ class SparkEntrySpec extends AnyFunSuite {
         s"allowlist): ${covered.toSeq.sorted}")
   }
 
-  test("the LP witness verdict row covers exactly the no-oracle queries") {
-    // q_lp_witness emits one row per allowlisted LP query; if the
-    // allowlist grows, the witness query and its literal oracle must too
-    val sql = SparkEntry.oracleSql("q_lp_witness")
+  test("witness verdict rows cover exactly the no-oracle queries") {
+    // the witness queries emit one verdict row per allowlisted query;
+    // if the allowlist grows, a witness query and its literal oracle
+    // must grow with it
+    val sql = SparkEntry.oracleSql("q_lp_witness") +
+      SparkEntry.oracleSql("q_bpe_witness")
     noOracleAllowlist.foreach(q =>
-      assert(sql.contains(s"'$q'"), s"q_lp_witness oracle misses $q"))
+      assert(sql.contains(s"'$q'"), s"no witness oracle row mentions $q"))
   }
 }

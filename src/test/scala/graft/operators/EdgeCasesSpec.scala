@@ -265,4 +265,20 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(mrsim == base)
   }
+
+  test("round-9 operators survive an empty corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusOps.heavyHitters(noDocs, phiDen = 100L).count() == 0)
+    assert(CorpusOps.bigramSurprisal(noDocs).count() == 0)
+    assert(graft.operators.Bpe.train(spark, noDocs, numMerges = 5).isEmpty)
+    val noVals = Seq.empty[(Long, Double)].toDF("id", "x")
+    assert(SketchOps.quantileAudit(noVals, col("x"), Seq(0.5)).count() == 0)
+    assert(SketchOps.distinctAudit(
+      Seq.empty[(String, String)].toDF("g", "v"), "g", col("v")).count() == 0)
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    assert(EventOps.funnel(noEvents, Seq("view", "click")).count() == 0)
+  }
 }
