@@ -945,6 +945,18 @@ object SparkEntry {
         .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
     }),
 
+    // --- perceptual image hash (aHash) + exact perceptual-dup groups:
+    //     decode -> 8x8 nearest-neighbor downsample -> mean-threshold
+    //     bits (integer cross-multiplied, tie-free) -> 32-bit halves;
+    //     rep_id = lowest doc sharing the identical hash ---
+    "q_image_phash" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Multimodal.imagePerceptualHash(s,
+          Multimodal.withImagePayload(Fixtures.documents(s, dir)))
+        .withColumn("rep_id", min(col("doc_id")).over(
+          Window.partitionBy(col("hash_hi"), col("hash_lo"))))
+    }),
+
     // --- COMPRESSED-image lifecycle with the pure-JVM baseline JFIF
     //     codec: 16x16 grayscale JPEG of four constant 8x8 blocks per
     //     doc (constant blocks are DC-only, so the lossy codec is
@@ -2502,6 +2514,34 @@ object SparkEntry {
         |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = bb.bin
         |)
         |SELECT doc_id, bin, round(c / 256.0, 6) AS w FROM dense""".stripMargin,
+
+    // aHash replay: 8x8 pixel i sits at (y,x)=(i//8,i%8); nearest-neighbor
+    // picks source pixel (2y,2x) whose red byte index is 3*(32y+2x), so
+    // v = text byte ((3*(32y+2x)) % len). Mean threshold is the strict
+    // integer cross-multiplication 64*v > sum(v).
+    "q_image_phash" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, cast(r.range AS INTEGER) AS i,
+        |         CASE WHEN length(d.text) = 0 THEN 0
+        |              ELSE ascii(substr(d.text,
+        |                ((3 * (32 * (cast(r.range AS INTEGER) // 8)
+        |                       + 2 * (cast(r.range AS INTEGER) % 8)))
+        |                 % length(d.text)) + 1, 1))
+        |         END AS v
+        |  FROM documents d CROSS JOIN range(64) r
+        |), tot AS (
+        |  SELECT doc_id, sum(v) AS s FROM px GROUP BY 1
+        |), bits AS (
+        |  SELECT p.doc_id,
+        |         cast(sum(CASE WHEN p.i >= 32 AND 64 * p.v > t.s
+        |                       THEN (1::BIGINT << (p.i - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |         cast(sum(CASE WHEN p.i < 32 AND 64 * p.v > t.s
+        |                       THEN (1::BIGINT << p.i) ELSE 0 END) AS BIGINT) AS hash_lo
+        |  FROM px p JOIN tot t USING (doc_id) GROUP BY 1
+        |)
+        |SELECT doc_id, hash_hi, hash_lo,
+        |       min(doc_id) OVER (PARTITION BY hash_hi, hash_lo) AS rep_id
+        |FROM bits""".stripMargin,
 
     // JPEG lifecycle: block b (raster order, b = (y//8)*2 + x//8) of the
     // 16x16 gray plane is the constant text byte (b % len); each block

@@ -194,6 +194,41 @@ object Multimodal {
       }.toDF("doc_id", "bin", "w")
   }
 
+  /** Perceptual average-hash (aHash) of the decoded image: real decode,
+    * nearest-neighbor downsample to 8x8, red-plane mean threshold
+    * (strict `64*v > sum` — integer cross-multiplication, tie-free in
+    * both engines), 64 bits packed LITTLE-endian by raster index into
+    * (hash_hi, hash_lo) 32-bit halves (BIGINT-safe in SQL — a single
+    * 64-bit pack would shift into the sign bit). The standard
+    * image-dedup key: identical-looking images collide, and a Hamming
+    * ball around the hash is the classic near-dup relaxation (the
+    * simhash banding machinery applies unchanged). Malformed payloads
+    * are dropped (decoder rejects). DuckDB-checkable end-to-end because
+    * the downsampled red plane stays an analytic function of the text. */
+  def imagePerceptualHash(spark: SparkSession,
+                          withPayloadDf: DataFrame): DataFrame = {
+    import spark.implicits._
+    withPayloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        decodePpm(payload).toSeq.map { case (w, h, rgb) =>
+          val small = resizeRgb(w, h, rgb, 8, 8)
+          val red = Array.tabulate(64)(i => small(3 * i) & 0xff)
+          val sum = red.map(_.toLong).sum
+          var hi = 0L
+          var lo = 0L
+          var i = 0
+          while (i < 64) {
+            if (64L * red(i) > sum) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (id, hi, lo)
+        }
+      }.toDF("doc_id", "hash_hi", "hash_lo")
+  }
+
   // ==== Audio (RIFF/WAVE, PCM s16le mono) — the waveform analog of the
   // PPM path: a real, externally-playable uncompressed format, so the
   // decode path exercises genuine chunk-walking byte parsing while the

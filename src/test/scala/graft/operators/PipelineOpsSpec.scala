@@ -159,6 +159,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("aHash: reference recomputation, identical-image collision, bit sensitivity") {
+    import spark.implicits._
+    val payloads = Multimodal.withImagePayload(docs)
+    val got = Multimodal.imagePerceptualHash(spark, payloads).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: recompute from the text synthesis rule directly
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    texts.foreach { case (id, text) =>
+      val src = if (text.isEmpty) Array[Byte](0) else text.getBytes("UTF-8")
+      val red = Array.tabulate(64) { i =>
+        val y = i / 8; val x = i % 8
+        src((3 * (32 * y + 2 * x)) % src.length) & 0xff
+      }
+      val sum = red.map(_.toLong).sum
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64 if 64L * red(i) > sum)
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      assert(got(id) == ((hi, lo)), s"doc $id hash mismatch")
+    }
+    // identical text -> identical image -> identical hash, same rep group
+    val twins = Seq((1L, "twin text payload"), (2L, "twin text payload"),
+      (3L, "a different text")).toDF("doc_id", "text")
+    val th = Multimodal.imagePerceptualHash(spark,
+        Multimodal.withImagePayload(twins)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(th(1L) == th(2L))
+    assert(th(1L) != th(3L), "distinct texts should perturb the hash")
+  }
+
   test("simhash near-dup pairs have verified hamming <= threshold, non-empty") {
     val pairs = Dedup.simhashDedup(spark, docs, maxHamming = 12).collect()
     assert(pairs.nonEmpty)
