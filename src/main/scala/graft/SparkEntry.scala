@@ -703,6 +703,13 @@ object SparkEntry {
           round(col("mean_bits"), 6).as("mean_bits"))
     }),
 
+    // --- content-defined chunking (LBFS/rsync boundaries on token md5):
+    //     chunk fingerprints survive insertions outside their span, so
+    //     shared chunks across docs are the storage/training-dedup key ---
+    "q_cdc_chunks" -> ((s, dir) => {
+      CorpusOps.cdcChunks(Fixtures.documents(s, dir))
+    }),
+
     // --- second-order LM filter: bigram-conditional surprisal in whole
     //     bits (-log2 P(cur|prev) via bitlen — integer-exact, no
     //     transcendentals); repetition scores ~0, token soup scores the
@@ -2185,6 +2192,34 @@ object SparkEntry {
         |             / count(*), 6) AS mean_bits
         |FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
         |GROUP BY t.id""".stripMargin,
+
+    // cut tokens END their chunk: a token's chunk ordinal is the count of
+    // cut tokens strictly before it (windowed), which is exactly the
+    // operator's sequential chunk assembly
+    "q_cdc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS i FROM toks
+        |), flagged AS (
+        |  SELECT doc_id, tok, i,
+        |         CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 = 0
+        |              THEN 1 ELSE 0 END AS cut
+        |  FROM pos
+        |), chunked AS (
+        |  SELECT doc_id, tok, i,
+        |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
+        |  FROM flagged
+        |), chunks AS (
+        |  SELECT doc_id, cast(cidx AS BIGINT) AS chunk_idx,
+        |         cast(count(*) AS BIGINT) AS n_tokens,
+        |         md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_fp
+        |  FROM chunked GROUP BY doc_id, cidx
+        |)
+        |SELECT doc_id, chunk_idx, n_tokens, chunk_fp,
+        |       min(doc_id) OVER (PARTITION BY chunk_fp) AS owner_id
+        |FROM chunks""".stripMargin,
 
     "q_bigram_surprisal" ->
       """WITH toks AS (

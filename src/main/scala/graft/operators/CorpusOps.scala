@@ -609,6 +609,68 @@ object CorpusOps {
     }
   }
 
+  /** Content-defined chunking (LBFS/rsync-style) over the token stream:
+    * a token whose 32-bit md5 prefix satisfies `hash % modulus == 0`
+    * ENDS its chunk, so boundaries are functions of CONTENT, not
+    * position — an insertion or deletion reshuffles only the chunk it
+    * touches while every other chunk keeps its fingerprint (the
+    * incremental-dedup property fixed-width chunking lacks;
+    * spec-proven). Expected chunk length = `modulus` tokens.
+    *
+    * Output: one row per chunk — (idCol, chunk_idx, n_tokens, chunk_fp
+    * = md5 of the space-joined chunk) plus `owner_id` = lowest doc
+    * sharing the identical fingerprint (the dedup key: shared chunks
+    * across documents are storage/training redundancy).
+    *
+    * Shape: a pure per-row loop (mapPartitions — the boundary hash +
+    * md5 per chunk beat interpreted HOF folds at every scale), then ONE
+    * fingerprint-partition window for owners. The cut predicate and
+    * fingerprint are md5-derived, so DuckDB replays chunk assembly
+    * bit-for-bit (parallel unnest + windowed cut-count). */
+  def cdcChunks(docs: DataFrame, modulus: Int = 32,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(modulus >= 2, s"cdcChunks: modulus=$modulus")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = widen(docs).select(col(idCol), col(textCol))
+    val schema = StructType(Seq(in.schema.head.copy(name = "doc_id"),
+      StructField("chunk_idx", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("chunk_fp", StringType, nullable = false)))
+    val rows = in.rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+      def cut(tok: String): Boolean = {
+        val d = md.digest(tok.getBytes("UTF-8"))
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        h % modulus == 0L
+      }
+      it.flatMap { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val out = scala.collection.mutable.ArrayBuffer[Row]()
+        var start = 0
+        var idx = 0L
+        var i = 0
+        while (i < toks.length) {
+          if (cut(toks(i)) || i == toks.length - 1) {
+            val chunk = toks.slice(start, i + 1)
+            out += Row(r.get(0), idx, chunk.length.toLong,
+              hex(md.digest(chunk.mkString(" ").getBytes("UTF-8"))))
+            idx += 1
+            start = i + 1
+          }
+          i += 1
+        }
+        out
+      }
+    }
+    val spark = docs.sparkSession
+    spark.createDataFrame(rows, schema)
+      .withColumn("owner_id", min(col("doc_id")).over(
+        Window.partitionBy(col("chunk_fp"))))
+  }
+
   /** Bigram-conditional LM surprisal — the second-order companion of
     * [[unigramSurprisal]]: each adjacent token pair (prev, cur) costs
     * `bitlen(count(prev as context)) - bitlen(count(prev, cur))` whole

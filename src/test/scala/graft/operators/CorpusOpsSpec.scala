@@ -659,6 +659,49 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got2 == Map("heavy0" -> 20L, "heavy1" -> 20L))
   }
 
+  test("cdcChunks: reference partition, coverage, and the insertion-locality property") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def isCut(tok: String) =
+      java.lang.Long.parseLong(md5hex(tok).take(8), 16) % 32 == 0
+    // independent reference: group tokens by prefix-cut-count, not a scan
+    def refChunks(text: String): Seq[(Long, Long, String)] = {
+      val toks = text.split(" ", -1)
+      val cum = toks.scanLeft(0)((a, t) => a + (if (isCut(t)) 1 else 0))
+      toks.indices.groupBy(i => cum(i)).toSeq.sortBy(_._1).zipWithIndex
+        .map { case ((_, is), k) =>
+          (k.toLong, is.length.toLong, md5hex(is.sorted.map(toks).mkString(" ")))
+        }
+    }
+    val got = CorpusOps.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = raw.flatMap { case (id, t) =>
+      refChunks(t).map { case (k, n, fp) => (id, k, n, fp) }
+    }.toSet
+    assert(got == want)
+    assert(want.groupBy(_._1).values.exists(_.size > 1), "vacuous: need multi-chunk docs")
+    // coverage: chunk token counts sum to the doc token count
+    raw.foreach { case (id, t) =>
+      assert(want.filter(_._1 == id).toSeq.map(_._3).sum == t.split(" ", -1).length)
+    }
+    // CDC locality: inserting one token changes at most ONE chunk's
+    // fingerprint region (the chunk containing the insertion — possibly
+    // split in two), all other fingerprints survive
+    val (bid, btext) = raw.maxBy(_._2.split(" ").length)
+    val btoks = btext.split(" ", -1)
+    val inserted = (btoks.take(btoks.length / 2) ++ Array("INSERTEDTOKEN") ++
+      btoks.drop(btoks.length / 2)).mkString(" ")
+    val before = refChunks(btext).map(_._3)
+    val after = refChunks(inserted).map(_._3)
+    assert((before.toSet -- after.toSet).size <= 1,
+      "insertion must invalidate at most the chunk it lands in")
+    assert((after.toSet -- before.toSet).size <= 2,
+      "insertion may add at most the split halves of the touched chunk")
+  }
+
   test("bigramSurprisal == brute-force conditional bitlen, one row per doc") {
     import spark.implicits._
     def bitlen(x: Long) = java.lang.Long.toBinaryString(x).length
