@@ -922,6 +922,23 @@ object SparkEntry {
         k = 20, shortlist = 200)
     }),
 
+    // --- residual IVF-PQ (the full two-level production ANN layout):
+    //     4-cell integer coarse quantizer, PQ books trained on RESIDUALS
+    //     (exact BIGINTs — vector minus coarse centroid), query probes
+    //     the 2 nearest cells and ADC-scores only their members with
+    //     per-cell lookup tables. Coarse training, residuals, PQ rounds,
+    //     probe order and scoring are all integer — the oracle replays
+    //     the entire two-level pipeline ---
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val embs = Fixtures.embeddings(s, dir)
+      val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+      val rest = embs.filter(col("vec_id") =!= minId)
+      val qq = Cluster.quantize(embs.filter(col("vec_id") === minId), 1000)
+        .select(col("v")).head().getSeq[Long](0).toArray
+      Ann.ivfPqTopK(s, rest, qq, kCoarse = 4, nProbe = 2,
+        numSub = 4, ksub = 8, k = 20)
+    }),
+
     // --- batch retrieval: exact top-5 corpus neighbors for EVERY query
     //     in a broadcast query set (the 10 lowest vec_ids) — the
     //     multi-query retrieval workload behind RAG/eval pipelines ---
@@ -1461,6 +1478,96 @@ object SparkEntry {
         |)
         |SELECT id, d2 FROM prr ORDER BY d2, id LIMIT 20""".stripMargin
 
+  /** q_ivfpq_topk: the residual IVF-PQ pipeline end-to-end — 4-cell
+    * coarse quantizer (the kmeansRound CTEs over the corpus `q`),
+    * final assignment + integer residuals, PQ books trained on the
+    * residual sub-slices (the pqRound CTEs over `psub`), residual
+    * encode, 2-cell probe under the (d2, cid) order, PER-CELL query
+    * residual lookup tables, ADC over probed members only. Every step
+    * is BIGINT — the oracle replays the full two-level path. */
+  private val IvfPqSql: String = {
+    val numSub = 4
+    val subDim = 16
+    val ksub = 8
+    s"""WITH qz AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> cast(round(x * 1000) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), qv AS (
+       |  SELECT v FROM qz WHERE id = (SELECT min(id) FROM qz)
+       |), q AS (
+       |  SELECT id, v FROM qz WHERE id <> (SELECT min(id) FROM qz)
+       |), c0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS m
+       |  FROM q ORDER BY id LIMIT 4
+       |)""".stripMargin +
+      kmeansRound(1) + kmeansRound(2) +
+      s""", av AS (
+         |  SELECT id, v, cid FROM (
+         |    SELECT q.id, q.v, c.cid,
+         |           row_number() OVER (PARTITION BY q.id ORDER BY
+         |             cast(list_sum(list_transform(range(1, len(q.v) + 1),
+         |               i -> (q.v[i] - c.m[i]) * (q.v[i] - c.m[i]))) AS BIGINT),
+         |             c.cid) AS rn
+         |    FROM q CROSS JOIN c2 c)
+         |  WHERE rn = 1
+         |), resid AS (
+         |  SELECT a.id, a.cid,
+         |         list_transform(range(1, len(a.v) + 1), i -> a.v[i] - c.m[i]) AS rv
+         |  FROM av a JOIN c2 c USING (cid)
+         |), psub AS (
+         |  SELECT r.id, mm.m,
+         |         list_transform(range(mm.m * $subDim + 1, mm.m * $subDim + ${subDim + 1}),
+         |           i -> r.rv[i]) AS sv
+         |  FROM resid r CROSS JOIN (SELECT unnest(range($numSub)) AS m) mm
+         |), pc0 AS (
+         |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY id) - 1 AS cid,
+         |         sv AS cm
+         |  FROM psub WHERE id IN (SELECT id FROM q ORDER BY id LIMIT $ksub)
+         |)""".stripMargin +
+      pqRound(1, subDim) + pqRound(2, subDim) +
+      s""", penc AS (
+         |  SELECT id, m, cid FROM (
+         |    SELECT s.id, s.m, c.cid,
+         |           row_number() OVER (PARTITION BY s.id, s.m
+         |             ORDER BY cast(list_sum(list_transform(range(1, ${subDim + 1}),
+         |               i -> (s.sv[i] - c.cm[i]) * (s.sv[i] - c.cm[i]))) AS BIGINT),
+         |               c.cid) AS rn
+         |    FROM psub s JOIN pc2 c ON s.m = c.m)
+         |  WHERE rn = 1
+         |), pd AS (
+         |  SELECT c.cid,
+         |         cast(list_sum(list_transform(range(1, 65),
+         |           i -> (qv.v[i] - c.m[i]) * (qv.v[i] - c.m[i]))) AS BIGINT) AS d2
+         |  FROM c2 c CROSS JOIN qv
+         |), probed AS (
+         |  SELECT cid FROM pd ORDER BY d2, cid LIMIT 2
+         |), qres AS (
+         |  SELECT c.cid AS gcid,
+         |         list_transform(range(1, 65), i -> qv.v[i] - c.m[i]) AS rv
+         |  FROM c2 c JOIN probed USING (cid) CROSS JOIN qv
+         |), qrsub AS (
+         |  SELECT gcid, mm.m,
+         |         list_transform(range(mm.m * $subDim + 1, mm.m * $subDim + ${subDim + 1}),
+         |           i -> rv[i]) AS sv
+         |  FROM qres CROSS JOIN (SELECT unnest(range($numSub)) AS m) mm
+         |), plut AS (
+         |  SELECT s.gcid, c.m, c.cid,
+         |         cast(list_sum(list_transform(range(1, ${subDim + 1}),
+         |           i -> (s.sv[i] - c.cm[i]) * (s.sv[i] - c.cm[i]))) AS BIGINT) AS d2
+         |  FROM qrsub s JOIN pc2 c ON s.m = c.m
+         |), padc AS (
+         |  SELECT e.id, cast(sum(l.d2) AS BIGINT) AS adc_d2
+         |  FROM penc e
+         |  JOIN av a ON a.id = e.id
+         |  JOIN probed p ON p.cid = a.cid
+         |  JOIN plut l ON l.gcid = a.cid AND l.m = e.m AND l.cid = e.cid
+         |  GROUP BY e.id
+         |)
+         |SELECT id, adc_d2 FROM padc ORDER BY adc_d2, id LIMIT 20""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // The LP rows themselves stay no_oracle (LP-EMD is not DuckDB-
     // expressible), but their cross-engine witness verdict is a fixed
@@ -1478,6 +1585,7 @@ object SparkEntry {
     "q_kmeans" -> KmeansSql,
     "q_pq_topk" -> PqSql,
     "q_pq_rerank" -> PqRerankSql,
+    "q_ivfpq_topk" -> IvfPqSql,
 
     "q1_agg" ->
       """SELECT l_returnflag, round(cast(sum(l_quantity) AS DOUBLE), 6) AS sum_qty,

@@ -318,11 +318,21 @@ object Ann {
   def pqTrain(spark: SparkSession, embs: DataFrame, numSub: Int, ksub: Int,
               iters: Int = 2, scale: Int = 1000, idCol: String = "vec_id",
               vecCol: String = "embedding",
-              cutover: Long = Cluster.IterCutover): Array[Array[Array[Long]]] = {
+              cutover: Long = Cluster.IterCutover): Array[Array[Array[Long]]] =
+    pqTrainQuantized(spark, Cluster.quantize(embs, scale, idCol, vecCol),
+      numSub, ksub, iters, cutover)
+
+  /** [[pqTrain]] over an ALREADY-quantized `(id, v ARRAY<BIGINT>)` frame
+    * — the entry point for residual vectors ([[ivfPqTopK]]), which are
+    * integer by construction (quantized vector minus integer coarse
+    * centroid) and must NOT be re-quantized. */
+  def pqTrainQuantized(spark: SparkSession, quantized: DataFrame,
+                       numSub: Int, ksub: Int, iters: Int = 2,
+                       cutover: Long = Cluster.IterCutover): Array[Array[Array[Long]]] = {
     import graft.core.Caching._
     require(numSub > 0 && ksub > 0 && iters >= 0,
       s"pqTrain: numSub=$numSub ksub=$ksub iters=$iters")
-    val q = Cluster.quantize(embs, scale, idCol, vecCol).persistOnce()
+    val q = quantized.persistOnce()
     var subDf: DataFrame = null // DF-path exploded frame, built on demand
     try {
       val dim = q.select(size(col("v"))).head().getInt(0)
@@ -435,12 +445,18 @@ object Ann {
     * embedded in the plan.) */
   def pqEncode(embs: DataFrame, codebooks: Array[Array[Array[Long]]],
                scale: Int = 1000, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding"): DataFrame =
+    pqEncodeQuantized(Cluster.quantize(embs, scale, idCol, vecCol), codebooks)
+
+  /** [[pqEncode]] over an ALREADY-quantized `(id, v)` frame (residual
+    * path — see [[pqTrainQuantized]]). */
+  def pqEncodeQuantized(quantized: DataFrame,
+                        codebooks: Array[Array[Array[Long]]]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
     val numSub = codebooks.length
     val sub = codebooks(0)(0).length
-    val q = Cluster.quantize(embs, scale, idCol, vecCol)
+    val q = quantized
     val schema = StructType(Seq(q.schema("id").copy(name = "id"),
       StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false)))
     val rows = q.rdd.mapPartitions { it =>
@@ -497,6 +513,114 @@ object Ann {
     index.select(col("id"), score.as("adc_d2"))
       .orderBy(col("adc_d2"), col("id"))
       .limit(k)
+  }
+
+  /** Residual IVF-PQ top-k — the two-level production ANN layout that
+    * IVF and PQ separately only approximate:
+    *
+    *  - a kCoarse-centroid coarse quantizer (the [[Cluster]] integer
+    *    Lloyd's — same seeds/ties/update arithmetic) partitions the
+    *    corpus into inverted lists;
+    *  - PQ codebooks train on RESIDUALS (vector minus its coarse
+    *    centroid — still exact BIGINTs, so the whole two-level pipeline
+    *    stays oracle-replayable), which carry far less variance than raw
+    *    vectors: the same code budget quantizes much finer;
+    *  - a query probes the nProbe nearest coarse cells and scores ONLY
+    *    their members by ADC — with a PER-CELL lookup table built from
+    *    the query's per-cell residual (q - centroid), the textbook
+    *    IVF-ADC recipe.
+    *
+    * At 100 TB: the index holds one byte-ish code row per vector
+    * (cluster + numSub codes), the scan touches nProbe/kCoarse of the
+    * corpus, scoring is literal-array lookups in whole-stage codegen,
+    * and the result is one TakeOrdered — no shuffle of the score set.
+    * Training is the [[Cluster]]/[[pqTrainQuantized]] job shapes.
+    *
+    * Output: (id, adc_d2 BIGINT) top-k under the (adc_d2, id) total
+    * order, restricted to the probed cells. */
+  def ivfPqTopK(spark: SparkSession, corpus: DataFrame,
+                quantizedQuery: Array[Long], kCoarse: Int, nProbe: Int,
+                numSub: Int, ksub: Int, k: Int, iters: Int = 2,
+                scale: Int = 1000, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import graft.core.Caching._
+    require(nProbe >= 1 && nProbe <= kCoarse, s"nProbe=$nProbe kCoarse=$kCoarse")
+    val q = Cluster.quantize(corpus, scale, idCol, vecCol).persistOnce()
+    try {
+      val dim = q.select(size(col("v"))).head().getInt(0)
+      require(dim % numSub == 0, s"ivfPqTopK: dim=$dim % numSub=$numSub != 0")
+      val sub = dim / numSub
+      val coarse = Cluster.lloydCentroids(q, kCoarse, iters, dim)
+      // (id, cluster, residual) in one plain-loop pass — the assignment
+      // argmin and integer subtraction stay out of interpreted HOF eval
+      val residSchema = org.apache.spark.sql.types.StructType(Seq(
+        q.schema("id").copy(name = "id"),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false)))
+      val resid = spark.createDataFrame(
+        q.rdd.mapPartitions { it =>
+          it.map { r =>
+            val v = r.getSeq[Long](1).toArray
+            val c = Cluster.argminIdx(coarse, v)._1
+            val cent = coarse(c)
+            val rv = new Array[Long](v.length)
+            var i = 0
+            while (i < v.length) { rv(i) = v(i) - cent(i); i += 1 }
+            org.apache.spark.sql.Row(r.get(0), c, rv.toSeq)
+          }
+        }, residSchema).persistOnce()
+      try {
+        val cbs = pqTrainQuantized(spark, resid.select(col("id"), col("v")),
+          numSub, ksub, iters)
+        val index = pqEncodeQuantized(resid.select(col("id"), col("v")), cbs)
+          .join(resid.select(col("id"), col("cluster")), "id")
+        // driver-side probe: nProbe nearest coarse cells under (d2, cid)
+        val probed = coarse.zipWithIndex.map { case (cent, c) =>
+          var d = 0L
+          var i = 0
+          while (i < dim) { val t = quantizedQuery(i) - cent(i); d += t * t; i += 1 }
+          (d, c)
+        }.sorted.take(nProbe).map(_._2)
+        // per-cell ADC lookup table from the query's per-cell residual
+        def lutFor(c: Int): Array[Array[Long]] = {
+          val cent = coarse(c)
+          cbs.zipWithIndex.map { case (cb, m) =>
+            cb.map { pqc =>
+              var d = 0L
+              var i = 0
+              while (i < sub) {
+                val t = (quantizedQuery(m * sub + i) - cent(m * sub + i)) - pqc(i)
+                d += t * t
+                i += 1
+              }
+              d
+            }
+          }
+        }
+        def adc(lut: Array[Array[Long]]): Column =
+          lut.zipWithIndex.map { case (lm, m) =>
+            element_at(lit(lm), element_at(col("codes"), m + 1) + 1)
+          }.reduce(_ + _)
+        val score = probed.tail.foldLeft(
+            when(col("cluster") === probed.head, adc(lutFor(probed.head)))) {
+          (acc, c) => acc.when(col("cluster") === c, adc(lutFor(c)))
+        }
+        // materialize before the finally unpersists the lineage inputs —
+        // the returned frame must not silently recompute training
+        val out = index
+          .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
+          .select(col("id"), score.as("adc_d2"))
+          .orderBy(col("adc_d2"), col("id"))
+          .limit(k)
+          .persistOnce()
+        out.count()
+        out
+      } finally resid.unpersist(false)
+    } finally q.unpersist(false)
   }
 
   /** ADC shortlist + exact rerank — the production IVF-PQ read path:

@@ -366,6 +366,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("residual IVF-PQ: probed subset scored only, recall vs exact integer top-20") {
+    import spark.implicits._
+    val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+    val rest = embs.filter(col("vec_id") =!= minId)
+    val qq = Cluster.quantize(embs.filter(col("vec_id") === minId), 1000)
+      .select(col("v")).head().getSeq[Long](0).toArray
+    val exact = Cluster.quantize(rest, 1000).collect()
+      .map { r =>
+        val v = r.getSeq[Long](1).toArray
+        var d = 0L; var i = 0
+        while (i < v.length) { val t = v(i) - qq(i); d += t * t; i += 1 }
+        (d, r.getLong(0))
+      }.sorted.take(20).map(_._2).toSet
+    val part = Ann.ivfPqTopK(spark, rest, qq, kCoarse = 4, nProbe = 2,
+      numSub = 4, ksub = 8, k = 20).collect().map(_.getLong(0)).toSet
+    val full = Ann.ivfPqTopK(spark, rest, qq, kCoarse = 4, nProbe = 4,
+      numSub = 4, ksub = 8, k = 20).collect().map(_.getLong(0)).toSet
+    val rPart = (part & exact).size / 20.0
+    val rFull = (full & exact).size / 20.0
+    // 8-code 16-dim residual books on 49 tiny-fixture vectors quantize
+    // far coarser than the neighbor gaps, so absolute recall here is a
+    // data property, not a correctness signal (the q_ivfpq_topk oracle
+    // hash-checks the full pipeline at sf0.01) — record it, bound the
+    // probe monotonicity, and pin EXACTNESS on a planted twin below
+    info(s"recall@20: nProbe=2 $rPart, nProbe=4 $rFull")
+    assert(rFull >= rPart - 1e-9, s"full probe recall $rFull < partial $rPart")
+    assert(part.size == 20 && full.size == 20)
+    // planted twin of the query (lowest id, so ties cannot hide it):
+    // identical vector => same coarse cell as the query's first probe,
+    // residual == the query's per-cell residual => its code attains the
+    // per-subspace LUT minimum => globally minimal ADC => rank 1
+    val twin = embs.filter(col("vec_id") === minId)
+      .select(lit(-5L).as("vec_id"), col("embedding"))
+    val planted = Ann.ivfPqTopK(spark,
+      rest.select(col("vec_id"), col("embedding")).unionByName(twin), qq,
+      kCoarse = 4, nProbe = 1, numSub = 4, ksub = 8, k = 5).collect()
+    assert(planted.head.getLong(0) == -5L,
+      s"planted twin not rank-1: ${planted.map(r => (r.getLong(0), r.getLong(1))).toSeq}")
+  }
+
   test("PQ rerank (16x16 books, ADC top-200 shortlist) recall >= 0.95 vs " +
     "exact integer-L2 top-20; returned distances are the exact ones") {
     val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
