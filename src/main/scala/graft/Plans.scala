@@ -23,7 +23,8 @@ object Plans {
         "q_winnow_spans", "q_jpeg_hist", "q_png_hist",
         "q_pq_topk", "q_pq_rerank",
         "q_heavy_hitters", "q_approx_distinct", "q_zorder_key",
-        "q_funnel", "q_bigram_surprisal", "q_image_phash")) {
+        "q_funnel", "q_bigram_surprisal", "q_image_phash",
+        "q_ivfpq_topk", "q_cdc_chunks")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
