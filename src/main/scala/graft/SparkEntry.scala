@@ -938,6 +938,19 @@ object SparkEntry {
       Ann.ivfPqTopK(s, rest, qq, kCoarse = 4, nProbe = 2,
         numSub = 4, ksub = 8, k = 20)
     }),
+    // --- the same two-level layout with the exact-rerank tail: ADC
+    //     top-100 shortlist fetched by broadcast semi-join, ranked by
+    //     exact integer L2 — approximation bounds recall only, the
+    //     returned order is exact ---
+    "q_ivfpq_rerank" -> ((s, dir) => {
+      val embs = Fixtures.embeddings(s, dir)
+      val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+      val rest = embs.filter(col("vec_id") =!= minId)
+      val qq = Cluster.quantize(embs.filter(col("vec_id") === minId), 1000)
+        .select(col("v")).head().getSeq[Long](0).toArray
+      Ann.ivfPqTopKRerank(s, rest, qq, kCoarse = 4, nProbe = 2,
+        numSub = 4, ksub = 8, k = 20, shortlist = 100)
+    }),
 
     // --- batch retrieval: exact top-5 corpus neighbors for EVERY query
     //     in a broadcast query set (the 10 lowest vec_ids) — the
@@ -1485,7 +1498,7 @@ object SparkEntry {
     * encode, 2-cell probe under the (d2, cid) order, PER-CELL query
     * residual lookup tables, ADC over probed members only. Every step
     * is BIGINT — the oracle replays the full two-level path. */
-  private val IvfPqSql: String = {
+  private val IvfPqBody: String = {
     val numSub = 4
     val subDim = 16
     val ksub = 8
@@ -1564,9 +1577,26 @@ object SparkEntry {
          |  JOIN probed p ON p.cid = a.cid
          |  JOIN plut l ON l.gcid = a.cid AND l.m = e.m AND l.cid = e.cid
          |  GROUP BY e.id
-         |)
-         |SELECT id, adc_d2 FROM padc ORDER BY adc_d2, id LIMIT 20""".stripMargin
+         |)""".stripMargin
   }
+
+  private val IvfPqSql: String =
+    IvfPqBody + "\nSELECT id, adc_d2 FROM padc ORDER BY adc_d2, id LIMIT 20"
+
+  /** q_ivfpq_rerank: the ADC shortlist (top-100 probed members) fetched
+    * and ranked by EXACT integer squared-L2 — the PqRerankSql tail over
+    * the two-level body. */
+  private val IvfPqRerankSql: String =
+    IvfPqBody +
+      """, pshort AS (
+        |  SELECT id FROM padc ORDER BY adc_d2, id LIMIT 100
+        |), prr AS (
+        |  SELECT c.id,
+        |         cast(list_sum(list_transform(range(1, 65),
+        |           i -> (c.v[i] - qv.v[i]) * (c.v[i] - qv.v[i]))) AS BIGINT) AS d2
+        |  FROM q c JOIN pshort USING (id) CROSS JOIN qv
+        |)
+        |SELECT id, d2 FROM prr ORDER BY d2, id LIMIT 20""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // The LP rows themselves stay no_oracle (LP-EMD is not DuckDB-
@@ -1586,6 +1616,7 @@ object SparkEntry {
     "q_pq_topk" -> PqSql,
     "q_pq_rerank" -> PqRerankSql,
     "q_ivfpq_topk" -> IvfPqSql,
+    "q_ivfpq_rerank" -> IvfPqRerankSql,
 
     "q1_agg" ->
       """SELECT l_returnflag, round(cast(sum(l_quantity) AS DOUBLE), 6) AS sum_qty,

@@ -623,6 +623,29 @@ object Ann {
     } finally q.unpersist(false)
   }
 
+  /** [[ivfPqTopK]] with the exact-rerank tail — the complete production
+    * read path: probe cells, ADC-score members, fetch the `shortlist`
+    * best by id (broadcast semi-join, not a corpus shuffle), rank them
+    * by EXACT integer squared-L2 against the full query. Approximation
+    * bounds recall only; the returned order is exact. */
+  def ivfPqTopKRerank(spark: SparkSession, corpus: DataFrame,
+                      quantizedQuery: Array[Long], kCoarse: Int, nProbe: Int,
+                      numSub: Int, ksub: Int, k: Int, shortlist: Int,
+                      iters: Int = 2, scale: Int = 1000,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val cand = ivfPqTopK(spark, corpus, quantizedQuery, kCoarse, nProbe,
+      numSub, ksub, shortlist, iters, scale, idCol, vecCol)
+      .select(col("id"))
+    Cluster.quantize(corpus, scale, idCol, vecCol)
+      .join(broadcast(cand), "id")
+      .select(col("id"),
+        aggregate(zip_with(col("v"), lit(quantizedQuery),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"))
+      .orderBy(col("d2"), col("id"))
+      .limit(k)
+  }
+
   /** ADC shortlist + exact rerank — the production IVF-PQ read path:
     * the `shortlist` best ADC candidates are fetched by id (a broadcast
     * semi-join of R ids against the corpus, not a corpus shuffle) and

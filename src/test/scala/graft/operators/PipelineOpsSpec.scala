@@ -405,6 +405,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       kCoarse = 4, nProbe = 1, numSub = 4, ksub = 8, k = 5).collect()
     assert(planted.head.getLong(0) == -5L,
       s"planted twin not rank-1: ${planted.map(r => (r.getLong(0), r.getLong(1))).toSeq}")
+    // rerank tail: with a shortlist covering every probed member, the
+    // result IS the exact integer top-k over the probed subset — and the
+    // planted twin reranks to d2 = 0 at rank 1
+    val rr = Ann.ivfPqTopKRerank(spark,
+      rest.select(col("vec_id"), col("embedding")).unionByName(twin), qq,
+      kCoarse = 4, nProbe = 1, numSub = 4, ksub = 8, k = 5,
+      shortlist = 1000).collect()
+    assert(rr.head.getLong(0) == -5L && rr.head.getLong(1) == 0L)
+    // rerank distances are exact, so they are sorted and >= the ADC-free
+    // lower bound of 0, strictly increasing past the twin
+    val d2s = rr.map(_.getLong(1)).toSeq
+    assert(d2s == d2s.sorted)
   }
 
   test("PQ rerank (16x16 books, ADC top-200 shortlist) recall >= 0.95 vs " +
