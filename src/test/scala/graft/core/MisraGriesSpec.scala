@@ -51,6 +51,29 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: invariants hold for arbitrary streams, k, and merge splits") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    val itemGen = Gen.frequency(
+      (3, Gen.choose(0, 4).map(i => s"hot$i")), // skewed head
+      (2, Gen.choose(0, 2000).map(i => s"cold$i"))) // long tail
+    val streamGen = Gen.listOfN(400, itemGen)
+    val prop = forAll(streamGen, Gen.choose(1, 40), Gen.choose(1, 8)) {
+      (xs, k, nParts) =>
+        val single = xs.foldLeft(new MisraGries(k))(_.add(_))
+        checkInvariants(single, xs)
+        val parts = xs.zipWithIndex.groupBy(_._2 % nParts).values
+          .map(_.map(_._1))
+        val merged = parts.map(p => p.foldLeft(new MisraGries(k))(_.add(_)))
+          .reduce(_.merge(_))
+        checkInvariants(merged, xs)
+        Prop.passed
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("merge of disjoint small streams is exact below capacity") {
     val a = Seq("x", "x", "y").foldLeft(new MisraGries(10))(_.add(_))
     val b = Seq("y", "z").foldLeft(new MisraGries(10))(_.add(_))
