@@ -202,3 +202,36 @@ case class CosineSim(left: Expression, right: Expression) extends DoubleArrayKer
                                                  newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
 }
+
+/** Mass difference sum(a) - sum(b) — the [[graft.plans.RubnerPrefilter]]
+  * soundness term: the rubner-lower-bounds-EMD premise holds only for
+  * equal-mass histograms, and the guard's permitted excess scales with
+  * (n - 1) * |massDiff| (Abel summation: sum_i i*(a_i - b_i) =
+  * sum_{j<n-1} (P_{n-1} - P_j) with P the prefix sums, so the moment
+  * difference exceeds sum|P_j| by at most (n-1)*|P_{n-1}|). */
+case class MassDiff1d(left: Expression, right: Expression) extends DoubleArrayKernel {
+  override def prettyName: String = "graft_massdiff1d"
+  override protected def compute(a: ArrayData, b: ArrayData, n: Int): Double = {
+    var sa = 0.0; var sb = 0.0; var i = 0
+    while (i < n) { sa += a.getDouble(i); sb += b.getDouble(i); i += 1 }
+    sa - sb
+  }
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String,
+                                 n: String, resVar: String): String = {
+    val sa = ctx.freshName("sa")
+    val sb = ctx.freshName("sb")
+    val i = ctx.freshName("i")
+    s"""
+       |double $sa = 0.0;
+       |double $sb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $sa += $a.getDouble($i);
+       |  $sb += $b.getDouble($i);
+       |}
+       |$resVar = $sa - $sb;
+     """.stripMargin
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): MassDiff1d =
+    copy(left = newLeft, right = newRight)
+}

@@ -332,7 +332,10 @@ object Ann {
     import graft.core.Caching._
     require(numSub > 0 && ksub > 0 && iters >= 0,
       s"pqTrain: numSub=$numSub ksub=$ksub iters=$iters")
-    val q = quantized.persistOnce()
+    // fresh projection: persistOnce on the caller's own frame would
+    // alias it, and the finally-unpersist would evict a cache the
+    // caller still relies on
+    val q = quantized.select(col("id"), col("v")).persistOnce()
     var subDf: DataFrame = null // DF-path exploded frame, built on demand
     try {
       val dim = q.select(size(col("v"))).head().getInt(0)

@@ -74,7 +74,10 @@ object SketchOps {
       sum(when(value < e, 1L).otherwise(0L)).as(s"lt$i"),
       sum(when(value <= e, 1L).otherwise(0L)).as(s"le$i"))
     }
-    val r = df.agg(count(lit(1)).as("n"), rankAggs: _*).head()
+    // n counts NON-NULL values: percentile_approx and the lt/le rank
+    // sums ignore nulls, so a count(*) target window on null-bearing
+    // data would audit against the wrong N
+    val r = df.agg(count(value).as("n"), rankAggs: _*).head()
     val n = r.getLong(0)
     val rows = qs.zipWithIndex.map { case (q, i) =>
       (q, n, rankWindowOk(r.getLong(1 + 2 * i), r.getLong(2 + 2 * i), q, n, eps))

@@ -1,10 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Abs, Add, And, Cast, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Multiply, Size, Subtract}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.{Emd1d, Rubner1d}
+import graft.functions.{Emd1d, MassDiff1d, Rubner1d}
 
 /** Optimizer rule: graft the melody pruning cascade into plain SQL.
   *
@@ -17,14 +17,30 @@ import graft.functions.{Emd1d, Rubner1d}
   * (reference behavior: mr/normal/QNEProcessReducer.java pruning chain),
   * here surfaced as a Catalyst rewrite any user query benefits from.
   *
-  * Soundness: mathematically rubner <= emd, so the added conjunct never
-  * drops a qualifying row. Both sides are evaluated in floating point,
-  * though, and an FP-computed lower bound could exceed the FP-computed
-  * EMD by a few ulps when the two are nearly equal; `Slack` (1e-9, orders
-  * above any n-term double accumulation error on normalized histograms,
-  * orders below the repo's >=1e-6 threshold-boundary-gap convention)
-  * keeps such marginal rows flowing through to the exact test. The
-  * rewrite therefore never changes results, only evaluation cost.
+  * Soundness — the rule fires on ARBITRARY user SQL, so the guard must
+  * be valid for arbitrary inputs, not just the engine's normalized
+  * histograms:
+  *
+  *  - equal mass: mathematically rubner <= emd (centroid distance
+  *    lower-bounds transport cost), so the conjunct never drops a
+  *    qualifying row;
+  *  - unequal mass (sum(a) != sum(b)): the premise FAILS — by Abel
+  *    summation, sum_i i*(a_i-b_i) = sum_{j<n-1}(P_{n-1} - P_j) with P
+  *    the prefix sums, so the moment difference can exceed
+  *    emd = sum|P_j| by up to (n-1)*|P_{n-1}| = (n-1)*|massDiff|.
+  *    The guard's budget therefore ADDS `(n-1) * |graft_massdiff1d|`:
+  *    exactly the worst-case excess, zero for equal-mass rows (the
+  *    optimization is undiminished there), self-relaxing otherwise —
+  *    never a dropped row either way (spec: unequal-mass rewrite
+  *    equivalence);
+  *  - floating point: both folds accumulate with RELATIVE error
+  *    (~n*2^-53 of the running magnitude — absolute error grows with
+  *    count-scale weights), so the fixed `Slack` (1e-9) is topped up
+  *    with relative terms: the computed rubner is shrunk by `RelSlack`
+  *    and the threshold grows by `|tau| * RelSlack` (1e-12, orders above
+  *    the worst n*2^-53 for any plausible n, orders below the repo's
+  *    >=1e-6 boundary-gap convention). Marginal rows flow through to
+  *    the exact test; the rewrite changes evaluation cost only.
   *
   * Idempotence (the rule runs inside fixed-point batches, and may be
   * installed twice — session extensions + experimental): a filter whose
@@ -34,9 +50,16 @@ import graft.functions.{Emd1d, Rubner1d}
 case class RubnerPrefilter() extends Rule[LogicalPlan] {
 
   private val Slack = 1e-9
+  private val RelSlack = 1e-12
 
-  private def guarded(emd: Emd1d, tau: Double, original: Expression): Expression =
-    And(LessThanOrEqual(Rubner1d(emd.left, emd.right), Literal(tau + Slack)), original)
+  private def guarded(emd: Emd1d, tau: Double, original: Expression): Expression = {
+    val massBudget = Multiply(
+      Cast(Subtract(Size(emd.left, legacySizeOfNull = false), Literal(1)), DoubleType),
+      Abs(MassDiff1d(emd.left, emd.right)))
+    val allow = Add(Literal(tau + Slack + math.abs(tau) * RelSlack), massBudget)
+    val bound = Multiply(Rubner1d(emd.left, emd.right), Literal(1.0 - RelSlack))
+    And(LessThanOrEqual(bound, allow), original)
+  }
 
   /** Rewrite eligible when an EMD threshold appears and no rubner guard
     * (ours or user-written) is present yet. */

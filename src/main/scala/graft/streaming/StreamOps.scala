@@ -431,8 +431,11 @@ object StreamOps {
       }
       ckDir.foreach { d =>
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        // Files.walk holds an open directory stream — close it (via the
+        // collected snapshot) before deleting, or each replay leaks an fd
+        val walk = java.nio.file.Files.walk(d)
+        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
   }

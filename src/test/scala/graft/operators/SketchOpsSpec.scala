@@ -73,6 +73,16 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(!SketchOps.rankWindowOk(ltCount = 400, leCount = 498, 0.5, 1000, 0.001))
   }
 
+  test("quantileAudit audits against the non-null count on null-bearing data") {
+    import spark.implicits._
+    val df = ((1 to 1000).map(i => Some(i.toDouble)) ++
+      Seq.fill(1000)(Option.empty[Double])).toDF("x")
+    val out = SketchOps.quantileAudit(df, col("x"), Seq(0.5, 0.99))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.forall(_._2 == 1000L), s"n must exclude nulls: ${out.toSeq}")
+    assert(out.forall(_._3), s"rank_ok false against non-null N: ${out.toSeq}")
+  }
+
   test("quantileAudit rejects out-of-range q") {
     import spark.implicits._
     val df = (1 to 10).toDF("x")

@@ -136,6 +136,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rubners == 1)
   }
 
+  test("RubnerPrefilter keeps unequal-mass rows (guard self-relaxes by mass budget)") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // unequal mass: emd1d (cum-of-diff) = 1.0 but rubner (moment diff)
+    // = 2.0 — a naive rubner <= tau guard drops this qualifying row
+    val df = Seq(
+      (1L, Array(0.0, 0.0, 1.0), Array(0.0, 0.0, 0.0)),
+      (2L, Array(1e6, 2e6, 3e6), Array(3e6, 2e6, 1e6)), // count-scale, equal mass
+      (3L, Array(0.25, 0.75), Array(0.75, 0.25))).toDF("id", "wa", "wb")
+    df.createOrReplaceTempView("rpv")
+    def ids(tau: Double) = spark.sql(
+        s"SELECT id FROM rpv WHERE graft_emd1d(wa, wb) <= $tau")
+      .collect().map(_.getLong(0)).toSet
+    // reference EMDs (FP-exact inputs): row1 = 1.0 (unequal mass),
+    // row2 = 4e6 (prefix sums -2e6,-2e6,0; rubner = 4e6 sits exactly ON
+    // the bound), row3 = 0.5 (prefix -0.5, 0)
+    assert(ids(1.0) == Set(1L, 3L), "unequal-mass qualifying row dropped by the guard")
+    assert(ids(0.99) == Set(3L))
+    assert(ids(4e6) == Set(1L, 2L, 3L), "count-scale rubner==emd boundary row dropped")
+    assert(ids(0.49) == Set())
+  }
+
   test("graft_zorder in SQL == Layout.zOrderKey column form") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
