@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.Fixtures
 import graft.functions.{EmdCols, TextCols}
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -701,6 +701,22 @@ object SparkEntry {
       CorpusOps.unigramSurprisal(Fixtures.documents(s, dir))
         .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
           round(col("mean_bits"), 6).as("mean_bits"))
+    }),
+
+    // --- salted fact-x-dim join (planned skew mitigation for keys AQE
+    //     cannot split): lineitem salted 8 ways on a deterministic
+    //     xxhash64, orders replicated per salt; output == the plain
+    //     inner join, which IS the oracle ---
+    "q_salted_join" -> ((s, dir) => {
+      val li = Fixtures.lineitem(s, dir)
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      Skew.saltedJoin(li.select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber"), col("l_quantity")),
+          ord, "o_orderkey", salts = 8, factIdCol = "l_linenumber")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"))
     }),
 
     // --- content-defined chunking (LBFS/rsync boundaries on token md5):
@@ -2331,6 +2347,12 @@ object SparkEntry {
         |             / count(*), 6) AS mean_bits
         |FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
         |GROUP BY t.id""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o.o_orderstatus, count(*) AS n,
+        |       round(cast(sum(l.l_quantity) AS DOUBLE), 6) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // cut tokens END their chunk: a token's chunk ordinal is the count of
     // cut tokens strictly before it (windowed), which is exactly the

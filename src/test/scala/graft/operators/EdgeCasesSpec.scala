@@ -266,6 +266,26 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(mrsim == base)
   }
 
+  test("saltedJoin == plain inner join on a mega-hot key, any salt count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // 80% of fact rows share key 7 — the shape AQE file-splitting can't
+    // help when one key exceeds an executor
+    val fact = (0 until 2000).map(i =>
+      (i.toLong, if (rnd.nextInt(5) > 0) 7L else rnd.nextInt(40).toLong))
+      .toDF("row_id", "k")
+    val dim = (0 until 40).map(i => (i.toLong, s"d$i")).toDF("k", "payload")
+    val want = fact.join(dim, "k")
+      .select("row_id", "k", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    for (s <- Seq(1, 8)) {
+      val got = Skew.saltedJoin(fact, dim, "k", salts = s, factIdCol = "row_id")
+        .select("row_id", "k", "payload").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(got == want, s"salts=$s")
+    }
+  }
+
   test("round-9 operators survive an empty corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
