@@ -29,6 +29,8 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int, factIdCol: String): DataFrame = {
     require(salts >= 1, s"saltedJoin: salts=$salts")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin: inputs must not already carry a __salt column")
     val salted = fact.withColumn("__salt",
       pmod(xxhash64(col(factIdCol)), lit(salts.toLong)).cast("int"))
     val dimX = dim.withColumn("__salt",
