@@ -1088,6 +1088,12 @@ object SparkEntry {
         gapUs = 86400000000L)
     }),
 
+    // --- cohort retention (integer epoch-day arithmetic, no calendar
+    //     functions): distinct users active per (first-seen-day, age) ---
+    "q_retention" -> ((s, dir) => {
+      EventOps.retention(Fixtures.events(s, dir))
+    }),
+
     // --- STREAMING funnel, driver-visible: ascending-time micro-batch
     //     replay through the real no-timeout flatMapGroupsWithState
     //     operator; the last per-user update is the verdict, checked by
@@ -2347,6 +2353,18 @@ object SparkEntry {
         |             / count(*), 6) AS mean_bits
         |FROM toks t JOIN counts c USING (tok) CROSS JOIN tot
         |GROUP BY t.id""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+        |)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS age_days,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_salted_join" ->
       """SELECT o.o_orderstatus, count(*) AS n,

@@ -159,6 +159,29 @@ object EventOps {
         round(sum(col("value")), 6).as("sum_value"))
   }
 
+  /** Cohort retention — the third leg of the event-analytics trio
+    * (sessions, funnels, retention): users cohort by their FIRST active
+    * day, and each (cohort_day, age_days) cell counts the distinct
+    * users active `age` days after their cohort day. All arithmetic is
+    * integer epoch-days (`unix_micros DIV 86400000000` — matches
+    * DuckDB's `//` floor division for the non-negative timestamps the
+    * events table carries), no calendar/timezone functions.
+    *
+    * Shape: one user-keyed min aggregation, a re-join of the (user,
+    * day) distinct activity set against the broadcast-friendly cohort
+    * frame, and one (cohort, age) count — map-side-combined shuffles
+    * keyed by user then by the tiny cell grid. */
+  def retention(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val e = events.select(col(userCol).as("user_id"), col(tsCol).as("ts"))
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .distinct()
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Ordered funnel analysis — per user, the earliest time each step of
     * `steps` completes STRICTLY AFTER the previous step's completion
     * (the product-analytics conversion primitive: view -> click ->

@@ -151,6 +151,30 @@ class EventOpsSpec extends AnyFunSuite {
       "vacuous: need multi-event sessions and multi-session users")
   }
 
+  test("retention == brute-force cohort/age counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val dayUs = 86400000000L
+    val rows = (0 until 600).map { i =>
+      (i.toLong, rnd.nextInt(30).toLong,
+        rnd.nextInt(20).toLong * dayUs + rnd.nextInt(24).toLong * 3600000000L)
+    }
+    val df = rows.toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val byUser = rows.groupBy(_._2).view
+      .mapValues(_.map(_._3 / dayUs).distinct).toMap
+    val want = byUser.toSeq.flatMap { case (u, days) =>
+      val cohort = days.min
+      days.map(d => (cohort, d - cohort, u))
+    }.groupBy(t => (t._1, t._2)).map { case ((c, a), us) =>
+      (c, a, us.map(_._3).distinct.size.toLong)
+    }.toSet
+    val got = EventOps.retention(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.exists(_._2 > 0), "vacuous: need multi-day-active users")
+  }
+
   test("funnel == brute-force sequential scan, incl. same-ts and skipped-step cases") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
