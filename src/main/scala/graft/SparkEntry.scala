@@ -1292,6 +1292,99 @@ object SparkEntry {
       |  SELECT id, bin, c / sum(c) OVER (PARTITION BY id) AS w FROM dense
       |)""".stripMargin
 
+  /** Banded tree-EMD oracle generator shared by the four tree queries.
+    *
+    * The naive oracle self-joins `nodemass` on (span, node) and GROUPs by
+    * the pair — N^2/2 hash-aggregate groups, which reproducibly OOM-kills
+    * the single-process DuckDB checker at sf0.1 (~2e8 groups, 60-90 GB
+    * RSS). This form prunes candidate pairs BEFORE computing distances
+    * with a lossless band: per id and per level l, s_l = node-parity
+    * signed sum of that level's features, so |Δs_l| = |Σ±(f_a - f_b)| <=
+    * Σ_l|f_a - f_b| for ANY fixed sign assignment, and because the
+    * levels' term sets are disjoint, Σ_l |Δs_l| <= Σ_all |Δf| = dist.
+    * The IEJoin bands on the global sum s4+s2+s1 (= the one-projection
+    * shadow), then the tighter per-level sum filters the survivors
+    * (53M -> 7M candidates at sf0.1, measured). Distances are then
+    * computed per candidate row from a per-id feature LIST
+    * (list_transform over the same 14 |Δf| terms — no N^2 hash-aggregate
+    * anywhere), so values (and hashes) are unchanged.
+    *
+    * cap: threshold queries use tau + 1e-9 (slack absorbs the FP
+    * evaluation gap between s and dist at an exact-boundary pair; the
+    * final raw `dist <= tau` filter is unchanged). Top-k queries derive
+    * cap from a deterministic O(N) sample — consecutive ids in id order —
+    * whose k-th smallest distance upper-bounds the true k-th distance;
+    * +2e-6 covers the full 6-decimal rounding bucket, mirroring the Spark
+    * side (EmdJoins.treeEmdTopKLevels ub + 2e-6 for the same reason). */
+  private def treeEmdOracle(baseCte: String, fSql: String, topK: Option[Int],
+                            tau: Double): String = {
+    val capCte = topK match {
+      case Some(k) =>
+        s""", ord AS (
+           |  SELECT id, fv, row_number() OVER (ORDER BY id) AS rn FROM fvec
+           |), sampd AS (
+           |  SELECT list_sum(list_transform(range(1, 15),
+           |           i -> abs(x.fv[i] - y.fv[i]))) AS dist
+           |  FROM ord x JOIN ord y ON y.rn = x.rn + 1
+           |), cap AS (
+           |  SELECT CASE WHEN count(*) >= $k THEN max(dist) + 2e-6 ELSE 1e18 END AS ub
+           |  FROM (SELECT dist FROM sampd ORDER BY dist LIMIT $k)
+           |)""".stripMargin
+      case None => s", cap AS (SELECT $tau + 1e-9 AS ub)"
+    }
+    val finalSel = topK match {
+      case Some(k) =>
+        s"""SELECT rid, sid, round(dist, 6) AS dist FROM dists
+           |ORDER BY round(dist, 6), rid, sid LIMIT $k""".stripMargin
+      case None =>
+        s"""SELECT rid, sid, round(dist, 6) AS dist FROM dists
+           |WHERE dist <= $tau""".stripMargin
+    }
+    baseCte +
+      s""", lv AS (
+         |  SELECT unnest([4, 2, 1]) AS span
+         |), nodemass AS (
+         |  SELECT h.id, lv.span, h.bin // lv.span AS node,
+         |         $fSql AS f
+         |  FROM hist h CROSS JOIN lv
+         |  GROUP BY h.id, lv.span, h.bin // lv.span
+         |), bkey AS (
+         |  SELECT id,
+         |    sum(CASE WHEN span = 4 AND node % 2 = 0 THEN f
+         |             WHEN span = 4 THEN -f ELSE 0 END) AS s4,
+         |    sum(CASE WHEN span = 2 AND node % 2 = 0 THEN f
+         |             WHEN span = 2 THEN -f ELSE 0 END) AS s2,
+         |    sum(CASE WHEN span = 1 AND node % 2 = 0 THEN f
+         |             WHEN span = 1 THEN -f ELSE 0 END) AS s1
+         |  FROM nodemass GROUP BY id
+         |), fvec AS (
+         |  SELECT id, list(f ORDER BY span DESC, node) AS fv
+         |  FROM nodemass GROUP BY id
+         |)""".stripMargin +
+      capCte +
+      s""", cand AS (
+         |  SELECT a.id AS rid, b.id AS sid
+         |  FROM bkey a JOIN bkey b
+         |    ON a.id < b.id
+         |   AND a.s4 + a.s2 + a.s1 <= b.s4 + b.s2 + b.s1 + (SELECT ub FROM cap)
+         |   AND b.s4 + b.s2 + b.s1 <= a.s4 + a.s2 + a.s1 + (SELECT ub FROM cap)
+         |  WHERE abs(a.s4 - b.s4) + abs(a.s2 - b.s2) + abs(a.s1 - b.s1)
+         |        <= (SELECT ub FROM cap)
+         |), dists AS (
+         |  SELECT c.rid, c.sid,
+         |         list_sum(list_transform(range(1, 15),
+         |           i -> abs(a.fv[i] - b.fv[i]))) AS dist
+         |  FROM cand c
+         |  JOIN fvec a ON a.id = c.rid
+         |  JOIN fvec b ON b.id = c.sid
+         |)
+         |""".stripMargin + finalSel
+  }
+
+  private val TreeF1dSql = "sum(h.w) * lv.span"
+  private val TreeF3dSql =
+    "sum(h.w) * (CASE lv.span WHEN 4 THEN 0.25 WHEN 2 THEN 0.25 ELSE 0.5 END)"
+
   /** Pair distances as difference-of-prefix-sums — the same arithmetic
     * shape as the Spark scalar-cums banded join (EmdJoins), so doubles
     * match bit-for-bit. */
@@ -1690,84 +1783,24 @@ object SparkEntry {
     // Mirrors the Spark embedding exactly: per dyadic level (span 4/2/1),
     // per node, feature = span * node mass; distance = sum of abs diffs
     // over the complete 14-feature embedding (hist is dense per id, so
-    // every pair joins on all 14 (span, node) keys).
+    // every pair joins on all 14 (span, node) keys). Banded candidate
+    // generation (see treeEmdOracle) keeps DuckDB's group count at the
+    // candidate-set size instead of N^2/2.
     "q_treeemd_pairs" ->
-      (HistCte +
-        s""", lv AS (
-           |  SELECT unnest([4, 2, 1]) AS span
-           |), nodemass AS (
-           |  SELECT h.id, lv.span, h.bin // lv.span AS node,
-           |         sum(h.w) * lv.span AS f
-           |  FROM hist h CROSS JOIN lv
-           |  GROUP BY h.id, lv.span, h.bin // lv.span
-           |), dists AS (
-           |  SELECT a.id AS rid, b.id AS sid, sum(abs(a.f - b.f)) AS dist
-           |  FROM nodemass a JOIN nodemass b
-           |    ON a.span = b.span AND a.node = b.node AND a.id < b.id
-           |  GROUP BY 1, 2
-           |)
-           |SELECT rid, sid, round(dist, 6) AS dist FROM dists
-           |WHERE dist <= $TreeTau""".stripMargin),
+      treeEmdOracle(HistCte, TreeF1dSql, None, TreeTau),
 
     // Mirrors EmdJoins.treeEmd3dThresholdJoin: kd-split hierarchy (q, then
     // p, then d) — the level-l node of bin i is i // span for span in
     // {4, 2, 1}; edge weights (0.25, 0.25, 0.5); distance = sum of
     // weighted node-mass abs diffs over the complete 14-feature embedding.
     "q_treeemd3d_pairs" ->
-      (Hist3Cte +
-        s""", lv AS (
-           |  SELECT unnest([4, 2, 1]) AS span
-           |), nodemass AS (
-           |  SELECT h.id, lv.span, h.bin // lv.span AS node,
-           |         sum(h.w) * (CASE lv.span WHEN 4 THEN 0.25
-           |                     WHEN 2 THEN 0.25 ELSE 0.5 END) AS f
-           |  FROM hist h CROSS JOIN lv
-           |  GROUP BY h.id, lv.span, h.bin // lv.span
-           |), dists AS (
-           |  SELECT a.id AS rid, b.id AS sid, sum(abs(a.f - b.f)) AS dist
-           |  FROM nodemass a JOIN nodemass b
-           |    ON a.span = b.span AND a.node = b.node AND a.id < b.id
-           |  GROUP BY 1, 2
-           |)
-           |SELECT rid, sid, round(dist, 6) AS dist FROM dists
-           |WHERE dist <= $TreeTau3d""".stripMargin),
+      treeEmdOracle(Hist3Cte, TreeF3dSql, None, TreeTau3d),
 
     "q_treeemd_topk" ->
-      (HistCte +
-        s""", lv AS (
-           |  SELECT unnest([4, 2, 1]) AS span
-           |), nodemass AS (
-           |  SELECT h.id, lv.span, h.bin // lv.span AS node,
-           |         sum(h.w) * lv.span AS f
-           |  FROM hist h CROSS JOIN lv
-           |  GROUP BY h.id, lv.span, h.bin // lv.span
-           |), dists AS (
-           |  SELECT a.id AS rid, b.id AS sid, sum(abs(a.f - b.f)) AS dist
-           |  FROM nodemass a JOIN nodemass b
-           |    ON a.span = b.span AND a.node = b.node AND a.id < b.id
-           |  GROUP BY 1, 2
-           |)
-           |SELECT rid, sid, round(dist, 6) AS dist FROM dists
-           |ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
+      treeEmdOracle(HistCte, TreeF1dSql, Some(TopK), TreeTau),
 
     "q_treeemd3d_topk" ->
-      (Hist3Cte +
-        s""", lv AS (
-           |  SELECT unnest([4, 2, 1]) AS span
-           |), nodemass AS (
-           |  SELECT h.id, lv.span, h.bin // lv.span AS node,
-           |         sum(h.w) * (CASE lv.span WHEN 4 THEN 0.25
-           |                     WHEN 2 THEN 0.25 ELSE 0.5 END) AS f
-           |  FROM hist h CROSS JOIN lv
-           |  GROUP BY h.id, lv.span, h.bin // lv.span
-           |), dists AS (
-           |  SELECT a.id AS rid, b.id AS sid, sum(abs(a.f - b.f)) AS dist
-           |  FROM nodemass a JOIN nodemass b
-           |    ON a.span = b.span AND a.node = b.node AND a.id < b.id
-           |  GROUP BY 1, 2
-           |)
-           |SELECT rid, sid, round(dist, 6) AS dist FROM dists
-           |ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
+      treeEmdOracle(Hist3Cte, TreeF3dSql, Some(TopK), TreeTau3d),
 
     "q_mrsim1d_topk" ->
       (EmdCte +
