@@ -2073,10 +2073,15 @@ object SparkEntry {
         |SELECT source, count(DISTINCT token) AS n_distinct, TRUE AS hll_ok
         |FROM toks GROUP BY 1""".stripMargin,
 
+    // n = count(value): quantileAudit counts NON-NULL values only (the
+    // percentile/rank aggregates ignore nulls) and returns ZERO rows on
+    // empty/all-null input — the WHERE mirrors that early return so the
+    // engines stay aligned the day events.value grows a null
     "q_approx_quantiles" ->
-      """SELECT round(q, 6) AS q, (SELECT count(*) FROM events) AS n,
+      """SELECT round(q, 6) AS q, (SELECT count(value) FROM events) AS n,
         |       TRUE AS rank_ok
-        |FROM (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)""".stripMargin,
+        |FROM (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)
+        |WHERE (SELECT count(value) FROM events) > 0""".stripMargin,
 
     "q_zorder_key" -> {
       // unrolled Morton interleave: bit b of col i -> position b*2 + i

@@ -61,8 +61,9 @@ final class MisraGries(val k: Int) extends Serializable {
     }
     if (counts.size > k) {
       // subtract the (k+1)-th largest counter from every counter and
-      // drop non-positives: exactly k survivors, combined-stream error
-      // bound preserved (Mergeable Summaries §3.1)
+      // drop non-positives: AT MOST k survivors (counters tied with the
+      // cut value also drop), combined-stream error bound preserved
+      // (Mergeable Summaries §3.1)
       val vals = counts.values.toArray
       java.util.Arrays.sort(vals)
       val cut = vals(vals.length - (k + 1)) // (k+1)-th largest
