@@ -472,6 +472,18 @@ object SparkEntry {
         maxHamming = 7)
     }),
 
+    // --- STREAMING heavy hitters, driver-visible: per micro-batch
+    //     distributed Misra–Gries treeAggregate merged into a
+    //     cross-batch accumulator (the mergeable-sketch streaming
+    //     pattern), batches landed to parquet, exact recount of the
+    //     <= k candidates on close — same (token, cnt) contract and
+    //     corpus-wide oracle as the batch q_heavy_hitters, so a
+    //     dropped/replayed batch is a driver-visible hash mismatch ---
+    "q_stream_heavy" -> ((s, dir) => {
+      graft.streaming.StreamOps.replayHeavyHitters(s,
+        Fixtures.documents(s, dir), phiDen = 1000L)
+    }),
+
     // --- token counting + lexical stats ---
     "q_token_stats" -> ((s, dir) => {
       Fixtures.documents(s, dir).select(col("doc_id"),
@@ -2060,6 +2072,15 @@ object SparkEntry {
         |WHERE cast(ceil(q * n) AS BIGINT) = rnk""".stripMargin,
 
     "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |)
+        |SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+        |HAVING count(*) * 1000 > (SELECT count(*) FROM toks)""".stripMargin,
+
+    // streaming replay: batch-by-batch MG sketching + landed recount is
+    // corpus-order-invariant, so the batch heavy-hitter oracle replays it
+    "q_stream_heavy" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
         |)

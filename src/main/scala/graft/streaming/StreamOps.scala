@@ -685,4 +685,99 @@ object StreamOps {
       query.stop()
     }
   }
+
+  /** Streaming heavy hitters — the frequency-stats leg of the streaming
+    * surface, mirroring [[graft.operators.CorpusOps.heavyHitters]].
+    *
+    * Per micro-batch, a shuffle-free distributed `treeAggregate` builds
+    * a [[graft.core.MisraGries]] over the batch's tokens and MERGES it
+    * into the cross-batch accumulator (Mergeable Summaries §3.1: the MG
+    * merge is associative and keeps the combined-stream error bound, so
+    * sketching batch-by-batch equals sketching the whole stream). The
+    * driver holds ONE k-entry sketch regardless of stream length; each
+    * batch also LANDS to parquet — the other half of what a production
+    * ingest stream does. On close, the batch operator's pass 2 runs over
+    * the landed corpus: broadcast-semi-join the <= k surviving
+    * candidates, count THOSE exactly, and threshold by integer
+    * cross-multiplication against the sketch's streamed token total.
+    *
+    * Output is the batch (token, cnt) contract and the oracle is the
+    * same corpus-wide SQL — if any micro-batch were dropped, replayed,
+    * or partially sketched, either the streamed total n or the landed
+    * counts diverge and the hash gate fails, so the declared row also
+    * witnesses complete once-each delivery through the harness. */
+  def replayHeavyHitters(spark: SparkSession, docs: DataFrame,
+                         phiDen: Long = 1000L, sketchSize: Int = 2048,
+                         numBatches: Int = 4): DataFrame =
+      withReplayShuffle(spark) {
+    require(phiDen >= 2 && sketchSize + 1 >= phiDen,
+      s"replayHeavyHitters: sketchSize=$sketchSize phiDen=$phiDen " +
+        "(need sketchSize + 1 >= phiDen for the survival guarantee)")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+    val n = src.count()
+    val empty = spark.createDataset(Seq.empty[(String, Long)])
+      .toDF("token", "cnt")
+    if (n == 0L) return empty
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // landing dir: throwaway like the replay checkpoints (fresh per run)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val landBase =
+      if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val landDir = java.nio.file.Files
+      .createTempDirectory(landBase, "graft-replay-hh")
+    val acc = new graft.core.MisraGries(sketchSize)
+    val query = mem.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        // executor-side sketching, one k-entry map back to the driver;
+        // foreachBatch bodies run on the driver, so the merge into the
+        // accumulator is plain local mutation
+        val mg = batch
+          .select(explode(graft.functions.TextCols.tokens(col("text")))
+            .as("token"))
+          .rdd.map(_.getString(0))
+          .treeAggregate(new graft.core.MisraGries(sketchSize))(
+            (m, t) => m.add(t), (a, b) => a.merge(b), depth = 2)
+        acc.merge(mg)
+        batch.write.mode("append").parquet(landDir.toString)
+        ()
+      }
+      .start()
+    import scala.jdk.CollectionConverters._
+    try {
+      src.orderBy(col("doc_id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+    } finally {
+      query.stop()
+    }
+    val result =
+      if (acc.counts.isEmpty) empty.as[(String, Long)].collect()
+      else {
+        val candidates = spark.createDataFrame(
+          acc.counts.keysIterator.map(Tuple1(_)).toSeq).toDF("token")
+        spark.read.parquet(landDir.toString)
+          .select(explode(graft.functions.TextCols.tokens(col("text")))
+            .as("token"))
+          .join(broadcast(candidates), "token")
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * phiDen > lit(acc.n))
+          .as[(String, Long)].collect()
+      }
+    // materialized (<= k rows) before the landing dir is deleted
+    val walk = java.nio.file.Files.walk(landDir)
+    val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+    paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    spark.createDataset(result.toSeq).toDF("token", "cnt")
+  }
 }

@@ -294,4 +294,25 @@ class StreamOpsSpec extends AnyFunSuite {
     // far pairs (dist 6.5) must be pruned by theta=1.5
     assert(!rows.exists { case (s, r, _) => (s, r) == (1L, 200L) || (s, r) == (2L, 100L) })
   }
+
+  test("streaming heavy hitters: cross-batch sketch merge matches the batch operator") {
+    import spark.implicits._
+    // skewed corpus: "hot" dominates, "warm" sits just above the 1/5
+    // threshold only when ALL batches are counted — a dropped or
+    // partially-sketched micro-batch changes the verdict set
+    val docs = (1L to 30L).map { i =>
+      val toks = Seq.fill(3)("hot") ++ Seq("warm", s"cold$i", s"rare${i % 7}")
+      (i, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val batch = graft.operators.CorpusOps
+      .heavyHitters(df, phiDen = 5L, sketchSize = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val streamed = StreamOps
+      .replayHeavyHitters(spark, df, phiDen = 5L, sketchSize = 16,
+        numBatches = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must produce at least one heavy hitter")
+    assert(streamed == batch)
+  }
 }
