@@ -400,7 +400,10 @@ object SparkEntry {
       val rows =
         if (!enabled)
           Seq(("q_emd3d_pairs", 0L, 0L, true), ("q_emd3d_topk", 0L, 0L, true),
-            ("q_treeexact3d_pairs", 0L, 0L, true))
+            ("q_treeexact3d_pairs", 0L, 0L, true),
+            ("q_mrsim3d_pairs_vs_tree", 0L, 0L, true),
+            ("q_mrsim3d_pairs_vs_melody", 0L, 0L, true),
+            ("q_mrsim3d_topk_vs_tree", 0L, 0L, true))
         else {
           val hists = Fixtures.tripleHists(s, dir)
           val prep = MelodyJoin.prepareCached(s, hists, melodyCfg3d)
@@ -419,6 +422,16 @@ object SparkEntry {
           val topkMC = canon(MelodyJoin.topKJoinPrepared(
             s, prep, TopK, melodyCfg3d)).persist()
           val topkTC = canon(EmdJoins.treeExact3dTopK(hists, TopK)).persist()
+          // third physical strategy on the SAME exact-EMD config: the
+          // pivot-partition engine's 3-D LP pair/top-k sets, diffed
+          // against both other engines so all three are pairwise-verified
+          // (the reference's core claim is answer-equivalent engines,
+          // Join.java:42-131); oracle-checked at 1-D, witness-checked
+          // here at 3-D
+          val mrsimC = canon(MrSimJoin.thresholdJoin(
+            s, hists, Theta3d, melodyCfg3d)).persist()
+          val topkXC = canon(MrSimJoin.topKJoin(
+            s, hists, TopK, melodyCfg3d)).persist()
           def verdict(name: String, po: DataFrame, wo: DataFrame) = {
             val onlyP = po.exceptAll(wo).count()
             val onlyW = wo.exceptAll(po).count()
@@ -427,8 +440,11 @@ object SparkEntry {
           try Seq(
             verdict("q_emd3d_pairs", melodyC, treeC),
             verdict("q_emd3d_topk", topkMC, topkTC),
-            verdict("q_treeexact3d_pairs", treeC, melodyC))
-          finally Seq(melodyC, treeC, topkMC, topkTC)
+            verdict("q_treeexact3d_pairs", treeC, melodyC),
+            verdict("q_mrsim3d_pairs_vs_tree", mrsimC, treeC),
+            verdict("q_mrsim3d_pairs_vs_melody", mrsimC, melodyC),
+            verdict("q_mrsim3d_topk_vs_tree", topkXC, topkTC))
+          finally Seq(melodyC, treeC, topkMC, topkTC, mrsimC, topkXC)
             .foreach(_.unpersist(false))
         }
       rows.toDF("query", "only_primary", "only_witness", "engines_agree")
@@ -1736,7 +1752,10 @@ object SparkEntry {
         |       CAST(only_witness AS BIGINT) AS only_witness, engines_agree
         |FROM (VALUES ('q_emd3d_pairs', 0, 0, true),
         |             ('q_emd3d_topk', 0, 0, true),
-        |             ('q_treeexact3d_pairs', 0, 0, true))
+        |             ('q_treeexact3d_pairs', 0, 0, true),
+        |             ('q_mrsim3d_pairs_vs_tree', 0, 0, true),
+        |             ('q_mrsim3d_pairs_vs_melody', 0, 0, true),
+        |             ('q_mrsim3d_topk_vs_tree', 0, 0, true))
         |     t(query, only_primary, only_witness, engines_agree)""".stripMargin,
 
     "q_kmeans" -> KmeansSql,
