@@ -880,6 +880,30 @@ object SparkEntry {
       Dedup.keepBest(s, docs, edges)
     }),
 
+    // --- COMPOSED pretraining-data pipeline: quality gate -> exact
+    //     dedup -> minhash near-dup + keep-best -> pack sequences, each
+    //     stage the already-verified operator, chained. The output is the
+    //     survivors' packed-sequence assignment, whose global prefix sums
+    //     shift if ANY upstream stage admits or drops a different doc —
+    //     an interface mismatch between stages no per-operator oracle
+    //     can catch is a hash mismatch here. Oracle = the four component
+    //     CTE generators composed over the same staged corpus ---
+    "q_pipeline" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val gatedIds = CorpusOps.qualityGate(docs)
+        .filter(col("keep")).select(col("doc_id"))
+      val gated = docs.join(gatedIds, "doc_id")
+      val keeperIds = Dedup.exactDedup(gated)
+        .select(col("keeper").as("doc_id"))
+      val ddocs = gated.join(keeperIds, "doc_id")
+      val edges = Dedup.minhashLsh(s, ddocs, 0.5, numHashes = 32, bands = 16)
+        .select(col("rid"), col("sid"))
+      val bestIds = Dedup.keepBest(s, ddocs, edges)
+        .select(col("keeper").as("doc_id"))
+      val survivors = ddocs.join(bestIds, "doc_id")
+      CorpusOps.packSequences(survivors, maxLen = 512)
+    }),
+
     // --- brute-force cosine top-k (exact ANN baseline) ---
     "q_cosine_topk" -> ((s, dir) => {
       val embs = Fixtures.embeddings(s, dir)
@@ -2008,6 +2032,105 @@ object SparkEntry {
           |SELECT cluster, id AS keeper, cast(n_members AS BIGINT) AS n_members,
           |       cast(n_members - 1 AS BIGINT) AS n_dropped
           |FROM ranked WHERE rnk = 1""".stripMargin),
+
+    // The composed pipeline oracle replays each stage's already-proven
+    // CTE arithmetic over the staged corpus: quality-gate keeps (integer
+    // cross-multiplied thresholds) -> min-doc_id-per-fingerprint exact
+    // dedup -> exact shingle-Jaccard >= 0.5 edges (the q_minhash_pairs
+    // equality argument carries to any SUBSET of the corpus: fewer docs
+    // can only remove pairs, never push a qualifying pair's J down) ->
+    // recursive-CTE components + (round(score,6) DESC, id) keep-best ->
+    // doc_id-ordered 512-token packing of the survivors.
+    "q_pipeline" ->
+      """WITH RECURSIVE qt AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        |), qh AS (
+        |  SELECT doc_id, text, t,
+        |    len(t) AS n, len(list_distinct(t)) AS d,
+        |    len(list_filter(['the','and','of','to','in','is','with','for'],
+        |        m -> list_contains(list_distinct(t), m))) AS stops,
+        |    list_max(list_transform(list_distinct(t),
+        |        x -> len(list_filter(t, y -> y = x)))) AS m,
+        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
+        |         ELSE list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])
+        |    END AS g3
+        |  FROM qt
+        |), keepq AS (
+        |  SELECT doc_id FROM qh
+        |  WHERE n BETWEEN 15 AND 5000 AND d * 5 >= n * 2 AND stops >= 1
+        |    AND m * 5 <= n
+        |    AND (len(g3) - len(list_distinct(g3))) * 50 <= len(g3)
+        |), gated AS (
+        |  SELECT d.* FROM documents d JOIN keepq k ON k.doc_id = d.doc_id
+        |), keepers AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM gated GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |), ddocs AS (
+        |  SELECT g.* FROM gated g JOIN keepers k ON k.doc_id = g.doc_id
+        |), mtoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t, text FROM ddocs
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) < 3 THEN [text]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+        |    END AS s
+        |  FROM mtoks
+        |), mpairs AS (
+        |  SELECT a.doc_id AS rid, b.doc_id AS sid,
+        |         cast(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) AS i,
+        |         len(a.s) AS la, len(b.s) AS lb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |), e AS (
+        |  SELECT rid AS u, sid AS v FROM mpairs WHERE i / (la + lb - i) >= 0.5
+        |), bidir AS (
+        |  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM bidir
+        |  UNION
+        |  SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u
+        |), cl AS (
+        |  SELECT d.doc_id AS id,
+        |         least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
+        |  FROM ddocs d LEFT JOIN reach r ON r.u = d.doc_id
+        |  GROUP BY d.doc_id
+        |), sc AS (
+        |  SELECT doc_id,
+        |    round(least(cast(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
+        |                1.0) * 0.3 +
+        |          (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' '))) * 0.4 +
+        |          least((cast(len(list_filter(
+        |              ['the','and','of','to','in','is','with','for'],
+        |              m -> list_contains(list_distinct(string_split(text, ' ')),
+        |                                 m))) AS DOUBLE)
+        |                 / len(list_distinct(string_split(text, ' ')))) * 5.0,
+        |                1.0) * 0.3, 6) AS score
+        |  FROM ddocs
+        |), ranked AS (
+        |  SELECT cl.cluster, cl.id,
+        |    row_number() OVER (PARTITION BY cl.cluster
+        |                       ORDER BY sc.score DESC, cl.id) AS rnk
+        |  FROM cl JOIN sc ON sc.doc_id = cl.id
+        |), best AS (
+        |  SELECT id AS doc_id FROM ranked WHERE rnk = 1
+        |), survivors AS (
+        |  SELECT d.* FROM ddocs d JOIN best b ON b.doc_id = d.doc_id
+        |), sized AS (
+        |  SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM survivors
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
+        |  FROM sized
+        |)
+        |SELECT doc_id, n_tokens,
+        |       cast(s // 512 AS BIGINT) AS seq_start,
+        |       cast((s + n_tokens - 1) // 512 AS BIGINT) AS seq_end,
+        |       cast(s % 512 AS BIGINT) AS seq_offset
+        |FROM c""".stripMargin,
 
     // Exact 3-token-shingle Jaccard join: equals the minhash-LSH output
     // because candidates are verified with the exact shingle Jaccard and
