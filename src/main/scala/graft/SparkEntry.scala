@@ -141,6 +141,16 @@ object SparkEntry {
     // replication grows at this distribution; 24+ regresses
     sideNum = 16, numDuals = 4, numReductions = 4, reducedDim = 4)
 
+  /** [[melodyCfg3d]] with the grid sized to the corpus density
+    * (MelodyJoin.sideNumFor): sf0.01 and below stay at the floor
+    * side 6 (so gate-scale plans are unchanged), sf0.1 gets side 8 —
+    * 3.6x fewer candidate pairs and 2.2x fewer guest-replica shuffle
+    * rows for the identical (grid-invariant) result. tripleHists is
+    * session-cached, so the sizing count() is a cached-scan job. */
+  def melodyCfg3dFor(s: SparkSession, dir: String): MelodyJoin.Config =
+    melodyCfg3d.copy(sideNum =
+      MelodyJoin.sideNumFor(Fixtures.tripleHists(s, dir).count()))
+
   /** 3-D melody config over the unit-cube corner bins of tripleHists. */
   lazy val melodyCfg3d: MelodyJoin.Config = MelodyJoin.Config(
     dimension = 3,
@@ -345,9 +355,10 @@ object SparkEntry {
     //     corpus (Join.java:42-131) pays the grid/enrichment once ---
     "q_emd3d_pairs" -> ((s, dir) => {
       val hists = Fixtures.tripleHists(s, dir)
-      val prep = MelodyJoin.prepareCached(s, hists, melodyCfg3d)
+      val cfg3 = melodyCfg3dFor(s, dir)
+      val prep = MelodyJoin.prepareCached(s, hists, cfg3)
       crossCheckPairs(
-        MelodyJoin.thresholdJoinPrepared(s, prep, Theta3d, melodyCfg3d)
+        MelodyJoin.thresholdJoinPrepared(s, prep, Theta3d, cfg3)
           .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
         EmdJoins.treeExact3dThresholdJoin(hists, Theta3d),
         "q_emd3d_pairs",
@@ -364,7 +375,8 @@ object SparkEntry {
         EmdJoins.treeExact3dThresholdJoin(hists, Theta3d)
           .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
         MelodyJoin.thresholdJoinPrepared(s,
-          MelodyJoin.prepareCached(s, hists, melodyCfg3d), Theta3d, melodyCfg3d),
+          MelodyJoin.prepareCached(s, hists, melodyCfg3dFor(s, dir)),
+          Theta3d, melodyCfg3dFor(s, dir)),
         "q_treeexact3d_pairs",
         audit = simplexAudit3d(hists, "q_treeexact3d_pairs"))
     }),
@@ -375,9 +387,10 @@ object SparkEntry {
     //     must agree pair-for-pair) ---
     "q_emd3d_topk" -> ((s, dir) => {
       val hists = Fixtures.tripleHists(s, dir)
-      val prep = MelodyJoin.prepareCached(s, hists, melodyCfg3d)
+      val cfg3 = melodyCfg3dFor(s, dir)
+      val prep = MelodyJoin.prepareCached(s, hists, cfg3)
       crossCheckPairs(
-        MelodyJoin.topKJoinPrepared(s, prep, TopK, melodyCfg3d)
+        MelodyJoin.topKJoinPrepared(s, prep, TopK, cfg3)
           .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
         EmdJoins.treeExact3dTopK(hists, TopK),
         "q_emd3d_topk",
@@ -406,7 +419,8 @@ object SparkEntry {
             ("q_mrsim3d_topk_vs_tree", 0L, 0L, true))
         else {
           val hists = Fixtures.tripleHists(s, dir)
-          val prep = MelodyJoin.prepareCached(s, hists, melodyCfg3d)
+          val cfg3 = melodyCfg3dFor(s, dir)
+          val prep = MelodyJoin.prepareCached(s, hists, cfg3)
           def canon(df: DataFrame): DataFrame = df.select(
             least(col("rid"), col("sid")).as("a"),
             greatest(col("rid"), col("sid")).as("b"),
@@ -416,11 +430,11 @@ object SparkEntry {
           // directions of two verdict rows), and an unpersisted plan
           // would re-run its whole engine per count
           val melodyC = canon(MelodyJoin.thresholdJoinPrepared(
-            s, prep, Theta3d, melodyCfg3d)).persist()
+            s, prep, Theta3d, cfg3)).persist()
           val treeC = canon(EmdJoins.treeExact3dThresholdJoin(hists, Theta3d))
             .persist()
           val topkMC = canon(MelodyJoin.topKJoinPrepared(
-            s, prep, TopK, melodyCfg3d)).persist()
+            s, prep, TopK, cfg3)).persist()
           val topkTC = canon(EmdJoins.treeExact3dTopK(hists, TopK)).persist()
           // third physical strategy on the SAME exact-EMD config: the
           // pivot-partition engine's 3-D LP pair/top-k sets, diffed
@@ -429,9 +443,9 @@ object SparkEntry {
           // Join.java:42-131); oracle-checked at 1-D, witness-checked
           // here at 3-D
           val mrsimC = canon(MrSimJoin.thresholdJoin(
-            s, hists, Theta3d, melodyCfg3d)).persist()
+            s, hists, Theta3d, cfg3)).persist()
           val topkXC = canon(MrSimJoin.topKJoin(
-            s, hists, TopK, melodyCfg3d)).persist()
+            s, hists, TopK, cfg3)).persist()
           def verdict(name: String, po: DataFrame, wo: DataFrame) = {
             val onlyP = po.exceptAll(wo).count()
             val onlyW = wo.exceptAll(po).count()

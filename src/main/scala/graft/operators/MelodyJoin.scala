@@ -27,6 +27,33 @@ import graft.core._
   */
 object MelodyJoin {
 
+  /** Density-scaled grid resolution. A FIXED sideNum saturates as the
+    * corpus densifies: with a constant cell count, per-cell occupancy
+    * grows linearly in N and intra-cell candidate pairs quadratically
+    * (measured at sf0.1 / theta 0.0803: side 6 admits 5.67M candidate
+    * pairs for a 148.6k-pair output, side 8 admits 1.57M, side 10
+    * 745k — smaller scales sit at ~2-5x output). Keeping expected
+    * occupancy per projection grid roughly constant restores
+    * output-proportional candidate work: side = clamp(lo..hi,
+    * round(sqrt(n / targetPerCell))).
+    *
+    * targetPerCell=300 (side 8 at N=20k) was swept at sf0.1 against the
+    * full join wall time: finer grids buy their candidate cut with
+    * guest-ENUMERATION cost (the per-record envelope scan walks side^2
+    * cells per vector), so side 10 is ~15% slower than side 6 at
+    * local[32] even with 7.6x fewer candidates, while side 8 is within
+    * ~5% and still cuts candidates 3.6x and guest replication rows
+    * (the join's shuffle volume — what dominates on a 1000-executor
+    * network, not a single-box bench) 2.2x. The JOIN RESULT is
+    * grid-invariant — cell bounds only prune, soundly — so this tunes
+    * cost, never answers (pair/top-k sets verified identical at side
+    * 6 vs 10 at sf0.01 and sf0.1). hi=24 keeps packCombo's 16-bit
+    * per-vector cell budget (24^2 = 576) comfortable. */
+  def sideNumFor(n: Long, targetPerCell: Int = 300,
+                 lo: Int = 6, hi: Int = 24): Int =
+    math.max(lo, math.min(hi,
+      math.round(math.sqrt(n.toDouble / targetPerCell)).toInt))
+
   /** Engine configuration. Every stochastic choice is seed-explicit
     * (the reference's unseeded Random / first-two-hists duals are
     * reproducibility bugs we do not inherit — ReductionBound.java:11,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empirical scaling contract for the flagship engines, measured at
+  * sf0.001/sf0.01/sf0.1 with the engines' own counters (ScalingStats —
+  * the Prof counters aggregated cluster-side). The 100x-scale arguments
+  * elsewhere are design arguments; these assertions pin the measured
+  * curve so a regression in pruning/blocking fails `sbt test`:
+  *
+  *  - melody 3-D threshold join (density-sized grid, sideNumFor):
+  *    candidate pairs reaching the cascade and guest-replica shuffle
+  *    rows stay OUTPUT-PROPORTIONAL (<= small multiples of the true
+  *    result + a linear term), and candidates stay <= 1% of the naive
+  *    N^2/2 space at every scale — the fixed-radius/growing-density
+  *    regime makes the OUTPUT itself quadratic-trending, so
+  *    output-proportional is the strongest honest claim;
+  *  - residual IVF-PQ: the probe scans a bounded fraction of the
+  *    corpus (~nProbe/kCoarse, asserted <= 2x the ideal fraction to
+  *    absorb k-means imbalance) at every scale.
+  *
+  * Raw curve recorded in PLANS.md (JoinScalingCheck dump). */
+class ScalingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("scaling-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+    .map(s => s"/root/testdata/$s")
+    .filter(d => new java.io.File(d).isDirectory)
+
+  test("sideNumFor engages with density and respects the packing cap") {
+    assert(MelodyJoin.sideNumFor(200) == 6)     // floor at gate scales
+    assert(MelodyJoin.sideNumFor(2000) == 6)
+    assert(MelodyJoin.sideNumFor(20000) == 8)   // engages at sf0.1
+    assert(MelodyJoin.sideNumFor(200000) == 24) // ceiling (16-bit cells)
+  }
+
+  test("melody 3-D join: candidate pairs and guest replication stay output-proportional") {
+    assert(sfs.size >= 2, "need at least two generated scales")
+    val theta = 0.0803
+    sfs.foreach { dir =>
+      val hists = graft.sources.Fixtures.tripleHists(spark, dir)
+      val cfg = graft.SparkEntry.melodyCfg3d
+        .copy(sideNum = MelodyJoin.sideNumFor(hists.count()))
+      val m = ScalingStats.melody(spark, hists, cfg, theta)
+      val out = MelodyJoin.thresholdJoin(spark, hists, theta, cfg).count()
+      val naive = m.n * (m.n - 1) / 2
+      withClue(s"$dir n=${m.n} cand=${m.candPairs} guests=${m.guests} out=$out: ") {
+        // cascade work tracks the output, not the quadratic pair space
+        assert(m.candPairs <= 16L * out + 64L * m.n)
+        // shuffle volume (guest replicas) tracks the output too
+        assert(m.guests <= 8L * out + 32L * m.n)
+        // grid prune rejects >= 99% of the naive space before any
+        // per-pair work
+        assert(m.candPairs * 100L <= naive)
+      }
+    }
+  }
+
+  test("residual IVF-PQ probe scans a bounded corpus fraction at every scale") {
+    sfs.foreach { dir =>
+      val embs = graft.sources.Fixtures.embeddings(spark, dir)
+      val p = ScalingStats.ivfPq(spark, embs, kCoarse = 16, nProbe = 2)
+      withClue(s"$dir n=${p.n} probed=${p.probedRows}: ") {
+        assert(p.probedRows >= 1L, "probe must reach at least one member")
+        // <= 2x the ideal nProbe/kCoarse fraction (k-means imbalance slack)
+        assert(p.probedRows * p.kCoarse.toLong <=
+          2L * p.nProbe.toLong * p.n)
+      }
+    }
+  }
+}
