@@ -489,7 +489,11 @@ object SparkEntry {
     //     that ingestion order), so the hash gate checks actual streaming
     //     state execution, not just a batch re-declaration ---
     "q_stream_dedup" -> ((s, dir) => {
-      graft.streaming.StreamOps.replayExactDedup(s, Fixtures.documents(s, dir))
+      // 2 batches: cross-batch state carry still exercised (batch-1
+      // state serves batch-2 lookups) at half the per-batch commit
+      // cost; the 4-batch feed stays in StreamOpsSpec
+      graft.streaming.StreamOps.replayExactDedup(s,
+        Fixtures.documents(s, dir), numBatches = 2)
     }),
 
     // --- STREAMING near-dup, driver-visible: the corpus replays through
@@ -499,7 +503,7 @@ object SparkEntry {
     //     actual streaming bucket-state execution ---
     "q_stream_neardup" -> ((s, dir) => {
       graft.streaming.StreamOps.replayNearDup(s, Fixtures.documents(s, dir),
-        maxHamming = 7)
+        maxHamming = 7, numBatches = 2)
     }),
 
     // --- STREAMING heavy hitters, driver-visible: per micro-batch
@@ -511,7 +515,7 @@ object SparkEntry {
     //     dropped/replayed batch is a driver-visible hash mismatch ---
     "q_stream_heavy" -> ((s, dir) => {
       graft.streaming.StreamOps.replayHeavyHitters(s,
-        Fixtures.documents(s, dir), phiDen = 1000L)
+        Fixtures.documents(s, dir), phiDen = 1000L, numBatches = 2)
     }),
 
     // --- token counting + lexical stats ---
@@ -1166,7 +1170,7 @@ object SparkEntry {
     //     the same chained-window oracle as the batch twin ---
     "q_stream_funnel" -> ((s, dir) => {
       graft.streaming.StreamOps.replayFunnel(s, Fixtures.events(s, dir),
-        Seq("view", "click", "purchase"))
+        Seq("view", "click", "purchase"), numBatches = 2)
     }),
 
     // --- JSON property extraction over the event stream ---
