@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.sources.Fixtures
+import graft.sources.{BinaryScan, Fixtures}
 import graft.functions.{EmdCols, TextCols}
 import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew}
 
@@ -1068,6 +1068,42 @@ object SparkEntry {
         .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
     }),
 
+    // --- binary-file directory scan (the reference's local image-dir
+    //     acquisition path, EmdGenerate.java:117-172): materialize the
+    //     corpus' PPM payloads as one FILE per doc, re-read them with
+    //     Spark's binaryFile source (distributed listing, glob pushdown,
+    //     id parsed from the file name), decode through the real PPM
+    //     codec — same histogram contract and oracle as q_image_hist,
+    //     so a lost/misparsed/truncated file is a hash mismatch ---
+    "q_binary_scan" -> ((s, dir) => {
+      import s.implicits._
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val base =
+        if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val tmp = java.nio.file.Files.createTempDirectory(base, "graft-binscan")
+      val tmpStr = tmp.toString
+      Multimodal.withImagePayload(Fixtures.documents(s, dir))
+        .select(col("doc_id"), col("payload"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmpStr, s"${r.getLong(0)}.ppm"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      val rows = Multimodal.imageRedHist(s, BinaryScan.scan(s, tmpStr))
+        .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
+        .as[(Long, Long, Double)].collect()
+      // materialized (8 rows/doc) before the scan dir is deleted
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      s.createDataset(rows.toSeq).toDF("doc_id", "bin", "w")
+    }),
+
     // --- perceptual image hash (aHash) + exact perceptual-dup groups:
     //     decode -> 8x8 nearest-neighbor downsample -> mean-threshold
     //     bits (integer cross-multiplied, tie-free) -> 32-bit halves;
@@ -1782,6 +1818,29 @@ object SparkEntry {
         |  FROM q c JOIN pshort USING (id) CROSS JOIN qv
         |)
         |SELECT id, d2 FROM prr ORDER BY d2, id LIMIT 20""".stripMargin
+
+  /** Red-channel 8-bin PPM histogram replay: pixel i's red byte is text
+    * byte (3*i % len) (withImagePayload cycles UTF-8 bytes through the
+    * 16x16 RGB plane). Shared by q_image_hist and q_binary_scan (the
+    * same payloads round-tripped through files). */
+  private val ImageHistSql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id,
+      |         CASE WHEN length(d.text) = 0 THEN 0
+      |              ELSE ascii(substr(d.text,
+      |                ((3 * cast(r.range AS INTEGER)) % length(d.text)) + 1, 1))
+      |         END AS b
+      |  FROM documents d CROSS JOIN range(256) r
+      |), counts AS (
+      |  SELECT doc_id, b // 32 AS bin, cast(count(*) AS DOUBLE) AS c
+      |  FROM px GROUP BY 1, 2
+      |), dense AS (
+      |  SELECT d.doc_id, bb.bin, coalesce(c.c, 0.0) AS c
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  CROSS JOIN (SELECT cast(range AS BIGINT) AS bin FROM range(8)) bb
+      |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = bb.bin
+      |)
+      |SELECT doc_id, bin, round(c / 256.0, 6) AS w FROM dense""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // The LP rows themselves stay no_oracle (LP-EMD is not DuckDB-
@@ -2929,24 +2988,12 @@ object SparkEntry {
     // text mirrors the Spark fallback (Multimodal.withImagePayload):
     // a single zero source byte -> every pixel byte 0 (CASE guards the
     // modulo so a degenerate corpus can't divide by zero).
-    "q_image_hist" ->
-      """WITH px AS (
-        |  SELECT d.doc_id,
-        |         CASE WHEN length(d.text) = 0 THEN 0
-        |              ELSE ascii(substr(d.text,
-        |                ((3 * cast(r.range AS INTEGER)) % length(d.text)) + 1, 1))
-        |         END AS b
-        |  FROM documents d CROSS JOIN range(256) r
-        |), counts AS (
-        |  SELECT doc_id, b // 32 AS bin, cast(count(*) AS DOUBLE) AS c
-        |  FROM px GROUP BY 1, 2
-        |), dense AS (
-        |  SELECT d.doc_id, bb.bin, coalesce(c.c, 0.0) AS c
-        |  FROM (SELECT DISTINCT doc_id FROM documents) d
-        |  CROSS JOIN (SELECT cast(range AS BIGINT) AS bin FROM range(8)) bb
-        |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = bb.bin
-        |)
-        |SELECT doc_id, bin, round(c / 256.0, 6) AS w FROM dense""".stripMargin,
+    "q_image_hist" -> ImageHistSql,
+
+    // the binary-file scan re-reads the SAME deterministic PPM payloads
+    // from disk, so the q_image_hist byte arithmetic is its oracle too —
+    // any file lost in the directory round-trip drops 8 rows and fails
+    "q_binary_scan" -> ImageHistSql,
 
     // aHash replay: 8x8 pixel i sits at (y,x)=(i//8,i%8); nearest-neighbor
     // picks source pixel (2y,2x) whose red byte index is 3*(32y+2x), so
