@@ -658,6 +658,35 @@ object SparkEntry {
         .select(round(col("q"), 6).as("q"), col("n"), col("rank_ok"))
     }),
 
+    // --- bloom-filter semi-join pre-filter audit: build one bloom over
+    //     the urgent-order keys, drop lineitem rows map-side BEFORE the
+    //     join shuffle; false_negatives pinned 0 (blooms never drop a
+    //     true match), fp count pinned inside the capacity/fpp envelope ---
+    "q_bloom_join" -> ((s, dir) => {
+      SketchOps.bloomJoinAudit(
+        Fixtures.lineitem(s, dir), col("l_orderkey"),
+        Fixtures.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("o_orderkey"))
+    }),
+
+    // --- count-min sketch frequency audit: Spark-native mergeable CMS
+    //     aggregate probed for the stopword list next to exact counts;
+    //     never-underestimates is exact, the overestimate is pinned
+    //     inside slack*eps*N ---
+    "q_cms_audit" -> ((s, dir) => {
+      val toks = Fixtures.documents(s, dir)
+        .select(explode(TextCols.tokens(col("text"))).as("token"))
+      SketchOps.cmsAudit(toks, "token",
+        Seq("the", "and", "of", "to", "in", "is", "with", "for"))
+    }),
+
+    // --- deterministic train/val/test split: md5-bucket thresholds,
+    //     map-side and stable under corpus growth (a doc's split never
+    //     changes when other docs arrive — the holdout property) ---
+    "q_data_split" -> ((s, dir) => {
+      CorpusOps.dataSplit(Fixtures.documents(s, dir))
+    }),
+
     // --- Z-order (Morton) layout key over (l_partkey, l_suppkey): the
     //     write-side data-skipping primitive — the dumped column is the
     //     pure-integer interleave key zOrderLayout range-partitions on
@@ -2312,6 +2341,42 @@ object SparkEntry {
         |)
         |SELECT source, count(DISTINCT token) AS n_distinct, TRUE AS hll_ok
         |FROM toks GROUP BY 1""".stripMargin,
+
+    // the bloom audit's exact half: distinct urgent keys, big-side row
+    // count, semi-join match count; the filter's guarantees (no false
+    // negatives, fp inside the fpp envelope) are the pinned literals
+    "q_bloom_join" ->
+      """WITH k AS (
+        |  SELECT DISTINCT o_orderkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT (SELECT count(*) FROM lineitem) AS n_big,
+        |       (SELECT count(*) FROM lineitem l
+        |        JOIN k ON l.l_orderkey = k.o_orderkey) AS n_true,
+        |       CAST(0 AS BIGINT) AS false_negatives,
+        |       TRUE AS fp_ok""".stripMargin,
+
+    "q_cms_audit" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |), p AS (
+        |  SELECT unnest(['the','and','of','to','in','is','with','for']) AS token
+        |)
+        |SELECT p.token, cast(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+        |       TRUE AS cms_ok
+        |FROM p LEFT JOIN (SELECT token, count(*) AS cnt FROM toks
+        |                  GROUP BY 1) c ON c.token = p.token""".stripMargin,
+
+    // same md5-bucket arithmetic as the sampling oracles; thresholds are
+    // integer literals so membership is exact in both engines
+    "q_data_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 3435973837 THEN 'train'
+        |       WHEN b < 3865470566 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5('split:' || cast(doc_id AS VARCHAR)),
+        |                        1, 8))::BIGINT AS b
+        |      FROM documents)""".stripMargin,
 
     // n = count(value): quantileAudit counts NON-NULL values only (the
     // percentile/rank aggregates ignore nulls) and returns ZERO rows on

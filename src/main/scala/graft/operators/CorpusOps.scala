@@ -58,6 +58,32 @@ object CorpusOps {
     docs.filter(bucket < floor(rate * lit(4294967296L)).cast("long"))
   }
 
+  /** Deterministic train/val/test assignment: each row's 32-bit md5
+    * bucket of "split:<id>" lands in a fixed integer range — map-side,
+    * shuffle-free, and STABLE under corpus growth (a doc's split never
+    * changes when other docs arrive or depart, the property random
+    * assignment and row_number slicing both lack; the holdout stays a
+    * holdout across pipeline re-runs). Thresholds are integer literals
+    * (~80% / ~90% of 2^32), so membership is exact integer comparison
+    * in both engines — no FP boundary.
+    *
+    * Output: (id, split) with split in {train, val, test}. */
+  def dataSplit(docs: DataFrame,
+                idCol: String = "doc_id",
+                thresholds: Seq[(String, Long)] = Seq(
+                  "train" -> 3435973837L, "val" -> 3865470566L),
+                lastName: String = "test"): DataFrame = {
+    require(thresholds.nonEmpty &&
+      thresholds.map(_._2) == thresholds.map(_._2).sorted,
+      s"dataSplit: thresholds must ascend: $thresholds")
+    val bucket = TextCols.md5Bits32(
+      concat(lit("split:"), col(idCol).cast("string")))
+    val split = thresholds.foldRight(lit(lastName): Column) {
+      case ((nm, th), acc) => when(bucket < lit(th), lit(nm)).otherwise(acc)
+    }
+    docs.select(col(idCol), split.as("split"))
+  }
+
   /** Fixed-size deterministic per-group sample: the n rows with the
     * smallest md5("<group>:<id>") per group — the fixed-budget companion
     * to the rate-based stratifiedSample ("give me exactly 10k docs per

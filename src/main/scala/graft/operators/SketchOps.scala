@@ -85,6 +85,92 @@ object SketchOps {
     spark.createDataFrame(rows).toDF("q", "n", "rank_ok")
   }
 
+  /** Bloom-filter semi-join audit — the broadcast pre-filter that cuts
+    * a big-table shuffle before an equijoin, with its guarantees pinned
+    * to the oracle.
+    *
+    * At 100 TB this is the shape that matters: build one bloom over the
+    * (small) key side — a distributed aggregate whose result is a few
+    * MB regardless of big-side size — broadcast it, and drop big-side
+    * rows map-side BEFORE the join shuffle. Spark's own runtime
+    * row-level filtering does this opportunistically; here it is an
+    * explicit, audited operator:
+    *
+    *  - `false_negatives` is pinned 0 — a bloom filter NEVER drops a
+    *    true match (the correctness half, exact by construction;
+    *    a hash mismatch here means the pre-filter broke the join);
+    *  - `fp_ok` asserts the false-positive count stays within
+    *    `slack * fpp * nonMatching + 64` — the capacity/fpp envelope
+    *    (a silently overloaded filter passes everything and the
+    *    "optimization" quietly dies; this makes that driver-visible).
+    *
+    * Output: one row (n_big, n_true, false_negatives, fp_ok). */
+  def bloomJoinAudit(big: DataFrame, bigKey: Column,
+                     keys: DataFrame, keyCol: Column,
+                     fpp: Double = 0.03, slack: Double = 3.0): DataFrame = {
+    val spark = big.sparkSession
+    import spark.implicits._
+    val keyDs = keys.select(keyCol.cast("long").as("k")).distinct()
+    val nKeys = math.max(keyDs.count(), 1L)
+    val bloom = keys.stat.bloomFilter(keyCol, nKeys, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val bigK = big.select(bigKey.cast("long").as("k"))
+    val nBig = bigK.count()
+    // the pre-filter itself: map-side, no shuffle, no driver data
+    val passed = bigK.as[Long]
+      .mapPartitions { it =>
+        val b = bloomB.value
+        it.filter(b.mightContainLong)
+      }.toDF("k")
+    val nPass = passed.count()
+    val nTrue = bigK.join(broadcast(keyDs), Seq("k"), "left_semi").count()
+    val nTruePass = passed.join(broadcast(keyDs), Seq("k"), "left_semi").count()
+    val falseNegatives = nTrue - nTruePass
+    val fpBudget =
+      math.ceil(slack * fpp * math.max(nBig - nTrue, 1L).toDouble).toLong + 64L
+    spark.createDataFrame(Seq(
+        (nBig, nTrue, falseNegatives, nPass - nTruePass <= fpBudget)))
+      .toDF("n_big", "n_true", "false_negatives", "fp_ok")
+  }
+
+  /** Count-Min sketch frequency audit over a token column.
+    *
+    * `count_min_sketch` is a Spark-native partial aggregate (map-side
+    * mergeable, one small binary per partition up the tree — the
+    * streaming-friendly cousin of the Misra–Gries exact path in
+    * [[graft.core.MisraGries]]). The audit queries the sketch for a
+    * fixed probe list and checks both published guarantees against
+    * exact counts computed in the same pass structure:
+    *
+    *  - CMS NEVER underestimates (est >= exact, deterministic);
+    *  - est <= exact + eps * N with probability >= confidence; the
+    *    envelope uses `slack * eps * N` so a correct sketch cannot
+    *    flake the gate while a broken one still trips it.
+    *
+    * Output: one row per probe — (token, cnt BIGINT exact, cms_ok). */
+  def cmsAudit(toks: DataFrame, tokenCol: String, probes: Seq[String],
+               eps: Double = 0.0005, confidence: Double = 0.99,
+               seed: Int = 42, slack: Double = 4.0): DataFrame = {
+    require(probes.nonEmpty, "cmsAudit: empty probe list")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val bytes = toks
+      .agg(expr(s"count_min_sketch($tokenCol, ${eps}d, ${confidence}d, $seed)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = toks.filter(col(tokenCol).isin(probes: _*))
+      .groupBy(col(tokenCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = math.ceil(slack * eps * cms.totalCount().toDouble).toLong
+    val rows = probes.map { p =>
+      val e = exact.getOrElse(p, 0L)
+      val est = cms.estimateCount(p)
+      (p, e, est >= e && est - e <= budget)
+    }
+    spark.createDataset(rows).toDF("token", "cnt", "cms_ok")
+  }
+
   /** Does the estimate's exact rank window [ltCount+1, leCount]
     * intersect the target window [(q-eps)*n, (q+eps)*n]? Factored pure
     * so the envelope is directly falsifiable in specs (the DataFrame

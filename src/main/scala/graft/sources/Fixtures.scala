@@ -33,6 +33,9 @@ object Fixtures {
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
 
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 

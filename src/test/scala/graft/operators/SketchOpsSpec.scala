@@ -90,4 +90,46 @@ class SketchOpsSpec extends AnyFunSuite {
       SketchOps.quantileAudit(df, col("x"), Seq(0.0, 0.5))
     }
   }
+
+  test("bloomJoinAudit: zero false negatives, exact counts, fp inside envelope") {
+    import spark.implicits._
+    val keys = (0L until 500L).map(_ * 7L).toDF("k")
+    // big side: every key matches twice, plus 20k non-matching rows
+    val big = ((0L until 500L).map(_ * 7L) ++ (0L until 500L).map(_ * 7L) ++
+      (100000L until 120000L)).toDF("b")
+    val r = SketchOps.bloomJoinAudit(big, col("b"), keys, col("k")).head()
+    assert(r.getLong(0) == 21000L)          // n_big
+    assert(r.getLong(1) == 1000L)           // n_true (each key twice)
+    assert(r.getLong(2) == 0L)              // a bloom never drops a match
+    assert(r.getBoolean(3))                 // fp inside 3*fpp*nonMatching+64
+  }
+
+  test("cmsAudit: exact counts, never underestimates, zero-count probes covered") {
+    import spark.implicits._
+    val toks = (Seq.fill(1000)("hot") ++ (0 until 5000).map(i => s"t$i")
+      ++ Seq.fill(3)("warm")).toDF("token")
+    val out = SketchOps.cmsAudit(toks, "token", Seq("hot", "warm", "absent"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("hot") == (1000L, true))
+    assert(out("warm") == (3L, true))
+    assert(out("absent") == (0L, true))     // absent probe: cnt 0, est >= 0
+  }
+
+  test("dataSplit: total coverage, growth-stable assignment, integer thresholds") {
+    import spark.implicits._
+    val docs = (1L to 2000L).toDF("doc_id")
+    val full = CorpusOps.dataSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.size == 2000)
+    val frac = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    // md5 buckets are uniform: 80/10/10 within generous tolerance
+    assert(frac("train") > 1500 && frac("train") < 1700, frac)
+    assert(frac("val") > 120 && frac("val") < 280, frac)
+    assert(frac("test") > 120 && frac("test") < 280, frac)
+    // THE holdout property: a doc's split is a pure function of its id —
+    // unchanged when the rest of the corpus changes
+    val subset = CorpusOps.dataSplit((1L to 100L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, sp) => assert(full(id) == sp) }
+  }
 }
