@@ -687,6 +687,19 @@ object SparkEntry {
       CorpusOps.dataSplit(Fixtures.documents(s, dir))
     }),
 
+    // --- windowed co-occurrence counts (PMI/word-vector corpus stat):
+    //     per-row pair derivation, one map-side-combined aggregation ---
+    "q_cooccur" -> ((s, dir) => {
+      CorpusOps.cooccurrence(Fixtures.documents(s, dir), window = 3, k = 25)
+    }),
+
+    // --- BM25-shaped retrieval: TF-saturation scoring with the
+    //     log-free bitlen idf (engine-exact; fixed-order term sum) ---
+    "q_bm25_topk" -> ((s, dir) => {
+      TfIdf.bm25TopK(Fixtures.documents(s, dir),
+        Seq("spark", "table", "join"))
+    }),
+
     // --- Z-order (Morton) layout key over (l_partkey, l_suppkey): the
     //     write-side data-skipping primitive — the dumped column is the
     //     pure-integer interleave key zOrderLayout range-partitions on
@@ -2366,6 +2379,65 @@ object SparkEntry {
         |       TRUE AS cms_ok
         |FROM p LEFT JOIN (SELECT token, count(*) AS cnt FROM toks
         |                  GROUP BY 1) c ON c.token = p.token""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS tok
+        |  FROM toks
+        |), pr AS (
+        |  SELECT least(a.tok, b.tok) AS ta, greatest(a.tok, b.tok) AS tb
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3
+        |)
+        |SELECT ta, tb, count(*) AS cnt FROM pr GROUP BY 1, 2
+        |ORDER BY cnt DESC, ta, tb LIMIT 25""".stripMargin,
+
+    // mirrors TfIdf.bm25TopK term by term: integer tf/dl/df/N, one
+    // shared avgdl division, bitlen idf (length(bin(N//df)) — `ln` is
+    // not cross-engine ulp-stable, bitlen is exact), addends summed in
+    // the same fixed query order so the doubles are bit-identical
+    "q_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |         sum(CASE WHEN token = 'spark' THEN 1 ELSE 0 END) AS tf0,
+        |         sum(CASE WHEN token = 'table' THEN 1 ELSE 0 END) AS tf1,
+        |         sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END) AS tf2
+        |  FROM toks GROUP BY 1
+        |), st AS (
+        |  SELECT count(*) AS n,
+        |         cast(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM agg
+        |), df AS (
+        |  SELECT count(DISTINCT CASE WHEN token = 'spark' THEN doc_id END) AS df0,
+        |         count(DISTINCT CASE WHEN token = 'table' THEN doc_id END) AS df1,
+        |         count(DISTINCT CASE WHEN token = 'join' THEN doc_id END) AS df2
+        |  FROM toks
+        |), sc AS (
+        |  SELECT a.doc_id,
+        |    (CASE WHEN df0 = 0 THEN 0
+        |          ELSE length(bin(n // df0)) END)
+        |      * (cast(tf0 AS DOUBLE) /
+        |         (cast(tf0 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * cast(dl AS DOUBLE) / avgdl))) +
+        |    (CASE WHEN df1 = 0 THEN 0
+        |          ELSE length(bin(n // df1)) END)
+        |      * (cast(tf1 AS DOUBLE) /
+        |         (cast(tf1 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * cast(dl AS DOUBLE) / avgdl))) +
+        |    (CASE WHEN df2 = 0 THEN 0
+        |          ELSE length(bin(n // df2)) END)
+        |      * (cast(tf2 AS DOUBLE) /
+        |         (cast(tf2 AS DOUBLE) +
+        |          1.2 * (0.25 + 0.75 * cast(dl AS DOUBLE) / avgdl))) AS score
+        |  FROM agg a CROSS JOIN st CROSS JOIN df
+        |)
+        |SELECT doc_id, round(score, 6) AS score FROM sc
+        |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin,
 
     // same md5-bucket arithmetic as the sampling oracles; thresholds are
     // integer literals so membership is exact in both engines

@@ -58,6 +58,51 @@ object CorpusOps {
     docs.filter(bucket < floor(rate * lit(4294967296L)).cast("long"))
   }
 
+  /** Windowed token co-occurrence counts — the corpus statistic behind
+    * PMI-style vocabulary filtering and word-vector training: every
+    * position pair (i, j) with 1 <= j - i <= window contributes one
+    * count to the LEXICOGRAPHICALLY canonical unordered token pair;
+    * output is the top k pairs by (cnt DESC, ta, tb).
+    *
+    * Shape at 100 TB: pairs derive PER ROW in a plain mapPartitions
+    * loop over the split array (a positions self-join would shuffle
+    * every token occurrence twice; an HOF lambda would evaluate
+    * interpreted per element — the pqEncode precedent), then ONE hash
+    * aggregation with map-side combine over (ta, tb); the shuffle
+    * carries distinct pairs per partition, not occurrences. Top-k is
+    * TakeOrderedAndProject. ASCII corpus => Java's UTF-16 compare and
+    * DuckDB's binary collation order pairs identically
+    * (FixtureContractSpec). */
+  def cooccurrence(docs: DataFrame, window: Int = 3, k: Int = 25,
+                   textCol: String = "text"): DataFrame = {
+    require(window >= 1 && k >= 1, s"cooccurrence: window=$window k=$k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = widen(docs).select(col(textCol)).as[String]
+      .mapPartitions { it =>
+        it.flatMap { text =>
+          // split(" ", -1) keeps empty fields exactly like the oracle's
+          // string_split
+          val t = text.split(" ", -1)
+          val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+          var i = 0
+          while (i < t.length) {
+            var j = i + 1
+            val jmax = math.min(t.length - 1, i + window)
+            while (j <= jmax) {
+              if (t(i) <= t(j)) buf += ((t(i), t(j)))
+              else buf += ((t(j), t(i)))
+              j += 1
+            }
+            i += 1
+          }
+          buf
+        }
+      }.toDF("ta", "tb")
+    pairs.groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ta"), col("tb")).limit(k)
+  }
+
   /** Deterministic train/val/test assignment: each row's 32-bit md5
     * bucket of "split:<id>" lands in a fixed integer range — map-side,
     * shuffle-free, and STABLE under corpus growth (a doc's split never

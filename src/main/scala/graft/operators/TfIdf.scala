@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Caching._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,5 +144,64 @@ object TfIdf {
     } finally {
       w.unpersist(false)
     }
+  }
+
+  /** BM25-shaped query->document retrieval, engine-exact.
+    *
+    * The TF-saturation core is textbook BM25: per query term t,
+    * tf_t / (tf_t + k1 * (1 - b + b * dl / avgdl)). The idf weight is
+    * the repo's log-free integer form — bitlen(N / df_t) (length of the
+    * binary expansion; `length(bin(x))` in DuckDB) — because `ln` is
+    * not guaranteed last-ulp-identical across engines while bitlen is
+    * exact in both (the lm-surprisal precedent). Per-term addends are
+    * summed in FIXED query order in both engines, so the doubles are
+    * bit-identical: integer tf/dl/df/N in, one shared avgdl division,
+    * same literal constants, same expression tree.
+    *
+    * Shape at 100 TB: ONE token-filtered aggregation builds (dl, tf_t)
+    * per document — the filter prunes the explode to query terms plus
+    * the doc-length count, no vocabulary shuffle; df/N/avgdl are an
+    * O(|terms|) driver map; scoring is a codegen projection; top-k is
+    * TakeOrderedAndProject. A query SERVICE would precompute (dl, tf)
+    * postings once and reuse them per query — this is the single-query
+    * scan form.
+    *
+    * Output: (doc_id, score) top-k by (round(score, 6) DESC, doc_id). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"bm25TopK: terms must be non-empty and distinct: $terms")
+    val toks = CorpusOps.widen(docs).select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextCols.tokens(col(textCol))).as("token"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    val agg = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    // O(|terms|) driver stats: N, avgdl, df per term
+    val statAggs: Seq[Column] =
+      countDistinct(col("doc_id")).as("n") +:
+      (count(lit(1)).cast("double") /
+        countDistinct(col("doc_id"))).as("avgdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        countDistinct(when(col("token") === t, col("doc_id"))).as(s"df$i")
+      }
+    val dfRow = toks.agg(statAggs.head, statAggs.tail: _*).head()
+    val n = dfRow.getLong(0)
+    val avgdl = dfRow.getDouble(1)
+    val weights = terms.indices.map { i =>
+      val df = dfRow.getLong(2 + i)
+      if (df == 0L) 0L else java.lang.Long.toBinaryString(n / df).length.toLong
+    }
+    val kTerm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") / lit(avgdl))
+    val score = terms.indices.map { i =>
+      lit(weights(i)) * (col(s"tf$i").cast("double") /
+        (col(s"tf$i").cast("double") + kTerm))
+    }.reduce(_ + _) // fixed left-assoc query order, mirrored in the oracle
+    agg.select(col("doc_id"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 }

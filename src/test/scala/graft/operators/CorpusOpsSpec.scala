@@ -746,4 +746,46 @@ class CorpusOpsSpec extends AnyFunSuite {
       CorpusOps.heavyHitters(docs, phiDen = 1000L, sketchSize = 512)
     }
   }
+
+  test("cooccurrence: window semantics, canonical pair order, brute-force equality") {
+    import spark.implicits._
+    val in = Seq((1L, "b a b c"), (2L, "a a")).toDF("doc_id", "text")
+    // window=1 adjacent pairs: (b,a) (a,b) (b,c) + (a,a) -> canonical
+    val got = CorpusOps.cooccurrence(in, window = 1, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "b", 2L), ("a", "a", 1L), ("b", "c", 1L)))
+    // window=3 brute force over a slightly bigger corpus
+    val corpus = Seq((1L, "x y z x y"), (2L, "z z y"), (3L, "q"))
+    val want = corpus.flatMap { case (_, text) =>
+      val t = text.split(" ", -1)
+      for {
+        i <- t.indices; j <- (i + 1) to math.min(t.length - 1, i + 3)
+      } yield if (t(i) <= t(j)) (t(i), t(j)) else (t(j), t(i))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got3 = CorpusOps.cooccurrence(corpus.toDF("doc_id", "text"),
+        window = 3, k = 100).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got3 == want)
+  }
+
+  test("bm25TopK: saturation ranking, absent terms drop out, deterministic ties") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "spark spark spark join pad pad pad pad"),
+      (2L, "spark join table pad pad pad pad pad"),   // all 3 terms
+      (3L, "pad pad pad pad pad pad pad pad"),
+      (4L, "spark join table pad pad pad pad pad")    // tie with doc 2
+    ).toDF("doc_id", "text")
+    val rows = TfIdf.bm25TopK(in, Seq("spark", "table", "join"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // docs with every query term beat the one-term-heavy doc (tf
+    // saturates); the no-term doc scores 0 and sorts last by doc_id
+    assert(rows.map(_._1).take(2).toSet == Set(2L, 4L))
+    assert(rows(0)._1 == 2L && rows(1)._1 == 4L, "ties break by doc_id")
+    assert(rows(0)._2 == rows(1)._2)
+    assert(rows.last._1 == 3L && rows.last._2 == 0.0)
+    // absent-everywhere term contributes weight 0, not a crash
+    val absent = TfIdf.bm25TopK(in, Seq("zzz"), k = 2).collect()
+    assert(absent.forall(_.getDouble(1) == 0.0))
+  }
 }
