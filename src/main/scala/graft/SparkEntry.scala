@@ -1533,34 +1533,93 @@ object SparkEntry {
   private val TreeF3dSql =
     "sum(h.w) * (CASE lv.span WHEN 4 THEN 0.25 WHEN 2 THEN 0.25 ELSE 0.5 END)"
 
-  /** Pair distances as difference-of-prefix-sums — the same arithmetic
-    * shape as the Spark scalar-cums banded join (EmdJoins), so doubles
-    * match bit-for-bit. */
-  private val EmdCtePrefix: String =
+  /** Banded 1-D EMD oracle generator — the [[treeEmdOracle]] idiom for
+    * the two 1-D arithmetic shapes. The naive forms aggregate N^2/2
+    * pair groups in DuckDB (the dominant term of the sf0.1 checker's
+    * 96.6 GB peak and ~4-10 min per query); this form bands first and
+    * computes each shape's distance per candidate row from a per-id
+    * LIST, preserving the FP shape exactly:
+    *
+    *  - prefixShape=true (q_emd1d/q_melody1d): dist = sum over bins<7 of
+    *    |cw_a - cw_b| — the scalar-cums shape, same values as the old
+    *    `sum(abs(a.cw - b.cw))` aggregate;
+    *  - prefixShape=false (mrsim's kernel): dist = sum over all 8 bins
+    *    of |running sum of (w_a - w_b)| — the cum-of-differences shape;
+    *    the inner list_sum re-adds d_1..d_b left-to-right, the exact
+    *    addition sequence of the kernel's running fold, so the doubles
+    *    stay bit-identical (the two CTE forms are FP-DISTINCT and must
+    *    not be swapped — CLAUDE.md rule 1).
+    *
+    * Band key: s = SUM of the per-id prefix sums with ALL-PLUS signs —
+    * |Δs| <= Σ|Δcw| <= dist for any fixed sign pattern, and 1-D EMD
+    * cum-differences are monotone-correlated, so the alternating
+    * pattern cancels (76% survivors) while all-plus separates (20%,
+    * measured at sf0.1; end-to-end 8.7s/20.3s vs minutes). Top-k caps
+    * come from the consecutive-id sample's k-th distance + 2e-6
+    * (rounding-bucket margin), threshold caps are tau + 1e-6 FP slack;
+    * the final raw `dist <= tau` filter / rounded order is unchanged. */
+  private def emd1dOracle(prefixShape: Boolean, topK: Option[Int],
+                          tau: Double): String = {
+    val vecCte =
+      if (prefixShape)
+        """, vec AS (
+          |  SELECT id, list(cw ORDER BY bin) AS v
+          |  FROM cum WHERE bin < 7 GROUP BY id
+          |)""".stripMargin
+      else
+        """, vec AS (
+          |  SELECT id, list(w ORDER BY bin) AS v FROM hist GROUP BY id
+          |)""".stripMargin
+    def distExpr(a: String, b: String): String =
+      if (prefixShape)
+        s"list_sum(list_transform(range(1, 8), i -> abs($a.v[i] - $b.v[i])))"
+      else
+        s"""list_sum(list_transform(range(1, 9), bb ->
+           |      abs(list_sum(list_transform(range(1, bb + 1),
+           |        i -> $a.v[i] - $b.v[i])))))""".stripMargin
+    val capCte = topK match {
+      case Some(k) =>
+        s""", ord AS (
+           |  SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM vec
+           |), sampd AS (
+           |  SELECT ${distExpr("x", "y")} AS dist
+           |  FROM ord x JOIN ord y ON y.rn = x.rn + 1
+           |), cap AS (
+           |  SELECT CASE WHEN count(*) >= $k THEN max(dist) + 2e-6 ELSE 1e18 END AS ub
+           |  FROM (SELECT dist FROM sampd ORDER BY dist LIMIT $k)
+           |)""".stripMargin
+      case None => s", cap AS (SELECT $tau + 1e-6 AS ub)"
+    }
+    val finalSel = topK match {
+      case Some(k) =>
+        s"""SELECT rid, sid, round(dist, 6) AS dist FROM emds
+           |ORDER BY round(dist, 6), rid, sid LIMIT $k""".stripMargin
+      case None =>
+        s"""SELECT rid, sid, round(dist, 6) AS dist FROM emds
+           |WHERE dist <= $tau""".stripMargin
+    }
     HistCte +
       """, cum AS (
         |  SELECT id, bin, sum(w) OVER (PARTITION BY id ORDER BY bin) AS cw
         |  FROM hist
-        |), emds AS (
-        |  SELECT a.id AS rid, b.id AS sid, sum(abs(a.cw - b.cw)) AS dist
-        |  FROM cum a JOIN cum b ON a.bin = b.bin AND a.id < b.id
-        |  WHERE a.bin < 7 GROUP BY 1, 2
-        |)""".stripMargin
-
-  /** Pair distances as cumulative-sum-of-differences — the arithmetic
-    * shape of the melody/mrsim cascade kernel (Config.proj1dEmd). */
-  private val EmdCte: String =
-    HistCte +
-      """, diffs AS (
-        |  SELECT a.id AS rid, b.id AS sid, a.bin AS bin, a.w - b.w AS d
-        |  FROM hist a JOIN hist b ON a.bin = b.bin AND a.id < b.id
-        |), cums AS (
-        |  SELECT rid, sid,
-        |         sum(d) OVER (PARTITION BY rid, sid ORDER BY bin) AS cum
-        |  FROM diffs
-        |), emds AS (
-        |  SELECT rid, sid, sum(abs(cum)) AS dist FROM cums GROUP BY rid, sid
-        |)""".stripMargin
+        |), bkey AS (
+        |  SELECT id, sum(cw) AS s FROM cum WHERE bin < 7 GROUP BY id
+        |)""".stripMargin +
+      vecCte + capCte +
+      s""", cand AS (
+         |  SELECT a.id AS rid, b.id AS sid
+         |  FROM bkey a JOIN bkey b
+         |    ON a.id < b.id
+         |   AND a.s <= b.s + (SELECT ub FROM cap)
+         |   AND b.s <= a.s + (SELECT ub FROM cap)
+         |), emds AS (
+         |  SELECT c.rid, c.sid, ${distExpr("x", "y")} AS dist
+         |  FROM cand c
+         |  JOIN vec x ON x.id = c.rid
+         |  JOIN vec y ON y.id = c.sid
+         |)
+         |""".stripMargin + finalSel
+  }
 
   /** Simhash signature + all-pairs Hamming CTEs, shared by the pair join
     * oracle and the connected-components clustering oracle. */
@@ -1916,9 +1975,7 @@ object SparkEntry {
       (HistCte +
         " SELECT id, cast(bin AS BIGINT) AS bin, round(w, 6) AS w FROM hist"),
 
-    "q_emd1d_pairs" ->
-      (EmdCtePrefix +
-        s" SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= $Theta"),
+    "q_emd1d_pairs" -> emd1dOracle(prefixShape = true, None, Theta),
 
     // cum-of-differences form: the native Emd1d kernel folds
     // run += a(i)-b(i); tot += |run|, which is the EmdCte arithmetic
@@ -1938,21 +1995,14 @@ object SparkEntry {
            |) SELECT rid, sid, round(dist, 6) AS dist FROM emds
            | WHERE dist <= $Theta""".stripMargin),
 
-    "q_emd1d_topk" ->
-      (EmdCtePrefix +
-        s""" SELECT rid, sid, round(dist, 6) AS dist FROM emds
-           | ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
+    "q_emd1d_topk" -> emd1dOracle(prefixShape = true, Some(TopK), Theta),
 
     // prefix-sum-difference form: the melody 1-D columnar path carries
     // per-side running sums (the q_emd1d scalar-cums shape), which is
     // FP-distinct from the cum-of-differences form mrsim's kernel uses
-    "q_melody1d_pairs" ->
-      (EmdCtePrefix +
-        s" SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= $Theta"),
+    "q_melody1d_pairs" -> emd1dOracle(prefixShape = true, None, Theta),
 
-    "q_mrsim1d_pairs" ->
-      (EmdCte +
-        s" SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= $Theta"),
+    "q_mrsim1d_pairs" -> emd1dOracle(prefixShape = false, None, Theta),
 
     // Mirrors the Spark embedding exactly: per dyadic level (span 4/2/1),
     // per node, feature = span * node mass; distance = sum of abs diffs
@@ -1976,10 +2026,7 @@ object SparkEntry {
     "q_treeemd3d_topk" ->
       treeEmdOracle(Hist3Cte, TreeF3dSql, Some(TopK), TreeTau3d),
 
-    "q_mrsim1d_topk" ->
-      (EmdCte +
-        s""" SELECT rid, sid, round(dist, 6) AS dist FROM emds
-           | ORDER BY round(dist, 6), rid, sid LIMIT $TopK""".stripMargin),
+    "q_mrsim1d_topk" -> emd1dOracle(prefixShape = false, Some(TopK), Theta),
 
     // Mirrors the Spark centroid arithmetic: sum(w * bit) over the dense
     // 8-bin hist adds the zero terms exactly (x + 0.0 == x in IEEE), so
