@@ -24,7 +24,9 @@ object Plans {
         "q_pq_topk", "q_pq_rerank",
         "q_heavy_hitters", "q_approx_distinct", "q_zorder_key",
         "q_funnel", "q_bigram_surprisal", "q_image_phash",
-        "q_ivfpq_topk", "q_cdc_chunks")) {
+        "q_ivfpq_topk", "q_cdc_chunks",
+        "q_pipeline", "q_bloom_join", "q_cms_audit", "q_data_split",
+        "q_cooccur", "q_bm25_topk")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
