@@ -955,13 +955,22 @@ object SparkEntry {
       val gated = docs.join(gatedIds, "doc_id")
       val keeperIds = Dedup.exactDedup(gated)
         .select(col("keeper").as("doc_id"))
-      val ddocs = gated.join(keeperIds, "doc_id")
+      // ddocs feeds FOUR consumers (minhash banding, its exact-verify
+      // re-read, keep-best scoring, survivor packing) — unpersisted,
+      // each would re-run the gate + dedup lineage; a real pipeline
+      // materializes between stages (checkpoint-to-parquet), persist is
+      // the in-session analog
+      val ddocs = gated.join(keeperIds, "doc_id").persist()
       val edges = Dedup.minhashLsh(s, ddocs, 0.5, numHashes = 32, bands = 16)
         .select(col("rid"), col("sid"))
       val bestIds = Dedup.keepBest(s, ddocs, edges)
         .select(col("keeper").as("doc_id"))
       val survivors = ddocs.join(bestIds, "doc_id")
-      CorpusOps.packSequences(survivors, maxLen = 512)
+      val packed = CorpusOps.packSequences(survivors, maxLen = 512)
+        .persist()
+      packed.count()
+      ddocs.unpersist(false)
+      packed
     }),
 
     // --- brute-force cosine top-k (exact ANN baseline) ---
