@@ -1242,7 +1242,7 @@ object SparkEntry {
     //     actual streaming state splits/carries/timeout flushes ---
     "q_stream_sessionize" -> ((s, dir) => {
       graft.streaming.StreamOps.replaySessionize(s, Fixtures.events(s, dir),
-        gapUs = 86400000000L)
+        gapUs = 86400000000L, numBatches = 2)
     }),
 
     // --- cohort retention (integer epoch-day arithmetic, no calendar
@@ -1347,7 +1347,7 @@ object SparkEntry {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
         keyCol = "user_id", tsCol = "ts", idCol = "event_id",
-        deltaSec = 7200L)
+        deltaSec = 7200L, numBatches = 2)
     }),
 
     // --- STREAMING tumbling-window aggregation, driver-visible: events
@@ -1356,7 +1356,8 @@ object SparkEntry {
     //     sentinel batches flush the trailing windows) — the emitted set
     //     equals the q_events_window batch groupBy row-for-row ---
     "q_stream_window" -> ((s, dir) => {
-      graft.streaming.StreamOps.replayWindowAgg(s, Fixtures.events(s, dir))
+      graft.streaming.StreamOps.replayWindowAgg(s, Fixtures.events(s, dir),
+          numBatches = 2)
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
             .as("window_start"),
           col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
@@ -1375,7 +1376,8 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1)
       graft.streaming.StreamOps.replayEmdMatch(s,
-          hists.filter(col("id") % 10 =!= 0), refs, melodyCfg1d, Theta)
+          hists.filter(col("id") % 10 =!= 0), refs, melodyCfg1d, Theta,
+          numBatches = 2)
         .select(col("stream_id"), col("ref_id"),
           round(col("dist"), 6).as("dist"))
     }),
