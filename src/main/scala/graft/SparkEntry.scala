@@ -1325,6 +1325,20 @@ object SparkEntry {
         sliceSec = 86400L)
     }),
 
+    // --- STREAMING as-of join, driver-visible: the merged two-sided
+    //     feed replays in event-time order through the real O(1)-state
+    //     flatMapGroupsWithState enrichment operator (per-key state =
+    //     ONE last-purchase pair); under the in-order feed the output
+    //     equals the batch as-of join row-for-row, so the q_asof_join
+    //     oracle checks real streaming enrichment state carries ---
+    "q_stream_asof" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir)
+      graft.streaming.StreamOps.replayAsOf(s,
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id")
+    }),
+
     // --- banded range join: (click, purchase) pairs of one user within
     //     2 hours of each other, signed lag in micros ---
     "q_range_join" -> ((s, dir) => {
@@ -3443,6 +3457,18 @@ object SparkEntry {
         |FROM idx""".stripMargin,
 
     "q_asof_join" ->
+      """SELECT l.event_id, r.event_id AS match_id,
+        |       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) = 1""".stripMargin,
+
+    // streaming replay: the in-order feed makes the streaming
+    // enrichment output equal the batch as-of join, so the same oracle
+    // checks real cross-batch state carries
+    "q_stream_asof" ->
       """SELECT l.event_id, r.event_id AS match_id,
         |       epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
         |FROM (SELECT * FROM events WHERE event_type = 'click') l

@@ -686,6 +686,93 @@ object StreamOps {
     }
   }
 
+  /** One emitted row of the streaming as-of join. */
+  final case class AsOfMatch(event_id: Long, match_id: Option[Long],
+                             lag_us: Option[Long])
+
+  /** Streaming backward as-of join — the enrichment-join leg of the
+    * streaming surface (each left event decorated with the key's latest
+    * right event at-or-before it, the EventOps.asOfJoin contract).
+    *
+    * Input is the merged two-sided feed (k, tus, i, side 0=right
+    * 1=left) in event-time order. Per-key state is ONE (last right id,
+    * ts) pair — O(1) per key at any scale, the streaming-enrichment
+    * textbook shape. Within a batch the group iterator carries no order
+    * guarantee, so rows are sorted by (tus, side, i) before the fold —
+    * right-before-left at equal timestamps and ascending right ids
+    * reproduce the batch tie rule (latest ts, then larger id) exactly;
+    * across batches the ascending feed makes state carry-forward
+    * order-correct by construction. */
+  def asOfStream(spark: SparkSession,
+                 merged: DataFrame): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    merged.select(col("k").cast("long"), col("tus").cast("long"),
+        col("i").cast("long"), col("side").cast("int"))
+      .as[(Long, Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[(Long, Long, Long, Int)],
+         state: GroupState[(Long, Long)]) => {
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[AsOfMatch]()
+          it.toSeq.sortBy(r => (r._2, r._4, r._3)).foreach {
+            case (_, tus, i, side) =>
+              if (side == 0) st = Some((i, tus))
+              else out += AsOfMatch(i, st.map(_._1), st.map(tus - _._2))
+          }
+          st.foreach(state.update)
+          out.iterator
+        })
+  }
+
+  /** Verification replay for the streaming as-of join — the
+    * [[replayExactDedup]] harness contract over the merged two-sided
+    * event feed: ascending (tus, side, i) micro-batches (right rows
+    * sort before left at equal timestamps, so a tie can never split
+    * against the fold order across a batch boundary), real
+    * flatMapGroupsWithState execution, one emitted row per left event.
+    * Under the in-order feed the output equals
+    * [[graft.operators.EventOps.asOfJoin]] row-for-row, so the batch
+    * q_asof_join oracle checks real streaming enrichment state. */
+  def replayAsOf(spark: SparkSession, left: DataFrame, right: DataFrame,
+                 keyCol: String, tsCol: String, idCol: String,
+                 numBatches: Int = 2): DataFrame =
+      withReplayShuffle(spark) {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def sided(df: DataFrame, side: Int) =
+      df.select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("tus"),
+        col(idCol).cast("long").as("i"), lit(side).as("side"))
+    val src = sided(right, 0).union(sided(left, 1))
+      .as[(Long, Long, Long, Int)]
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Int)]
+    val name = "graft_replay_asof"
+    val query = asOfStream(spark, mem.toDF().toDF("k", "tus", "i", "side"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("tus"), col("side"), col("i"))
+        .toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      val rows = spark.table(name).collect().map(r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      spark.createDataset(rows.toSeq)
+        .toDF("event_id", "match_id", "lag_us")
+    } finally {
+      query.stop()
+    }
+  }
+
   /** Streaming heavy hitters — the frequency-stats leg of the streaming
     * surface, mirroring [[graft.operators.CorpusOps.heavyHitters]].
     *

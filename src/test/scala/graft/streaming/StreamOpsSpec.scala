@@ -295,6 +295,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!rows.exists { case (s, r, _) => (s, r) == (1L, 200L) || (s, r) == (2L, 100L) })
   }
 
+  test("streaming as-of join reproduces the batch operator incl. equal-ts ties") {
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    // user 1: purchase before+at+after clicks, incl. an EQUAL-ts pair
+    // (two purchases at the same ts — larger id must win) and a click
+    // with no prior purchase; user 2: clicks only (null matches)
+    val rows = Seq(
+      (1L, ts(1000000L), "purchase", 10L),
+      (1L, ts(2000000L), "click", 11L),
+      (1L, ts(3000000L), "purchase", 12L),
+      (1L, ts(3000000L), "purchase", 13L), // equal ts, larger id wins
+      (1L, ts(3000000L), "click", 14L),    // equal-ts click sees both
+      (1L, ts(500000L), "click", 9L),      // before any purchase -> null
+      (2L, ts(2000000L), "click", 20L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val left = rows.filter($"event_type" === "click")
+    val right = rows.filter($"event_type" === "purchase")
+    val batch = graft.operators.EventOps.asOfJoin(left, right,
+        "user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val streamed = StreamOps.replayAsOf(spark, left, right,
+        "user_id", "ts", "event_id", numBatches = 3).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(streamed == batch)
+    assert(batch.contains((14L, Some(13L), Some(0L))), batch)   // tie rule
+    assert(batch.contains((9L, None, None)))                    // no match
+  }
+
   test("streaming heavy hitters: cross-batch sketch merge matches the batch operator") {
     import spark.implicits._
     // skewed corpus: "hot" dominates, "warm" sits just above the 1/5
