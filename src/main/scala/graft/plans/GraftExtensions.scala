@@ -78,7 +78,18 @@ object GraftFunctions {
     binary("graft_zorder",
       "_FUNC_(x, y) - 16-bit-per-dim Morton interleave key (Z-order layout).",
       (a, b) => ColumnBridge.eagerExpression(graft.operators.Layout.zOrderKey(
-        Seq(ColumnBridge.column(a), ColumnBridge.column(b)), 16)))
+        Seq(ColumnBridge.column(a), ColumnBridge.column(b)), 16))),
+    // text kernels, same bridge route — the SQL user's slice of the
+    // corpus-pipeline surface (fingerprinting, token stats)
+    unary("graft_rolling_hash",
+      "_FUNC_(text) - order-sensitive rolling token fingerprint " +
+        "(base-31 over 32-bit md5 token hashes mod 2^31-1).",
+      e => ColumnBridge.eagerExpression(
+        graft.functions.TextCols.rollingHash(ColumnBridge.column(e)))),
+    unary("graft_token_count",
+      "_FUNC_(text) - whitespace token count.",
+      e => ColumnBridge.eagerExpression(
+        graft.functions.TextCols.tokenCount(ColumnBridge.column(e))))
   )
 
   /** Idempotent late registration into an existing session (functions +

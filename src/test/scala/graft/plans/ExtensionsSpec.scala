@@ -98,6 +98,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Double](3) == Seq(0.25, 0.75))
     assert(spark.experimental.extraOptimizations
       .count(_.isInstanceOf[RubnerPrefilter]) == 1)
+    // text kernels through the same bridge: SQL == Column form
+    import spark.implicits._
+    val txt = Seq("a b a", "x").toDF("t")
+    txt.createOrReplaceTempView("exttxt")
+    val sqlRows = spark.sql(
+      """SELECT graft_token_count(t) AS n, graft_rolling_hash(t) AS h
+        |FROM exttxt""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val colRows = txt.select(
+        graft.functions.TextCols.tokenCount($"t").as("n"),
+        graft.functions.TextCols.rollingHash($"t").as("h")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(sqlRows == colRows)
+    assert(sqlRows.map(_._1) == Seq(3, 1))
   }
 
   test("RubnerPrefilter inserts exactly one guard and preserves results") {
