@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.{BinaryScan, Fixtures}
 import graft.functions.{EmdCols, TextCols}
+import graft.core.Caching.PersistOnce
 import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -966,8 +967,13 @@ object SparkEntry {
       val bestIds = Dedup.keepBest(s, ddocs, edges)
         .select(col("keeper").as("doc_id"))
       val survivors = ddocs.join(bestIds, "doc_id")
+      // materializeAndFree contract (Dedup.scala): persist the (small)
+      // result, force it, free the data-sized intermediate; the result's
+      // cache entry is the caller's to drop (CacheManager dedupes the
+      // identical plan on repeated invocations, so re-running the query
+      // in one session reuses this entry rather than stacking copies)
       val packed = CorpusOps.packSequences(survivors, maxLen = 512)
-        .persist()
+        .persistOnce()
       packed.count()
       ddocs.unpersist(false)
       packed
@@ -1127,32 +1133,44 @@ object SparkEntry {
     //     codec — same histogram contract and oracle as q_image_hist,
     //     so a lost/misparsed/truncated file is a hash mismatch ---
     "q_binary_scan" -> ((s, dir) => {
-      import s.implicits._
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val base =
-        if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) shm
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      // Scan directory: executors write one .ppm per doc here, then
+      // Spark's binaryFile source re-reads it. Driver and executors must
+      // share this filesystem — true in local mode (default: /dev/shm or
+      // java.io.tmpdir); on a real cluster set graft.binscan.dir to a
+      // shared mount (NFS / fuse-mounted object store).
+      val base = java.nio.file.Paths.get(
+        s.conf.getOption("graft.binscan.dir").getOrElse {
+          val shm = java.nio.file.Paths.get("/dev/shm")
+          if (java.nio.file.Files.isDirectory(shm) &&
+            java.nio.file.Files.isWritable(shm)) shm.toString
+          else System.getProperty("java.io.tmpdir")
+        })
       val tmp = java.nio.file.Files.createTempDirectory(base, "graft-binscan")
       val tmpStr = tmp.toString
-      Multimodal.withImagePayload(Fixtures.documents(s, dir))
-        .select(col("doc_id"), col("payload"))
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          it.foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(tmpStr, s"${r.getLong(0)}.ppm"),
-              r.getAs[Array[Byte]](1))
+      try {
+        Multimodal.withImagePayload(Fixtures.documents(s, dir))
+          .select(col("doc_id"), col("payload"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(tmpStr, s"${r.getLong(0)}.ppm"),
+                r.getAs[Array[Byte]](1))
+            }
           }
-        }
-      val rows = Multimodal.imageRedHist(s, BinaryScan.scan(s, tmpStr))
-        .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
-        .as[(Long, Long, Double)].collect()
-      // materialized (8 rows/doc) before the scan dir is deleted
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp)
-      val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-      paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      s.createDataset(rows.toSeq).toDF("doc_id", "bin", "w")
+        // localCheckpoint(eager = true) materializes the decoded
+        // histograms in EXECUTOR block storage (never the driver —
+        // scale-safe at corpus size) and truncates lineage, so the scan
+        // directory can be deleted below without any later action
+        // re-reading it
+        Multimodal.imageRedHist(s, BinaryScan.scan(s, tmpStr))
+          .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
+          .localCheckpoint(true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }),
 
     // --- perceptual image hash (aHash) + exact perceptual-dup groups:
@@ -1671,6 +1689,167 @@ object SparkEntry {
       |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
       |)""".stripMargin
 
+  /** Exact-dedup canonical fingerprint (mirrors TextCols.fingerprint) —
+    * the ONE copy shared by q_dedup_exact, q_stream_dedup, and
+    * q_pipeline's keepers stage, so a normalization change cannot drift
+    * between the standalone and composed oracles. */
+  private val FingerprintSql =
+    """md5(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** Quality-gate stats CTE chain (t, h) over `src` (doc_id, text):
+    * token list, n/d/stops, top-token count m, 3-gram list g3. The five
+    * rule predicates over h are the Qg* constants below — integer
+    * cross-multiplied, engine-exact. Shared by q_quality_gate and
+    * q_pipeline (the advisor's compose-don't-copy rule: one body, two
+    * call sites). */
+  private def qualityGateCtes(src: String): String =
+    s"""t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS t FROM $src
+       |), h AS (
+       |  SELECT doc_id, text, t,
+       |    len(t) AS n, len(list_distinct(t)) AS d,
+       |    len(list_filter(['the','and','of','to','in','is','with','for'],
+       |        m -> list_contains(list_distinct(t), m))) AS stops,
+       |    list_max(list_transform(list_distinct(t),
+       |        x -> len(list_filter(t, y -> y = x)))) AS m,
+       |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
+       |         ELSE list_transform(range(1, len(t) - 1),
+       |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])
+       |    END AS g3
+       |  FROM t
+       |)""".stripMargin
+
+  private val QgLenOk = "n BETWEEN 15 AND 5000"
+  private val QgDivOk = "d * 5 >= n * 2"
+  private val QgStopOk = "stops >= 1"
+  private val QgTopOk = "m * 5 <= n"
+  private val QgRepOk = "(len(g3) - len(list_distinct(g3))) * 50 <= len(g3)"
+  private def qgKeepPred: String =
+    s"$QgLenOk AND $QgDivOk AND $QgStopOk AND $QgTopOk AND $QgRepOk"
+
+  /** round-6 quality score CTE (CorpusOps.qualityScore arithmetic shape)
+    * over `src` (doc_id, text) — shared by q_keep_best and q_pipeline. */
+  private def qualityScoreCte(src: String): String =
+    s"""sc AS (
+       |  SELECT doc_id,
+       |    round(least(cast(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
+       |                1.0) * 0.3 +
+       |          (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |           / len(string_split(text, ' '))) * 0.4 +
+       |          least((cast(len(list_filter(
+       |              ['the','and','of','to','in','is','with','for'],
+       |              m -> list_contains(list_distinct(string_split(text, ' ')),
+       |                                 m))) AS DOUBLE)
+       |                 / len(list_distinct(string_split(text, ' ')))) * 5.0,
+       |                1.0) * 0.3, 6) AS score
+       |  FROM $src
+       |)""".stripMargin
+
+  /** Undirected transitive closure over an edge CTE `edges`(u, v):
+    * bidir + recursive reach. Requires a WITH RECURSIVE prefix. Shared
+    * by q_dedup_clusters, q_keep_best, and q_pipeline. */
+  private def reachCtes(edges: String): String =
+    s"""bidir AS (
+       |  SELECT u, v FROM $edges UNION SELECT v AS u, u AS v FROM $edges
+       |), reach(u, v) AS (
+       |  SELECT u, v FROM bidir
+       |  UNION
+       |  SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u
+       |)""".stripMargin
+
+  /** Min-reachable-id cluster assignment CTE (cl) over reach for every
+    * doc in `src`. */
+  private def clusterCte(src: String): String =
+    s"""cl AS (
+       |  SELECT d.doc_id AS id,
+       |         least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
+       |  FROM $src d LEFT JOIN reach r ON r.u = d.doc_id
+       |  GROUP BY d.doc_id
+       |)""".stripMargin
+
+  /** doc_id-ordered token packing CTEs (sized, c) + final select over
+    * `src` (doc_id, text) at the fixed 512 budget — shared by
+    * q_pack_sequences and q_pipeline. */
+  private def packCtes(src: String): String =
+    s"""sized AS (
+       |  SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM $src
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
+       |  FROM sized
+       |)""".stripMargin
+
+  private val PackSelect =
+    """SELECT doc_id, n_tokens,
+      |       cast(s // 512 AS BIGINT) AS seq_start,
+      |       cast((s + n_tokens - 1) // 512 AS BIGINT) AS seq_end,
+      |       cast(s % 512 AS BIGINT) AS seq_offset
+      |FROM c""".stripMargin
+
+  /** 3-token shingle-set select (doc_id, s) over `src` — the operator's
+    * two joiner variants (' ' for the minhash family, '_' for ngram);
+    * sub-3-token docs collapse to the single joined-text shingle. */
+  private def shingleSetSql(src: String, joiner: String,
+                            shortExpr: String): String =
+    s"""SELECT doc_id,
+       |    CASE WHEN len(t) < 3 THEN [$shortExpr]
+       |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+       |                i -> t[i] || '$joiner' || t[i + 1] || '$joiner' || t[i + 2]))
+       |    END AS s
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM $src)""".stripMargin
+
+  /** BANDED set-Jaccard pair CTEs — shared by q_jaccard_pairs,
+    * q_minhash_pairs, q_ngram_jaccard, and q_pipeline's edge stage.
+    *
+    * The naive oracle self-joins the per-doc set lists all-pairs
+    * (N^2/2 rows each dragging two full LIST columns — the checker's
+    * residual ~30 GB RSS peak at sf0.1). This form prunes candidates
+    * FIRST with the operator's own prefix-filter argument
+    * (Dedup.jaccardJoin): rank each doc's elements by the global total
+    * order (document frequency, element) and keep the first
+    * n - ceil(tau*n) + 1 ranked elements. J(A,B) >= tau implies
+    * |A∩B| >= tau*|A∪B| >= ceil(tau*max(|A|,|B|)), and a pair sharing
+    * >= t elements must share its globally-smallest shared element
+    * inside both (len - t + 1)-prefixes (if it sat in A's last t-1
+    * positions, all >= t shared elements would have to fit there —
+    * pigeonhole), so the prefix equijoin loses no qualifying pair; each
+    * doc's own t = ceil(tau*len) only ever LENGTHENS the prefix past
+    * the pairwise requirement. ceil is integer-exact:
+    * (num*n + den - 1) // den. The exact verify over candidates keeps
+    * the original i/la/lb arithmetic, so values and hashes are
+    * unchanged vs the all-pairs form.
+    *
+    * Emits {p}sh, {p}un, {p}df, {p}pref, {p}cand, {p}pairs(rid, sid,
+    * i DOUBLE, la, lb); `shSelect` must yield (doc_id, s LIST). */
+  private def jaccardBandedCtes(shSelect: String, tauNum: Long,
+                                tauDen: Long, p: String = ""): String =
+    s"""${p}sh AS (
+       |  $shSelect
+       |), ${p}un AS (
+       |  SELECT doc_id, unnest(s) AS g FROM ${p}sh
+       |), ${p}df AS (
+       |  SELECT g, count(*) AS df FROM ${p}un GROUP BY g
+       |), ${p}pref AS (
+       |  SELECT doc_id, g FROM (
+       |    SELECT u.doc_id, u.g,
+       |      row_number() OVER (PARTITION BY u.doc_id ORDER BY d.df, u.g) AS r,
+       |      count(*) OVER (PARTITION BY u.doc_id) AS n
+       |    FROM ${p}un u JOIN ${p}df d ON d.g = u.g)
+       |  WHERE r <= n - ($tauNum * n + $tauDen - 1) // $tauDen + 1
+       |), ${p}cand AS (
+       |  SELECT DISTINCT a.doc_id AS rid, b.doc_id AS sid
+       |  FROM ${p}pref a JOIN ${p}pref b ON a.g = b.g AND a.doc_id < b.doc_id
+       |), ${p}pairs AS (
+       |  SELECT c.rid, c.sid,
+       |         cast(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) AS i,
+       |         len(a.s) AS la, len(b.s) AS lb
+       |  FROM ${p}cand c
+       |  JOIN ${p}sh a ON a.doc_id = c.rid
+       |  JOIN ${p}sh b ON b.doc_id = c.sid
+       |)""".stripMargin
+
   /** One Lloyd's round of the q_kmeans oracle: assign (BIGINT squared-L2
     * argmin, ties to the lowest cid), then rounded-integer-mean centroid
     * update with empty clusters keeping the previous centroid — the exact
@@ -2106,20 +2285,20 @@ object SparkEntry {
         |SELECT rid, sid, round(dist, 6) AS dist FROM emds WHERE dist <= 0.00203""".stripMargin,
 
     "q_dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
-        |       min(doc_id) AS keeper, count(*) AS n
-        |FROM documents GROUP BY 1""".stripMargin,
+      s"""SELECT $FingerprintSql AS fp,
+         |       min(doc_id) AS keeper, count(*) AS n
+         |FROM documents GROUP BY 1""".stripMargin,
 
     // streaming replay: ascending-id ingestion makes first-seen == min id
     "q_stream_dedup" ->
-      """WITH k AS (
-        |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
-        |         min(doc_id) AS keeper
-        |  FROM documents GROUP BY 1
-        |)
-        |SELECT d.doc_id, k.keeper, d.doc_id <> k.keeper AS is_dup
-        |FROM documents d
-        |JOIN k ON md5(regexp_replace(lower(d.text), '\s+', ' ', 'g')) = k.fp""".stripMargin,
+      s"""WITH k AS (
+         |  SELECT $FingerprintSql AS fp,
+         |         min(doc_id) AS keeper
+         |  FROM documents GROUP BY 1
+         |)
+         |SELECT d.doc_id, k.keeper, d.doc_id <> k.keeper AS is_dup
+         |FROM documents d
+         |JOIN k ON ${FingerprintSql.replace("text", "d.text")} = k.fp""".stripMargin,
 
     "q_token_stats" ->
       """SELECT doc_id,
@@ -2172,14 +2351,8 @@ object SparkEntry {
       ("WITH RECURSIVE " + SimhashCteBody +
         """, e AS (
           |  SELECT rid AS u, sid AS v FROM pairs WHERE hamming <= 7
-          |), bidir AS (
-          |  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
-          |), reach(u, v) AS (
-          |  SELECT u, v FROM bidir
-          |  UNION
-          |  SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u
-          |)
-          |SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
+          |), """.stripMargin + reachCtes("e") + "\n" +
+        """SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
           |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
           |GROUP BY d.doc_id""".stripMargin),
 
@@ -2189,31 +2362,9 @@ object SparkEntry {
       ("WITH RECURSIVE " + SimhashCteBody +
         """, e AS (
           |  SELECT rid AS u, sid AS v FROM pairs WHERE hamming <= 7
-          |), bidir AS (
-          |  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
-          |), reach(u, v) AS (
-          |  SELECT u, v FROM bidir
-          |  UNION
-          |  SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u
-          |), cl AS (
-          |  SELECT d.doc_id AS id,
-          |         least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
-          |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
-          |  GROUP BY d.doc_id
-          |), sc AS (
-          |  SELECT doc_id,
-          |    round(least(cast(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
-          |                1.0) * 0.3 +
-          |          (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-          |           / len(string_split(text, ' '))) * 0.4 +
-          |          least((cast(len(list_filter(
-          |              ['the','and','of','to','in','is','with','for'],
-          |              m -> list_contains(list_distinct(string_split(text, ' ')),
-          |                                 m))) AS DOUBLE)
-          |                 / len(list_distinct(string_split(text, ' ')))) * 5.0,
-          |                1.0) * 0.3, 6) AS score
-          |  FROM documents
-          |), ranked AS (
+          |), """.stripMargin + reachCtes("e") + ", " +
+        clusterCte("documents") + ", " + qualityScoreCte("documents") +
+        """, ranked AS (
           |  SELECT cl.cluster, cl.id,
           |    row_number() OVER (PARTITION BY cl.cluster
           |                       ORDER BY sc.score DESC, cl.id) AS rnk,
@@ -2224,104 +2375,43 @@ object SparkEntry {
           |       cast(n_members - 1 AS BIGINT) AS n_dropped
           |FROM ranked WHERE rnk = 1""".stripMargin),
 
-    // The composed pipeline oracle replays each stage's already-proven
-    // CTE arithmetic over the staged corpus: quality-gate keeps (integer
+    // The composed pipeline oracle COMPOSES each stage's shared CTE
+    // generator over the staged corpus (one body per stage, used by the
+    // standalone oracle AND here — a threshold/score change cannot
+    // silently drift between the two): quality-gate keeps (integer
     // cross-multiplied thresholds) -> min-doc_id-per-fingerprint exact
-    // dedup -> exact shingle-Jaccard >= 0.5 edges (the q_minhash_pairs
-    // equality argument carries to any SUBSET of the corpus: fewer docs
-    // can only remove pairs, never push a qualifying pair's J down) ->
-    // recursive-CTE components + (round(score,6) DESC, id) keep-best ->
-    // doc_id-ordered 512-token packing of the survivors.
+    // dedup -> banded exact shingle-Jaccard >= 0.5 edges (the
+    // q_minhash_pairs equality argument carries to any SUBSET of the
+    // corpus: fewer docs can only remove pairs, never push a qualifying
+    // pair's J down) -> recursive-CTE components + (round(score,6) DESC,
+    // id) keep-best -> doc_id-ordered 512-token packing of survivors.
     "q_pipeline" ->
-      """WITH RECURSIVE qt AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
-        |), qh AS (
-        |  SELECT doc_id, text, t,
-        |    len(t) AS n, len(list_distinct(t)) AS d,
-        |    len(list_filter(['the','and','of','to','in','is','with','for'],
-        |        m -> list_contains(list_distinct(t), m))) AS stops,
-        |    list_max(list_transform(list_distinct(t),
-        |        x -> len(list_filter(t, y -> y = x)))) AS m,
-        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
-        |         ELSE list_transform(range(1, len(t) - 1),
-        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])
-        |    END AS g3
-        |  FROM qt
-        |), keepq AS (
-        |  SELECT doc_id FROM qh
-        |  WHERE n BETWEEN 15 AND 5000 AND d * 5 >= n * 2 AND stops >= 1
-        |    AND m * 5 <= n
-        |    AND (len(g3) - len(list_distinct(g3))) * 50 <= len(g3)
-        |), gated AS (
-        |  SELECT d.* FROM documents d JOIN keepq k ON k.doc_id = d.doc_id
-        |), keepers AS (
-        |  SELECT min(doc_id) AS doc_id
-        |  FROM gated GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
-        |), ddocs AS (
-        |  SELECT g.* FROM gated g JOIN keepers k ON k.doc_id = g.doc_id
-        |), mtoks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t, text FROM ddocs
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) < 3 THEN [text]
-        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
-        |                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
-        |    END AS s
-        |  FROM mtoks
-        |), mpairs AS (
-        |  SELECT a.doc_id AS rid, b.doc_id AS sid,
-        |         cast(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) AS i,
-        |         len(a.s) AS la, len(b.s) AS lb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |), e AS (
-        |  SELECT rid AS u, sid AS v FROM mpairs WHERE i / (la + lb - i) >= 0.5
-        |), bidir AS (
-        |  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
-        |), reach(u, v) AS (
-        |  SELECT u, v FROM bidir
-        |  UNION
-        |  SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u
-        |), cl AS (
-        |  SELECT d.doc_id AS id,
-        |         least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
-        |  FROM ddocs d LEFT JOIN reach r ON r.u = d.doc_id
-        |  GROUP BY d.doc_id
-        |), sc AS (
-        |  SELECT doc_id,
-        |    round(least(cast(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
-        |                1.0) * 0.3 +
-        |          (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |           / len(string_split(text, ' '))) * 0.4 +
-        |          least((cast(len(list_filter(
-        |              ['the','and','of','to','in','is','with','for'],
-        |              m -> list_contains(list_distinct(string_split(text, ' ')),
-        |                                 m))) AS DOUBLE)
-        |                 / len(list_distinct(string_split(text, ' ')))) * 5.0,
-        |                1.0) * 0.3, 6) AS score
-        |  FROM ddocs
-        |), ranked AS (
-        |  SELECT cl.cluster, cl.id,
-        |    row_number() OVER (PARTITION BY cl.cluster
-        |                       ORDER BY sc.score DESC, cl.id) AS rnk
-        |  FROM cl JOIN sc ON sc.doc_id = cl.id
-        |), best AS (
-        |  SELECT id AS doc_id FROM ranked WHERE rnk = 1
-        |), survivors AS (
-        |  SELECT d.* FROM ddocs d JOIN best b ON b.doc_id = d.doc_id
-        |), sized AS (
-        |  SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM survivors
-        |), c AS (
-        |  SELECT doc_id, n_tokens,
-        |    sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
-        |  FROM sized
-        |)
-        |SELECT doc_id, n_tokens,
-        |       cast(s // 512 AS BIGINT) AS seq_start,
-        |       cast((s + n_tokens - 1) // 512 AS BIGINT) AS seq_end,
-        |       cast(s % 512 AS BIGINT) AS seq_offset
-        |FROM c""".stripMargin,
+      ("WITH RECURSIVE " + qualityGateCtes("documents") +
+        s""", keepq AS (
+           |  SELECT doc_id FROM h WHERE $qgKeepPred
+           |), gated AS (
+           |  SELECT d.* FROM documents d JOIN keepq k ON k.doc_id = d.doc_id
+           |), keepers AS (
+           |  SELECT min(doc_id) AS doc_id
+           |  FROM gated GROUP BY $FingerprintSql
+           |), ddocs AS (
+           |  SELECT g.* FROM gated g JOIN keepers k ON k.doc_id = g.doc_id
+           |), """.stripMargin +
+        jaccardBandedCtes(shingleSetSql("ddocs", " ", "text"), 1L, 2L, "m") +
+        """, e AS (
+          |  SELECT rid AS u, sid AS v FROM mpairs WHERE i / (la + lb - i) >= 0.5
+          |), """.stripMargin + reachCtes("e") + ", " +
+        clusterCte("ddocs") + ", " + qualityScoreCte("ddocs") +
+        """, ranked AS (
+          |  SELECT cl.cluster, cl.id,
+          |    row_number() OVER (PARTITION BY cl.cluster
+          |                       ORDER BY sc.score DESC, cl.id) AS rnk
+          |  FROM cl JOIN sc ON sc.doc_id = cl.id
+          |), best AS (
+          |  SELECT id AS doc_id FROM ranked WHERE rnk = 1
+          |), survivors AS (
+          |  SELECT d.* FROM ddocs d JOIN best b ON b.doc_id = d.doc_id
+          |), """.stripMargin + packCtes("survivors") + "\n" + PackSelect),
 
     // Exact 3-token-shingle Jaccard join: equals the minhash-LSH output
     // because candidates are verified with the exact shingle Jaccard and
@@ -2335,44 +2425,23 @@ object SparkEntry {
     // here means the ORACLE'S exactness assumption broke, not the operator
     // — re-derive band sizing from the corpus' minimum qualifying J.
     "q_minhash_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) < 3 THEN [text]
-        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
-        |                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
-        |    END AS s
-        |  FROM toks
-        |), pairs AS (
-        |  SELECT a.doc_id AS rid, b.doc_id AS sid,
-        |         cast(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) AS i,
-        |         len(a.s) AS la, len(b.s) AS lb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |)
-        |SELECT rid, sid, round(i / (la + lb - i), 6) AS jaccard
-        |FROM pairs WHERE i / (la + lb - i) >= 0.5""".stripMargin,
+      ("WITH " +
+        jaccardBandedCtes(shingleSetSql("documents", " ", "text"), 1L, 2L) +
+        """
+          |SELECT rid, sid, round(i / (la + lb - i), 6) AS jaccard
+          |FROM pairs WHERE i / (la + lb - i) >= 0.5""".stripMargin),
 
-    // Shingle-set Jaccard (the minhash oracle's shingle CTE with the
-    // operator's '_' token joiner), exact threshold form.
+    // Shingle-set Jaccard (the minhash oracle's shingle CTEs with the
+    // operator's '_' token joiner), banded exact threshold form;
+    // tau = 8969/10000 drives the integer prefix length.
     "q_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
-        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
-        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2]))
-        |    END AS s
-        |  FROM toks
-        |), pairs AS (
-        |  SELECT a.doc_id AS rid, b.doc_id AS sid,
-        |         cast(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) AS i,
-        |         len(a.s) AS la, len(b.s) AS lb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |)
-        |SELECT rid, sid, round(i / (la + lb - i), 6) AS jaccard
-        |FROM pairs WHERE i / (la + lb - i) >= 0.8969""".stripMargin,
+      ("WITH " +
+        jaccardBandedCtes(
+          shingleSetSql("documents", "_", "replace(text, ' ', '_')"),
+          8969L, 10000L) +
+        """
+          |SELECT rid, sid, round(i / (la + lb - i), 6) AS jaccard
+          |FROM pairs WHERE i / (la + lb - i) >= 0.8969""".stripMargin),
 
     // integer md5-bucket compare — rates are exact quarter fractions so
     // floor(rate * 2^32) is the same integer in both engines
@@ -2940,20 +3009,7 @@ object SparkEntry {
         |WHERE dot / (na.nd * nb.nd) >= 0.9""".stripMargin,
 
     "q_pack_sequences" ->
-      """WITH sized AS (
-        |  SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, n_tokens,
-        |    sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS s
-        |  FROM sized
-        |)
-        |SELECT doc_id, n_tokens,
-        |       cast(s // 512 AS BIGINT) AS seq_start,
-        |       cast((s + n_tokens - 1) // 512 AS BIGINT) AS seq_end,
-        |       cast(s % 512 AS BIGINT) AS seq_offset
-        |FROM c""".stripMargin,
+      ("WITH " + packCtes("documents") + "\n" + PackSelect),
 
     // same score arithmetic as q_quality; the running total and the
     // budget cut are pure integers over the (score desc, doc_id) order
@@ -3005,34 +3061,21 @@ object SparkEntry {
     // Quality gate: every rule is integer arithmetic (cross-multiplied
     // ratios), so the booleans are engine-exact — no FP threshold.
     "q_quality_gate" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
-        |), h AS (
-        |  SELECT doc_id, text, t,
-        |    len(t) AS n, len(list_distinct(t)) AS d,
-        |    len(list_filter(['the','and','of','to','in','is','with','for'],
-        |        m -> list_contains(list_distinct(t), m))) AS stops,
-        |    list_max(list_transform(list_distinct(t),
-        |        x -> len(list_filter(t, y -> y = x)))) AS m,
-        |    CASE WHEN len(t) < 3 THEN [replace(text, ' ', '_')]
-        |         ELSE list_transform(range(1, len(t) - 1),
-        |                i -> t[i] || '_' || t[i + 1] || '_' || t[i + 2])
-        |    END AS g3
-        |  FROM t
-        |), r AS (
-        |  SELECT doc_id, cast(n AS BIGINT) AS n_tokens,
-        |    n BETWEEN 15 AND 5000 AS len_ok,
-        |    d * 5 >= n * 2 AS diversity_ok,
-        |    stops >= 1 AS stop_ok,
-        |    m * 5 <= n AS toptok_ok,
-        |    (len(g3) - len(list_distinct(g3))) * 50 <= len(g3) AS rep_ok
-        |  FROM h
-        |)
-        |SELECT doc_id, n_tokens, len_ok, diversity_ok, stop_ok, toptok_ok,
-        |       rep_ok,
-        |       len_ok AND diversity_ok AND stop_ok AND toptok_ok AND rep_ok
-        |         AS keep
-        |FROM r""".stripMargin,
+      ("WITH " + qualityGateCtes("documents") +
+        s""", r AS (
+           |  SELECT doc_id, cast(n AS BIGINT) AS n_tokens,
+           |    $QgLenOk AS len_ok,
+           |    $QgDivOk AS diversity_ok,
+           |    $QgStopOk AS stop_ok,
+           |    $QgTopOk AS toptok_ok,
+           |    $QgRepOk AS rep_ok
+           |  FROM h
+           |)
+           |SELECT doc_id, n_tokens, len_ok, diversity_ok, stop_ok, toptok_ok,
+           |       rep_ok,
+           |       len_ok AND diversity_ok AND stop_ok AND toptok_ok AND rep_ok
+           |         AS keep
+           |FROM r""".stripMargin),
 
     // patterns interpolated from the SAME constants the operator uses
     // (CorpusOps.EmailPattern etc.), so operator and oracle cannot drift;
@@ -3091,17 +3134,17 @@ object SparkEntry {
          |FROM h""".stripMargin
     },
 
+    // Banded token-set Jaccard: i/la/lb are the same integer-valued
+    // quantities as the all-pairs form (the integer subtraction
+    // la + lb - i is exact in DOUBLE), so values and hashes match it.
     "q_jaccard_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
-        |  FROM documents
-        |)
-        |SELECT a.doc_id AS rid, b.doc_id AS sid,
-        |  round(cast(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) /
-        |        (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6) AS jaccard
-        |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-        |WHERE cast(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) /
-        |      (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.9""".stripMargin,
+      ("WITH " +
+        jaccardBandedCtes(
+          """SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+            |  FROM documents""".stripMargin, 9L, 10L) +
+        """
+          |SELECT rid, sid, round(i / (la + lb - i), 6) AS jaccard
+          |FROM pairs WHERE i / (la + lb - i) >= 0.9""".stripMargin),
 
     "q_cosine_topk" ->
       """WITH q AS (

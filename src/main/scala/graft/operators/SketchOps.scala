@@ -100,9 +100,13 @@ object SketchOps {
     *    true match (the correctness half, exact by construction;
     *    a hash mismatch here means the pre-filter broke the join);
     *  - `fp_ok` asserts the false-positive count stays within
-    *    `slack * fpp * nonMatching + 64` — the capacity/fpp envelope
-    *    (a silently overloaded filter passes everything and the
-    *    "optimization" quietly dies; this makes that driver-visible).
+    *    `slack * fpp * nonMatchingKeys + 64` — the capacity/fpp
+    *    envelope (a silently overloaded filter passes everything and
+    *    the "optimization" quietly dies; this makes that
+    *    driver-visible). The envelope is denominated in DISTINCT keys,
+    *    matching the bloom's per-key fpp guarantee: per-ROW accounting
+    *    would let duplicated keys (lineitem ~4 rows/order) cluster
+    *    false positives and break the statistical margin.
     *
     * Output: one row (n_big, n_true, false_negatives, fp_ok). */
   def bloomJoinAudit(big: DataFrame, bigKey: Column,
@@ -122,14 +126,21 @@ object SketchOps {
         val b = bloomB.value
         it.filter(b.mightContainLong)
       }.toDF("k")
-    val nPass = passed.count()
     val nTrue = bigK.join(broadcast(keyDs), Seq("k"), "left_semi").count()
     val nTruePass = passed.join(broadcast(keyDs), Seq("k"), "left_semi").count()
     val falseNegatives = nTrue - nTruePass
-    val fpBudget =
-      math.ceil(slack * fpp * math.max(nBig - nTrue, 1L).toDouble).toLong + 64L
+    // fp accounting over DISTINCT keys (the granularity of the bloom's
+    // fpp guarantee): a key either collides or it doesn't, and all its
+    // rows follow — so the budget is fpp x distinct non-matching keys
+    val bigKeys = bigK.distinct()
+    val nBigKeys = bigKeys.count()
+    val nTrueKeys = bigKeys.join(broadcast(keyDs), Seq("k"), "left_semi").count()
+    val fpKeys = passed.distinct()
+      .join(broadcast(keyDs), Seq("k"), "left_anti").count()
+    val fpBudget = math.ceil(
+      slack * fpp * math.max(nBigKeys - nTrueKeys, 1L).toDouble).toLong + 64L
     spark.createDataFrame(Seq(
-        (nBig, nTrue, falseNegatives, nPass - nTruePass <= fpBudget)))
+        (nBig, nTrue, falseNegatives, fpKeys <= fpBudget)))
       .toDF("n_big", "n_true", "false_negatives", "fp_ok")
   }
 

@@ -807,64 +807,71 @@ object StreamOps {
     val n = src.count()
     val empty = spark.createDataset(Seq.empty[(String, Long)])
       .toDF("token", "cnt")
-    if (n == 0L) return empty
-    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String)]
-    // landing dir: throwaway like the replay checkpoints (fresh per run)
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val landBase =
-      if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val landDir = java.nio.file.Files
-      .createTempDirectory(landBase, "graft-replay-hh")
-    val acc = new graft.core.MisraGries(sketchSize)
-    val query = mem.toDF().toDF("doc_id", "text")
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        // executor-side sketching, one k-entry map back to the driver;
-        // foreachBatch bodies run on the driver, so the merge into the
-        // accumulator is plain local mutation
-        val mg = batch
-          .select(explode(graft.functions.TextCols.tokens(col("text")))
-            .as("token"))
-          .rdd.map(_.getString(0))
-          .treeAggregate(new graft.core.MisraGries(sketchSize))(
-            (m, t) => m.add(t), (a, b) => a.merge(b), depth = 2)
-        acc.merge(mg)
-        batch.write.mode("append").parquet(landDir.toString)
-        ()
-      }
-      .start()
-    import scala.jdk.CollectionConverters._
-    try {
-      src.orderBy(col("doc_id")).toLocalIterator().asScala
-        .grouped(per).foreach { chunk =>
-          mem.addData(chunk.toSeq: _*)
-          query.processAllAvailable()
+    if (n == 0L) empty
+    else {
+      val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      // landing dir: throwaway like the replay checkpoints (fresh per
+      // run); deleted in the finally below on success AND failure
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      val landBase =
+        if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val landDir = java.nio.file.Files
+        .createTempDirectory(landBase, "graft-replay-hh")
+      import scala.jdk.CollectionConverters._
+      try {
+        val acc = new graft.core.MisraGries(sketchSize)
+        val query = mem.toDF().toDF("doc_id", "text")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            // executor-side sketching, one k-entry map back to the
+            // driver; foreachBatch bodies run on the driver, so the
+            // merge into the accumulator is plain local mutation
+            val mg = batch
+              .select(explode(graft.functions.TextCols.tokens(col("text")))
+                .as("token"))
+              .rdd.map(_.getString(0))
+              .treeAggregate(new graft.core.MisraGries(sketchSize))(
+                (m, t) => m.add(t), (a, b) => a.merge(b), depth = 2)
+            acc.merge(mg)
+            batch.write.mode("append").parquet(landDir.toString)
+            ()
+          }
+          .start()
+        try {
+          src.orderBy(col("doc_id")).toLocalIterator().asScala
+            .grouped(per).foreach { chunk =>
+              mem.addData(chunk.toSeq: _*)
+              query.processAllAvailable()
+            }
+        } finally {
+          query.stop()
         }
-    } finally {
-      query.stop()
-    }
-    val result =
-      if (acc.counts.isEmpty) empty.as[(String, Long)].collect()
-      else {
-        val candidates = spark.createDataFrame(
-          acc.counts.keysIterator.map(Tuple1(_)).toSeq).toDF("token")
-        spark.read.parquet(landDir.toString)
-          .select(explode(graft.functions.TextCols.tokens(col("text")))
-            .as("token"))
-          .join(broadcast(candidates), "token")
-          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") * phiDen > lit(acc.n))
-          .as[(String, Long)].collect()
+        val result =
+          if (acc.counts.isEmpty) empty.as[(String, Long)].collect()
+          else {
+            val candidates = spark.createDataFrame(
+              acc.counts.keysIterator.map(Tuple1(_)).toSeq).toDF("token")
+            spark.read.parquet(landDir.toString)
+              .select(explode(graft.functions.TextCols.tokens(col("text")))
+                .as("token"))
+              .join(broadcast(candidates), "token")
+              .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+              .filter(col("cnt") * phiDen > lit(acc.n))
+              .as[(String, Long)].collect()
+          }
+        // <= k result rows are local before the finally deletes the dir
+        spark.createDataset(result.toSeq).toDF("token", "cnt")
+      } finally {
+        val walk = java.nio.file.Files.walk(landDir)
+        val paths =
+          try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
-    // materialized (<= k rows) before the landing dir is deleted
-    val walk = java.nio.file.Files.walk(landDir)
-    val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
-    paths.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    spark.createDataset(result.toSeq).toDF("token", "cnt")
+    }
   }
 }
