@@ -80,18 +80,14 @@ object Dedup {
     // representative's array rides along as a first() VALUE — partial
     // aggregation keeps one copy per distinct set per map partition, which
     // is never more array bytes than the old array-as-key exchange moved.
-    val toks = CorpusOps.widen(docs).select(col(idCol).as("id"),
-      sort_array(TextCols.distinctTokens(col(textCol))).as("key"))
-      .withColumn("fp", md5(concat_ws(" ", col("key"))))
+    val toks = setTokens(docs, idCol, textCol)
     // One row per DISTINCT set, with the representative's token array
     // riding as a first() value — bounded by DOCUMENT size. No state here
     // scales with duplicate-family size: member ids live as (id, gid)
     // assignment rows (below), never as one collected array — a 10^7-member
     // boilerplate family is 10^7 16-byte rows spread across tasks, not one
     // ~80 MB row on one executor.
-    val groups = toks.groupBy(col("fp"))
-      .agg(min(col("id")).as("gid"), first(col("key")).as("key"))
-      .persistOnce()
+    val groups = setGroups(toks).persistOnce()
     // every persist below registers in `pinned`; the catch frees them if
     // any action throws mid-call (the success paths free their own via
     // materializeAndFree; unpersist is idempotent so double-free is safe)
@@ -163,28 +159,9 @@ object Dedup {
         return materializeAndFree(expandGroupPairs(intra, interSets, assign),
           groups, assign, dfreq)
       }
-      val tokRanks = sets.select(col("id"), explode(col("toks")).as("tok"))
-        .join(dfreq, "tok")
-        .groupBy("id")
-        .agg(sort_array(collect_list(struct(col("dfreq"), col("tok")))).as("rt"))
-        .select(col("id"), transform(col("rt"), x => x.getField("tok")).as("sorted"),
-          size(col("rt")).as("len"))
-        .persistOnce()
+      val tokRanks = rankSets(sets, dfreq).persistOnce()
       pinned += tokRanks
-      // prefix length = len - ceil(tau*len) + 1. Only (id, len, ptok) flows
-      // through the candidate shuffle — the sorted token arrays are the
-      // heavy payload and the prefix explode would replicate them x plen;
-      // they re-attach to the DEDUPLICATED candidate pairs by id-equijoin.
-      val prefixed = tokRanks.withColumn("plen",
-          (col("len") - ceil(col("len") * tau) + 1).cast("int"))
-        .select(col("id"), col("len"),
-          explode(slice(col("sorted"), lit(1), col("plen"))).as("ptok"))
-      // size filter before verification: tau*|a| <= |b| <= |a|/tau
-      val candIds = prefixed.as("a").join(prefixed.as("b"),
-          col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id") &&
-            col("b.len") * tau <= col("a.len") && col("a.len") * tau <= col("b.len"))
-        .select(col("a.id").as("ga"), col("b.id").as("gb"))
-        .dropDuplicates("ga", "gb")
+      val candIds = prefixCandidates(prefixPostings(tokRanks, tau), tau)
       val cands = candIds
         .join(tokRanks.select(col("id").as("ga"), col("sorted").as("ta"),
           col("len").as("la")), "ga")
@@ -204,6 +181,56 @@ object Dedup {
         throw t
     }
   }
+
+  /** (id, key, fp) canonical sorted-token-set rows — the jaccardJoin
+    * dedup-first stage's input shape. Package-private so ScalingStats
+    * measures the SAME derivation the join executes. */
+  private[operators] def setTokens(docs: DataFrame, idCol: String,
+                                   textCol: String): DataFrame =
+    CorpusOps.widen(docs).select(col(idCol).as("id"),
+      sort_array(TextCols.distinctTokens(col(textCol))).as("key"))
+      .withColumn("fp", md5(concat_ws(" ", col("key"))))
+
+  /** One row per DISTINCT set (fp, gid, key), representative array as a
+    * first() VALUE (see jaccardJoin's shuffle-shape comment). */
+  private[operators] def setGroups(toks: DataFrame): DataFrame =
+    toks.groupBy(col("fp"))
+      .agg(min(col("id")).as("gid"), first(col("key")).as("key"))
+
+  /** df-rarest-first ranked token arrays (id, sorted, len) per distinct
+    * set — the prefix path's shared state. */
+  private[operators] def rankSets(sets: DataFrame,
+                                  dfreq: DataFrame): DataFrame =
+    sets.select(col("id"), explode(col("toks")).as("tok"))
+      .join(dfreq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("tok")))).as("rt"))
+      .select(col("id"),
+        transform(col("rt"), x => x.getField("tok")).as("sorted"),
+        size(col("rt")).as("len"))
+
+  /** Prefix-token postings (id, len, ptok): prefix length =
+    * len - ceil(tau*len) + 1. Only (id, len, ptok) flows through the
+    * candidate shuffle — the sorted token arrays are the heavy payload
+    * and the prefix explode would replicate them x plen; they re-attach
+    * to the DEDUPLICATED candidate pairs by id-equijoin. */
+  private[operators] def prefixPostings(tokRanks: DataFrame,
+                                        tau: Double): DataFrame =
+    tokRanks.withColumn("plen",
+        (col("len") - ceil(col("len") * tau) + 1).cast("int"))
+      .select(col("id"), col("len"),
+        explode(slice(col("sorted"), lit(1), col("plen"))).as("ptok"))
+
+  /** Deduplicated candidate id pairs from the prefix-token equijoin,
+    * with the size filter tau*|a| <= |b| <= |a|/tau applied before any
+    * verification arithmetic. */
+  private[operators] def prefixCandidates(prefixed: DataFrame,
+                                          tau: Double): DataFrame =
+    prefixed.as("a").join(prefixed.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id") &&
+          col("b.len") * tau <= col("a.len") && col("a.len") * tau <= col("b.len"))
+      .select(col("a.id").as("ga"), col("b.id").as("gb"))
+      .dropDuplicates("ga", "gb")
 
   /** Expand qualifying (set, set) pairs to document pairs via two
     * gid-keyed equijoins against the (id, gid) assignment rows (no

@@ -104,27 +104,9 @@ object TfIdf {
                 i => coalesce(element_at(col("m"), i), lit(0.0))).as("v"))
           Ann.cosineAllPairsBlocked(spark, dense, tau, idCol = "id", vecCol = "v")
         } else {
-          // sparse path: cumulative normalized mass, commonest token
-          // first; a feature is indexed once the running norm can no
-          // longer be hidden below tau. The -1e-9 slack absorbs FP noise
-          // in the cumulative sum so a pair sitting exactly on the
-          // threshold can never be lost to rounding.
           val norms = w.groupBy(col("id"))
             .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-          val cum = w.join(norms, "id")
-            .withColumn("u2",
-              (col("w") / col("nrm")) * (col("w") / col("nrm")))
-            .withColumn("cum", sum(col("u2")).over(
-              Window.partitionBy(col("id")).orderBy(col("df").desc, col("tok"))
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          val index = cum.filter(col("cum") >= lit(tau * tau - 1e-9))
-            .select(col("id"), col("tok"))
-          val full = w.select(col("id").as("idb"), col("tok"))
-          val cands = index.join(full, "tok")
-            .filter(col("id") =!= col("idb"))
-            .select(least(col("id"), col("idb")).as("rid"),
-              greatest(col("id"), col("idb")).as("sid"))
-            .dropDuplicates("rid", "sid")
+          val cands = sparseCandidates(w, norms, tau)
           cands
             .join(w.select(col("id").as("rid"), col("tok"), col("w").as("wa")),
               "rid")
@@ -144,6 +126,30 @@ object TfIdf {
     } finally {
       w.unpersist(false)
     }
+  }
+
+  /** Sparse-path candidate pairs: cumulative normalized mass, commonest
+    * token first; a feature is indexed once the running norm can no
+    * longer be hidden below tau. The -1e-9 slack absorbs FP noise in
+    * the cumulative sum so a pair sitting exactly on the threshold can
+    * never be lost to rounding. Package-private so ScalingStats
+    * measures the SAME candidate derivation the join executes. */
+  private[operators] def sparseCandidates(w: DataFrame, norms: DataFrame,
+                                          tau: Double): DataFrame = {
+    val cum = w.join(norms, "id")
+      .withColumn("u2",
+        (col("w") / col("nrm")) * (col("w") / col("nrm")))
+      .withColumn("cum", sum(col("u2")).over(
+        Window.partitionBy(col("id")).orderBy(col("df").desc, col("tok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val index = cum.filter(col("cum") >= lit(tau * tau - 1e-9))
+      .select(col("id"), col("tok"))
+    val full = w.select(col("id").as("idb"), col("tok"))
+    index.join(full, "tok")
+      .filter(col("id") =!= col("idb"))
+      .select(least(col("id"), col("idb")).as("rid"),
+        greatest(col("id"), col("idb")).as("sid"))
+      .dropDuplicates("rid", "sid")
   }
 
   /** BM25-shaped query->document retrieval, engine-exact.

@@ -57,6 +57,92 @@ object ScalingStats {
   final case class IvfPqStats(n: Long, probedRows: Long, kCoarse: Int,
                               nProbe: Int)
 
+  final case class PrefixStats(nDocs: Long, nSets: Long, setTokens: Long,
+                               postings: Long, candPairs: Long, out: Long)
+
+  /** Candidate-pair and prefix-postings counters for the prefix-filter
+    * Jaccard family, measured through the operator's OWN package-private
+    * stages (Dedup.setTokens/setGroups/rankSets/prefixPostings/
+    * prefixCandidates) so the curve cannot drift from the join's real
+    * derivation. `out` is the exact-verified qualifying inter-set pair
+    * count (the same array_intersect arithmetic the join applies). */
+  def prefixJaccard(spark: SparkSession, docs: DataFrame, tau: Double,
+                    textCol: String = "text"): PrefixStats = {
+    val toks = Dedup.setTokens(docs, "doc_id", textCol).persist()
+    val nDocs = toks.count()
+    val groups = Dedup.setGroups(toks).persist()
+    val nSets = groups.count()
+    val sets = groups.select(col("gid").as("id"), col("key").as("toks"))
+    val dfreq = sets.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("dfreq"))
+    val setTokens = sets.select(sum(size(col("toks")))).head().getLong(0)
+    val tokRanks = Dedup.rankSets(sets, dfreq).persist()
+    val postings = Dedup.prefixPostings(tokRanks, tau).count()
+    val candIds = Dedup
+      .prefixCandidates(Dedup.prefixPostings(tokRanks, tau), tau)
+    val cands = candIds
+      .join(tokRanks.select(col("id").as("ga"), col("sorted").as("ta"),
+        col("len").as("la")), "ga")
+      .join(tokRanks.select(col("id").as("gb"), col("sorted").as("tb"),
+        col("len").as("lb")), "gb")
+    val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
+    val candCount = candIds.count()
+    val out = cands
+      .filter(inter / (col("la") + col("lb") - inter) >= tau).count()
+    toks.unpersist(false); groups.unpersist(false); tokRanks.unpersist(false)
+    PrefixStats(nDocs, nSets, setTokens, postings, candCount, out)
+  }
+
+  final case class WinnowStats(nDocs: Long, gramPositions: Long,
+                               postings: Long, joinRows: Long, out: Long)
+
+  /** Postings and fp-equijoin row counters for winnowJoin: postings =
+    * distinct (doc_id, fp) selections (the ~2/(w+1) density claim),
+    * joinRows = sum over fp of c*(c-1)/2 (the rows entering the pair
+    * aggregation — the join's true shuffle driver), out = qualifying
+    * pairs at minShared. */
+  def winnow(spark: SparkSession, docs: DataFrame, k: Int, w: Int,
+             minShared: Int): WinnowStats = {
+    val nDocs = docs.count()
+    val gramPositions = docs
+      .select(sum(greatest(size(graft.functions.TextCols.tokens(col("text")))
+        - (k - 1), lit(1)))).head().getLong(0)
+    val fps = CorpusOps.winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), col("fp")).distinct().persist()
+    val postings = fps.count()
+    val joinRows = fps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .select(sum(col("c") * (col("c") - 1))).head().getLong(0) / 2
+    val out = fps.select(col("fp"), col("doc_id").as("rid"))
+      .join(fps.select(col("fp"), col("doc_id").as("sid")), "fp")
+      .filter(col("rid") < col("sid"))
+      .groupBy(col("rid"), col("sid")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared).count()
+    fps.unpersist(false)
+    WinnowStats(nDocs, gramPositions, postings, joinRows, out)
+  }
+
+  final case class CosineStats(nDocs: Long, weightRows: Long,
+                               candPairs: Long, out: Long)
+
+  /** Sparse-path candidate counter for TfIdf.cosineJoin, through the
+    * operator's own sparseCandidates stage; out = the operator's result
+    * at denseVocabMax = 0 (sparse path forced). */
+  def cosineSparse(spark: SparkSession, docs: DataFrame, tau: Double,
+                   textCol: String = "text"): CosineStats = {
+    val n = docs.count()
+    val w = TfIdf.weights(docs, n, textCol = textCol).persist()
+    val weightRows = w.count()
+    val norms = w.groupBy(col("id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val candPairs = TfIdf.sparseCandidates(w, norms, tau).count()
+    w.unpersist(false)
+    val res = TfIdf.cosineJoin(spark, docs, tau, textCol = textCol,
+      denseVocabMax = 0)
+    val out = res.count()
+    res.unpersist(false)
+    CosineStats(n, weightRows, candPairs, out)
+  }
+
   /** Scanned-row count of the residual IVF-PQ probe: assign the corpus
     * to the same deterministic coarse quantizer ivfPqTopK trains, probe
     * the nProbe cells nearest to the corpus' min-id vector (the declared
@@ -116,6 +202,40 @@ object JoinScalingCheck {
         kCoarse = 16, nProbe = 2)
       println(f"IVFPQ  $sf%-8s N=${p.n}%6d probed=${p.probedRows}%6d " +
         f"frac=${p.probedRows.toDouble / p.n}%6.3f ideal=${2.0 / 16}%6.3f")
+    }
+    // The prefix/sparse candidate paths serve the LARGE-vocabulary
+    // regime (shingle features); on this corpus' 64-token vocabulary
+    // the operators route to the bitmask/dense fast paths instead (a
+    // prefix filter over a 64-token vocab is structurally weak — the
+    // rarest token is still shared by a third of the corpus; measured
+    // 27% of naive at sf0.1). So the scaling curve measures the scale
+    // paths on the shingle corpus they actually serve.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = graft.sources.Fixtures.documents(spark, s"/root/testdata/$sf")
+      val shdocs = docs.select(col("doc_id"), concat_ws(" ",
+        graft.functions.TextCols.shingles(col("text"), 3)).as("shtext"))
+        .persist()
+      val t1 = System.nanoTime()
+      val g = ScalingStats.prefixJaccard(spark, shdocs, 0.8969,
+        textCol = "shtext")
+      println(f"NGRAM  $sf%-8s N=${g.nDocs}%6d sets=${g.nSets}%6d " +
+        f"setToks=${g.setTokens}%8d post=${g.postings}%8d " +
+        f"cand=${g.candPairs}%9d out=${g.out}%7d " +
+        f"naive=${g.nSets * (g.nSets - 1) / 2}%12d " +
+        f"(${(System.nanoTime() - t1) / 1e9}%5.1f s)")
+      val t2 = System.nanoTime()
+      val wn = ScalingStats.winnow(spark, docs, k = 3, w = 4, minShared = 2)
+      println(f"WINNOW $sf%-8s N=${wn.nDocs}%6d grams=${wn.gramPositions}%9d " +
+        f"post=${wn.postings}%8d joinRows=${wn.joinRows}%9d out=${wn.out}%7d " +
+        f"(${(System.nanoTime() - t2) / 1e9}%5.1f s)")
+      val t3 = System.nanoTime()
+      val c = ScalingStats.cosineSparse(spark, shdocs, 0.9,
+        textCol = "shtext")
+      println(f"COSINE $sf%-8s N=${c.nDocs}%6d wrows=${c.weightRows}%8d " +
+        f"cand=${c.candPairs}%9d out=${c.out}%7d " +
+        f"naive=${c.nDocs * (c.nDocs - 1) / 2}%12d " +
+        f"(${(System.nanoTime() - t3) / 1e9}%5.1f s)")
+      shdocs.unpersist(false)
     }
     spark.stop()
   }

@@ -68,6 +68,64 @@ class ScalingSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filter shingle Jaccard: candidates output-proportional, >=99% pruned") {
+    // the prefix path's operating regime is LARGE vocabularies (shingle
+    // features — q_ngram_jaccard); small-vocab corpora route to the
+    // bitmask fast path, where this filter is structurally weak
+    // (measured 27% of naive on the 64-token corpus at sf0.1)
+    sfs.foreach { dir =>
+      val shdocs = graft.sources.Fixtures.documents(spark, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.concat_ws(" ",
+            graft.functions.TextCols.shingles(
+              org.apache.spark.sql.functions.col("text"), 3)).as("shtext"))
+      val g = ScalingStats.prefixJaccard(spark, shdocs, 0.8969,
+        textCol = "shtext")
+      withClue(s"$dir sets=${g.nSets} cand=${g.candPairs} out=${g.out}: ") {
+        // candidate work tracks the output plus a linear prefix-collision
+        // term, not the quadratic pair space (measured <=2*out + 2*sets)
+        assert(g.candPairs <= 2L * g.out + 2L * g.nSets)
+        assert(g.candPairs * 100L <= g.nSets * (g.nSets - 1) / 2)
+      }
+    }
+  }
+
+  test("winnowing: selection density and pair-join rows stay bounded at every scale") {
+    sfs.foreach { dir =>
+      val docs = graft.sources.Fixtures.documents(spark, dir)
+      val wn = ScalingStats.winnow(spark, docs, k = 3, w = 4, minShared = 2)
+      withClue(s"$dir post=${wn.postings} joinRows=${wn.joinRows} out=${wn.out}: ") {
+        // winnowing's published guarantee: ~2/(w+1) of gram positions
+        // are selected (density 0.4 at w=4); the +nDocs absorbs
+        // short-doc floors (every doc selects at least one fingerprint)
+        assert(wn.postings * (4 + 1) <= 2L * wn.gramPositions + wn.nDocs)
+        // the fp-equijoin's row count (its true shuffle driver) tracks
+        // the qualifying-pair output, not the quadratic doc space
+        assert(wn.joinRows <= 48L * wn.out + 2L * wn.nDocs)
+      }
+    }
+  }
+
+  test("tf-idf sparse cosine: candidate filter prunes >=98% of the pair space") {
+    // like the prefix filter, the sparse path serves large vocabularies
+    // (the dense path owns the gate-bounded small-vocab corpus)
+    sfs.foreach { dir =>
+      val shdocs = graft.sources.Fixtures.documents(spark, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.concat_ws(" ",
+            graft.functions.TextCols.shingles(
+              org.apache.spark.sql.functions.col("text"), 3)).as("shtext"))
+      val c = ScalingStats.cosineSparse(spark, shdocs, 0.9,
+        textCol = "shtext")
+      withClue(s"$dir n=${c.nDocs} cand=${c.candPairs} out=${c.out}: ") {
+        assert(c.candPairs * 50L <= c.nDocs * (c.nDocs - 1) / 2)
+        // measured envelope: a near-dup-proportional term plus a linear
+        // rare-suffix-collision term
+        assert(c.candPairs <= 2L * c.out + 32L * c.nDocs)
+      }
+    }
+  }
+
   test("residual IVF-PQ probe scans a bounded corpus fraction at every scale") {
     sfs.foreach { dir =>
       val embs = graft.sources.Fixtures.embeddings(spark, dir)
