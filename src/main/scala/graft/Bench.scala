@@ -10,9 +10,58 @@ import org.apache.spark.sql.SparkSession
   * enables repeat-min mode — per-query minimum over N passes — to defend
   * the headline number against sandbox contention noise. */
 object Bench {
+
+  /** Fixed-work single-thread CPU calibration (SplitMix64, 2^29 steps,
+    * ~0.6s quiet): its wall time moves with ambient contention exactly
+    * like the bench rows do, so cross-round comparisons can divide the
+    * noise out — calibrated total = total * (CalibRefSec / calib_sec).
+    * Min of 3 runs (steal hits maxima, not minima). */
+  def calibrate(): Double = {
+    var best = Double.MaxValue
+    var r = 0
+    while (r < 3) {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var acc = 0L
+      var i = 0
+      while (i < (1 << 29)) {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        acc ^= z ^ (z >>> 31)
+        i += 1
+      }
+      // sink the accumulator so the loop cannot be dead-code-eliminated
+      if (acc == 42L) System.err.print("")
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      r += 1
+    }
+    best
+  }
+
+  /** Quiet-box reference for the calibration loop: the minimum EVER
+    * observed on the 32-core sandbox (0.369s, round-11 quiet window;
+    * loadavg-2 windows measure 0.49+). Using the all-time min means a
+    * noisier round's total calibrates DOWN toward its quiet-box
+    * equivalent and a quiet round stays ~raw — the ratio never
+    * inflates a measurement. Update only if a lower floor appears. */
+  val CalibRefSec = 0.369
+
+  private def loadavg1m(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    if (args.contains("--calib")) {
+      println(f"calib_sec=${calibrate()}%.4f loadavg=${loadavg1m()}%.2f")
+      return
+    }
+    val loadStart = loadavg1m()
+    val calibStart = calibrate()
     // default 2: round 3's driver-recorded bench was a 2x-inflated
     // contended run (104.7s vs a reproducible 50.5s) — repeat-min with
     // per-pass cache clearing makes the recorded number defend itself
@@ -36,22 +85,22 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = scala.collection.mutable.Map.empty[String, Double]
     val errors = scala.collection.mutable.Map.empty[String, String]
-    for (pass <- 1 to repeats; name <- names) {
-      // repeat passes must measure the QUERY, not the session caches: a
-      // later pass would otherwise skip histogram derivation and engine
-      // preparation entirely and the per-query minimum would stop
-      // covering them (a regression there would be invisible)
-      if (pass > 1 && name == names.head) {
-        graft.sources.Fixtures.clearCache(spark)
-        graft.operators.MelodyJoin.clearPrepCache(spark)
-        SparkEntry.clearEdgeCache(spark)
-        // drop EVERY cached plan, not just the known session caches:
-        // operators that return a persisted result (materializeAndFree
-        // pattern) leave plan-cache entries a later pass of the same
-        // pure-Catalyst query would silently hit, recording a min that
-        // measured the cache, not the query
-        spark.sharedState.cacheManager.clearCache()
-      }
+    // repeat passes must measure the QUERY, not the session caches: a
+    // later pass would otherwise skip histogram derivation and engine
+    // preparation entirely and the per-query minimum would stop
+    // covering them (a regression there would be invisible)
+    def clearSessionCaches(): Unit = {
+      graft.sources.Fixtures.clearCache(spark)
+      graft.operators.MelodyJoin.clearPrepCache(spark)
+      SparkEntry.clearEdgeCache(spark)
+      // drop EVERY cached plan, not just the known session caches:
+      // operators that return a persisted result (materializeAndFree
+      // pattern) leave plan-cache entries a later pass of the same
+      // pure-Catalyst query would silently hit, recording a min that
+      // measured the cache, not the query
+      spark.sharedState.cacheManager.clearCache()
+    }
+    def timeOne(name: String): Unit = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
@@ -65,6 +114,23 @@ object Bench {
             String.valueOf(t.getMessage)).take(200)
       }
     }
+    for (pass <- 1 to repeats; name <- names) {
+      if (pass > 1 && name == names.head) clearSessionCaches()
+      timeOne(name)
+    }
+    // contention defense (round-10 lesson: three full-bench numbers
+    // spread 121-169s under co-tenant load): rows costing >1s carry the
+    // contention exposure, so they get ONE extra repeat-min pass — ~80%
+    // of the noise defense at ~a third of a full pass's cost
+    if (repeats >= 2) {
+      val slow = names.filter(n => times.getOrElse(n, 0.0) > 1.0)
+      if (slow.nonEmpty) {
+        clearSessionCaches()
+        slow.foreach(timeOne)
+      }
+    }
+    val calibEnd = calibrate()
+    val loadEnd = loadavg1m()
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -76,7 +142,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // calibrated total divides ambient CPU contention out of the raw
+    // number: calib is the same fixed work every round, so
+    // total * (ref / min(calib)) is comparable across rounds even when
+    // the sandbox never goes quiet. Min of start/end calib — the bench
+    // rows are repeat-min too, so both sides of the ratio take their
+    // best-case slice of the window.
+    val calib = math.min(calibStart, calibEnd)
+    val totalCal = total * (CalibRefSec / calib)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_calibrated":$totalCal,"calib_sec":$calib,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // machine-readable artifact: the stdout line drowns in sbt noise and
     // the driver's BENCH_r*.json "parsed" field has been null every round
