@@ -44,8 +44,12 @@ object Bench {
     * observed on the 32-core sandbox (0.369s, round-11 quiet window;
     * loadavg-2 windows measure 0.49+). Using the all-time min means a
     * noisier round's total calibrates DOWN toward its quiet-box
-    * equivalent and a quiet round stays ~raw — the ratio never
-    * inflates a measurement. Update only if a lower floor appears. */
+    * equivalent and a quiet round stays ~raw. The ratio is additionally
+    * CLAMPED to <= 1.0 below: on hardware faster than this floor (or a
+    * calibration loop that caught a quiet instant of a contended run)
+    * the raw total is reported unchanged — calibration BOUNDS the
+    * contention bias, it cannot inflate a measurement. Update only if a
+    * lower floor appears. */
   val CalibRefSec = 0.369
 
   private def loadavg1m(): Double =
@@ -149,7 +153,11 @@ object Bench {
     // rows are repeat-min too, so both sides of the ratio take their
     // best-case slice of the window.
     val calib = math.min(calibStart, calibEnd)
-    val totalCal = total * (CalibRefSec / calib)
+    // clamp: the calibration can only deflate a contended total back
+    // toward its quiet-box equivalent, never scale a run UP (a single-
+    // threaded loop catching a quiet instant mid-contention, or a
+    // faster box than the recorded floor, would otherwise inflate)
+    val totalCal = total * math.min(1.0, CalibRefSec / calib)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","value_calibrated":$totalCal,"calib_sec":$calib,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // machine-readable artifact: the stdout line drowns in sbt noise and

@@ -113,30 +113,41 @@ object SketchOps {
                      keys: DataFrame, keyCol: Column,
                      fpp: Double = 0.03, slack: Double = 3.0): DataFrame = {
     val spark = big.sparkSession
-    import spark.implicits._
     val keyDs = keys.select(keyCol.cast("long").as("k")).distinct()
     val nKeys = math.max(keyDs.count(), 1L)
     val bloom = keys.stat.bloomFilter(keyCol, nKeys, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val bigK = big.select(bigKey.cast("long").as("k"))
-    val nBig = bigK.count()
-    // the pre-filter itself: map-side, no shuffle, no driver data
-    val passed = bigK.as[Long]
-      .mapPartitions { it =>
-        val b = bloomB.value
-        it.filter(b.mightContainLong)
-      }.toDF("k")
-    val nTrue = bigK.join(broadcast(keyDs), Seq("k"), "left_semi").count()
-    val nTruePass = passed.join(broadcast(keyDs), Seq("k"), "left_semi").count()
-    val falseNegatives = nTrue - nTruePass
-    // fp accounting over DISTINCT keys (the granularity of the bloom's
-    // fpp guarantee): a key either collides or it doesn't, and all its
-    // rows follow — so the budget is fpp x distinct non-matching keys
-    val bigKeys = bigK.distinct()
-    val nBigKeys = bigKeys.count()
-    val nTrueKeys = bigKeys.join(broadcast(keyDs), Seq("k"), "left_semi").count()
-    val fpKeys = passed.distinct()
-      .join(broadcast(keyDs), Seq("k"), "left_anti").count()
+    // The map-side pre-filter's verdict is a DETERMINISTIC function of
+    // the key (mightContainLong probes the same bits every time), so
+    // row- and key-granular tallies fold into ONE aggregation over the
+    // distinct big-side keys: groupBy(k) carries each key's row count
+    // up (map-side partial agg — the only shuffle, key-sized), the
+    // broadcast join marks true matches, the bloom probe runs once per
+    // distinct key exactly as it would per row. One pass over the big
+    // side + one action, replacing the six per-tally scans this audit
+    // used to run (the round-11 q_bloom_join regression).
+    // fp accounting stays in DISTINCT keys — the granularity of the
+    // bloom's fpp guarantee: a key either collides or it doesn't, and
+    // all its rows follow, so the budget is fpp x non-matching keys.
+    val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+    val r = bigK.groupBy(col("k")).agg(count(lit(1)).as("rows"))
+      .join(broadcast(keyDs.withColumn("hit", lit(1L))), Seq("k"), "left")
+      .select(col("rows"), coalesce(col("hit"), lit(0L)).as("hit"),
+        when(mightContain(col("k")), 1L).otherwise(0L).as("pass"))
+      .agg(
+        coalesce(sum(col("rows")), lit(0L)).as("n_big"),
+        coalesce(sum(when(col("hit") === 1L, col("rows")).otherwise(0L)),
+          lit(0L)).as("n_true"),
+        coalesce(sum(when(col("hit") === 1L && col("pass") === 0L,
+          col("rows")).otherwise(0L)), lit(0L)).as("false_neg"),
+        count(lit(1)).as("n_big_keys"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_true_keys"),
+        coalesce(sum(when(col("hit") === 0L && col("pass") === 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("fp_keys"))
+      .head()
+    val (nBig, nTrue, falseNegatives) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (nBigKeys, nTrueKeys, fpKeys) = (r.getLong(3), r.getLong(4), r.getLong(5))
     val fpBudget = math.ceil(
       slack * fpp * math.max(nBigKeys - nTrueKeys, 1L).toDouble).toLong + 64L
     spark.createDataFrame(Seq(

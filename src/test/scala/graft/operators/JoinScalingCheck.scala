@@ -75,7 +75,8 @@ object ScalingStats {
     val sets = groups.select(col("gid").as("id"), col("key").as("toks"))
     val dfreq = sets.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("dfreq"))
-    val setTokens = sets.select(sum(size(col("toks")))).head().getLong(0)
+    val setTokens = sets
+      .select(coalesce(sum(size(col("toks"))), lit(0L))).head().getLong(0)
     val tokRanks = Dedup.rankSets(sets, dfreq).persist()
     val postings = Dedup.prefixPostings(tokRanks, tau).count()
     val candIds = Dedup
@@ -105,13 +106,15 @@ object ScalingStats {
              minShared: Int): WinnowStats = {
     val nDocs = docs.count()
     val gramPositions = docs
-      .select(sum(greatest(size(graft.functions.TextCols.tokens(col("text")))
-        - (k - 1), lit(1)))).head().getLong(0)
+      .select(coalesce(sum(greatest(
+        size(graft.functions.TextCols.tokens(col("text"))) - (k - 1),
+        lit(1))), lit(0L))).head().getLong(0)
     val fps = CorpusOps.winnowFingerprints(docs, k, w)
       .select(col("doc_id"), col("fp")).distinct().persist()
     val postings = fps.count()
     val joinRows = fps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
-      .select(sum(col("c") * (col("c") - 1))).head().getLong(0) / 2
+      .select(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)))
+      .head().getLong(0) / 2
     val out = fps.select(col("fp"), col("doc_id").as("rid"))
       .join(fps.select(col("fp"), col("doc_id").as("sid")), "fp")
       .filter(col("rid") < col("sid"))

@@ -20,7 +20,16 @@ import org.scalatest.funsuite.AnyFunSuite
   *    corpus (~nProbe/kCoarse, asserted <= 2x the ideal fraction to
   *    absorb k-means imbalance) at every scale.
   *
-  * Raw curve recorded in PLANS.md (JoinScalingCheck dump). */
+  * Raw curve recorded in PLANS.md (JoinScalingCheck dump).
+  *
+  * ENVELOPE CONSTANTS are measured-headroom pins, not theory: each is
+  * roughly 2x the worst observed ratio across the three generated
+  * scales (raw numbers in PLANS.md), so a >2x pruning regression fails
+  * here while ordinary run-to-run variation cannot. They are
+  * fixture-coupled by design — if /root/testdata is regenerated or a
+  * declared threshold changes, a failure here means DATA DRIFT first:
+  * re-run JoinScalingCheck, compare against the PLANS.md curve, and
+  * re-pin at ~2x the new worst ratio (documented at each assertion). */
 class ScalingSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = {
@@ -100,7 +109,9 @@ class ScalingSpec extends AnyFunSuite {
         // short-doc floors (every doc selects at least one fingerprint)
         assert(wn.postings * (4 + 1) <= 2L * wn.gramPositions + wn.nDocs)
         // the fp-equijoin's row count (its true shuffle driver) tracks
-        // the qualifying-pair output, not the quadratic doc space
+        // the qualifying-pair output, not the quadratic doc space;
+        // 48x/2x pins ~2x the sf0.1 measurement (joinRows ~= 23*out +
+        // ~N near-dup floor — see PLANS.md WINNOW rows)
         assert(wn.joinRows <= 48L * wn.out + 2L * wn.nDocs)
       }
     }
