@@ -26,6 +26,11 @@ object SparkEntry {
   private val Theta = 0.153
   private val RubnerTheta = 0.0401
   private val TopK = 20
+  // fixed size of q_stream_emd's static broadcast reference index: a
+  // broadcast index is bounded by contract (the honest stream-static
+  // shape at any corpus scale), selected deterministically by
+  // (md5(id), id) hash-spread order in BOTH engines
+  private val StreamEmdRefCap = 256
   private val Theta3d = 0.0803
   // tree-EMD overestimates 1-D EMD by up to 2n-2; sized so the pair set
   // is in the same regime as the exact join. 0.4071 = 4071/10000: a
@@ -1396,22 +1401,43 @@ object SparkEntry {
     }),
 
     // --- STREAMING stream-static EMD match, driver-visible: the
-    //     histogram corpus (ids not divisible by 10) streams against the
-    //     broadcast reference set (ids divisible by 10) through the real
-    //     cascade kernel; 1-D config, so emitted distances carry the
-    //     cum-of-differences closed form the EmdCte oracle mirrors ---
+    //     histogram corpus (ids not divisible by 10) streams against a
+    //     FIXED-SIZE broadcast reference set — ids divisible by 10,
+    //     hash-spread to StreamEmdRefCap by (md5(id), id) order (the D14
+    //     sampling idiom; a broadcast index is bounded by contract, so
+    //     nothing corpus-proportional reaches the driver at any scale) —
+    //     through the real cascade kernel; 1-D config, so emitted
+    //     distances carry the cum-of-differences closed form the oracle
+    //     mirrors ---
     "q_stream_emd" -> ((s, dir) => {
       val hists = Fixtures.quantityHists(s, dir)
       val refs = hists.filter(col("id") % 10 === 0)
-        .select(col("id").cast("long"), col("weights"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
+        .select(col("id").cast("long").as("id"), col("weights"))
+        .orderBy(md5(col("id").cast("string")), col("id"))
+        .limit(StreamEmdRefCap)
       graft.streaming.StreamOps.replayEmdMatch(s,
           hists.filter(col("id") % 10 =!= 0), refs, melodyCfg1d, Theta,
-          numBatches = 2)
+          maxRefs = StreamEmdRefCap, numBatches = 2)
         .select(col("stream_id"), col("ref_id"),
           round(col("dist"), 6).as("dist"))
+    }),
+
+    // --- STREAMING stream-static ANN, driver-visible: every 20th
+    //     embedding streams as a query against the static residual
+    //     IVF-PQ index built once over the FULL corpus (4 coarse cells,
+    //     4x16-dim 8-code residual books — the q_ivfpq_topk layout);
+    //     per batch, executor-side probe+LUT rows broadcast-join the
+    //     cluster-keyed index and a rank window takes each query's
+    //     top-5 by (adc_d2, id). Stateless per batch => emitted set ==
+    //     the one-shot batch run, which the oracle replays in BIGINT ---
+    "q_stream_ann" -> ((s, dir) => {
+      val embs = Fixtures.embeddings(s, dir)
+      val queries = graft.operators.Cluster
+        .quantize(embs.filter(col("vec_id") % 20 === 0), 1000)
+        .select(col("id").as("qid"), col("v"))
+      graft.streaming.StreamOps.replayAnnTopK(s, queries, embs,
+        kCoarse = 4, nProbe = 2, numSub = 4, ksub = 8, k = 5,
+        numBatches = 2)
     }),
 
     // --- normal fit + Hough + uniform grid cell id (P4/P5/P8/A1) ---
@@ -1692,9 +1718,13 @@ object SparkEntry {
   /** Exact-dedup canonical fingerprint (mirrors TextCols.fingerprint) —
     * the ONE copy shared by q_dedup_exact, q_stream_dedup, and
     * q_pipeline's keepers stage, so a normalization change cannot drift
-    * between the standalone and composed oracles. */
-  private val FingerprintSql =
-    """md5(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+    * between the standalone and composed oracles. Parameterized by the
+    * column reference (aliased call sites pass "d.text") instead of
+    * post-hoc string surgery, which would silently corrupt the SQL if
+    * the body ever gained another 'text' occurrence. */
+  private def fingerprintSql(col: String = "text"): String =
+    s"""md5(regexp_replace(lower($col), '\\s+', ' ', 'g'))"""
+  private val FingerprintSql = fingerprintSql()
 
   /** Quality-gate stats CTE chain (t, h) over `src` (doc_id, text):
     * token list, n/d/stops, top-token count m, 3-gram list g3. The five
@@ -2124,6 +2154,103 @@ object SparkEntry {
         |)
         |SELECT id, d2 FROM prr ORDER BY d2, id LIMIT 20""".stripMargin
 
+  /** q_stream_ann: the multi-query residual IVF-PQ read path over the
+    * FULL-corpus index — the IvfPqBody pipeline (same kmeansRound /
+    * pqRound CTE generators; corpus CTE `q` is ALL embeddings here, and
+    * the single min-id query CTEs become per-qid versions keyed by the
+    * query set `qs` = every 20th vector). Stateless-per-batch streaming
+    * equals the one-shot batch run, so this one BIGINT replay oracles
+    * the streamed result. */
+  private val StreamAnnSql: String = {
+    val numSub = 4
+    val subDim = 16
+    val ksub = 8
+    s"""WITH qz AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> cast(round(x * 1000) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT id, v FROM qz
+       |), qs AS (
+       |  SELECT id AS qid, v FROM qz WHERE id % 20 = 0
+       |), c0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS m
+       |  FROM q ORDER BY id LIMIT 4
+       |)""".stripMargin +
+      kmeansRound(1) + kmeansRound(2) +
+      s""", av AS (
+         |  SELECT id, v, cid FROM (
+         |    SELECT q.id, q.v, c.cid,
+         |           row_number() OVER (PARTITION BY q.id ORDER BY
+         |             cast(list_sum(list_transform(range(1, len(q.v) + 1),
+         |               i -> (q.v[i] - c.m[i]) * (q.v[i] - c.m[i]))) AS BIGINT),
+         |             c.cid) AS rn
+         |    FROM q CROSS JOIN c2 c)
+         |  WHERE rn = 1
+         |), resid AS (
+         |  SELECT a.id, a.cid,
+         |         list_transform(range(1, len(a.v) + 1), i -> a.v[i] - c.m[i]) AS rv
+         |  FROM av a JOIN c2 c USING (cid)
+         |), psub AS (
+         |  SELECT r.id, mm.m,
+         |         list_transform(range(mm.m * $subDim + 1, mm.m * $subDim + ${subDim + 1}),
+         |           i -> r.rv[i]) AS sv
+         |  FROM resid r CROSS JOIN (SELECT unnest(range($numSub)) AS m) mm
+         |), pc0 AS (
+         |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY id) - 1 AS cid,
+         |         sv AS cm
+         |  FROM psub WHERE id IN (SELECT id FROM q ORDER BY id LIMIT $ksub)
+         |)""".stripMargin +
+      pqRound(1, subDim) + pqRound(2, subDim) +
+      s""", penc AS (
+         |  SELECT id, m, cid FROM (
+         |    SELECT s.id, s.m, c.cid,
+         |           row_number() OVER (PARTITION BY s.id, s.m
+         |             ORDER BY cast(list_sum(list_transform(range(1, ${subDim + 1}),
+         |               i -> (s.sv[i] - c.cm[i]) * (s.sv[i] - c.cm[i]))) AS BIGINT),
+         |               c.cid) AS rn
+         |    FROM psub s JOIN pc2 c ON s.m = c.m)
+         |  WHERE rn = 1
+         |), pd AS (
+         |  SELECT s.qid, c.cid,
+         |         cast(list_sum(list_transform(range(1, 65),
+         |           i -> (s.v[i] - c.m[i]) * (s.v[i] - c.m[i]))) AS BIGINT) AS d2
+         |  FROM qs s CROSS JOIN c2 c
+         |), probed AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY d2, cid) AS rn FROM pd)
+         |  WHERE rn <= 2
+         |), qres AS (
+         |  SELECT p.qid, c.cid AS gcid,
+         |         list_transform(range(1, 65), i -> s.v[i] - c.m[i]) AS rv
+         |  FROM probed p JOIN qs s USING (qid) JOIN c2 c ON c.cid = p.cid
+         |), qrsub AS (
+         |  SELECT qid, gcid, mm.m,
+         |         list_transform(range(mm.m * $subDim + 1, mm.m * $subDim + ${subDim + 1}),
+         |           i -> rv[i]) AS sv
+         |  FROM qres CROSS JOIN (SELECT unnest(range($numSub)) AS m) mm
+         |), plut AS (
+         |  SELECT s.qid, s.gcid, c.m, c.cid,
+         |         cast(list_sum(list_transform(range(1, ${subDim + 1}),
+         |           i -> (s.sv[i] - c.cm[i]) * (s.sv[i] - c.cm[i]))) AS BIGINT) AS d2
+         |  FROM qrsub s JOIN pc2 c ON s.m = c.m
+         |), padc AS (
+         |  SELECT p.qid, e.id, cast(sum(l.d2) AS BIGINT) AS adc_d2
+         |  FROM penc e
+         |  JOIN av a ON a.id = e.id
+         |  JOIN probed p ON p.cid = a.cid
+         |  JOIN plut l ON l.qid = p.qid AND l.gcid = a.cid
+         |             AND l.m = e.m AND l.cid = e.cid
+         |  GROUP BY p.qid, e.id
+         |)
+         |SELECT qid, id, adc_d2 FROM (
+         |  SELECT qid, id, adc_d2, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc_d2, id) AS rn FROM padc)
+         |WHERE rn <= 5""".stripMargin
+  }
+
   /** Red-channel 8-bin PPM histogram replay: pixel i's red byte is text
     * byte (3*i % len) (withImagePayload cycles UTF-8 bytes through the
     * 16x16 RGB plane). Shared by q_image_hist and q_binary_scan (the
@@ -2169,6 +2296,7 @@ object SparkEntry {
     "q_pq_rerank" -> PqRerankSql,
     "q_ivfpq_topk" -> IvfPqSql,
     "q_ivfpq_rerank" -> IvfPqRerankSql,
+    "q_stream_ann" -> StreamAnnSql,
 
     "q1_agg" ->
       """SELECT l_returnflag, round(cast(sum(l_quantity) AS DOUBLE), 6) AS sum_qty,
@@ -2298,7 +2426,7 @@ object SparkEntry {
          |)
          |SELECT d.doc_id, k.keeper, d.doc_id <> k.keeper AS is_dup
          |FROM documents d
-         |JOIN k ON ${FingerprintSql.replace("text", "d.text")} = k.fp""".stripMargin,
+         |JOIN k ON ${fingerprintSql("d.text")} = k.fp""".stripMargin,
 
     "q_token_stats" ->
       """SELECT doc_id,
@@ -3549,13 +3677,19 @@ object SparkEntry {
 
     // stream-static EMD match: cum-of-differences form (the cascade's
     // 1-D closed-form kernel, the EmdCte shape), stream side id % 10 <> 0
-    // vs reference side id % 10 = 0
+    // vs the FIXED-SIZE reference side — ids % 10 = 0, hash-spread to
+    // StreamEmdRefCap by (md5(id), id) order, mirroring the Spark
+    // query's bounded broadcast-index selection
     "q_stream_emd" ->
       (HistCte +
-        s""", diffs AS (
+        s""", refsel AS (
+           |  SELECT id FROM (SELECT DISTINCT id FROM hist WHERE id % 10 = 0) r
+           |  ORDER BY md5(cast(id AS VARCHAR)), id LIMIT $StreamEmdRefCap
+           |), diffs AS (
            |  SELECT a.id AS stream_id, b.id AS ref_id, a.bin AS bin, a.w - b.w AS d
            |  FROM hist a JOIN hist b ON a.bin = b.bin
-           |  WHERE a.id % 10 <> 0 AND b.id % 10 = 0
+           |  JOIN refsel rs ON b.id = rs.id
+           |  WHERE a.id % 10 <> 0
            |), cums AS (
            |  SELECT stream_id, ref_id,
            |         sum(d) OVER (PARTITION BY stream_id, ref_id ORDER BY bin) AS cum

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.EmdCols
 
@@ -541,18 +542,36 @@ object Ann {
     *
     * Output: (id, adc_d2 BIGINT) top-k under the (adc_d2, id) total
     * order, restricted to the probed cells. */
-  def ivfPqTopK(spark: SparkSession, corpus: DataFrame,
-                quantizedQuery: Array[Long], kCoarse: Int, nProbe: Int,
-                numSub: Int, ksub: Int, k: Int, iters: Int = 2,
-                scale: Int = 1000, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+  /** A built residual IVF-PQ index: coarse centroids + residual PQ
+    * codebooks (both bounded, broadcastable) and the encoded corpus
+    * frame `(id, cluster INT, codes ARRAY<INT>)` — one compact code row
+    * per vector, MATERIALIZED (the training inputs' caches are already
+    * released). `close()` releases the index frame. */
+  final case class IvfPqIndex(coarse: Array[Array[Long]],
+                              codebooks: Array[Array[Array[Long]]],
+                              index: DataFrame,
+                              dim: Int, numSub: Int) {
+    def sub: Int = dim / numSub
+    def ksub: Int = codebooks(0).length
+    def close(): Unit = index.unpersist(false)
+  }
+
+  /** Train the residual IVF-PQ layout once — the build half of
+    * [[ivfPqTopK]], shared by the single-query read path, the
+    * multi-query batch path ([[ivfPqBatchTopK]]) and the stream-static
+    * ANN leg (the index is static by definition; queries come and go).
+    * Identical arithmetic to the inlined training this replaces:
+    * integer Lloyd's coarse quantizer, plain-loop residuals, residual
+    * PQ books, plain-loop encode. */
+  def buildIvfPqIndex(spark: SparkSession, corpus: DataFrame,
+                      kCoarse: Int, numSub: Int, ksub: Int, iters: Int = 2,
+                      scale: Int = 1000, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): IvfPqIndex = {
     import graft.core.Caching._
-    require(nProbe >= 1 && nProbe <= kCoarse, s"nProbe=$nProbe kCoarse=$kCoarse")
     val q = Cluster.quantize(corpus, scale, idCol, vecCol).persistOnce()
     try {
       val dim = q.select(size(col("v"))).head().getInt(0)
-      require(dim % numSub == 0, s"ivfPqTopK: dim=$dim % numSub=$numSub != 0")
-      val sub = dim / numSub
+      require(dim % numSub == 0, s"buildIvfPqIndex: dim=$dim % numSub=$numSub != 0")
       val coarse = Cluster.lloydCentroids(q, kCoarse, iters, dim)
       // (id, cluster, residual) in one plain-loop pass — the assignment
       // argmin and integer subtraction stay out of interpreted HOF eval
@@ -581,49 +600,154 @@ object Ann {
           numSub, ksub, iters)
         val index = pqEncodeQuantized(resid.select(col("id"), col("v")), cbs)
           .join(resid.select(col("id"), col("cluster")), "id")
-        // driver-side probe: nProbe nearest coarse cells under (d2, cid)
-        val probed = coarse.zipWithIndex.map { case (cent, c) =>
-          var d = 0L
-          var i = 0
-          while (i < dim) { val t = quantizedQuery(i) - cent(i); d += t * t; i += 1 }
-          (d, c)
-        }.sorted.take(nProbe).map(_._2)
-        // per-cell ADC lookup table from the query's per-cell residual
-        def lutFor(c: Int): Array[Array[Long]] = {
-          val cent = coarse(c)
-          cbs.zipWithIndex.map { case (cb, m) =>
-            cb.map { pqc =>
-              var d = 0L
-              var i = 0
-              while (i < sub) {
-                val t = (quantizedQuery(m * sub + i) - cent(m * sub + i)) - pqc(i)
-                d += t * t
-                i += 1
-              }
-              d
-            }
-          }
-        }
-        def adc(lut: Array[Array[Long]]): Column =
-          lut.zipWithIndex.map { case (lm, m) =>
-            element_at(lit(lm), element_at(col("codes"), m + 1) + 1)
-          }.reduce(_ + _)
-        val score = probed.tail.foldLeft(
-            when(col("cluster") === probed.head, adc(lutFor(probed.head)))) {
-          (acc, c) => acc.when(col("cluster") === c, adc(lutFor(c)))
-        }
-        // materialize before the finally unpersists the lineage inputs —
-        // the returned frame must not silently recompute training
-        val out = index
-          .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
-          .select(col("id"), score.as("adc_d2"))
-          .orderBy(col("adc_d2"), col("id"))
-          .limit(k)
           .persistOnce()
-        out.count()
-        out
+        // materialize before the finallys release the training caches —
+        // the returned index must not silently recompute training
+        index.count()
+        IvfPqIndex(coarse, cbs, index, dim, numSub)
       } finally resid.unpersist(false)
     } finally q.unpersist(false)
+  }
+
+  def ivfPqTopK(spark: SparkSession, corpus: DataFrame,
+                quantizedQuery: Array[Long], kCoarse: Int, nProbe: Int,
+                numSub: Int, ksub: Int, k: Int, iters: Int = 2,
+                scale: Int = 1000, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import graft.core.Caching._
+    require(nProbe >= 1 && nProbe <= kCoarse, s"nProbe=$nProbe kCoarse=$kCoarse")
+    val idx = buildIvfPqIndex(spark, corpus, kCoarse, numSub, ksub, iters,
+      scale, idCol, vecCol)
+    try {
+      val dim = idx.dim
+      val sub = idx.sub
+      val coarse = idx.coarse
+      val cbs = idx.codebooks
+      // driver-side probe: nProbe nearest coarse cells under (d2, cid)
+      val probed = coarse.zipWithIndex.map { case (cent, c) =>
+        var d = 0L
+        var i = 0
+        while (i < dim) { val t = quantizedQuery(i) - cent(i); d += t * t; i += 1 }
+        (d, c)
+      }.sorted.take(nProbe).map(_._2)
+      // per-cell ADC lookup table from the query's per-cell residual
+      def lutFor(c: Int): Array[Array[Long]] = {
+        val cent = coarse(c)
+        cbs.zipWithIndex.map { case (cb, m) =>
+          cb.map { pqc =>
+            var d = 0L
+            var i = 0
+            while (i < sub) {
+              val t = (quantizedQuery(m * sub + i) - cent(m * sub + i)) - pqc(i)
+              d += t * t
+              i += 1
+            }
+            d
+          }
+        }
+      }
+      def adc(lut: Array[Array[Long]]): Column =
+        lut.zipWithIndex.map { case (lm, m) =>
+          element_at(lit(lm), element_at(col("codes"), m + 1) + 1)
+        }.reduce(_ + _)
+      val score = probed.tail.foldLeft(
+          when(col("cluster") === probed.head, adc(lutFor(probed.head)))) {
+        (acc, c) => acc.when(col("cluster") === c, adc(lutFor(c)))
+      }
+      val out = idx.index
+        .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
+        .select(col("id"), score.as("adc_d2"))
+        .orderBy(col("adc_d2"), col("id"))
+        .limit(k)
+        .persistOnce()
+      out.count()
+      out
+    } finally idx.close()
+  }
+
+  /** Multi-query IVF-PQ read path over a PRE-BUILT static index — the
+    * distributed serving shape behind both the batch query-set workload
+    * and the stream-static ANN leg (each micro-batch of query vectors
+    * is one call):
+    *
+    *  - each query row computes its own probe list and per-cell ADC
+    *    lookup tables EXECUTOR-SIDE in a plain loop over the broadcast
+    *    centroids/codebooks (nothing per-query touches the driver);
+    *  - the (qid, cluster, lut) probe rows — nProbe rows of
+    *    numSub x ksub longs per query, bounded — broadcast-join the
+    *    cluster-keyed index, so the corpus never reshuffles and only
+    *    probed members are scored;
+    *  - per-query top-k is a rank window over the scored rows, keyed by
+    *    qid (output-sized, not corpus-sized).
+    *
+    * Same integer arithmetic and (adc_d2, id) tie order as
+    * [[ivfPqTopK]]; a query set of one reproduces it row-for-row
+    * (spec-pinned). Output: (qid, id, adc_d2) — k rows per query.
+    *
+    * `queries` must carry (qid BIGINT, v ARRAY<BIGINT>) with v already
+    * quantized by [[Cluster.quantize]]'s rounding. */
+  def ivfPqBatchTopK(queries: DataFrame, idx: IvfPqIndex,
+                     nProbe: Int, k: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= idx.coarse.length,
+      s"nProbe=$nProbe kCoarse=${idx.coarse.length}")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val numSub = idx.numSub
+    val ksub = idx.ksub
+    val sub = idx.sub
+    val coarseB = spark.sparkContext.broadcast(idx.coarse)
+    val cbsB = spark.sparkContext.broadcast(idx.codebooks)
+    val probes = queries
+      .select(col("qid").cast("long"), col("v").cast("array<long>"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val coarse = coarseB.value
+        val cbs = cbsB.value
+        it.flatMap { case (qid, qv) =>
+          // probe order mirrors ivfPqTopK: (d2, cid) ascending
+          val cells = coarse.zipWithIndex.map { case (cent, c) =>
+            var d = 0L
+            var i = 0
+            while (i < qv.length) { val t = qv(i) - cent(i); d += t * t; i += 1 }
+            (d, c)
+          }.sorted.take(nProbe)
+          cells.iterator.map { case (_, c) =>
+            val cent = coarse(c)
+            val lut = new Array[Long](numSub * ksub)
+            var m = 0
+            while (m < numSub) {
+              var cc = 0
+              while (cc < ksub) {
+                val pqc = cbs(m)(cc)
+                var d = 0L
+                var i = 0
+                while (i < sub) {
+                  val t = (qv(m * sub + i) - cent(m * sub + i)) - pqc(i)
+                  d += t * t
+                  i += 1
+                }
+                lut(m * ksub + cc) = d
+                cc += 1
+              }
+              m += 1
+            }
+            (qid, c, lut)
+          }
+        }
+      }.toDF("qid", "cluster", "lut")
+    val adcScore = udf { (codes: Seq[Int], lut: Seq[Long]) =>
+      var s = 0L
+      var m = 0
+      while (m < numSub) { s += lut(m * ksub + codes(m)); m += 1 }
+      s
+    }
+    idx.index.join(broadcast(probes), "cluster")
+      .select(col("qid"), col("id"),
+        adcScore(col("codes"), col("lut")).as("adc_d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id"), col("adc_d2"))
   }
 
   /** [[ivfPqTopK]] with the exact-rerank tail — the complete production

@@ -588,20 +588,45 @@ object StreamOps {
       }.toDF("stream_id", "ref_id", "dist")
   }
 
+  /** Bounded materialization of a static reference side destined for a
+    * broadcast index: collects at most `maxRefs` rows and REFUSES a
+    * larger input (`require`) instead of silently pulling a
+    * corpus-proportional side through the driver — the gate-bounded
+    * exact-baseline idiom. Callers pick the bound; the deterministic
+    * ascending-id sort makes the broadcast order reproducible. */
+  def collectBoundedRefs(refs: DataFrame,
+                         maxRefs: Int): Array[(Long, Array[Double])] = {
+    val rows = refs.select(col("id").cast("long"),
+        col("weights").cast("array<double>"))
+      .limit(maxRefs + 1).collect()
+    require(rows.length <= maxRefs,
+      s"static reference side exceeds maxRefs=$maxRefs rows — a broadcast " +
+        "index must be bounded; pre-select a fixed-size reference set " +
+        "(deterministic hash-spread ORDER BY md5(id) LIMIT n)")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+  }
+
   /** Verification replay for the stream-static EMD match — the
     * [[replayExactDedup]] harness contract driving [[streamingEmdMatch]]:
     * the histogram corpus streams in as ascending-id micro-batches
-    * against the broadcast reference set. The operator is stateless per
-    * batch (the static side is the only carried structure), so the
-    * append-mode match set is ingestion-order-invariant and the batch
-    * closed-form oracle replays it exactly. */
+    * against the broadcast reference set. The reference side arrives as
+    * a DataFrame and is materialized through [[collectBoundedRefs]] —
+    * the bound is the operator's honest contract (a broadcast index is
+    * fixed-size by definition), so no caller can push a
+    * corpus-proportional side through the driver. The operator is
+    * stateless per batch (the static side is the only carried
+    * structure), so the append-mode match set is
+    * ingestion-order-invariant and the batch closed-form oracle replays
+    * it exactly. */
   def replayEmdMatch(spark: SparkSession, hists: DataFrame,
-                     staticRefs: Array[(Long, Array[Double])],
+                     refs: DataFrame,
                      cfg: MelodyJoin.Config, theta: Double,
+                     maxRefs: Int = 4096,
                      numBatches: Int = 4): DataFrame =
       withReplayShuffle(spark) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staticRefs = collectBoundedRefs(refs, maxRefs)
     val src = hists.select(col("id").cast("long"),
         col("weights").cast("array<double>"))
       .as[(Long, Array[Double])]
@@ -627,6 +652,67 @@ object StreamOps {
     } finally {
       query.stop()
     }
+  }
+
+  /** Stream-static ANN: quantized query vectors stream against a
+    * PRE-BUILT static residual IVF-PQ index ([[Ann.buildIvfPqIndex]] —
+    * the index is static by definition; queries come and go). Each
+    * micro-batch runs the distributed multi-query read path
+    * ([[Ann.ivfPqBatchTopK]]) via foreachBatch — the documented
+    * Structured Streaming shape for stream-static joins that need
+    * arbitrary per-batch logic (the per-query rank window is not an
+    * append-mode streaming operator): executor-side probe + LUT
+    * construction from the broadcast centroids/codebooks, probe rows
+    * broadcast-joined against the cluster-keyed index (the corpus never
+    * reshuffles), per-query top-k rank window. The operator is
+    * stateless per batch, so the emitted set is
+    * ingestion-order-invariant and equals the one-shot batch run — the
+    * oracle contract. Output: (qid, id, adc_d2), k rows per query. */
+  def replayAnnTopK(spark: SparkSession, queries: DataFrame,
+                    corpus: DataFrame, kCoarse: Int, nProbe: Int,
+                    numSub: Int, ksub: Int, k: Int, iters: Int = 2,
+                    scale: Int = 1000, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    numBatches: Int = 4): DataFrame =
+      withReplayShuffle(spark) {
+    import graft.operators.Ann
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = Ann.buildIvfPqIndex(spark, corpus, kCoarse, numSub, ksub,
+      iters, scale, idCol, vecCol)
+    try {
+      val src = queries.select(col("qid").cast("long"),
+          col("v").cast("array<long>"))
+        .as[(Long, Array[Long])]
+      val n = src.count()
+      val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Long])]
+      // per-batch results are output-sized (k rows per query in the
+      // batch) — the same driver footprint as the memory sink the other
+      // replay harnesses use
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val query = mem.toDF().toDF("qid", "v").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val res = Ann.ivfPqBatchTopK(batch, idx, nProbe, k)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          buf.synchronized { buf ++= res }
+          ()
+        }
+        .start()
+      try {
+        import scala.jdk.CollectionConverters._
+        src.orderBy(col("qid")).toLocalIterator().asScala
+          .grouped(per).foreach { chunk =>
+            mem.addData(chunk.toSeq: _*)
+            query.processAllAvailable()
+          }
+        val rows = buf.synchronized { buf.toSeq }
+        spark.createDataset(rows).toDF("qid", "id", "adc_d2")
+      } finally {
+        query.stop()
+      }
+    } finally idx.close()
   }
 
   /** Verification replay for the watermarked tumbling-window aggregation

@@ -419,6 +419,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(d2s == d2s.sorted)
   }
 
+  test("ivfPqBatchTopK: a query set of one reproduces ivfPqTopK row-for-row; " +
+    "multi-query returns k ranked rows per query") {
+    import spark.implicits._
+    val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+    val rest = embs.filter(col("vec_id") =!= minId)
+    val qq = Cluster.quantize(embs.filter(col("vec_id") === minId), 1000)
+      .select(col("v")).head().getSeq[Long](0).toArray
+    val single = Ann.ivfPqTopK(spark, rest, qq, kCoarse = 4, nProbe = 2,
+        numSub = 4, ksub = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val idx = Ann.buildIvfPqIndex(spark, rest, kCoarse = 4, numSub = 4, ksub = 8)
+    try {
+      val qdf = Seq((minId, qq.toSeq)).toDF("qid", "v")
+      val got = Ann.ivfPqBatchTopK(qdf, idx, nProbe = 2, k = 10)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(identity)
+      assert(got == single.sortBy(identity),
+        s"batch-of-one != single-query: $got vs $single")
+      // multi-query: k rows per query, each list sorted by (adc_d2, id)
+      val queries = Cluster.quantize(embs.filter(col("vec_id") % 125 === 0), 1000)
+        .select(col("id").as("qid"), col("v"))
+      val nq = queries.count()
+      val multi = Ann.ivfPqBatchTopK(queries, idx, nProbe = 2, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(multi.length == nq * 5, s"${multi.length} rows for $nq queries")
+      assert(multi.groupBy(_._1).forall(_._2.length == 5))
+      // the batch path must agree with the single-query path on EVERY
+      // query in the set, not just minId
+      multi.groupBy(_._1).foreach { case (qid, rows) =>
+        val qv = Cluster.quantize(embs.filter(col("vec_id") === qid), 1000)
+          .select(col("v")).head().getSeq[Long](0).toArray
+        val want = Ann.ivfPqTopK(spark, rest, qv, kCoarse = 4, nProbe = 2,
+            numSub = 4, ksub = 8, k = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(rows.map(r => (r._2, r._3)).toSet == want,
+          s"query $qid: batch != single")
+      }
+    } finally idx.close()
+  }
+
   test("PQ rerank (16x16 books, ADC top-200 shortlist) recall >= 0.95 vs " +
     "exact integer-L2 top-20; returned distances are the exact ones") {
     val minId = embs.agg(min(col("vec_id"))).head().getLong(0)

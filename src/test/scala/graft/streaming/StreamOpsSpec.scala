@@ -295,6 +295,26 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!rows.exists { case (s, r, _) => (s, r) == (1L, 200L) || (s, r) == (2L, 100L) })
   }
 
+  test("stream-static ANN replay equals the one-shot batch read path") {
+    val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = graft.operators.Cluster
+      .quantize(embs.filter(col("vec_id") % 50 === 0), 1000)
+      .select(col("id").as("qid"), col("v"))
+    val streamed = StreamOps.replayAnnTopK(spark, queries, embs,
+        kCoarse = 4, nProbe = 2, numSub = 4, ksub = 8, k = 5, numBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val idx = graft.operators.Ann.buildIvfPqIndex(spark, embs,
+      kCoarse = 4, numSub = 4, ksub = 8)
+    try {
+      val batch = graft.operators.Ann.ivfPqBatchTopK(queries, idx,
+          nProbe = 2, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream != batch: missing=${batch -- streamed} extra=${streamed -- batch}")
+      assert(streamed.nonEmpty)
+    } finally idx.close()
+  }
+
   test("streaming as-of join reproduces the batch operator incl. equal-ts ties") {
     import spark.implicits._
     def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
