@@ -352,6 +352,44 @@ object SparkEntry {
         .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
     }),
 
+    // --- four-engine answer equality, driver-visible: the reference
+    //     dispatches four engines off one conf (Join.java:42-131 —
+    //     melody, mrsim, bspmelody(=melody), bspb(=baseline)) and
+    //     claims they return the same join. The four independently
+    //     built engines here (banded closed form, grid-cascade melody,
+    //     pivot-partition mrsim, brute-cascade baseline) run on the
+    //     same corpus slice; the declared row carries each engine's
+    //     pair count and its symmetric difference vs the closed-form
+    //     reference on (rid, sid, round(dist, 6)). The oracle pins
+    //     n_pairs to the DuckDB-computed count and n_diff to ZERO, so
+    //     any divergence hash-fails the driver gate ---
+    "q_engine_equiv" -> ((s, dir) => {
+      // fixed-size corpus slice (512 lowest ids): the equality evidence
+      // does not strengthen with corpus size, so the audit row's cost
+      // must not grow with it either
+      val all = Fixtures.quantityHists(s, dir)
+      val ids = all.select(col("id")).distinct().orderBy(col("id")).limit(512)
+      val hists = all.join(broadcast(ids), "id")
+      def norm(df: DataFrame): DataFrame =
+        df.select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+      val ref = norm(EmdJoins.emd1dThresholdJoin(hists, Theta)).persist()
+      try {
+        val engines: Seq[(String, DataFrame)] = Seq(
+          "closed_form" -> ref,
+          "melody" -> norm(MelodyJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)),
+          "mrsim" -> norm(MrSimJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)),
+          "baseline" -> norm(BaselineJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)))
+        val rows = engines.map { case (name, df) =>
+          val d = if (df eq ref) ref else df.persist()
+          val n = d.count()
+          val diff = d.except(ref).count() + ref.except(d).count()
+          if (!(d eq ref)) d.unpersist(false)
+          (name, n, diff)
+        }
+        s.createDataFrame(rows).toDF("engine", "n_pairs", "n_diff")
+      } finally ref.unpersist(false)
+    }),
+
     // --- grid-pruned melody engine, 3-D exact LP-EMD (J1; LP not
     //     expressible in DuckDB, so the declared query is SELF-VERIFYING:
     //     the tree-exact engine recomputes the answer and crossCheckPairs
@@ -2335,6 +2373,27 @@ object SparkEntry {
     "q_melody1d_pairs" -> emd1dOracle(prefixShape = true, None, Theta),
 
     "q_mrsim1d_pairs" -> emd1dOracle(prefixShape = false, None, Theta),
+
+    // four-engine equality: the oracle computes the true pair count on
+    // the fixed 512-lowest-id slice (pair-level filter == corpus-level
+    // filter: a pair is within the slice iff both endpoints are) and
+    // pins every engine's n_pairs to it and n_diff to zero
+    "q_engine_equiv" -> {
+      val pairSql = emd1dOracle(prefixShape = true, None, Theta)
+      s"""WITH pairs AS (
+         |$pairSql
+         |), sliceids AS (
+         |  SELECT DISTINCT l_partkey AS id FROM lineitem ORDER BY id LIMIT 512
+         |), cnt AS (
+         |  SELECT count(*) AS n FROM pairs
+         |  WHERE rid IN (SELECT id FROM sliceids)
+         |    AND sid IN (SELECT id FROM sliceids)
+         |)
+         |SELECT e.engine, cnt.n AS n_pairs, CAST(0 AS BIGINT) AS n_diff
+         |FROM (VALUES ('baseline'), ('closed_form'), ('melody'), ('mrsim'))
+         |  AS e(engine)
+         |CROSS JOIN cnt""".stripMargin
+    },
 
     // Mirrors the Spark embedding exactly: per dyadic level (span 4/2/1),
     // per node, feature = span * node mass; distance = sum of abs diffs

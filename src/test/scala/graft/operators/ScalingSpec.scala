@@ -129,10 +129,13 @@ class ScalingSpec extends AnyFunSuite {
       val c = ScalingStats.cosineSparse(spark, shdocs, 0.9,
         textCol = "shtext")
       withClue(s"$dir n=${c.nDocs} cand=${c.candPairs} out=${c.out}: ") {
-        assert(c.candPairs * 50L <= c.nDocs * (c.nDocs - 1) / 2)
-        // measured envelope: a near-dup-proportional term plus a linear
-        // rare-suffix-collision term
-        assert(c.candPairs <= 2L * c.out + 32L * c.nDocs)
+        assert(c.candPairs * 500L <= c.nDocs * (c.nDocs - 1) / 2)
+        // measured envelope under margin indexing + the evidence
+        // filter (TfIdf.sparseCandidates): worst observed is
+        // cand = 1.27*out + ~0 (sf0.1: 324 cand / 255 out; 28/28 and
+        // 25/25 below) — 2x/N-over-8 pins ~2x that worst ratio, down
+        // from the round-11 rare-suffix allowance of 2*out + 32*N
+        assert(c.candPairs <= 2L * c.out + c.nDocs / 8L)
       }
     }
   }

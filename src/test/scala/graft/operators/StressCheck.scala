@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Throwaway sf0.3-class stress measurement (not a test): replicates the
+  * sf0.1 corpora 3x with deterministic perturbations and re-runs the
+  * ScalingStats counters, extending the measured scaling curves one
+  * extrapolation point past the generated scales BEFORE a real cluster
+  * does it. Run with `Test/runMain graft.operators.StressCheck`;
+  * results recorded in PLANS.md.
+  *
+  * Replication is perturbation, not duplication — an exact copy would
+  * plant N artificial zero-distance twins and make the output itself
+  * quadratic in the copy count:
+  *  - histograms: cyclic BIN rotation per copy (a valid distribution
+  *    with the same weight multiset, different shape);
+  *  - embeddings: cyclic DIMENSION rotation per copy (same norm,
+  *    different direction);
+  *  - documents: token-order reversal / rotation per copy (same token
+  *    marginals; order-sensitive shingles differ across copies while
+  *    within-copy near-dup structure mirrors the original).
+  * Copy ids offset by 10^7 per copy keeps id spaces disjoint. */
+object StressCheck {
+
+  private def rotArray(a: org.apache.spark.sql.Column, len: Int, c: Int) =
+    if (c == 0) a
+    else concat(slice(a, c + 1, len - c), slice(a, 1, c))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val off = 10000000L
+
+    // --- melody 3-D threshold join at ~3x sf0.1 density ---
+    val h0 = graft.sources.Fixtures.tripleHists(spark, dir)
+    val hists = (0 to 2).map { c =>
+      h0.select((col("id") + lit(off * c)).as("id"),
+        rotArray(col("weights"), 8, c).as("weights"))
+    }.reduce(_ unionByName _).persist()
+    val n0 = hists.count()
+    val cfg = graft.SparkEntry.melodyCfg3d
+      .copy(sideNum = MelodyJoin.sideNumFor(n0))
+    val t0 = System.nanoTime()
+    val m = ScalingStats.melody(spark, hists, cfg, 0.0803)
+    val out = MelodyJoin.thresholdJoin(spark, hists, 0.0803, cfg).count()
+    println(f"MELODY sf0.3x side=${cfg.sideNum}%2d N=${m.n}%6d " +
+      f"guests=${m.guests}%9d cand=${m.candPairs}%10d out=$out%8d " +
+      f"naive=${m.n * (m.n - 1) / 2}%12d " +
+      f"(${(System.nanoTime() - t0) / 1e9}%5.1f s)")
+    println(f"MELODY sf0.3x envelopes: cand<=16out+64N=${m.candPairs <= 16L * out + 64L * m.n} " +
+      f"guests<=8out+32N=${m.guests <= 8L * out + 32L * m.n} " +
+      f"cand*100<=naive=${m.candPairs * 100L <= m.n * (m.n - 1) / 2}")
+    hists.unpersist(false)
+
+    // --- residual IVF-PQ probe fraction at 3x ---
+    val e0 = graft.sources.Fixtures.embeddings(spark, dir)
+    val dim = e0.select(size(col("embedding"))).head().getInt(0)
+    val embs = (0 to 2).map { c =>
+      e0.select((col("vec_id") + lit(off * c)).as("vec_id"),
+        rotArray(col("embedding"), dim, c * 7).as("embedding"))
+    }.reduce(_ unionByName _).persist()
+    embs.count()
+    val p = ScalingStats.ivfPq(spark, embs, kCoarse = 16, nProbe = 2)
+    println(f"IVFPQ  sf0.3x N=${p.n}%6d probed=${p.probedRows}%6d " +
+      f"frac=${p.probedRows.toDouble / p.n}%6.3f ideal=${2.0 / 16}%6.3f " +
+      f"within2x=${p.probedRows * p.kCoarse.toLong <= 2L * p.nProbe * p.n}")
+    embs.unpersist(false)
+
+    // --- prefix-filter text joins on the 3x shingle corpus ---
+    val d0 = graft.sources.Fixtures.documents(spark, dir)
+    val toks = split(col("text"), " ")
+    val docs = Seq(
+      d0.select(col("doc_id"), col("text")),
+      d0.select((col("doc_id") + off).as("doc_id"),
+        concat_ws(" ", reverse(toks)).as("text")),
+      d0.select((col("doc_id") + 2 * off).as("doc_id"),
+        concat_ws(" ", concat(slice(toks, 8, 100000), slice(toks, 1, 7)))
+          .as("text"))
+    ).reduce(_ unionByName _).persist()
+    docs.count()
+    val shdocs = docs.select(col("doc_id"), concat_ws(" ",
+      graft.functions.TextCols.shingles(col("text"), 3)).as("shtext"))
+      .persist()
+    val t1 = System.nanoTime()
+    val g = ScalingStats.prefixJaccard(spark, shdocs, 0.8969, textCol = "shtext")
+    println(f"NGRAM  sf0.3x N=${g.nDocs}%6d sets=${g.nSets}%6d " +
+      f"setToks=${g.setTokens}%8d post=${g.postings}%8d " +
+      f"cand=${g.candPairs}%9d out=${g.out}%7d " +
+      f"naive=${g.nSets * (g.nSets - 1) / 2}%12d " +
+      f"within=${g.candPairs <= 2L * g.out + 2L * g.nSets} " +
+      f"(${(System.nanoTime() - t1) / 1e9}%5.1f s)")
+    val t2 = System.nanoTime()
+    val wn = ScalingStats.winnow(spark, docs, k = 3, w = 4, minShared = 2)
+    println(f"WINNOW sf0.3x N=${wn.nDocs}%6d grams=${wn.gramPositions}%9d " +
+      f"post=${wn.postings}%8d joinRows=${wn.joinRows}%9d out=${wn.out}%7d " +
+      f"within=${wn.joinRows <= 48L * wn.out + 2L * wn.nDocs} " +
+      f"(${(System.nanoTime() - t2) / 1e9}%5.1f s)")
+    val t3 = System.nanoTime()
+    val c = ScalingStats.cosineSparse(spark, shdocs, 0.9, textCol = "shtext")
+    println(f"COSINE sf0.3x N=${c.nDocs}%6d wrows=${c.weightRows}%8d " +
+      f"cand=${c.candPairs}%9d out=${c.out}%7d " +
+      f"naive=${c.nDocs * (c.nDocs - 1) / 2}%12d " +
+      f"(${(System.nanoTime() - t3) / 1e9}%5.1f s)")
+    shdocs.unpersist(false)
+    docs.unpersist(false)
+    spark.stop()
+  }
+}
