@@ -372,22 +372,32 @@ object SparkEntry {
       val hists = all.join(broadcast(ids), "id")
       def norm(df: DataFrame): DataFrame =
         df.select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
-      val ref = norm(EmdJoins.emd1dThresholdJoin(hists, Theta)).persist()
-      try {
-        val engines: Seq[(String, DataFrame)] = Seq(
-          "closed_form" -> ref,
-          "melody" -> norm(MelodyJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)),
-          "mrsim" -> norm(MrSimJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)),
-          "baseline" -> norm(BaselineJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)))
-        val rows = engines.map { case (name, df) =>
-          val d = if (df eq ref) ref else df.persist()
-          val n = d.count()
-          val diff = d.except(ref).count() + ref.except(d).count()
-          if (!(d eq ref)) d.unpersist(false)
-          (name, n, diff)
-        }
-        s.createDataFrame(rows).toDF("engine", "n_pairs", "n_diff")
-      } finally ref.unpersist(false)
+      val engines: Seq[(String, DataFrame)] = Seq(
+        "closed_form" -> norm(EmdJoins.emd1dThresholdJoin(hists, Theta)),
+        "melody" -> norm(MelodyJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)),
+        "mrsim" -> norm(MrSimJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)),
+        "baseline" -> norm(BaselineJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)))
+      // ONE action for all counts + diffs: tag, union, per-pair presence
+      // flags, then a global aggregate — each engine runs exactly once
+      // and no pair set is recomputed for set-difference passes
+      val tagged = engines.map { case (n, df) =>
+        df.withColumn("engine", lit(n))
+      }.reduce(_ unionByName _)
+      val flags = engines.map { case (n, _) =>
+        max(when(col("engine") === n, 1).otherwise(0)).as(s"f_$n")
+      }
+      val perKey = tagged.groupBy(col("rid"), col("sid"), col("dist"))
+        .agg(flags.head, flags.tail: _*)
+      val aggs = engines.flatMap { case (n, _) => Seq(
+        coalesce(sum(col(s"f_$n")), lit(0)).cast("long").as(s"n_$n"),
+        coalesce(sum(abs(col(s"f_$n") - col("f_closed_form"))), lit(0))
+          .cast("long").as(s"d_$n"))
+      }
+      val r = perKey.agg(aggs.head, aggs.tail: _*).head()
+      val rows = engines.zipWithIndex.map { case ((n, _), i) =>
+        (n, r.getLong(2 * i), r.getLong(2 * i + 1))
+      }
+      s.createDataFrame(rows).toDF("engine", "n_pairs", "n_diff")
     }),
 
     // --- grid-pruned melody engine, 3-D exact LP-EMD (J1; LP not
