@@ -956,6 +956,22 @@ object SparkEntry {
           col("n_tokens"), col("score"), col("cum"))
     }),
 
+    // --- domain-mixture sampling with upsampling: target token weights
+    //     5:3:2:1 over four sources (six sources deliberately
+    //     unweighted => excluded), whole extra epochs for over-budget
+    //     domains plus a hash-spread partial epoch — all integer
+    //     arithmetic (budget div/mod), replayed exactly by the oracle.
+    //     Across the three scales the same weights exercise all
+    //     regimes: many epochs (sf0.001), a few (sf0.01), partial-only
+    //     (sf0.1) ---
+    "q_domain_mix" -> ((s, dir) => {
+      CorpusOps.domainMixSample(Fixtures.documents(s, dir),
+        Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L),
+        totalBudget = 20000L)
+        .select(col("id").as("doc_id"), col("grp").as("source"),
+          col("epoch"), col("n_tokens"), col("cum"))
+    }),
+
     // --- MinHash+LSH near-dup. Candidates are probabilistic but verified
     //     with EXACT shingle Jaccard, and the banding is sized so recall
     //     is 1.0 on this corpus (checked in PipelineOpsSpec), making the
@@ -1358,6 +1374,19 @@ object SparkEntry {
       Cluster.kmeans(s, Fixtures.embeddings(s, dir), k = 8, iters = 2)
         .select(col("id").as("vec_id"),
           col("cluster").cast("long").as("cluster"), col("d2"))
+    }),
+
+    // --- SemDeDup: the q_kmeans clustering (integer-exact, so the
+    //     oracle replays the assignments) + exact within-cluster cosine
+    //     pairs at the q_emb_neardup tau (0.45 — gap-probed on this
+    //     fixture) + the deterministic lowest-id-survives keep rule.
+    //     Cross-cluster near-dups are deliberately out of reach — that
+    //     recall trade IS the SemDeDup contract (quadratic only within
+    //     cells) ---
+    "q_semdedup" -> ((s, dir) => {
+      Dedup.semanticDedup(s, Fixtures.embeddings(s, dir), k = 8, iters = 2,
+        tau = 0.45)
+        .select(col("vec_id"), col("cluster"), col("kept"))
     }),
 
     // --- Gopher-style repetition quality: top-token share and duplicate
@@ -1974,7 +2003,11 @@ object SparkEntry {
       |                 WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached
       |FROM s3 GROUP BY user_id""".stripMargin
 
-  private val KmeansSql: String =
+  /** The k=8 / iters=2 Lloyd's CTE chain over the embeddings table
+    * (corpus CTE `q`, final assignment CTE `af` keyed rn=1) — shared by
+    * the q_kmeans oracle and the q_semdedup oracle, which clusters with
+    * the exact same arithmetic before its within-cluster cosine pass. */
+  private val KmeansBody: String =
     """WITH q AS (
       |  SELECT vec_id AS id,
       |         list_transform(embedding::DOUBLE[],
@@ -1992,7 +2025,11 @@ object SparkEntry {
         |          cast(list_sum(list_transform(range(1, len(q.v) + 1),
         |            i -> (q.v[i] - c.m[i]) * (q.v[i] - c.m[i]))) AS BIGINT) AS d2
         |        FROM q CROSS JOIN c2 c)
-        |)
+        |)""".stripMargin
+
+  private val KmeansSql: String =
+    KmeansBody +
+      """
         |SELECT id AS vec_id, cast(cid AS BIGINT) AS cluster, d2
         |FROM af WHERE rn = 1""".stripMargin
 
@@ -2340,6 +2377,25 @@ object SparkEntry {
         |     t(query, only_primary, only_witness, engines_agree)""".stripMargin,
 
     "q_kmeans" -> KmeansSql,
+
+    // the q_kmeans assignment chain verbatim (KmeansBody), then exact
+    // within-cluster cosine pairs on the ORIGINAL double vectors at the
+    // q_emb_neardup tau, then the lowest-id-survives rule: dropped iff
+    // a lower-id cluster-mate is tau-close
+    "q_semdedup" ->
+      (KmeansBody +
+        """, emb AS (
+          |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+          |), m AS (
+          |  SELECT emb.id, emb.v, a.cid
+          |  FROM emb JOIN (SELECT id, cid FROM af WHERE rn = 1) a ON a.id = emb.id
+          |), drops AS (
+          |  SELECT DISTINCT b.id FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id
+          |  WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+          |)
+          |SELECT m.id AS vec_id, cast(m.cid AS BIGINT) AS cluster,
+          |       cast(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+          |FROM m LEFT JOIN drops d ON m.id = d.id""".stripMargin),
     "q_pq_topk" -> PqSql,
     "q_pq_rerank" -> PqRerankSql,
     "q_ivfpq_topk" -> IvfPqSql,
@@ -3236,6 +3292,39 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT doc_id, lang, n_tokens, score, cum FROM c WHERE cum <= 2500""".stripMargin,
+
+    // mixture arithmetic is all-integer (// and % on BIGINTs; sum(wt)
+    // cast from DuckDB's HUGEINT), the partial-epoch order is the
+    // fixed-sample md5 idiom, and the epoch fan-out is range(n_full+1):
+    // epochs < n_full are whole, epoch n_full keeps cum <= rem
+    "q_domain_mix" ->
+      """WITH w(grp, wt) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2), ('src3', 1)),
+        |t AS (
+        |  SELECT doc_id AS id, source AS grp,
+        |         cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT id, grp, n_tokens,
+        |         cast(sum(n_tokens) OVER (PARTITION BY grp
+        |           ORDER BY ('0x' || substr(md5(grp || ':' || cast(id AS VARCHAR)), 1, 8))::BIGINT, id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t
+        |), g AS (
+        |  SELECT t.grp, cast(sum(n_tokens) AS BIGINT) AS tot,
+        |         cast(any_value(wt) AS BIGINT) AS wt
+        |  FROM t JOIN w ON t.grp = w.grp GROUP BY t.grp
+        |), e AS (
+        |  SELECT grp,
+        |         (20000 * wt) // cast((SELECT sum(wt) FROM w) AS BIGINT) // tot AS n_full,
+        |         (20000 * wt) // cast((SELECT sum(wt) FROM w) AS BIGINT) % tot AS rem
+        |  FROM g WHERE tot > 0
+        |), ep AS (
+        |  SELECT unnest(range(cast((SELECT max(n_full) FROM e) AS BIGINT) + 1)) AS epoch
+        |)
+        |SELECT c.id AS doc_id, c.grp AS source, cast(ep.epoch AS BIGINT) AS epoch,
+        |       c.n_tokens, c.cum
+        |FROM c JOIN e USING (grp) JOIN ep ON ep.epoch <= e.n_full
+        |WHERE ep.epoch < e.n_full OR c.cum <= e.rem""".stripMargin,
 
     "q_quality" ->
       """WITH t AS (

@@ -84,52 +84,98 @@ object Ann {
     keyed.groupByKey(_._1).flatMapGroups { (key, it) =>
       val lo = (key / b).toInt
       val hi = (key % b).toInt
-      val aBuf = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
-      val bBuf = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
-      it.foreach { case (_, blk, id, v) =>
-        if (blk == lo) aBuf += ((id, v)) else bBuf += ((id, v))
-      }
-      def norms(xs: scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]) =
-        xs.map { case (_, v) =>
-          var s = 0.0; var i = 0
-          while (i < v.length) { s += v(i) * v(i); i += 1 }
-          math.sqrt(s)
-        }.toArray
-      val aN = norms(aBuf)
-      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-      @inline def emit(ida: Long, va: Array[Double], na: Double,
-                       idb: Long, vb: Array[Double], nb: Double): Unit = {
-        var dot = 0.0; var i = 0
-        while (i < va.length) { dot += va(i) * vb(i); i += 1 }
-        val cos = dot / (na * nb)
-        if (cos >= tau)
-          out += ((math.min(ida, idb), math.max(ida, idb), cos))
-      }
-      if (lo == hi) {
-        var i = 0
-        while (i < aBuf.length) {
-          var j = i + 1
-          while (j < aBuf.length) {
-            // canonical orientation: dot products are order-invariant, but
-            // keep lower id first for deterministic output
-            emit(aBuf(i)._1, aBuf(i)._2, aN(i), aBuf(j)._1, aBuf(j)._2, aN(j))
-            j += 1
-          }
-          i += 1
+      blockPairCosine(lo, hi, tau, it.map { case (_, blk, id, v) => (blk, id, v) })
+    }.toDF("rid", "sid", "cosine")
+  }
+
+  /** Nested-loop one block-pair with precomputed norms — the shared
+    * kernel of cosineAllPairsBlocked and cosinePairsWithinGroups (same
+    * arithmetic and loop order in both, so thresholds behave
+    * identically). Pairs are emitted lower-id-first. */
+  private def blockPairCosine(lo: Int, hi: Int, tau: Double,
+      rows: Iterator[(Int, Long, Array[Double])]): Iterator[(Long, Long, Double)] = {
+    val aBuf = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    val bBuf = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+    rows.foreach { case (blk, id, v) =>
+      if (blk == lo) aBuf += ((id, v)) else bBuf += ((id, v))
+    }
+    def norms(xs: scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]) =
+      xs.map { case (_, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        math.sqrt(s)
+      }.toArray
+    val aN = norms(aBuf)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    @inline def emit(ida: Long, va: Array[Double], na: Double,
+                     idb: Long, vb: Array[Double], nb: Double): Unit = {
+      var dot = 0.0; var i = 0
+      while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+      val cos = dot / (na * nb)
+      if (cos >= tau)
+        out += ((math.min(ida, idb), math.max(ida, idb), cos))
+    }
+    if (lo == hi) {
+      var i = 0
+      while (i < aBuf.length) {
+        var j = i + 1
+        while (j < aBuf.length) {
+          // canonical orientation: dot products are order-invariant, but
+          // keep lower id first for deterministic output
+          emit(aBuf(i)._1, aBuf(i)._2, aN(i), aBuf(j)._1, aBuf(j)._2, aN(j))
+          j += 1
         }
-      } else {
-        val bN = norms(bBuf)
-        var i = 0
-        while (i < aBuf.length) {
-          var j = 0
-          while (j < bBuf.length) {
-            emit(aBuf(i)._1, aBuf(i)._2, aN(i), bBuf(j)._1, bBuf(j)._2, bN(j))
-            j += 1
-          }
-          i += 1
-        }
+        i += 1
       }
-      out
+    } else {
+      val bN = norms(bBuf)
+      var i = 0
+      while (i < aBuf.length) {
+        var j = 0
+        while (j < bBuf.length) {
+          emit(aBuf(i)._1, aBuf(i)._2, aN(i), bBuf(j)._1, bBuf(j)._2, bN(j))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    out.iterator
+  }
+
+  /** Exact within-group cosine threshold pairs — the SemDeDup pair
+    * kernel: the group (a k-means cluster) is the blocking key, and any
+    * group larger than blockTarget is further sub-blocked with the
+    * cosineAllPairsBlocked scheme, so task memory stays at two
+    * ~blockTarget-row blocks no matter how skewed a cluster gets. The
+    * per-group block counts are an O(groups) aggregate — clusters scale
+    * ~N/clusterTarget, so the collect is cells-sized, not data-sized.
+    * Input columns: id (long), v (array<double>), grp (long). */
+  def cosinePairsWithinGroups(spark: SparkSession, df: DataFrame, tau: Double,
+                              blockTarget: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val base = df.select(col("id").cast("long").as("id"),
+      col("v").cast("array<double>").as("v"),
+      col("grp").cast("long").as("grp")).as[(Long, Array[Double], Long)]
+    val blocksPerGroup: Map[Long, Int] =
+      base.groupBy(col("grp")).agg(count(lit(1)).as("n")).as[(Long, Long)]
+        .collect().map { case (g, n) =>
+          g -> math.max(1, ((n + blockTarget - 1) / blockTarget).toInt)
+        }.toMap
+    val bc = spark.sparkContext.broadcast(blocksPerGroup)
+    val keyed = base.flatMap { case (id, v, g) =>
+      val b = bc.value(g)
+      val mine = (scala.util.hashing.byteswap64(id) % b).toInt.abs
+      (0 until b).map { other =>
+        val lo = math.min(mine, other)
+        val hi = math.max(mine, other)
+        ((g, lo.toLong * b + hi), mine, id, v)
+      }
+    }
+    keyed.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val b = bc.value(key._1)
+      val lo = (key._2 / b).toInt
+      val hi = (key._2 % b).toInt
+      blockPairCosine(lo, hi, tau, it.map { case (_, blk, id, v) => (blk, id, v) })
     }.toDF("rid", "sid", "cosine")
   }
 

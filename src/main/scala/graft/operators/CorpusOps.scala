@@ -374,6 +374,54 @@ object CorpusOps {
       .filter(col("cum") <= budget)
   }
 
+  /** Domain-mixture sampling with upsampling — the static data-mixing
+    * primitive of a pretraining pipeline: hit a TARGET token
+    * distribution across sources, repeating small high-weight domains
+    * for whole extra epochs and taking a deterministic hash-spread
+    * prefix of the final partial epoch. All arithmetic is integer, so
+    * the oracle replays it exactly: per-domain budget =
+    * totalBudget * w / sum(w) (integer division), whole epochs =
+    * budget div domainTokens, and the partial epoch keeps rows whose
+    * inclusive running token count over the (md5(grp:id), id) order is
+    * <= budget mod domainTokens. Domains absent from `weights` are
+    * excluded (weight zero).
+    *
+    * Shapes: one token-count scan, an O(domains) aggregate joined back
+    * by broadcast, one window per domain, and an epoch explode via
+    * sequence() — data shuffles once on the domain key and the epoch
+    * fan-out happens AFTER the window, so each extra epoch is a map-side
+    * row copy, not a re-shuffle. Output: (id, grp, epoch, n_tokens, cum). */
+  def domainMixSample(docs: DataFrame, weights: Map[String, Long],
+                      totalBudget: Long, groupCol: String = "source",
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be non-empty and positive: $weights")
+    require(totalBudget >= 0, s"totalBudget=$totalBudget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sumW = weights.values.sum
+    val wDf = weights.toSeq.sortBy(_._1).toDF("grp", "wt")
+    val t = docs.select(col(idCol).cast("long").as("id"),
+      col(groupCol).as("grp"),
+      TextCols.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val h = TextCols.md5Bits32(concat(col("grp"), lit(":"), col("id").cast("string")))
+    val c = t.withColumn("cum", sum(col("n_tokens")).over(
+      Window.partitionBy(col("grp")).orderBy(h, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val g = t.groupBy(col("grp")).agg(sum(col("n_tokens")).as("tot"))
+      .join(broadcast(wDf), "grp")
+      .filter(col("tot") > 0)
+      .withColumn("budget", expr(s"${totalBudget}L * wt div ${sumW}L"))
+      .withColumn("n_full", expr("budget div tot"))
+      .withColumn("rem", col("budget") % col("tot"))
+      .select(col("grp"), col("n_full"), col("rem"))
+    c.join(broadcast(g), "grp")
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_full"))))
+      .filter(col("epoch") < col("n_full") || col("cum") <= col("rem"))
+      .select(col("id"), col("grp"), col("epoch").cast("long").as("epoch"),
+        col("n_tokens"), col("cum"))
+  }
+
   /** C4-style span-ownership analysis — the repeated-span dedup
     * primitive: every distinct n-token shingle is "owned" by the lowest
     * doc_id containing it; per document, how many of its distinct

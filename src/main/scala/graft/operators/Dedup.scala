@@ -658,6 +658,40 @@ object Dedup {
     materializeAndFree(verified, sigs)
   }
 
+  /** Semantic deduplication (the SemDeDup shape: cluster the embedding
+    * space, then near-dup only WITHIN clusters): k-means with the
+    * integer-exact Lloyd's arithmetic ([[Cluster.kmeans]] — assignments
+    * replayable by the oracle), then exact within-cluster cosine pairs
+    * at tau via [[Ann.cosinePairsWithinGroups]], then a deterministic
+    * keep rule — a vector is dropped iff some LOWER-id vector in its
+    * cluster is tau-close (order-free, direction-invariant: the pair
+    * kernel is canonical lower-id-first). Output one row per vector:
+    * (vec_id, cluster, kept 0/1).
+    *
+    * Scale shape: k grows ~N/clusterTarget so within-cluster work stays
+    * bounded, and oversized clusters are sub-blocked by the pair kernel
+    * (two ~4096-row blocks per task); cross-cluster near-dups are
+    * deliberately NOT found — that recall trade IS the SemDeDup
+    * contract (quadratic only within cells, never globally). */
+  def semanticDedup(spark: SparkSession, embs: DataFrame, k: Int, iters: Int,
+                    tau: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assign = Cluster.kmeans(spark, embs, k, iters, idCol = idCol, vecCol = vecCol)
+      .select(col("id"), col("cluster"))
+    val base = embs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val withC = base.join(assign, "id").persistOnce()
+    val pairs = Ann.cosinePairsWithinGroups(spark,
+      withC.select(col("id"), col("v"), col("cluster").cast("long").as("grp")), tau)
+    val dropped = pairs.select(col("sid").as("id")).distinct()
+    val result = withC.select(col("id"), col("cluster"))
+      .join(dropped.withColumn("hit", lit(1)), Seq("id"), "left_outer")
+      .select(col("id").as("vec_id"),
+        col("cluster").cast("long").as("cluster"),
+        when(col("hit").isNull, 1L).otherwise(0L).as("kept"))
+    materializeAndFree(result, withC)
+  }
+
   /** Near-dup representative selection — the "which document survives"
     * decision a dedup pass feeds the training mix: cluster the given
     * near-dup edges ([[connectedComponents]]) and keep the best-quality

@@ -788,4 +788,51 @@ class CorpusOpsSpec extends AnyFunSuite {
     val absent = TfIdf.bm25TopK(in, Seq("zzz"), k = 2).collect()
     assert(absent.forall(_.getDouble(1) == 0.0))
   }
+
+  test("domainMixSample == full driver-side recomputation of the integer " +
+    "mixture (epochs, hash order, partial-epoch cut); deterministic") {
+    val weights = Map("src0" -> 5L, "src1" -> 3L, "src3" -> 1L)
+    val budget = 9000L
+    val got = CorpusOps.domainMixSample(docs, weights, budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // independent recomputation: same md5-prefix order, same integer
+    // budget/epoch arithmetic, built entirely driver-side
+    val toks = docs.select(col("doc_id"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).length.toLong))
+    def md5bits32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    val sumW = weights.values.sum
+    val want = weights.keySet.toSeq.flatMap { g =>
+      val mine = toks.filter(_._2 == g)
+        .sortBy { case (id, _, _) => (md5bits32(s"$g:$id"), id) }
+      val tot = mine.map(_._3).sum
+      if (tot == 0) Seq.empty
+      else {
+        val b = budget * weights(g) / sumW
+        val nFull = b / tot
+        val rem = b % tot
+        val cums = mine.scanLeft(0L)(_ + _._3).tail
+        (0L until nFull).flatMap { e =>
+          mine.zip(cums).map { case ((id, _, n), c) => (id, g, e, n, c) }
+        } ++ mine.zip(cums).collect {
+          case ((id, _, n), c) if c <= rem => (id, g, nFull, n, c)
+        }
+      }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    // at least one domain must exercise real upsampling on this fixture,
+    // or the epoch arithmetic is untested
+    assert(got.exists(_._3 >= 1L), "no domain got a whole extra epoch")
+    val again = CorpusOps.domainMixSample(docs, weights, budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(again == got)
+  }
 }

@@ -544,6 +544,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(blocked == bcast && blocked.nonEmpty)
   }
 
+  test("cosinePairsWithinGroups == per-group blocked all-pairs; sub-blocking invariant") {
+    val base = embs.select(col("vec_id").cast("long").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val grouped = base.withColumn("grp", pmod(col("id"), lit(3)).cast("long"))
+    val got = Ann.cosinePairsWithinGroups(spark, grouped, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (0 until 3).flatMap { g =>
+      Ann.cosineAllPairsBlocked(spark,
+        grouped.filter(col("grp") === g)
+          .select(col("id").as("vec_id"), col("v").as("embedding")), 0.35)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    // a tiny blockTarget forces the within-group sub-blocking path; the
+    // output must not depend on the blocking
+    val sub = Ann.cosinePairsWithinGroups(spark, grouped, 0.35, blockTarget = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sub == got)
+  }
+
+  test("semanticDedup: kept/dropped exactly matches the lower-id tau-close rule " +
+    "over an independent kmeans assignment + driver-side cosines") {
+    val tau = 0.4
+    val out = Dedup.semanticDedup(spark, embs, k = 8, iters = 2, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val assign = Cluster.kmeans(spark, embs, k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("cluster").longValue())).toMap
+    assert(out.length == assign.size)
+    out.foreach { case (id, cl, _) => assert(cl == assign(id), s"cluster of $id") }
+    val vecs = embs.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = out.map(_._1).sorted
+    out.foreach { case (id, cl, kept) =>
+      val lowerClose = ids.exists(id2 =>
+        id2 < id && assign(id2) == cl && cos(vecs(id2), vecs(id)) >= tau)
+      assert(kept == (if (lowerClose) 0L else 1L), s"kept flag of $id")
+    }
+    assert(out.exists(_._3 == 0L), "fixture should yield at least one semantic drop")
+    assert(out.exists(_._3 == 1L))
+  }
+
   test("multimodal payload -> features pipeline shape") {
     val feats = Multimodal.extractFeatures(spark, Multimodal.withPayload(docs))
     val rows = feats.collect()
