@@ -146,6 +146,28 @@ object ScalingStats {
     CosineStats(n, weightRows, candPairs, out)
   }
 
+  final case class SemDedupStats(n: Long, k: Int, withinPairs: Long,
+                                 maxCluster: Long) {
+    def naive: Long = n * (n - 1) / 2
+    def frac: Double = if (naive == 0) 0.0 else withinPairs.toDouble / naive
+  }
+
+  /** Within-cluster candidate-pair counter for semanticDedup: the pair
+    * kernel's work driver is sum over clusters of C(n_c, 2) (vs the
+    * naive C(N, 2) an unclustered near-dup pass would pay), measured
+    * through the operator's own kmeans assignment so the curve cannot
+    * drift from the real clustering. */
+  def semDedup(spark: SparkSession, embs: DataFrame, k: Int,
+               iters: Int = 2): SemDedupStats = {
+    val sizes = Cluster.kmeans(spark, embs, k, iters)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("c"))
+    val row = sizes.agg(
+      coalesce(sum(col("c")), lit(0L)).cast("long").as("n"),
+      coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).cast("long").as("p2"),
+      coalesce(max(col("c")), lit(0L)).cast("long").as("mx")).head()
+    SemDedupStats(row.getLong(0), k, row.getLong(1) / 2, row.getLong(2))
+  }
+
   /** Scanned-row count of the residual IVF-PQ probe: assign the corpus
     * to the same deterministic coarse quantizer ivfPqTopK trains, probe
     * the nProbe cells nearest to the corpus' min-id vector (the declared
@@ -205,6 +227,18 @@ object JoinScalingCheck {
         kCoarse = 16, nProbe = 2)
       println(f"IVFPQ  $sf%-8s N=${p.n}%6d probed=${p.probedRows}%6d " +
         f"frac=${p.probedRows.toDouble / p.n}%6.3f ideal=${2.0 / 16}%6.3f")
+    }
+    // semdedup at the declared query's k=8 AND the deployment-scaled k
+    // (~sqrt N): the within-cluster fraction vs the balanced ideal 1/k
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val embs = graft.sources.Fixtures.embeddings(spark, s"/root/testdata/$sf")
+      val n0 = embs.count()
+      for (k <- Seq(8, Ann.scaledCentroids(n0))) {
+        val sd = ScalingStats.semDedup(spark, embs, k)
+        println(f"SEMDD  $sf%-8s k=$k%4d N=${sd.n}%6d within=${sd.withinPairs}%9d " +
+          f"naive=${sd.naive}%10d frac=${sd.frac}%6.3f ideal=${1.0 / k}%6.3f " +
+          f"maxC=${sd.maxCluster}%5d")
+      }
     }
     // The prefix/sparse candidate paths serve the LARGE-vocabulary
     // regime (shingle features); on this corpus' 64-token vocabulary

@@ -152,4 +152,22 @@ class ScalingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("semantic dedup: within-cluster pair work stays near the balanced 1/k ideal") {
+    sfs.foreach { dir =>
+      val embs = graft.sources.Fixtures.embeddings(spark, dir)
+      val n = embs.count()
+      Seq(8, Ann.scaledCentroids(n)).distinct.foreach { k =>
+        val sd = ScalingStats.semDedup(spark, embs, k)
+        withClue(s"$dir k=$k n=${sd.n} within=${sd.withinPairs}: ") {
+          // measured frac/ideal <= 1.01 at every generated scale (PLANS.md
+          // curve: 0.124/0.125, 0.044/0.043, 0.022/0.022); pinned at 2x so a
+          // clustering collapse (one mega-cluster => frac -> 1) fails here
+          assert(sd.withinPairs.toDouble <= 2.0 * sd.naive.toDouble / k)
+          // no cluster degenerates past 4x the balanced size (measured <= 2.2x)
+          assert(sd.maxCluster.toDouble <= 4.0 * sd.n.toDouble / k + 1.0)
+        }
+      }
+    }
+  }
 }
