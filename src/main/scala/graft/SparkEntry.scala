@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.{BinaryScan, Fixtures}
 import graft.functions.{EmdCols, TextCols}
 import graft.core.Caching.PersistOnce
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -658,6 +658,16 @@ object SparkEntry {
         .select(col("doc_id"), concat_ws(" ", TextCols.shingles(col("text"), 3)).as("shtext"))
       Dedup.jaccardJoin(docs, 0.8969, textCol = "shtext")
         .select(col("rid"), col("sid"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // --- bounded edit-distance self-join (PassJoin segment signatures +
+    //     banded levenshtein verify): the character-level member of the
+    //     similarity-join family. d = 4 sits on a measured integer
+    //     boundary (24 corpus pairs at ed exactly 4, none at ed 1-3, next
+    //     mass at ed 8+) — integer distances are engine-exact, so the
+    //     boundary needs no FP gap ---
+    "q_edit_pairs" -> ((s, dir) => {
+      EditJoin.editJoin(Fixtures.documents(s, dir), 4)
     }),
 
     // --- deterministic stratified sampling (corpus mixing): hash-threshold
@@ -2695,6 +2705,19 @@ object SparkEntry {
         """
           |SELECT rid, sid, round(i / (la + lb - i), 6) AS jaccard
           |FROM pairs WHERE i / (la + lb - i) >= 0.8969""".stripMargin),
+
+    // Bounded Levenshtein join: the length band |la-lb| <= 4 is the
+    // admissible pre-filter (ed >= length difference); distances are
+    // integers so both engines agree exactly at the ed = 4 boundary.
+    "q_edit_pairs" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS rid, b.doc_id AS sid,
+        |         levenshtein(a.text, b.text) AS ed
+        |  FROM d a JOIN d b
+        |    ON a.doc_id < b.doc_id AND b.l BETWEEN a.l - 4 AND a.l + 4
+        |)
+        |SELECT rid, sid, CAST(ed AS BIGINT) AS ed FROM p WHERE ed <= 4""".stripMargin,
 
     // integer md5-bucket compare — rates are exact quarter fractions so
     // floor(rate * 2^32) is the same integer in both engines

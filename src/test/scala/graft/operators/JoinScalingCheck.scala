@@ -146,6 +146,19 @@ object ScalingStats {
     CosineStats(n, weightRows, candPairs, out)
   }
 
+  final case class EditStats(n: Long, cand: Long, out: Long) {
+    def naive: Long = n * (n - 1) / 2
+  }
+
+  /** Candidate-pair count of the PassJoin segment filter, measured
+    * through the operator's own kernel, vs the verified output size. */
+  def editJoin(spark: SparkSession, docs: DataFrame, d: Int): EditStats = {
+    val n = docs.count()
+    val cand = EditJoin.candidatePairs(docs, d, "doc_id", "text").count()
+    val out = EditJoin.editJoin(docs, d).count()
+    EditStats(n, cand, out)
+  }
+
   final case class SemDedupStats(n: Long, k: Int, withinPairs: Long,
                                  maxCluster: Long) {
     def naive: Long = n * (n - 1) / 2
@@ -227,6 +240,14 @@ object JoinScalingCheck {
         kCoarse = 16, nProbe = 2)
       println(f"IVFPQ  $sf%-8s N=${p.n}%6d probed=${p.probedRows}%6d " +
         f"frac=${p.probedRows.toDouble / p.n}%6.3f ideal=${2.0 / 16}%6.3f")
+    }
+    // bounded edit-distance join at the declared d=4
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = graft.sources.Fixtures.documents(spark, s"/root/testdata/$sf")
+      val t0 = System.nanoTime()
+      val e = ScalingStats.editJoin(spark, docs, 4)
+      println(f"EDIT   $sf%-8s N=${e.n}%6d cand=${e.cand}%9d out=${e.out}%6d " +
+        f"naive=${e.naive}%10d (${(System.nanoTime() - t0) / 1e9}%5.1f s)")
     }
     // semdedup at the declared query's k=8 AND the deployment-scaled k
     // (~sqrt N): the within-cluster fraction vs the balanced ideal 1/k

@@ -153,6 +153,20 @@ class ScalingSpec extends AnyFunSuite {
     }
   }
 
+  test("edit-distance join: segment-filter candidates are output-proportional") {
+    sfs.foreach { dir =>
+      val docs = graft.sources.Fixtures.documents(spark, dir)
+      val e = ScalingStats.editJoin(spark, docs, 4)
+      withClue(s"$dir n=${e.n} cand=${e.cand} out=${e.out}: ") {
+        // measured cand/out <= 1.10 at every scale (25/24, 24/24, 275/251
+        // — PLANS.md curve); 2x + a small linear slack absorbs drift
+        assert(e.cand <= 2L * e.out + e.n / 10)
+        // >= 99.9% of the naive pair space never materializes
+        assert(e.cand * 1000 <= e.naive)
+      }
+    }
+  }
+
   test("semantic dedup: within-cluster pair work stays near the balanced 1/k ideal") {
     sfs.foreach { dir =>
       val embs = graft.sources.Fixtures.embeddings(spark, dir)
