@@ -855,6 +855,17 @@ object SparkEntry {
           round(col("mean_bits"), 6).as("mean_bits"))
     }),
 
+    // --- DSIR-style importance selection: keep the quarter of the corpus
+    //     whose bigram distribution looks most like the English subcorpus.
+    //     Whole-bit log-likelihood-ratio scores (bitlen arithmetic — no
+    //     transcendental log, engine-exact) + the distributed rankByKey
+    //     global rank (range-partition + two-phase offsets, never a
+    //     single-task window). keep fraction 1/4 is exact integer ceil ---
+    "q_dsir_select" -> ((s, dir) => {
+      CorpusOps.importanceSelect(Fixtures.documents(s, dir),
+        col("lang") === "en", 1L, 4L)
+    }),
+
     // --- salted fact-x-dim join (planned skew mitigation for keys AQE
     //     cannot split): lineitem salted 8 ways on a deterministic
     //     xxhash64, orders replicated per salt; output == the plain
@@ -3231,6 +3242,45 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx, n_tokens, chunk_fp,
         |       min(doc_id) OVER (PARTITION BY chunk_fp) AS owner_id
         |FROM chunks""".stripMargin,
+
+    // DSIR importance selection: pure-integer bitlen LLR scores and an
+    // integer ceil cut; row_number over (score_bits DESC, doc_id) is the
+    // same total order as the engine's (-score, id) rankByKey.
+    "q_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, lang, string_split(text, ' ') AS t FROM documents
+        |), bgs AS (
+        |  SELECT id, lang,
+        |         unnest(list_transform(range(1, len(t)),
+        |                i -> t[i] || ' ' || t[i + 1])) AS f
+        |  FROM toks
+        |), counts AS (
+        |  SELECT f, cast(count(*) AS BIGINT) AS craw,
+        |         cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM bgs GROUP BY f
+        |), tot AS (
+        |  SELECT cast(sum(craw) AS BIGINT) AS traw,
+        |         cast(sum(ct) AS BIGINT) AS tt FROM counts
+        |), per AS (
+        |  SELECT b.id, cast(count(*) AS BIGINT) AS n_bigrams,
+        |         cast(sum(length(bin(c.ct + 1)) - length(bin(tot.tt + 1))
+        |                  - length(bin(c.craw)) + length(bin(tot.traw))) AS BIGINT)
+        |           AS score_bits
+        |  FROM bgs b JOIN counts c USING (f) CROSS JOIN tot
+        |  GROUP BY b.id
+        |), ranked AS (
+        |  SELECT d.doc_id,
+        |         cast(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |         cast(coalesce(per.score_bits, 0) AS BIGINT) AS score_bits,
+        |         cast(row_number() OVER (
+        |           ORDER BY coalesce(per.score_bits, 0) DESC, d.doc_id)
+        |           AS BIGINT) AS dsir_rank,
+        |         cast(count(*) OVER () AS BIGINT) AS n
+        |  FROM documents d LEFT JOIN per ON d.doc_id = per.id
+        |)
+        |SELECT doc_id, n_bigrams, score_bits, dsir_rank,
+        |       dsir_rank <= (n * 1 + 3) // 4 AS keep
+        |FROM ranked""".stripMargin,
 
     "q_bigram_surprisal" ->
       """WITH toks AS (

@@ -323,14 +323,28 @@ object CorpusOps {
     * cacheManager.clearCache() covers repeat passes. */
   def shuffleRank(docs: DataFrame, idCol: String = "doc_id",
                   salt: String = "shuf"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val hashed = docs.select(col(idCol).cast("long").as("id"))
-      .withColumn("h", TextCols.md5Bits32(
+    val keyed = docs.select(col(idCol).cast("long").as("id"))
+      .withColumn("k", TextCols.md5Bits32(
         concat(lit(salt), lit(":"), col("id").cast("string"))))
-      .repartitionByRange(col("h"), col("id"))
-      .sortWithinPartitions("h", "id")
-      .select(col("id"), col("h"))
+    rankByKey(keyed, idCol, "shuffle_rank")
+  }
+
+  /** Distributed 1-based global rank over the (k, id) total order —
+    * range-partition + sort + two-phase per-partition offsets, NEVER a
+    * single-task global window, so the plan holds at any corpus size.
+    * Input must have exactly (id: long, k: long) with unique ids (ties
+    * on k break on id, making the order total). The result comes back
+    * persisted + materialized: the rank assignment pins one evaluation
+    * (an unpinned re-evaluation could range-partition differently);
+    * the cache is the caller's to unpersist. */
+  private[operators] def rankByKey(keyed: DataFrame, idColOut: String,
+                                   rankColOut: String): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val hashed = keyed
+      .repartitionByRange(col("k"), col("id"))
+      .sortWithinPartitions("k", "id")
+      .select(col("id"), col("k"))
     // pin ONE evaluation (range boundaries come from sampling — same
     // argument as packSequences)
     val rdd = hashed.as[(Long, Long)].rdd
@@ -346,7 +360,7 @@ object CorpusOps {
       val out = rdd.mapPartitionsWithIndex { (i, it) =>
         var r = offB.value(i)
         it.map { case (id, _) => r += 1; (id, r) }
-      }.toDF(idCol, "shuffle_rank")
+      }.toDF(idColOut, rankColOut)
         .persistOnce()
       out.count()
       out
@@ -834,6 +848,84 @@ object CorpusOps {
             .as("mean_bits"))
         .persistOnce()
       out.count()
+      out
+    } finally pairs.unpersist(false)
+  }
+
+  /** DSIR-style importance selection (Xie et al.'s data-selection-with-
+    * importance-resampling shape, made deterministic and engine-exact):
+    * score every document by how much more likely its token bigrams are
+    * under a TARGET subcorpus's unigram-of-bigrams distribution than
+    * under the raw corpus's, then keep the top ceil(N * keepNum /
+    * keepDen) documents by (score desc, id) — the docs that look most
+    * like the target domain.
+    *
+    * Per-bigram importance is whole-bit log-likelihood-ratio
+    * arithmetic, exact in both engines (no transcendental log):
+    *   imp(f) = [bitlen(ct(f) + 1) - bitlen(Tt + 1)]
+    *          - [bitlen(craw(f)) - bitlen(Traw)]
+    * where ct/craw are the bigram's occurrence counts in the target /
+    * full corpus (craw >= 1 for observed bigrams; the +1 smooths
+    * target-unseen bigrams) and Tt/Traw the respective totals. A
+    * document's score_bits is the sum over its bigram OCCURRENCES;
+    * documents with no bigrams score 0.
+    *
+    * Shape: two vocabulary-sized aggregations (target counts, raw
+    * counts — map-side combined), the per-feature weight joined back to
+    * the occurrence stream, one per-doc sum, then the [[rankByKey]]
+    * distributed global rank on (-score_bits, id) — range-partition +
+    * two-phase offsets, never a single-task window, so the selection
+    * holds at any corpus size. Output: one row per document
+    * (idCol, n_bigrams, score_bits, dsir_rank, keep). */
+  def importanceSelect(docs: DataFrame, targetPred: Column,
+                       keepNum: Long, keepDen: Long,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(keepNum >= 0 && keepDen > 0 && keepNum <= keepDen,
+      s"keep fraction must be a rational in [0,1]: $keepNum/$keepDen")
+    val t = TextCols.tokens(col(textCol))
+    val pairs = widen(docs)
+      .select(col(idCol).cast("long").as("id"), targetPred.as("is_tgt"),
+        explode(arrays_zip(slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1)))
+          .as("bg"))
+      .select(col("id"), col("is_tgt"),
+        concat(col("bg").getField("0"), lit(" "), col("bg").getField("1")).as("f"))
+      .persistOnce()
+    try {
+      val counts = pairs.groupBy(col("f")).agg(
+        count(lit(1)).as("craw"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
+      val totals = counts.agg(
+        coalesce(sum(col("craw")), lit(0L)).cast("long"),
+        coalesce(sum(col("ct")), lit(0L)).cast("long")).head()
+      val (tRaw, tTgt) = (totals.getLong(0), totals.getLong(1))
+      val bitTRaw = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, tRaw))
+      val bitTTgt = 64 - java.lang.Long.numberOfLeadingZeros(tTgt + 1)
+      val imp = (length(bin(col("ct") + 1)) - lit(bitTTgt)
+        - length(bin(col("craw"))) + lit(bitTRaw)).cast("long")
+      val perDoc = pairs
+        .join(counts.select(col("f"), imp.as("imp")), Seq("f"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("imp")).as("score_bits"))
+      val scored = widen(docs).select(col(idCol).cast("long").as("id"))
+        .join(perDoc, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("score_bits"), lit(0L)).as("score_bits"))
+        .persistOnce()
+      val n = scored.count()
+      val k = (n * keepNum + keepDen - 1) / keepDen
+      val ranks = rankByKey(
+        scored.select(col("id"), (-col("score_bits")).as("k")),
+        "id", "dsir_rank")
+      val out = scored.join(ranks, Seq("id"))
+        .select(col("id").as(idCol), col("n_bigrams"), col("score_bits"),
+          col("dsir_rank"), (col("dsir_rank") <= k).as("keep"))
+        .persistOnce()
+      out.count()
+      ranks.unpersist()
+      scored.unpersist()
       out
     } finally pairs.unpersist(false)
   }

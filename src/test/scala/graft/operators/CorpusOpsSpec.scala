@@ -835,4 +835,50 @@ class CorpusOpsSpec extends AnyFunSuite {
       .toSet
     assert(again == got)
   }
+
+  test("importanceSelect == independent bitlen-LLR recomputation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // two dialects over a shared vocabulary: target-flavored docs reuse a
+    // narrow bigram set, raw docs roam; some docs too short for bigrams
+    val tgtToks = Vector("spark", "join", "shuffle", "agg")
+    val rawToks = Vector("spark", "join", "row", "scan", "sort", "hash", "key", "value")
+    val data = (0 until 90).map { i =>
+      val isTgt = i % 3 == 0
+      val toks = if (isTgt) tgtToks else rawToks
+      val len = if (i % 17 == 0) 1 else 4 + rnd.nextInt(10)
+      (i.toLong, (0 until len).map(_ => toks(rnd.nextInt(toks.size))).mkString(" "),
+        if (isTgt) "en" else "de")
+    }
+    val docs = data.toDF("doc_id", "text", "lang")
+    val got = CorpusOps.importanceSelect(docs, col("lang") === "en", 1L, 4L)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(math.max(1L, x))
+    val occ = data.flatMap { case (id, text, lang) =>
+      val t = text.split(" ")
+      t.zip(t.drop(1)).map { case (a, b) => (id, lang == "en", s"$a $b") }
+    }
+    val craw = occ.groupBy(_._3).map { case (f, xs) => f -> xs.size.toLong }
+    val ct = occ.groupBy(_._3).map { case (f, xs) => f -> xs.count(_._2).toLong }
+    val (tRaw, tTgt) = (craw.values.sum, ct.values.sum)
+    val scores = data.map { case (id, text, _) =>
+      val t = text.split(" ")
+      val fs = t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }
+      val s = fs.map(f => bitlen(ct(f) + 1) - bitlen(tTgt + 1) - bitlen(craw(f)) + bitlen(tRaw)).sum
+      (id, fs.length.toLong, s)
+    }
+    val k = (data.size.toLong * 1 + 3) / 4
+    val want = scores.sortBy { case (id, _, s) => (-s, id) }.zipWithIndex.map {
+      case ((id, nb, s), r) => (id, (nb, s, r + 1L, r + 1L <= k))
+    }.toMap
+    assert(got == want)
+    assert(want.values.count(_._4) == k.toInt, "keep count must equal the integer ceil")
+    // the fixture must actually discriminate: target docs should dominate
+    // the kept set (sanity that the LLR sign convention is right)
+    val keptTgt = data.filter(d => want(d._1)._4).count(_._3 == "en")
+    assert(keptTgt * 2 > k, s"target docs should dominate the kept set: $keptTgt of $k")
+  }
 }
