@@ -359,10 +359,18 @@ object SparkEntry {
     //     built engines here (banded closed form, grid-cascade melody,
     //     pivot-partition mrsim, brute-cascade baseline) run on the
     //     same corpus slice; the declared row carries each engine's
-    //     pair count and its symmetric difference vs the closed-form
-    //     reference on (rid, sid, round(dist, 6)). The oracle pins
-    //     n_pairs to the DuckDB-computed count and n_diff to ZERO, so
-    //     any divergence hash-fails the driver gate ---
+    //     pair count, its MEMBERSHIP symmetric difference vs the
+    //     closed-form reference on (rid, sid), and a dist_ok verdict
+    //     (max raw-distance spread across engines <= 1e-9). Membership
+    //     is FP-safe — thresholds carry measured boundary gaps >= 1e-6
+    //     — but the four engines' distance ARITHMETIC is deliberately
+    //     FP-distinct (prefix-sum vs cum-of-differences shapes), so
+    //     requiring bit-equal rounded doubles would hinge on no value
+    //     straddling a 6dp rounding half-boundary; a 1e-9 spread bound
+    //     asserts agreement far below the reporting granule without
+    //     that fragility. The oracle pins n_pairs to the
+    //     DuckDB-computed count, n_diff to ZERO and dist_ok to TRUE,
+    //     so any divergence hash-fails the driver gate ---
     "q_engine_equiv" -> ((s, dir) => {
       // fixed-size corpus slice (512 lowest ids): the equality evidence
       // does not strengthen with corpus size, so the audit row's cost
@@ -371,33 +379,35 @@ object SparkEntry {
       val ids = all.select(col("id")).distinct().orderBy(col("id")).limit(512)
       val hists = all.join(broadcast(ids), "id")
       def norm(df: DataFrame): DataFrame =
-        df.select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+        df.select(col("rid"), col("sid"), col("dist").cast("double").as("dist"))
       val engines: Seq[(String, DataFrame)] = Seq(
         "closed_form" -> norm(EmdJoins.emd1dThresholdJoin(hists, Theta)),
         "melody" -> norm(MelodyJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)),
         "mrsim" -> norm(MrSimJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)),
         "baseline" -> norm(BaselineJoin.thresholdJoin(s, hists, Theta, melodyCfg1d)))
       // ONE action for all counts + diffs: tag, union, per-pair presence
-      // flags, then a global aggregate — each engine runs exactly once
-      // and no pair set is recomputed for set-difference passes
+      // flags + distance spread, then a global aggregate — each engine
+      // runs exactly once and no pair set is recomputed for
+      // set-difference passes
       val tagged = engines.map { case (n, df) =>
         df.withColumn("engine", lit(n))
       }.reduce(_ unionByName _)
       val flags = engines.map { case (n, _) =>
         max(when(col("engine") === n, 1).otherwise(0)).as(s"f_$n")
-      }
-      val perKey = tagged.groupBy(col("rid"), col("sid"), col("dist"))
+      } :+ (max(col("dist")) - min(col("dist"))).as("spread")
+      val perKey = tagged.groupBy(col("rid"), col("sid"))
         .agg(flags.head, flags.tail: _*)
       val aggs = engines.flatMap { case (n, _) => Seq(
         coalesce(sum(col(s"f_$n")), lit(0)).cast("long").as(s"n_$n"),
         coalesce(sum(abs(col(s"f_$n") - col("f_closed_form"))), lit(0))
           .cast("long").as(s"d_$n"))
-      }
+      } :+ coalesce(max(col("spread")), lit(0.0)).as("max_spread")
       val r = perKey.agg(aggs.head, aggs.tail: _*).head()
+      val distOk = r.getDouble(2 * engines.size) <= 1e-9
       val rows = engines.zipWithIndex.map { case ((n, _), i) =>
-        (n, r.getLong(2 * i), r.getLong(2 * i + 1))
+        (n, r.getLong(2 * i), r.getLong(2 * i + 1), distOk)
       }
-      s.createDataFrame(rows).toDF("engine", "n_pairs", "n_diff")
+      s.createDataFrame(rows).toDF("engine", "n_pairs", "n_diff", "dist_ok")
     }),
 
     // --- grid-pruned melody engine, 3-D exact LP-EMD (J1; LP not
@@ -1568,14 +1578,20 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (tables registered from the same
     * parquet dir by the driver). Shared hist CTE mirrors
     * Fixtures.quantityHistLong exactly. */
-  private val HistCte: String =
-    """WITH binned AS (
+  /** The 8-bin quantity-histogram CTE chain. `idLimit` restricts the
+    * corpus to the N lowest ids BEFORE anything pairwise downstream —
+    * fixed-slice audit oracles must not pay (or risk OOMing the
+    * checker with) a full-corpus candidate join just to count pairs
+    * inside the slice. */
+  private def histCte(idLimit: Option[Int] = None): String = {
+    val lim = idLimit.map(n => s" ORDER BY id LIMIT $n").getOrElse("")
+    s"""WITH binned AS (
       |  SELECT l_partkey AS id,
       |         least(greatest(cast(floor((l_quantity - 1.0) / 6.25) AS INTEGER), 0), 7) AS bin
       |  FROM lineitem
       |), counts AS (
       |  SELECT id, bin, cast(count(*) AS DOUBLE) AS c FROM binned GROUP BY id, bin
-      |), ids AS (SELECT DISTINCT id FROM binned
+      |), ids AS (SELECT DISTINCT id FROM binned$lim
       |), dense AS (
       |  SELECT i.id, b.bin, coalesce(c.c, 0.0) AS c
       |  FROM ids i
@@ -1584,6 +1600,9 @@ object SparkEntry {
       |), hist AS (
       |  SELECT id, bin, c / sum(c) OVER (PARTITION BY id) AS w FROM dense
       |)""".stripMargin
+  }
+
+  private val HistCte: String = histCte()
 
   /** 3-D histogram CTE mirroring Fixtures.tripleHists exactly: per
     * l_partkey, 2x2x2 corner bins over (quantity, extendedprice,
@@ -1726,7 +1745,8 @@ object SparkEntry {
     * (rounding-bucket margin), threshold caps are tau + 1e-6 FP slack;
     * the final raw `dist <= tau` filter / rounded order is unchanged. */
   private def emd1dOracle(prefixShape: Boolean, topK: Option[Int],
-                          tau: Double): String = {
+                          tau: Double,
+                          idLimit: Option[Int] = None): String = {
     val vecCte =
       if (prefixShape)
         """, vec AS (
@@ -1765,7 +1785,7 @@ object SparkEntry {
         s"""SELECT rid, sid, round(dist, 6) AS dist FROM emds
            |WHERE dist <= $tau""".stripMargin
     }
-    HistCte +
+    histCte(idLimit) +
       """, cum AS (
         |  SELECT id, bin, sum(w) OVER (PARTITION BY id ORDER BY bin) AS cw
         |  FROM hist
@@ -2465,18 +2485,19 @@ object SparkEntry {
     // the fixed 512-lowest-id slice (pair-level filter == corpus-level
     // filter: a pair is within the slice iff both endpoints are) and
     // pins every engine's n_pairs to it and n_diff to zero
+    // the pair CTE is id-restricted BEFORE its band join (idLimit):
+    // the audit only counts pairs inside the 512-id slice, so the
+    // oracle must not run the full-corpus candidate join to get there
     "q_engine_equiv" -> {
-      val pairSql = emd1dOracle(prefixShape = true, None, Theta)
+      val pairSql = emd1dOracle(prefixShape = true, None, Theta,
+        idLimit = Some(512))
       s"""WITH pairs AS (
          |$pairSql
-         |), sliceids AS (
-         |  SELECT DISTINCT l_partkey AS id FROM lineitem ORDER BY id LIMIT 512
          |), cnt AS (
          |  SELECT count(*) AS n FROM pairs
-         |  WHERE rid IN (SELECT id FROM sliceids)
-         |    AND sid IN (SELECT id FROM sliceids)
          |)
-         |SELECT e.engine, cnt.n AS n_pairs, CAST(0 AS BIGINT) AS n_diff
+         |SELECT e.engine, cnt.n AS n_pairs, CAST(0 AS BIGINT) AS n_diff,
+         |       TRUE AS dist_ok
          |FROM (VALUES ('baseline'), ('closed_form'), ('melody'), ('mrsim'))
          |  AS e(engine)
          |CROSS JOIN cnt""".stripMargin

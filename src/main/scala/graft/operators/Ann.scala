@@ -153,17 +153,28 @@ object Ann {
   def cosinePairsWithinGroups(spark: SparkSession, df: DataFrame, tau: Double,
                               blockTarget: Int = 4096): DataFrame = {
     import spark.implicits._
-    val base = df.select(col("id").cast("long").as("id"),
+    import graft.core.Caching._
+    // pin ONE evaluation: the group census and the block-keyed flatMap
+    // must see the same rows — an unpinned input whose `grp` derivation
+    // re-evaluates differently would probe the census map with a group
+    // it never counted (result comes back materialized; the cache is
+    // the caller's to unpersist, the importanceSelect convention)
+    val baseDf = df.select(col("id").cast("long").as("id"),
       col("v").cast("array<double>").as("v"),
-      col("grp").cast("long").as("grp")).as[(Long, Array[Double], Long)]
+      col("grp").cast("long").as("grp")).persistOnce()
+    val base = baseDf.as[(Long, Array[Double], Long)]
     val blocksPerGroup: Map[Long, Int] =
       base.groupBy(col("grp")).agg(count(lit(1)).as("n")).as[(Long, Long)]
         .collect().map { case (g, n) =>
           g -> math.max(1, ((n + blockTarget - 1) / blockTarget).toInt)
         }.toMap
     val bc = spark.sparkContext.broadcast(blocksPerGroup)
+    def blocksOf(g: Long): Int = bc.value.getOrElse(g,
+      throw new IllegalStateException(
+        s"cosinePairsWithinGroups: group $g absent from the census — " +
+          "the input re-evaluated nondeterministically under the pin"))
     val keyed = base.flatMap { case (id, v, g) =>
-      val b = bc.value(g)
+      val b = blocksOf(g)
       val mine = (scala.util.hashing.byteswap64(id) % b).toInt.abs
       (0 until b).map { other =>
         val lo = math.min(mine, other)
@@ -171,12 +182,15 @@ object Ann {
         ((g, lo.toLong * b + hi), mine, id, v)
       }
     }
-    keyed.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val b = bc.value(key._1)
+    val out = keyed.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val b = blocksOf(key._1)
       val lo = (key._2 / b).toInt
       val hi = (key._2 % b).toInt
       blockPairCosine(lo, hi, tau, it.map { case (_, blk, id, v) => (blk, id, v) })
-    }.toDF("rid", "sid", "cosine")
+    }.toDF("rid", "sid", "cosine").persistOnce()
+    out.count()
+    baseDf.unpersist(false)
+    out
   }
 
   /** Exact all-pairs cosine threshold join — the quadratic VERIFICATION
@@ -599,7 +613,21 @@ object Ann {
                               dim: Int, numSub: Int) {
     def sub: Int = dim / numSub
     def ksub: Int = codebooks(0).length
-    def close(): Unit = index.unpersist(false)
+    /** Broadcast ONCE per built index: the batch/stream read path runs
+      * once per micro-batch — re-broadcasting the static arrays every
+      * call would accumulate an unbounded broadcast backlog over a
+      * long-running stream. */
+    val coarseB: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]] =
+      index.sparkSession.sparkContext.broadcast(coarse)
+    val cbsB: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Long]]]] =
+      index.sparkSession.sparkContext.broadcast(codebooks)
+    def close(): Unit = {
+      index.unpersist(false)
+      // unpersist, not destroy: an evicted downstream partition may
+      // still recompute through the broadcasts; the driver copy is tiny
+      coarseB.unpersist(false)
+      cbsB.unpersist(false)
+    }
   }
 
   /** Train the residual IVF-PQ layout once — the build half of
@@ -741,8 +769,8 @@ object Ann {
     val numSub = idx.numSub
     val ksub = idx.ksub
     val sub = idx.sub
-    val coarseB = spark.sparkContext.broadcast(idx.coarse)
-    val cbsB = spark.sparkContext.broadcast(idx.codebooks)
+    val coarseB = idx.coarseB
+    val cbsB = idx.cbsB
     val probes = queries
       .select(col("qid").cast("long"), col("v").cast("array<long>"))
       .as[(Long, Array[Long])]

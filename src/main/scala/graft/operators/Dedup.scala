@@ -689,7 +689,8 @@ object Dedup {
       .select(col("id").as("vec_id"),
         col("cluster").cast("long").as("cluster"),
         when(col("hit").isNull, 1L).otherwise(0L).as("kept"))
-    materializeAndFree(result, withC)
+    // pairs comes back materialized from cosinePairsWithinGroups
+    materializeAndFree(result, withC, pairs)
   }
 
   /** Near-dup representative selection — the "which document survives"

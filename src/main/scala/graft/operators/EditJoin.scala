@@ -51,7 +51,14 @@ object EditJoin {
   /** Candidate (rid, sid) pairs sharing an exact segment at a compatible
     * shifted position — a superset of all pairs with ed <= d (recall 1.0
     * by the pigeonhole argument above). Package-private so the scaling
-    * contract can count candidates through the operator's own kernel. */
+    * contract can count candidates through the operator's own kernel.
+    *
+    * All positions/lengths are CODE POINTS, not UTF-16 units: the
+    * verifier (Spark `levenshtein`) and the DuckDB oracle both count
+    * code-point edits, and the pigeonhole guarantee only holds when
+    * segmentation uses the same unit — a UTF-16 split lets d
+    * code-point edits (2d units for astral chars) touch all d+1
+    * unit-based segments. */
   private[operators] def candidatePairs(docs: DataFrame, d: Int,
                                         idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
@@ -67,7 +74,8 @@ object EditJoin {
     // missed only when BOTH strings are <= d chars (where every pair
     // trivially has ed <= max length <= d — an all-pairs leg this
     // operator deliberately does not carry). Guard instead of silently
-    // under-reporting; one column-pruned min-scan.
+    // under-reporting; one column-pruned min-scan (Spark `length` counts
+    // code points, matching the segment unit).
     val minLen = docs.agg(min(length(col(textCol))).cast("int")).head().getInt(0)
     require(minLen >= d + 1,
       s"editJoin needs every string >= d+1 = ${d + 1} chars (min found $minLen): " +
@@ -76,9 +84,11 @@ object EditJoin {
 
     // index side: the d+1 even segments of each string
     val segs = base.flatMap { case (id, t) =>
-      val l = t.length
+      val cps = t.codePoints().toArray
+      val l = cps.length
       (0 to d).iterator.map { i =>
-        (i, t.substring(pos(i, l, d), pos(i + 1, l, d)), l, id)
+        val p0 = pos(i, l, d)
+        (i, new String(cps, p0, pos(i + 1, l, d) - p0), l, id)
       }
     }.toDF("i", "seg", "la", "aid")
 
@@ -90,7 +100,8 @@ object EditJoin {
     // distinct collapses them), cutting probe rows ~45% vs the
     // symmetric +-d window with recall still 1.0 (EditJoinSpec).
     val probes = base.flatMap { case (id, t) =>
-      val l = t.length
+      val cps = t.codePoints().toArray
+      val l = cps.length
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int, Long)]
       var la = math.max(d + 1, l - d) // indexed lengths are all >= d+1
       while (la <= l) {
@@ -102,7 +113,7 @@ object EditJoin {
             var s = math.max(0, p0 - d)
             val sMax = math.min(l - segLen, p0 + d)
             while (s <= sMax) {
-              out += ((i, t.substring(s, s + segLen), la, id))
+              out += ((i, new String(cps, s, segLen), la, id))
               s += 1
             }
           }
@@ -127,7 +138,10 @@ object EditJoin {
     val texts = docs
       .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
       .persistOnce()
-    val cands = candidatePairs(docs, d, idCol, textCol)
+    // candidate generation reads the persisted projection: the min-scan
+    // and the two signature flatMaps would otherwise each re-scan the
+    // raw source (3 extra input passes on a large corpus)
+    val cands = candidatePairs(texts, d, "id", "t")
     val verified = cands
       .join(texts.select(col("id").as("rid"), col("t").as("ta")), "rid")
       .join(texts.select(col("id").as("sid"), col("t").as("tb")), "sid")

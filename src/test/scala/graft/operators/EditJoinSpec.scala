@@ -97,4 +97,51 @@ class EditJoinSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](EditJoin.editJoin(docs, 4))
     assert(e.getMessage.contains("all-pairs leg"))
   }
+
+  /** Reference DP over CODE POINTS — the unit both Spark `levenshtein`
+    * and the segmentation must agree on. */
+  private def refEdCp(a: String, b: String): Int = {
+    val x = a.codePoints().toArray
+    val y = b.codePoints().toArray
+    val dp = Array.tabulate(x.length + 1)(i => Array.tabulate(y.length + 1)(
+      j => if (i == 0) j else if (j == 0) i else 0))
+    for (i <- 1 to x.length; j <- 1 to y.length) {
+      val sub = dp(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1)
+      dp(i)(j) = math.min(sub, math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1))
+    }
+    dp(x.length)(y.length)
+  }
+
+  test("astral-plane text: segmentation counts code points, not UTF-16 units (d = 4)") {
+    import spark.implicits._
+    val d = 4
+    // 25 astral code points = 50 UTF-16 units. DELETING 4 code points is
+    // ed = 4 but shifts the UTF-16 length by 8 — a unit-based probe
+    // window (la in [|b|-d, |b|]) can never reach the short side's
+    // unit length, so this pair is the regression case unit-based
+    // segmentation silently misses.
+    val baseCps = (0 until 25).map(0x1F600 + _).toArray
+    def str(cps: Array[Int]): String = new String(cps, 0, cps.length)
+    def dropAt(cps: Array[Int], ps: Seq[Int]): Array[Int] =
+      cps.zipWithIndex.collect { case (c, i) if !ps.contains(i) => c }
+    def subAt(cps: Array[Int], ps: Seq[Int]): Array[Int] =
+      cps.zipWithIndex.map { case (c, i) => if (ps.contains(i)) 0x1F900 + i else c }
+    val data = Seq(
+      0L -> str(baseCps),
+      1L -> str(dropAt(baseCps, Seq(3, 9, 15, 21))),      // ed 4 via deletions
+      2L -> str(subAt(baseCps, Seq(2, 8, 14, 20))),       // ed 4 via substitutions
+      3L -> str(dropAt(baseCps, Seq(1, 6, 11, 16, 22))),  // ed 5 vs base
+      4L -> str((0 until 25).map(0x1D100 + _).toArray))   // unrelated
+    val docs = data.toDF("doc_id", "text")
+    val got = EditJoin.editJoin(docs, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = (for {
+      (ia, ta) <- data; (ib, tb) <- data if ia < ib
+      e = refEdCp(ta, tb) if e <= d
+    } yield ((ia, ib), e.toLong)).toMap
+    assert(want.contains((0L, 1L)), "fixture must plant the deletion-shift pair")
+    assert(want.contains((0L, 2L)), "fixture must plant the substitution pair")
+    assert(!want.contains((0L, 3L)), "ed-5 mutant must sit outside the threshold")
+    assert(got == want, s"got ${got.keySet}, want ${want.keySet}")
+  }
 }

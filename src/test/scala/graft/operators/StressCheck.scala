@@ -74,6 +74,16 @@ object StressCheck {
     // --- prefix-filter text joins on the 3x shingle corpus ---
     val d0 = graft.sources.Fixtures.documents(spark, dir)
     val toks = split(col("text"), " ")
+    // rotation by 7 degenerates to an IDENTITY copy for docs with <= 7
+    // tokens (and reversal for 1-token docs) — exactly the artificial
+    // zero-distance twins the header says replication must avoid; the
+    // corpus generator has shipped drifting shapes across rounds, so
+    // fail loudly instead of silently softening the envelopes
+    val minToks = d0.select(min(size(toks))).head().getInt(0)
+    require(minToks >= 8,
+      s"doc replication rotates by 7 tokens; min tokens in corpus is $minToks " +
+        "— a <=7-token doc would replicate as an identity copy and plant " +
+        "artificial exact twins; shrink the rotation or re-perturb")
     val docs = Seq(
       d0.select(col("doc_id"), col("text")),
       d0.select((col("doc_id") + off).as("doc_id"),
