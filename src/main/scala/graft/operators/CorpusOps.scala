@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.core.Caching._
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextCols
@@ -132,19 +131,20 @@ object CorpusOps {
   /** Fixed-size deterministic per-group sample: the n rows with the
     * smallest md5("<group>:<id>") per group — the fixed-budget companion
     * to the rate-based stratifiedSample ("give me exactly 10k docs per
-    * language, stably across runs and engines"). One per-group rank
-    * window (single shuffle). Determinism comes from the (hash, id)
+    * language, stably across runs and engines"). The rank is the
+    * [[groupRunningSum]] two-phase pass (a running count of 1s), never
+    * a one-task-per-group window. Determinism comes from the (hash, id)
     * tie-break being a total order — NOT from hash uniqueness: the
     * 32-bit md5 prefix can collide within a group (~50% by ~77k
     * rows/group), and id breaks those ties identically in both engines. */
   def fixedSample(docs: DataFrame, groupCol: String, n: Int,
                   idCol: String = "doc_id"): DataFrame = {
-    val h = TextCols.md5Bits32(
-      concat(col(groupCol), lit(":"), col(idCol).cast("string")))
-    docs.withColumn("smp_rank",
-      row_number().over(Window.partitionBy(col(groupCol))
-        .orderBy(h, col(idCol))).cast("long"))
+    val withH = docs.withColumn("_fs_h", TextCols.md5Bits32(
+      concat(col(groupCol), lit(":"), col(idCol).cast("string"))))
+    groupRunningSum(withH, groupCol,
+      Seq(col("_fs_h"), col(idCol)), lit(1L), "smp_rank")
       .filter(col("smp_rank") <= n)
+      .drop("_fs_h")
   }
 
   /** Exact per-group order-statistic quantiles (type 1: the ceil(q*n)-th
@@ -156,12 +156,14 @@ object CorpusOps {
   def groupQuantiles(docs: DataFrame, groupCol: String, valueExpr: Column,
                      qs: Seq[Double], idCol: String = "doc_id"): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs $qs")
-    val ranked = docs
-      .select(col(groupCol).as("grp"), valueExpr.cast("long").as("value"),
-        col(idCol).as("id"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("grp")).orderBy(col("value"), col("id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val rk = groupRunningSum(
+      docs.select(col(groupCol).as("grp"), valueExpr.cast("long").as("value"),
+        col(idCol).as("id")),
+      "grp", Seq(col("value"), col("id")), lit(1L), "rnk")
+    // group sizes read the materialized ranks; groups are bounded, so
+    // the join side broadcasts
+    val ranked = rk.join(broadcast(
+      rk.groupBy(col("grp")).agg(count(lit(1)).as("n"))), "grp")
     ranked
       .select(col("grp"), col("value"), col("rnk"), col("n"),
         explode(array(qs.map(lit): _*)).as("q"))
@@ -207,8 +209,9 @@ object CorpusOps {
   /** Top-k most frequent n-grams per group (vocabulary statistics — the
     * corpus pass a tokenizer-training run starts from). Two-phase:
     * a map-side-combined count over (group, gram) — the only data-sized
-    * shuffle — then a rank window over the AGGREGATED vocabulary rows
-    * (bounded by vocab size, not corpus size). Ties on count break on the
+    * shuffle — then a [[groupRunningSum]] two-phase rank over the
+    * AGGREGATED vocabulary rows (vocab-sized, which still outgrows one
+    * task per group at corpus scale). Ties on count break on the
     * gram string so the result is total-order deterministic. */
   def topNgrams(docs: DataFrame, groupCol: String, n: Int, k: Int,
                 textCol: String = "text"): DataFrame = {
@@ -216,10 +219,8 @@ object CorpusOps {
       .select(col(groupCol).as("grp"), explode(shingles(col(textCol), n)).as("gram"))
       .groupBy(col("grp"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-    counts
-      .withColumn("rank",
-        row_number().over(Window.partitionBy(col("grp"))
-          .orderBy(col("cnt").desc, col("gram"))).cast("long"))
+    groupRunningSum(counts, "grp",
+      Seq(col("cnt").desc, col("gram")), lit(1L), "rank")
       .filter(col("rank") <= k)
   }
 
@@ -369,22 +370,85 @@ object CorpusOps {
     }
   }
 
+  /** Distributed per-group running sum in a caller-defined total order
+    * — range-partition on (grp, sortCols...) + sort + two-phase
+    * per-(partition, group) offsets. NEVER a per-group window: a
+    * window partitioned by group sorts EVERY row of a group in one
+    * task, so four domains at 100 TB reduce to four serial tasks; here
+    * a group spans as many range partitions as its size needs and only
+    * the (partitions x groups) offset table crosses the driver —
+    * groups must be BOUNDED (domains/languages: they are by
+    * construction). `sortCols` must total-order rows within a group
+    * (end with the unique id); `cum` is inclusive of the current row.
+    * The result comes back persisted + materialized (pins the sampled
+    * range boundaries, the rankByKey argument); the cache is the
+    * caller's to unpersist. */
+  private[operators] def groupRunningSum(df: DataFrame, grpCol: String,
+                                         sortCols: Seq[Column], v: Column,
+                                         outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ordered = col(grpCol) +: sortCols
+    val pinned = df.withColumn("_grs_v", v.cast("long"))
+      .repartitionByRange(ordered: _*)
+      .sortWithinPartitions(ordered: _*)
+      .persistOnce()
+    try {
+      val grpIdx = pinned.schema.fieldIndex(grpCol)
+      val vIdx = pinned.schema.fieldIndex("_grs_v")
+      // phase 1: per-partition per-group totals (order-preserving so the
+      // offsets accumulate in partition order = global sort order)
+      val totals = pinned.rdd.mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r =>
+          val g = r.get(grpIdx)
+          m.update(g, m.getOrElse(g, 0L) + r.getLong(vIdx))
+        }
+        Iterator.single((i, m.toSeq))
+      }.collect().sortBy(_._1)
+      val running = scala.collection.mutable.HashMap.empty[Any, Long]
+      val offsets: Array[Map[Any, Long]] = totals.map { case (_, gs) =>
+        val snap = gs.map { case (g, _) => g -> running.getOrElse(g, 0L) }.toMap
+        gs.foreach { case (g, t) =>
+          running.update(g, running.getOrElse(g, 0L) + t)
+        }
+        snap
+      }
+      val offB = spark.sparkContext.broadcast(offsets)
+      val outSchema = pinned.schema.add(outCol,
+        org.apache.spark.sql.types.LongType, nullable = false)
+      // phase 2: stream each partition once, carrying per-group
+      // accumulators seeded with the earlier-partition offsets
+      val rdd2 = pinned.rdd.mapPartitionsWithIndex { (i, it) =>
+        val acc = scala.collection.mutable.HashMap.empty[Any, Long]
+        offB.value(i).foreach { case (g, o) => acc.update(g, o) }
+        it.map { r =>
+          val g = r.get(grpIdx)
+          val c = acc.getOrElse(g, 0L) + r.getLong(vIdx)
+          acc.update(g, c)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c)
+        }
+      }
+      val out = spark.createDataFrame(rdd2, outSchema)
+        .drop("_grs_v").persistOnce()
+      out.count()
+      out
+    } finally pinned.unpersist(false)
+  }
+
   /** Token-budget subset selection: per group, keep the highest-quality
     * documents until the group's token budget is spent ("fill N tokens
     * per language, best first"). Ordering ties break on the 6-decimal
     * ROUNDED score then id — the exact total order the oracle applies —
-    * and the running total and cut are pure integers. The window runs
-    * per group (one shuffle); a group's rows must fit one task's stream,
-    * the standard per-group window contract. */
+    * and the running total and cut are pure integers. The running sum is
+    * the [[groupRunningSum]] two-phase pass, so a group larger than one
+    * task's stream costs nothing but more range partitions. */
   def tokenBudget(docs: DataFrame, groupCol: String, budget: Long,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val scored = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
       TextCols.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       round(TextCols.qualityScore(col(textCol)), 6).as("score"))
-    scored
-      .withColumn("cum", sum(col("n_tokens")).over(
-        Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    groupRunningSum(scored, "grp",
+      Seq(col("score").desc, col("id")), col("n_tokens"), "cum")
       .filter(col("cum") <= budget)
   }
 
@@ -400,11 +464,14 @@ object CorpusOps {
     * <= budget mod domainTokens. Domains absent from `weights` are
     * excluded (weight zero).
     *
-    * Shapes: one token-count scan, an O(domains) aggregate joined back
-    * by broadcast, one window per domain, and an epoch explode via
-    * sequence() — data shuffles once on the domain key and the epoch
-    * fan-out happens AFTER the window, so each extra epoch is a map-side
-    * row copy, not a re-shuffle. Output: (id, grp, epoch, n_tokens, cum). */
+    * Shapes: one token-count scan, the [[groupRunningSum]] two-phase
+    * per-domain running sum (never a one-task-per-domain window — a
+    * domain's rows span as many range partitions as they need), an
+    * O(domains) aggregate over the materialized sums joined back by
+    * broadcast, and an epoch explode via sequence() — the epoch
+    * fan-out happens AFTER the running sum, so each extra epoch is a
+    * map-side row copy, not a re-shuffle.
+    * Output: (id, grp, epoch, n_tokens, cum). */
   def domainMixSample(docs: DataFrame, weights: Map[String, Long],
                       totalBudget: Long, groupCol: String = "source",
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -418,11 +485,12 @@ object CorpusOps {
     val t = docs.select(col(idCol).cast("long").as("id"),
       col(groupCol).as("grp"),
       TextCols.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val h = TextCols.md5Bits32(concat(col("grp"), lit(":"), col("id").cast("string")))
-    val c = t.withColumn("cum", sum(col("n_tokens")).over(
-      Window.partitionBy(col("grp")).orderBy(h, col("id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val g = t.groupBy(col("grp")).agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("h", TextCols.md5Bits32(
+        concat(col("grp"), lit(":"), col("id").cast("string"))))
+    val c = groupRunningSum(t, "grp",
+      Seq(col("h"), col("id")), col("n_tokens"), "cum")
+    // domain totals read the materialized running sums, not the source
+    val g = c.groupBy(col("grp")).agg(sum(col("n_tokens")).as("tot"))
       .join(broadcast(wDf), "grp")
       .filter(col("tot") > 0)
       .withColumn("budget", expr(s"${totalBudget}L * wt div ${sumW}L"))
@@ -756,8 +824,12 @@ object CorpusOps {
     * across documents are storage/training redundancy).
     *
     * Shape: a pure per-row loop (mapPartitions — the boundary hash +
-    * md5 per chunk beat interpreted HOF folds at every scale), then ONE
-    * fingerprint-partition window for owners. The cut predicate and
+    * md5 per chunk beat interpreted HOF folds at every scale), then a
+    * map-side-combined min aggregate joined back on the fingerprint
+    * for owners — NOT a fingerprint-partition window: a boilerplate
+    * chunk shared by millions of documents is one window partition =
+    * one task, while the aggregate reduces it map-side and the join
+    * streams it (AQE splits the skewed key). The cut predicate and
     * fingerprint are md5-derived, so DuckDB replays chunk assembly
     * bit-for-bit (parallel unnest + windowed cut-count). */
   def cdcChunks(docs: DataFrame, modulus: Int = 32,
@@ -799,9 +871,11 @@ object CorpusOps {
       }
     }
     val spark = docs.sparkSession
-    spark.createDataFrame(rows, schema)
-      .withColumn("owner_id", min(col("doc_id")).over(
-        Window.partitionBy(col("chunk_fp"))))
+    val chunks = spark.createDataFrame(rows, schema)
+    val owners = chunks.groupBy(col("chunk_fp"))
+      .agg(min(col("doc_id")).as("owner_id"))
+    chunks.join(owners, "chunk_fp")
+      .select(chunks.columns.map(col) :+ col("owner_id"): _*)
   }
 
   /** Bigram-conditional LM surprisal — the second-order companion of
