@@ -386,6 +386,8 @@ object CorpusOps {
   private[operators] def groupRunningSum(df: DataFrame, grpCol: String,
                                          sortCols: Seq[Column], v: Column,
                                          outCol: String): DataFrame = {
+    require(!df.columns.contains(outCol) && !df.columns.contains("_grs_v"),
+      s"groupRunningSum: input already has '$outCol' or '_grs_v'")
     val spark = df.sparkSession
     val ordered = col(grpCol) +: sortCols
     val pinned = df.withColumn("_grs_v", v.cast("long"))

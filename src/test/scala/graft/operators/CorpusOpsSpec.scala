@@ -836,6 +836,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("groupRunningSum: cross-partition offsets exact when groups span partitions") {
+    import spark.implicits._
+    // 3 groups x 4000 rows on 4 shuffle partitions: range partitioning on
+    // (grp, k, id) MUST split at least one group across partitions, or
+    // this spec is not exercising the two-phase offset logic at all —
+    // asserted below, so a config drift that collapses partitions fails
+    // loudly instead of green-washing.
+    val rnd = new scala.util.Random(97)
+    val data = (for {
+      g <- Seq("a", "b", "c"); i <- 0 until 4000
+    } yield (g.hashCode.toLong * 100000 + i, g, rnd.nextInt(1000).toLong,
+        1L + rnd.nextInt(50))).map {
+      case (id, g, k, v) => (id, g, k, v.toLong)
+    }
+    val df = data.toDF("id", "grp", "k", "v")
+    val got = CorpusOps.groupRunningSum(df, "grp",
+      Seq(col("k"), col("id")), col("v"), "cum")
+    try {
+      // the two-phase property: at least one group's rows land in >= 2
+      // range partitions (otherwise a window would have been equivalent)
+      val spans = got.select(col("grp"),
+          org.apache.spark.sql.functions.spark_partition_id().as("p"))
+        .distinct().groupBy("grp").count().as[(String, Long)].collect().toMap
+      assert(spans.values.exists(_ >= 2L),
+        s"fixture must split a group across partitions, got $spans")
+      val rows = got.select(col("id"), col("grp"), col("v"), col("cum"))
+        .as[(Long, String, Long, Long)].collect()
+        .map { case (id, g, v, c) => (id, g) -> (v, c) }.toMap
+      // independent recomputation: running sum in (k, id) order per group
+      data.groupBy(_._2).foreach { case (g, gs) =>
+        var run = 0L
+        gs.sortBy { case (id, _, k, _) => (k, id) }.foreach {
+          case (id, _, _, v) =>
+            run += v
+            assert(rows((id, g)) == (v, run), s"mismatch at ($g, $id)")
+        }
+      }
+      // determinism across invocations (fresh range sampling each time)
+      val again = CorpusOps.groupRunningSum(df, "grp",
+        Seq(col("k"), col("id")), col("v"), "cum")
+      try {
+        val c2 = again.select(col("id"), col("cum")).as[(Long, Long)]
+          .collect().toMap
+        rows.foreach { case ((id, _), (_, c)) => assert(c2(id) == c) }
+      } finally again.unpersist()
+    } finally got.unpersist()
+  }
+
   test("importanceSelect == independent bitlen-LLR recomputation") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
