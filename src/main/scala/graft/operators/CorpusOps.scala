@@ -139,20 +139,35 @@ object CorpusOps {
     * rows/group), and id breaks those ties identically in both engines. */
   def fixedSample(docs: DataFrame, groupCol: String, n: Int,
                   idCol: String = "doc_id"): DataFrame = {
+    require(!docs.columns.contains("_fs_h"),
+      "fixedSample: input already has a '_fs_h' column")
     val withH = docs.withColumn("_fs_h", TextCols.md5Bits32(
       concat(col(groupCol), lit(":"), col(idCol).cast("string"))))
-    groupRunningSum(withH, groupCol,
+    val rk = groupRunningSum(withH, groupCol,
       Seq(col("_fs_h"), col(idCol)), lit(1L), "smp_rank")
-      .filter(col("smp_rank") <= n)
-      .drop("_fs_h")
+    freeRanked(rk, rk.filter(col("smp_rank") <= n).drop("_fs_h"))
+  }
+
+  /** Materialize the (smaller) selection derived from a corpus-width
+    * intermediate cache — a [[groupRunningSum]] frame or a persisted
+    * chunk pass — then free that cache: the intermediate's persisted
+    * handle is unreachable from a caller that only holds a projection
+    * on top of it, and MEMORY_AND_DISK blocks spill rather than evict,
+    * so pinning the selection first is sufficient. */
+  private def freeRanked(ranked: DataFrame, selection: DataFrame): DataFrame = {
+    val out = selection.persistOnce()
+    out.count()
+    ranked.unpersist(false)
+    out
   }
 
   /** Exact per-group order-statistic quantiles (type 1: the ceil(q*n)-th
     * smallest value, no interpolation — integer in, integer out, so the
     * result is engine-exact, unlike interpolating percentile sketches).
-    * Emits one row per (group, q). Two windows over the grouped rows
-    * (rank + count), one shuffle; ranks tie-break on id so duplicate
-    * values pick a deterministic row. */
+    * Emits one row per (group, q). The rank is the [[groupRunningSum]]
+    * two-phase running count (no per-group window); group sizes come
+    * from a broadcast aggregate over the materialized ranks. Ranks
+    * tie-break on id so duplicate values pick a deterministic row. */
   def groupQuantiles(docs: DataFrame, groupCol: String, valueExpr: Column,
                      qs: Seq[Double], idCol: String = "doc_id"): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0), s"qs $qs")
@@ -164,11 +179,11 @@ object CorpusOps {
     // the join side broadcasts
     val ranked = rk.join(broadcast(
       rk.groupBy(col("grp")).agg(count(lit(1)).as("n"))), "grp")
-    ranked
+    freeRanked(rk, ranked
       .select(col("grp"), col("value"), col("rnk"), col("n"),
         explode(array(qs.map(lit): _*)).as("q"))
       .filter(ceil(col("q") * col("n")).cast("long") === col("rnk"))
-      .select(col("grp"), col("q"), col("value"), col("n").cast("long").as("n"))
+      .select(col("grp"), col("q"), col("value"), col("n").cast("long").as("n")))
   }
 
   /** '_'-joined n-token shingles; see TextCols.shingles (shared
@@ -219,9 +234,9 @@ object CorpusOps {
       .select(col(groupCol).as("grp"), explode(shingles(col(textCol), n)).as("gram"))
       .groupBy(col("grp"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-    groupRunningSum(counts, "grp",
+    val rk = groupRunningSum(counts, "grp",
       Seq(col("cnt").desc, col("gram")), lit(1L), "rank")
-      .filter(col("rank") <= k)
+    freeRanked(rk, rk.filter(col("rank") <= k))
   }
 
   /** Sequence packing — the pretraining concat-and-chunk map: documents
@@ -390,7 +405,9 @@ object CorpusOps {
       s"groupRunningSum: input already has '$outCol' or '_grs_v'")
     val spark = df.sparkSession
     val ordered = col(grpCol) +: sortCols
-    val pinned = df.withColumn("_grs_v", v.cast("long"))
+    // null summands count as 0 (the window-sum behavior this replaces:
+    // sum() skipped null addends but still emitted the row)
+    val pinned = df.withColumn("_grs_v", coalesce(v.cast("long"), lit(0L)))
       .repartitionByRange(ordered: _*)
       .sortWithinPartitions(ordered: _*)
       .persistOnce()
@@ -449,9 +466,9 @@ object CorpusOps {
     val scored = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
       TextCols.tokenCount(col(textCol)).cast("long").as("n_tokens"),
       round(TextCols.qualityScore(col(textCol)), 6).as("score"))
-    groupRunningSum(scored, "grp",
+    val rk = groupRunningSum(scored, "grp",
       Seq(col("score").desc, col("id")), col("n_tokens"), "cum")
-      .filter(col("cum") <= budget)
+    freeRanked(rk, rk.filter(col("cum") <= budget))
   }
 
   /** Domain-mixture sampling with upsampling — the static data-mixing
@@ -499,7 +516,10 @@ object CorpusOps {
       .withColumn("n_full", expr("budget div tot"))
       .withColumn("rem", col("budget") % col("tot"))
       .select(col("grp"), col("n_full"), col("rem"))
-    c.join(broadcast(g), "grp")
+    // pin the NARROW pre-explode join and free the ranked cache; the
+    // epoch fan-out stays lazy (materializing it would multiply storage
+    // by the epoch count for a pure per-row map)
+    freeRanked(c, c.join(broadcast(g), "grp"))
       .withColumn("epoch", explode(sequence(lit(0L), col("n_full"))))
       .filter(col("epoch") < col("n_full") || col("cum") <= col("rem"))
       .select(col("id"), col("grp"), col("epoch").cast("long").as("epoch"),
@@ -873,11 +893,13 @@ object CorpusOps {
       }
     }
     val spark = docs.sparkSession
-    val chunks = spark.createDataFrame(rows, schema)
+    // persist the chunk pass ONCE: it carries a per-token md5 loop, and
+    // both the owner aggregate and the probe side of the join read it
+    val chunks = spark.createDataFrame(rows, schema).persistOnce()
     val owners = chunks.groupBy(col("chunk_fp"))
       .agg(min(col("doc_id")).as("owner_id"))
-    chunks.join(owners, "chunk_fp")
-      .select(chunks.columns.map(col) :+ col("owner_id"): _*)
+    freeRanked(chunks, chunks.join(owners, "chunk_fp")
+      .select(chunks.columns.map(col) :+ col("owner_id"): _*))
   }
 
   /** Bigram-conditional LM surprisal — the second-order companion of
