@@ -751,8 +751,12 @@ object Ann {
     *    numSub x ksub longs per query, bounded — broadcast-join the
     *    cluster-keyed index, so the corpus never reshuffles and only
     *    probed members are scored;
-    *  - per-query top-k is a rank window over the scored rows, keyed by
-    *    qid (output-sized, not corpus-sized).
+    *  - per-query top-k is a rank window over the scored rows, keyed
+    *    by qid; the `row_number <= k` filter plans as a PARTIAL
+    *    WindowGroupLimit before the exchange (verified in the explain
+    *    dump — the q_ann_batch shape), so each map task keeps a k-heap
+    *    per query and the shuffle carries ~k rows per query per
+    *    partition, never the probed corpus fraction.
     *
     * Same integer arithmetic and (adc_d2, id) tie order as
     * [[ivfPqTopK]]; a query set of one reproduces it row-for-row

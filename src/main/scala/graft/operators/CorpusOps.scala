@@ -518,9 +518,17 @@ object CorpusOps {
       .select(col("grp"), col("n_full"), col("rem"))
     // pin the NARROW pre-explode join and free the ranked cache; the
     // epoch fan-out stays lazy (materializing it would multiply storage
-    // by the epoch count for a pure per-row map)
+    // by the epoch count for a pure per-row map). The fan-out explodes
+    // in TWO levels of <= 4096-element arrays: a single
+    // sequence(0, n_full) materializes the whole (n_full+1)-long array
+    // per row — unbounded transient memory exactly in the
+    // heavy-upsampling regime this operator exists for, and capped at
+    // 2^31 elements by Spark. epoch = outer*4096 + inner, same rows.
+    val chunk = 4096L
     freeRanked(c, c.join(broadcast(g), "grp"))
-      .withColumn("epoch", explode(sequence(lit(0L), col("n_full"))))
+      .withColumn("outer", explode(sequence(lit(0L), expr(s"n_full div $chunk"))))
+      .withColumn("epoch", explode(sequence(col("outer") * chunk,
+        least(col("n_full"), col("outer") * chunk + (chunk - 1L)))))
       .filter(col("epoch") < col("n_full") || col("cum") <= col("rem"))
       .select(col("id"), col("grp"), col("epoch").cast("long").as("epoch"),
         col("n_tokens"), col("cum"))

@@ -676,8 +676,10 @@ object Dedup {
   def semanticDedup(spark: SparkSession, embs: DataFrame, k: Int, iters: Int,
                     tau: Double, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val assign = Cluster.kmeans(spark, embs, k, iters, idCol = idCol, vecCol = vecCol)
-      .select(col("id"), col("cluster"))
+    // keep the handle to the PERSISTED kmeans frame — a .select
+    // projection cannot free the underlying corpus-width cache
+    val km = Cluster.kmeans(spark, embs, k, iters, idCol = idCol, vecCol = vecCol)
+    val assign = km.select(col("id"), col("cluster"))
     val base = embs.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val withC = base.join(assign, "id").persistOnce()
@@ -690,7 +692,7 @@ object Dedup {
         col("cluster").cast("long").as("cluster"),
         when(col("hit").isNull, 1L).otherwise(0L).as("kept"))
     // pairs comes back materialized from cosinePairsWithinGroups
-    materializeAndFree(result, withC, pairs)
+    materializeAndFree(result, withC, pairs, km)
   }
 
   /** Near-dup representative selection — the "which document survives"

@@ -54,11 +54,15 @@ object EditJoin {
     * contract can count candidates through the operator's own kernel.
     *
     * All positions/lengths are CODE POINTS, not UTF-16 units: the
-    * verifier (Spark `levenshtein`) and the DuckDB oracle both count
-    * code-point edits, and the pigeonhole guarantee only holds when
-    * segmentation uses the same unit — a UTF-16 split lets d
-    * code-point edits (2d units for astral chars) touch all d+1
-    * unit-based segments. */
+    * verifier (Spark `levenshtein`) counts code-point edits, and the
+    * pigeonhole guarantee only holds when segmentation uses the same
+    * unit — a UTF-16 split lets d code-point edits (2d units for
+    * astral chars) touch all d+1 unit-based segments. (DuckDB's
+    * `levenshtein` counts BYTES, so the q_edit_pairs oracle agrees
+    * with this operator only on ASCII corpora — exactly the
+    * `documents.text` contract FixtureContractSpec enforces at every
+    * generated scale; non-ASCII correctness is pinned engine-side by
+    * EditJoinSpec's astral-plane case instead.) */
   private[operators] def candidatePairs(docs: DataFrame, d: Int,
                                         idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
@@ -75,8 +79,14 @@ object EditJoin {
     // trivially has ed <= max length <= d — an all-pairs leg this
     // operator deliberately does not carry). Guard instead of silently
     // under-reporting; one column-pruned min-scan (Spark `length` counts
-    // code points, matching the segment unit).
-    val minLen = docs.agg(min(length(col(textCol))).cast("int")).head().getInt(0)
+    // code points, matching the segment unit). NULL texts count as
+    // length 0 so they hit this require loudly instead of NPEing in the
+    // segment flatMap (SQL min would silently skip them); an empty
+    // corpus short-circuits to the empty pair set.
+    val minLenRow = docs.agg(
+      min(coalesce(length(col(textCol)), lit(0))).cast("int")).head()
+    if (minLenRow.isNullAt(0)) return Seq.empty[(Long, Long)].toDF("rid", "sid")
+    val minLen = minLenRow.getInt(0)
     require(minLen >= d + 1,
       s"editJoin needs every string >= d+1 = ${d + 1} chars (min found $minLen): " +
         "pairs of sub-threshold-length strings all qualify trivially and need a " +

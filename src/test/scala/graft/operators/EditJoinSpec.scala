@@ -98,6 +98,17 @@ class EditJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("all-pairs leg"))
   }
 
+  test("null text hits the length guard loudly; empty corpus returns empty") {
+    import spark.implicits._
+    val withNull = Seq((1L, "abcdefgh"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](EditJoin.editJoin(withNull, 4))
+    assert(e.getMessage.contains("min found 0"),
+      s"null text must register as length 0 in the guard: ${e.getMessage}")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(EditJoin.editJoin(empty, 4).count() == 0L)
+  }
+
   /** Reference DP over CODE POINTS — the unit both Spark `levenshtein`
     * and the segmentation must agree on. */
   private def refEdCp(a: String, b: String): Int = {
