@@ -31,6 +31,12 @@ object SparkEntry {
   // shape at any corpus scale), selected deterministically by
   // (md5(id), id) hash-spread order in BOTH engines
   private val StreamEmdRefCap = 256
+  // driver cap on q_bpe_witness's word-count collect: the sequential
+  // reference trainer is a witness, not the operator, and vocabulary
+  // grows sublinearly (Heaps' law) — but a data-derived collect must
+  // still be bounded; 2M rows ~ a full web-scale word vocabulary and
+  // stays ~100 MB on the driver
+  private val BpeWitnessVocabCap = 2000000
   private val Theta3d = 0.0803
   // tree-EMD overestimates 1-D EMD by up to 2n-2; sized so the pair set
   // is in the same regime as the exact join. 0.4071 = 4071/10000: a
@@ -377,7 +383,13 @@ object SparkEntry {
       // must not grow with it either
       val all = Fixtures.quantityHists(s, dir)
       val ids = all.select(col("id")).distinct().orderBy(col("id")).limit(512)
+      // pin the slice: four engines (and melody's grids/duals/enrichment
+      // passes inside prepare) each re-scan their input several times —
+      // without the pin every pass re-reads the fixture and re-runs the
+      // broadcast semi-join; 512 rows cache for the audit's duration
       val hists = all.join(broadcast(ids), "id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      hists.count()
       def norm(df: DataFrame): DataFrame =
         df.select(col("rid"), col("sid"), col("dist").cast("double").as("dist"))
       val engines: Seq[(String, DataFrame)] = Seq(
@@ -403,6 +415,7 @@ object SparkEntry {
           .cast("long").as(s"d_$n"))
       } :+ coalesce(max(col("spread")), lit(0.0)).as("max_spread")
       val r = perKey.agg(aggs.head, aggs.tail: _*).head()
+      hists.unpersist(false)
       val distOk = r.getDouble(2 * engines.size) <= 1e-9
       val rows = engines.zipWithIndex.map { case ((n, _), i) =>
         (n, r.getLong(2 * i), r.getLong(2 * i + 1), distOk)
@@ -808,8 +821,20 @@ object SparkEntry {
         else {
           val d = Fixtures.documents(s, dir)
           val dist = Bpe.train(s, d, numMerges = 30)
-          val vocab = Bpe.wordCounts(d).collect()
-            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          // the sequential reference trainer needs the word-count table
+          // on the driver; vocabulary grows sublinearly (Heaps' law) but
+          // is still data-derived, so the collect is require-BOUNDED
+          // (the collectBoundedRefs idiom): past the cap the witness
+          // fails loudly instead of silently pulling a corpus-sized
+          // table through the driver
+          val rows = Bpe.wordCounts(d).limit(BpeWitnessVocabCap + 1).collect()
+          require(rows.length <= BpeWitnessVocabCap,
+            s"q_bpe_witness: word-count vocabulary exceeds the " +
+              s"$BpeWitnessVocabCap-row driver cap for the sequential " +
+              "reference trainer — witness on a capped most-frequent-word " +
+              "slice or raise the cap deliberately; the DISTRIBUTED " +
+              "trainer (q_bpe_train) is unaffected")
+          val vocab = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
           val ref = Bpe.trainReference(vocab, numMerges = 30)
           Seq(("q_bpe_train", dist.length.toLong, dist == ref))
         }

@@ -373,9 +373,27 @@ object CorpusOps {
         .collect().sortBy(_._1).map(_._2)
       val offsets = counts.scanLeft(0L)(_ + _)
       val offB = spark.sparkContext.broadcast(offsets)
+      // phase-1 per-partition row counts double as the phase-2 alignment
+      // witness: a cache-lost partition recomputed through
+      // repartitionByRange re-samples range boundaries and can silently
+      // shift rows across partitions, misaligning the broadcast offsets
+      // (wrong ranks, no error). Assert the count at exhaustion instead.
+      val cntB = spark.sparkContext.broadcast(counts)
       val out = rdd.mapPartitionsWithIndex { (i, it) =>
         var r = offB.value(i)
-        it.map { case (id, _) => r += 1; (id, r) }
+        val first = offB.value(i)
+        new Iterator[(Long, Long)] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) require(r - first == cntB.value(i),
+              s"rankByKey: phase-2 partition $i streamed ${r - first} rows " +
+                s"but phase 1 counted ${cntB.value(i)} — the persisted " +
+                "range partition was recomputed with freshly sampled " +
+                "boundaries (executor loss); offsets misaligned, rerun")
+            h
+          }
+          def next(): (Long, Long) = { val (id, _) = it.next(); r += 1; (id, r) }
+        }
       }.toDF(idColOut, rankColOut)
         .persistOnce()
       out.count()
@@ -414,18 +432,21 @@ object CorpusOps {
     try {
       val grpIdx = pinned.schema.fieldIndex(grpCol)
       val vIdx = pinned.schema.fieldIndex("_grs_v")
-      // phase 1: per-partition per-group totals (order-preserving so the
-      // offsets accumulate in partition order = global sort order)
+      // phase 1: per-partition per-group totals AND row counts
+      // (order-preserving so the offsets accumulate in partition order =
+      // global sort order). Row counts are the phase-2 alignment witness.
       val totals = pinned.rdd.mapPartitionsWithIndex { (i, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        var rows = 0L
         it.foreach { r =>
+          rows += 1
           val g = r.get(grpIdx)
           m.update(g, m.getOrElse(g, 0L) + r.getLong(vIdx))
         }
-        Iterator.single((i, m.toSeq))
+        Iterator.single((i, rows, m.toSeq))
       }.collect().sortBy(_._1)
       val running = scala.collection.mutable.HashMap.empty[Any, Long]
-      val offsets: Array[Map[Any, Long]] = totals.map { case (_, gs) =>
+      val offsets: Array[Map[Any, Long]] = totals.map { case (_, _, gs) =>
         val snap = gs.map { case (g, _) => g -> running.getOrElse(g, 0L) }.toMap
         gs.foreach { case (g, t) =>
           running.update(g, running.getOrElse(g, 0L) + t)
@@ -433,6 +454,14 @@ object CorpusOps {
         snap
       }
       val offB = spark.sparkContext.broadcast(offsets)
+      // phase-1 snapshot per partition: (row count, per-group totals) —
+      // asserted at phase-2 exhaustion. MEMORY_AND_DISK survives eviction
+      // but NOT executor loss: a lost cached partition recomputes through
+      // repartitionByRange with freshly SAMPLED range boundaries, which
+      // can silently misalign rows against the broadcast offsets. The
+      // assertion turns that silent wrong-rank outcome into a loud retry.
+      val expectB = spark.sparkContext.broadcast(
+        totals.map { case (_, rows, gs) => (rows, gs.toMap) })
       val outSchema = pinned.schema.add(outCol,
         org.apache.spark.sql.types.LongType, nullable = false)
       // phase 2: stream each partition once, carrying per-group
@@ -440,11 +469,37 @@ object CorpusOps {
       val rdd2 = pinned.rdd.mapPartitionsWithIndex { (i, it) =>
         val acc = scala.collection.mutable.HashMap.empty[Any, Long]
         offB.value(i).foreach { case (g, o) => acc.update(g, o) }
-        it.map { r =>
+        val (expRows, expTotals) = expectB.value(i)
+        var rows = 0L
+        var verified = false
+        def verifyAligned(): Unit = if (!verified) {
+          verified = true
+          val sumsOk = acc.forall { case (g, c) =>
+            expTotals.contains(g) &&
+              c == offB.value(i).getOrElse(g, 0L) + expTotals(g)
+          } && acc.size == expTotals.size
+          require(rows == expRows && sumsOk,
+            s"groupRunningSum: phase-2 partition $i diverged from the " +
+              s"phase-1 snapshot (rows=$rows expected=$expRows, " +
+              s"group-sum match=$sumsOk) — the persisted range partition " +
+              "was recomputed with freshly sampled boundaries (executor " +
+              "loss), so the broadcast offsets no longer align; rerun the " +
+              "operator")
+        }
+        val mapped = it.map { r =>
+          rows += 1
           val g = r.get(grpIdx)
           val c = acc.getOrElse(g, 0L) + r.getLong(vIdx)
           acc.update(g, c)
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c)
+        }
+        new Iterator[org.apache.spark.sql.Row] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) verifyAligned()
+            h
+          }
+          def next(): org.apache.spark.sql.Row = mapped.next()
         }
       }
       val out = spark.createDataFrame(rdd2, outSchema)
@@ -519,14 +574,29 @@ object CorpusOps {
     // pin the NARROW pre-explode join and free the ranked cache; the
     // epoch fan-out stays lazy (materializing it would multiply storage
     // by the epoch count for a pure per-row map). The fan-out explodes
-    // in TWO levels of <= 4096-element arrays: a single
-    // sequence(0, n_full) materializes the whole (n_full+1)-long array
-    // per row — unbounded transient memory exactly in the
-    // heavy-upsampling regime this operator exists for, and capped at
-    // 2^31 elements by Spark. epoch = outer*4096 + inner, same rows.
+    // in THREE nested levels of <= 4097-element arrays (hi -> outer ->
+    // epoch = outer*4096 + inner): a single sequence(0, n_full) would
+    // materialize the whole (n_full+1)-long array per row — unbounded
+    // transient memory exactly in the heavy-upsampling regime this
+    // operator exists for — and a two-level split merely moved the
+    // unbounded array to n_full/4096 elements (large again once a domain
+    // repeats tens of millions of times). Three levels keep per-row
+    // transients O(chunk) for every n_full <= chunk^3 ~ 6.9e10 epochs
+    // per domain, the require-documented envelope (beyond it is a
+    // weights bug, not a scale regime).
     val chunk = 4096L
+    val maxFull = g.agg(coalesce(max(col("n_full")), lit(0L)).cast("long"))
+      .head().getLong(0)
+    require(maxFull <= chunk * chunk * chunk,
+      s"domainMixSample: a domain would repeat $maxFull whole epochs — " +
+        s"past the supported ${chunk * chunk * chunk} (= 4096^3) envelope " +
+        "of the three-level epoch explode; a domain upsampled tens of " +
+        "billions of times is a weights bug, not a mixture")
     freeRanked(c, c.join(broadcast(g), "grp"))
-      .withColumn("outer", explode(sequence(lit(0L), expr(s"n_full div $chunk"))))
+      .withColumn("hi", explode(sequence(lit(0L),
+        expr(s"n_full div ${chunk * chunk}"))))
+      .withColumn("outer", explode(sequence(col("hi") * chunk,
+        least(expr(s"n_full div $chunk"), col("hi") * chunk + (chunk - 1L)))))
       .withColumn("epoch", explode(sequence(col("outer") * chunk,
         least(col("n_full"), col("outer") * chunk + (chunk - 1L)))))
       .filter(col("epoch") < col("n_full") || col("cum") <= col("rem"))

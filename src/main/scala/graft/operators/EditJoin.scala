@@ -48,10 +48,26 @@ object EditJoin {
     * [pos(i, l, d), pos(i + 1, l, d)). Non-empty for all i iff l >= d + 1. */
   private def pos(i: Int, l: Int, d: Int): Int = (i.toLong * l / (d + 1)).toInt
 
+  /** Hard cap on the SHORT-string leg (strings of < d+1 code points,
+    * which segment signatures cannot index): all short-short pairs
+    * trivially satisfy ed <= max length <= d, so the output itself is
+    * quadratic in the short count — no candidate filter can prune it.
+    * The cap keeps the leg an O(cap^2) broadcast nested loop; a corpus
+    * with more sub-(d+1)-length rows than this has a quadratic ANSWER
+    * and needs a deliberate pre-filter, not a silent join. */
+  private[operators] val ShortLegCap = 4096L
+
   /** Candidate (rid, sid) pairs sharing an exact segment at a compatible
     * shifted position — a superset of all pairs with ed <= d (recall 1.0
-    * by the pigeonhole argument above). Package-private so the scaling
-    * contract can count candidates through the operator's own kernel.
+    * by the pigeonhole argument above) — unioned with the two SHORT legs
+    * for strings of < d+1 code points (which cannot host d+1 non-empty
+    * segments): short-short is all-pairs over the broadcast-small short
+    * set (every such pair qualifies trivially: ed <= max length <= d),
+    * and short-long pairs only longs of length <= 2d (ed >= length gap
+    * otherwise), again against the broadcast short side. NULL text is
+    * treated as the empty string (a short row). Package-private so the
+    * scaling contract can count candidates through the operator's own
+    * kernel.
     *
     * All positions/lengths are CODE POINTS, not UTF-16 units: the
     * verifier (Spark `levenshtein`) counts code-point edits, and the
@@ -69,28 +85,38 @@ object EditJoin {
     import spark.implicits._
     require(d >= 1, s"edit-distance threshold must be >= 1, got $d")
 
-    val base: Dataset[(Long, String)] = docs
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
+    // Spark `length` counts code points, matching the segment unit.
+    val t = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(col(textCol).cast("string"), lit("")).as("t"))
+    val base: Dataset[(Long, String)] =
+      t.filter(length(col("t")) >= d + 1).as[(Long, String)]
 
-    // The pigeonhole needs ONE side of a pair partitionable into d+1
-    // non-empty segments; candidates generate symmetrically, so a pair is
-    // missed only when BOTH strings are <= d chars (where every pair
-    // trivially has ed <= max length <= d — an all-pairs leg this
-    // operator deliberately does not carry). Guard instead of silently
-    // under-reporting; one column-pruned min-scan (Spark `length` counts
-    // code points, matching the segment unit). NULL texts count as
-    // length 0 so they hit this require loudly instead of NPEing in the
-    // segment flatMap (SQL min would silently skip them); an empty
-    // corpus short-circuits to the empty pair set.
-    val minLenRow = docs.agg(
-      min(coalesce(length(col(textCol)), lit(0))).cast("int")).head()
-    if (minLenRow.isNullAt(0)) return Seq.empty[(Long, Long)].toDF("rid", "sid")
-    val minLen = minLenRow.getInt(0)
-    require(minLen >= d + 1,
-      s"editJoin needs every string >= d+1 = ${d + 1} chars (min found $minLen): " +
-        "pairs of sub-threshold-length strings all qualify trivially and need a " +
-        "dedicated all-pairs leg, not segment signatures")
+    // SHORT legs: strings the pigeonhole cannot index. They are few on
+    // any real document corpus (the cap guards the degenerate one); one
+    // column-pruned count-scan decides whether the legs exist at all.
+    val shorts = t.filter(length(col("t")) <= d)
+    val nShorts = shorts.count()
+    val shortLegs: Option[DataFrame] =
+      if (nShorts == 0) None
+      else {
+        require(nShorts <= ShortLegCap,
+          s"editJoin: $nShorts strings shorter than d+1 = ${d + 1} code " +
+            s"points (cap $ShortLegCap). Every pair of such strings " +
+            "qualifies trivially (ed <= max length <= d), so the answer " +
+            "itself is quadratic in that count — pre-filter sub-threshold-" +
+            "length rows or lower d rather than materializing it")
+        val sa = broadcast(shorts.select(col("id").as("aid")).persistOnce())
+        // short-short: all pairs (each trivially within d)
+        val ss = sa.crossJoin(shorts.select(col("id").as("bid")))
+          .filter(col("aid") < col("bid"))
+        // short-long: only longs within length reach (|b| <= |a| + d <= 2d)
+        val sl = sa.crossJoin(
+            t.filter(length(col("t")).between(d + 1, 2 * d))
+              .select(col("id").as("bid")))
+        Some(ss.unionByName(sl)
+          .select(least(col("aid"), col("bid")).as("rid"),
+            greatest(col("aid"), col("bid")).as("sid")))
+      }
 
     // index side: the d+1 even segments of each string
     val segs = base.flatMap { case (id, t) =>
@@ -134,19 +160,23 @@ object EditJoin {
       out.iterator
     }.toDF("i", "seg", "la", "bid")
 
-    segs.join(probes, Seq("i", "seg", "la"))
+    val longLeg = segs.join(probes, Seq("i", "seg", "la"))
       .filter(col("aid") =!= col("bid"))
       .select(least(col("aid"), col("bid")).as("rid"),
         greatest(col("aid"), col("bid")).as("sid"))
-      .distinct()
+    shortLegs.fold(longLeg)(longLeg.unionByName(_)).distinct()
   }
 
   /** All pairs with levenshtein(a, b) <= d, canonically oriented
     * rid < sid, with the exact distance. Output: (rid, sid, ed). */
   def editJoin(docs: DataFrame, d: Int,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // NULL text is the empty string throughout (candidate legs and
+    // verifier agree; levenshtein(NULL, x) would return NULL and silently
+    // drop the pair instead)
     val texts = docs
-      .select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol).cast("string"), lit("")).as("t"))
       .persistOnce()
     // candidate generation reads the persisted projection: the min-scan
     // and the two signature flatMaps would otherwise each re-scan the

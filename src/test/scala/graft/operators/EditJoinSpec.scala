@@ -91,22 +91,53 @@ class EditJoinSpec extends AnyFunSuite {
       s"candidates ${cands.size} should prune most of the $naive pair space")
   }
 
-  test("sub-threshold-length strings are rejected, not silently dropped") {
+  test("sub-threshold-length strings route through the short legs == brute force (d = 4)") {
     import spark.implicits._
-    val docs = Seq((1L, "abcdef"), (2L, "ab")).toDF("doc_id", "text")
-    val e = intercept[IllegalArgumentException](EditJoin.editJoin(docs, 4))
-    assert(e.getMessage.contains("all-pairs leg"))
+    val d = 4
+    // shorts (< d+1 = 5 chars, incl. empty), boundary-length longs
+    // (5..2d = 8 chars — reachable from shorts), and far longs (> 2d)
+    val data: Seq[(Long, String)] = Seq(
+      0L -> "", 1L -> "ab", 2L -> "abcd", 3L -> "wxyz",
+      4L -> "abcde", 5L -> "abcdefgh", 6L -> "zzzzzzzz",
+      7L -> "abcdefghijklmnop", 8L -> "ab" // duplicate short content, new id
+    )
+    val docs = data.toDF("doc_id", "text")
+    val got = EditJoin.editJoin(docs, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = (for {
+      (ia, ta) <- data; (ib, tb) <- data if ia < ib
+      e = refEd(ta, tb) if e <= d
+    } yield ((ia, ib), e.toLong)).toMap
+    assert(want.exists { case ((a, b), _) => a <= 3 && b <= 3 },
+      "fixture must plant short-short pairs")
+    assert(want.exists { case ((a, b), _) => b >= 4 && a <= 3 },
+      "fixture must plant a short-long pair")
+    assert(!want.contains((0L, 7L)), "far long must be out of a short's reach")
+    assert(got == want, s"got $got, want $want")
   }
 
-  test("null text hits the length guard loudly; empty corpus returns empty") {
+  test("null text == empty string through the short legs; empty corpus returns empty") {
     import spark.implicits._
-    val withNull = Seq((1L, "abcdefgh"), (2L, null.asInstanceOf[String]))
-      .toDF("doc_id", "text")
-    val e = intercept[IllegalArgumentException](EditJoin.editJoin(withNull, 4))
-    assert(e.getMessage.contains("min found 0"),
-      s"null text must register as length 0 in the guard: ${e.getMessage}")
+    val d = 4
+    val withNull = Seq((1L, "abcdefgh"), (2L, null.asInstanceOf[String]),
+      (3L, "abc")).toDF("doc_id", "text")
+    val got = EditJoin.editJoin(withNull, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // ed("", "abc") = 3 qualifies; ed vs the 8-char long is the length
+    // gap (> d from "", exactly... 8 > 4 so out; 5 from "abc" so out)
+    assert(got == Map((2L, 3L) -> 3L), s"got $got")
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(EditJoin.editJoin(empty, 4).count() == 0L)
+  }
+
+  test("the short-leg cap fails loudly instead of materializing a quadratic answer") {
+    import spark.implicits._
+    val d = 2
+    val docs = (0L until EditJoin.ShortLegCap + 1).map(i => (i, "ab"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      EditJoin.candidatePairs(docs, d, "doc_id", "text").count())
+    assert(e.getMessage.contains("quadratic"), e.getMessage)
   }
 
   /** Reference DP over CODE POINTS — the unit both Spark `levenshtein`

@@ -58,14 +58,21 @@ object ScalingStats {
                               nProbe: Int)
 
   final case class PrefixStats(nDocs: Long, nSets: Long, setTokens: Long,
-                               postings: Long, candPairs: Long, out: Long)
+                               postings: Long, candPairs: Long, out: Long,
+                               near: Long)
 
   /** Candidate-pair and prefix-postings counters for the prefix-filter
     * Jaccard family, measured through the operator's OWN package-private
     * stages (Dedup.setTokens/setGroups/rankSets/prefixPostings/
     * prefixCandidates) so the curve cannot drift from the join's real
     * derivation. `out` is the exact-verified qualifying inter-set pair
-    * count (the same array_intersect arithmetic the join applies). */
+    * count (the same array_intersect arithmetic the join applies);
+    * `near` counts candidates in the just-below-tau band
+    * [tau - 0.15, tau) — pairs NO admissible filter may reject (an
+    * admissible filter rejects only pairs provably below tau, and a
+    * near-threshold pair is indistinguishable from a qualifying one
+    * until verified), so the candidate envelope is written against
+    * out + near, not out alone. */
   def prefixJaccard(spark: SparkSession, docs: DataFrame, tau: Double,
                     textCol: String = "text"): PrefixStats = {
     val toks = Dedup.setTokens(docs, "doc_id", textCol).persist()
@@ -87,11 +94,17 @@ object ScalingStats {
       .join(tokRanks.select(col("id").as("gb"), col("sorted").as("tb"),
         col("len").as("lb")), "gb")
     val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
-    val candCount = candIds.count()
-    val out = cands
-      .filter(inter / (col("la") + col("lb") - inter) >= tau).count()
+    val jacc = inter / (col("la") + col("lb") - inter)
+    // one action over the candidate join for all three pair counters
+    // (count / qualifying / near-band) — the join is the expensive part
+    val r = cands.agg(
+      count(lit(1)).cast("long"),
+      coalesce(sum(when(jacc >= tau, 1L).otherwise(0L)), lit(0L)).cast("long"),
+      coalesce(sum(when(jacc >= tau - 0.15 && jacc < tau, 1L).otherwise(0L)),
+        lit(0L)).cast("long")).head()
     toks.unpersist(false); groups.unpersist(false); tokRanks.unpersist(false)
-    PrefixStats(nDocs, nSets, setTokens, postings, candCount, out)
+    PrefixStats(nDocs, nSets, setTokens, postings, r.getLong(0), r.getLong(1),
+      r.getLong(2))
   }
 
   final case class WinnowStats(nDocs: Long, gramPositions: Long,
@@ -278,7 +291,7 @@ object JoinScalingCheck {
         textCol = "shtext")
       println(f"NGRAM  $sf%-8s N=${g.nDocs}%6d sets=${g.nSets}%6d " +
         f"setToks=${g.setTokens}%8d post=${g.postings}%8d " +
-        f"cand=${g.candPairs}%9d out=${g.out}%7d " +
+        f"cand=${g.candPairs}%9d out=${g.out}%7d near=${g.near}%7d " +
         f"naive=${g.nSets * (g.nSets - 1) / 2}%12d " +
         f"(${(System.nanoTime() - t1) / 1e9}%5.1f s)")
       val t2 = System.nanoTime()

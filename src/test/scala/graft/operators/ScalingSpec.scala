@@ -90,10 +90,15 @@ class ScalingSpec extends AnyFunSuite {
               org.apache.spark.sql.functions.col("text"), 3)).as("shtext"))
       val g = ScalingStats.prefixJaccard(spark, shdocs, 0.8969,
         textCol = "shtext")
-      withClue(s"$dir sets=${g.nSets} cand=${g.candPairs} out=${g.out}: ") {
-        // candidate work tracks the output plus a linear prefix-collision
-        // term, not the quadratic pair space (measured <=2*out + 2*sets)
-        assert(g.candPairs <= 2L * g.out + 2L * g.nSets)
+      withClue(s"$dir sets=${g.nSets} cand=${g.candPairs} out=${g.out} " +
+        s"near=${g.near}: ") {
+        // candidate work tracks the verified-band output (qualifying +
+        // near-threshold pairs, which no admissible filter may reject)
+        // plus a linear prefix-collision term, not the quadratic pair
+        // space (measured <=2*(out+near) + 2*sets; the near term is what
+        // keeps the contract honest on near-threshold-heavy corpora —
+        // see the StressCheck 3x perturbed run)
+        assert(g.candPairs <= 2L * (g.out + g.near) + 2L * g.nSets)
         assert(g.candPairs * 100L <= g.nSets * (g.nSets - 1) / 2)
       }
     }

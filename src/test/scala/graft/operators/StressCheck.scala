@@ -69,6 +69,20 @@ object StressCheck {
     println(f"IVFPQ  sf0.3x N=${p.n}%6d probed=${p.probedRows}%6d " +
       f"frac=${p.probedRows.toDouble / p.n}%6.3f ideal=${2.0 / 16}%6.3f " +
       f"within2x=${p.probedRows * p.kCoarse.toLong <= 2L * p.nProbe * p.n}")
+
+    // --- semantic dedup cluster balance at 3x (deployment-scaled k):
+    //     the within-cluster pair fraction vs the balanced 1/k ideal is
+    //     exactly what decides whether the quadratic-within-cells shape
+    //     survives a corpus that k-means might cluster badly ---
+    val nE = embs.count()
+    for (k <- Seq(8, Ann.scaledCentroids(nE))) {
+      val sd = ScalingStats.semDedup(spark, embs, k)
+      println(f"SEMDD  sf0.3x k=$k%4d N=${sd.n}%6d within=${sd.withinPairs}%9d " +
+        f"naive=${sd.naive}%12d frac=${sd.frac}%6.4f ideal=${1.0 / k}%6.4f " +
+        f"maxC=${sd.maxCluster}%6d " +
+        f"within2x=${sd.withinPairs.toDouble <= 2.0 * sd.naive.toDouble / k} " +
+        f"maxC4x=${sd.maxCluster.toDouble <= 4.0 * sd.n.toDouble / k + 1.0}")
+    }
     embs.unpersist(false)
 
     // --- prefix-filter text joins on the 3x shingle corpus ---
@@ -85,12 +99,12 @@ object StressCheck {
         "— a <=7-token doc would replicate as an identity copy and plant " +
         "artificial exact twins; shrink the rotation or re-perturb")
     val docs = Seq(
-      d0.select(col("doc_id"), col("text")),
+      d0.select(col("doc_id"), col("text"), col("lang"), col("source")),
       d0.select((col("doc_id") + off).as("doc_id"),
-        concat_ws(" ", reverse(toks)).as("text")),
+        concat_ws(" ", reverse(toks)).as("text"), col("lang"), col("source")),
       d0.select((col("doc_id") + 2 * off).as("doc_id"),
         concat_ws(" ", concat(slice(toks, 8, 100000), slice(toks, 1, 7)))
-          .as("text"))
+          .as("text"), col("lang"), col("source"))
     ).reduce(_ unionByName _).persist()
     docs.count()
     val shdocs = docs.select(col("doc_id"), concat_ws(" ",
@@ -98,11 +112,16 @@ object StressCheck {
       .persist()
     val t1 = System.nanoTime()
     val g = ScalingStats.prefixJaccard(spark, shdocs, 0.8969, textCol = "shtext")
+    // envelope written against out + near: the token-rotation copies
+    // plant ~5k cross-copy pairs at jaccard ~0.79 (just below tau) that
+    // NO admissible filter may reject — counting them is what keeps the
+    // contract meaningful on near-threshold-heavy corpora
     println(f"NGRAM  sf0.3x N=${g.nDocs}%6d sets=${g.nSets}%6d " +
       f"setToks=${g.setTokens}%8d post=${g.postings}%8d " +
-      f"cand=${g.candPairs}%9d out=${g.out}%7d " +
+      f"cand=${g.candPairs}%9d out=${g.out}%7d near=${g.near}%7d " +
       f"naive=${g.nSets * (g.nSets - 1) / 2}%12d " +
-      f"within=${g.candPairs <= 2L * g.out + 2L * g.nSets} " +
+      f"within=${g.candPairs <= 2L * (g.out + g.near) + 2L * g.nSets} " +
+      f"prune999=${g.candPairs * 1000L <= g.nSets * (g.nSets - 1) / 2} " +
       f"(${(System.nanoTime() - t1) / 1e9}%5.1f s)")
     val t2 = System.nanoTime()
     val wn = ScalingStats.winnow(spark, docs, k = 3, w = 4, minShared = 2)
@@ -117,7 +136,71 @@ object StressCheck {
       f"naive=${c.nDocs * (c.nDocs - 1) / 2}%12d " +
       f"(${(System.nanoTime() - t3) / 1e9}%5.1f s)")
     shdocs.unpersist(false)
+
+    // --- bounded edit-distance join at 3x: segment-key COLLISION growth
+    //     with N is the scale risk (the (d+1)(2d+1)^2 probe constant is
+    //     fixed) — the candidate count must stay output-proportional,
+    //     not drift toward the key-collision quadratic ---
+    val t4 = System.nanoTime()
+    val e = ScalingStats.editJoin(spark, docs, 4)
+    println(f"EDIT   sf0.3x N=${e.n}%6d cand=${e.cand}%9d out=${e.out}%7d " +
+      f"naive=${e.naive}%12d " +
+      f"within=${e.cand <= 2L * e.out + e.n / 10} " +
+      f"prune999=${e.cand * 1000 <= e.naive} " +
+      f"(${(System.nanoTime() - t4) / 1e9}%5.1f s)")
+
+    // --- DSIR importance selection at 3x: end-to-end, plus the
+    //     rank-stage range-partition span (the operator's only global
+    //     structure; a skewed span would mean the two-phase rank rebuilt
+    //     the single-task window it exists to avoid) ---
+    val t5 = System.nanoTime()
+    val sel = CorpusOps.importanceSelect(docs, col("lang") === "en", 1L, 4L)
+    val nSel = sel.count()
+    val kept = sel.filter(col("keep")).count()
+    val (dp, dmax, dmean) = rangeSpan(
+      sel.select((-col("score_bits")).as("k"), col("doc_id").as("id")),
+      Seq(col("k"), col("id")))
+    println(f"DSIR   sf0.3x N=$nSel%6d kept=$kept%6d rankParts=$dp%3d " +
+      f"maxPart=$dmax%7d meanPart=$dmean%7d skew=${dmax.toDouble / math.max(1L, dmean)}%5.2f " +
+      f"balanced=${dmax <= 3L * math.max(1L, dmean)} " +
+      f"(${(System.nanoTime() - t5) / 1e9}%5.1f s)")
+    sel.unpersist(false)
+
+    // --- domain-mixture sampling at 3x (budget scaled 3x to hold the
+    //     regime): end-to-end, plus the running-sum stage's
+    //     range-partition span over its real (grp, md5, id) key — a
+    //     domain must span as many partitions as its size needs, never
+    //     funnel through one task ---
+    val t6 = System.nanoTime()
+    val mix = CorpusOps.domainMixSample(docs,
+      Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L),
+      totalBudget = 60000L)
+    val mixRows = mix.count()
+    val keyed = docs.select(col("source").as("grp"), col("doc_id").as("id"))
+      .withColumn("h", graft.functions.TextCols.md5Bits32(
+        concat(col("grp"), lit(":"), col("id").cast("string"))))
+    val (mp, mmax, mmean) = rangeSpan(keyed,
+      Seq(col("grp"), col("h"), col("id")))
+    println(f"DOMMIX sf0.3x outRows=$mixRows%8d sumParts=$mp%3d " +
+      f"maxPart=$mmax%7d meanPart=$mmean%7d skew=${mmax.toDouble / math.max(1L, mmean)}%5.2f " +
+      f"balanced=${mmax <= 3L * math.max(1L, mmean)} " +
+      f"(${(System.nanoTime() - t6) / 1e9}%5.1f s)")
+
     docs.unpersist(false)
     spark.stop()
+  }
+
+  /** Row-count span of a repartitionByRange over `keys` at the session
+    * shuffle parallelism: (partitions, max rows, mean rows). The honest
+    * external probe of whether a two-phase rank/running-sum stage's
+    * work spreads across tasks or funnels into one. */
+  private def rangeSpan(df: DataFrame,
+                        keys: Seq[org.apache.spark.sql.Column]): (Int, Long, Long) = {
+    val parts = df.repartitionByRange(keys: _*).rdd
+      .mapPartitions { it =>
+        var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
+      }.collect()
+    val nonEmpty = math.max(1, parts.length)
+    (parts.length, if (parts.isEmpty) 0L else parts.max, parts.sum / nonEmpty)
   }
 }
