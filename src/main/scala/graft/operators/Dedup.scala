@@ -209,28 +209,62 @@ object Dedup {
         transform(col("rt"), x => x.getField("tok")).as("sorted"),
         size(col("rt")).as("len"))
 
-  /** Prefix-token postings (id, len, ptok): prefix length =
-    * len - ceil(tau*len) + 1. Only (id, len, ptok) flows through the
-    * candidate shuffle — the sorted token arrays are the heavy payload
-    * and the prefix explode would replicate them x plen; they re-attach
-    * to the DEDUPLICATED candidate pairs by id-equijoin. */
+  /** Prefix-token postings (id, len, p, ptok): prefix length =
+    * len - ceil(tau*len) + 1; p is the token's 1-based position in the
+    * rarest-first array (the positional filter's input). Only
+    * (id, len, p, ptok) flows through the candidate shuffle — the sorted
+    * token arrays are the heavy payload and the prefix explode would
+    * replicate them x plen; they re-attach to the DEDUPLICATED candidate
+    * pairs by id-equijoin. */
   private[operators] def prefixPostings(tokRanks: DataFrame,
                                         tau: Double): DataFrame =
     tokRanks.withColumn("plen",
         (col("len") - ceil(col("len") * tau) + 1).cast("int"))
       .select(col("id"), col("len"),
-        explode(slice(col("sorted"), lit(1), col("plen"))).as("ptok"))
+        posexplode(slice(col("sorted"), lit(1), col("plen"))))
+      .select(col("id"), col("len"), (col("pos") + 1).as("p"),
+        col("col").as("ptok"))
 
-  /** Deduplicated candidate id pairs from the prefix-token equijoin,
-    * with the size filter tau*|a| <= |b| <= |a|/tau applied before any
-    * verification arithmetic. */
+  /** Deduplicated candidate id pairs from the prefix-token equijoin:
+    * the size filter tau*|a| <= |b| <= |a|/tau rides the join condition,
+    * and a PPJoin-style POSITIONAL filter prunes the survivors before
+    * any token-array verification.
+    *
+    * Positional bound (admissible): token arrays are sorted by one
+    * GLOBAL (dfreq, tok) order, so among a pair's shared-in-both-
+    * prefixes tokens the globally rarest, t0, attains the minimal
+    * position in BOTH arrays (i0 = min ia, j0 = min ib — the same
+    * row). No shared token can precede t0 in either array: a rarer
+    * shared token would sit at positions < (i0, j0) <= (plen_a,
+    * plen_b), i.e. inside both prefixes, contradicting t0's
+    * minimality. Hence overlap <= 1 + min(la - i0, lb - j0) =: ub, and
+    * J = inter/(la+lb-inter) >= tau is monotone in inter, so a
+    * qualifying pair needs ub/(la+lb-ub) >= tau. The filter keeps
+    * ub >= (tau - 1e-9) * (la + lb - ub): the 1e-9 slack makes it
+    * admissible against the verifier's OWN floating-point jaccard under
+    * any ulp-level disagreement between the two expressions (and every
+    * declared tau carries a measured >= 1e-6 boundary gap anyway — see
+    * FIXTURES.md), so over-pruning is impossible while exact-boundary
+    * pairs still pass to verification.
+    * Measured on the 3x stress corpus: candidates 116,558 -> 41,074
+    * (the sub-threshold prefix-collision mass), zero qualifying pairs
+    * lost (NgramStressProbe; PLANS.md stress table). */
   private[operators] def prefixCandidates(prefixed: DataFrame,
-                                          tau: Double): DataFrame =
+                                          tau: Double): DataFrame = {
+    val ub = (lit(1) + least(col("la") - col("i0"), col("lb") - col("j0")))
+      .cast("double")
     prefixed.as("a").join(prefixed.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.id") < col("b.id") &&
           col("b.len") * tau <= col("a.len") && col("a.len") * tau <= col("b.len"))
-      .select(col("a.id").as("ga"), col("b.id").as("gb"))
-      .dropDuplicates("ga", "gb")
+      .select(col("a.id").as("ga"), col("b.id").as("gb"),
+        col("a.len").as("la"), col("b.len").as("lb"),
+        col("a.p").as("ia"), col("b.p").as("ib"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(first(col("la")).as("la"), first(col("lb")).as("lb"),
+        min(col("ia")).as("i0"), min(col("ib")).as("j0"))
+      .filter(ub >= (col("la") + col("lb") - ub) * (tau - 1e-9))
+      .select(col("ga"), col("gb"))
+  }
 
   /** Expand qualifying (set, set) pairs to document pairs via two
     * gid-keyed equijoins against the (id, gid) assignment rows (no

