@@ -267,17 +267,43 @@ object CorpusOps {
     try {
       val totals = rdd
         .mapPartitionsWithIndex { (i, it) =>
-          var s = 0L; it.foreach(s += _._2); Iterator.single((i, s))
+          var s = 0L; var r = 0L
+          it.foreach { e => r += 1; s += e._2 }
+          Iterator.single((i, r, s))
         }
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = totals.scanLeft(0L)(_ + _)
+        .collect().sortBy(_._1)
+      val offsets = totals.map(_._3).scanLeft(0L)(_ + _)
       val offB = spark.sparkContext.broadcast(offsets)
+      // phase-1 (rows, sum) per partition, asserted at phase-2
+      // exhaustion: a cache-lost partition recomputes through
+      // repartitionByRange with freshly SAMPLED boundaries and would
+      // otherwise emit silently wrong sequence offsets (the
+      // groupRunningSum/rankByKey witness, applied here too)
+      val expB = spark.sparkContext.broadcast(
+        totals.map { case (_, r, s) => (r, s) })
       val out = rdd.mapPartitionsWithIndex { (i, it) =>
-        var cum = offB.value(i)
-        it.map { case (id, n) =>
+        val first = offB.value(i)
+        var cum = first
+        var rows = 0L
+        val mapped = it.map { case (id, n) =>
+          rows += 1
           val start = cum
           cum += n
           (id, n, start / maxLen, (cum - 1) / maxLen, start % maxLen)
+        }
+        new Iterator[(Long, Long, Long, Long, Long)] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) require(rows == expB.value(i)._1 &&
+                cum - first == expB.value(i)._2,
+              s"packSequences: phase-2 partition $i diverged from the " +
+                s"phase-1 snapshot (rows=$rows/${expB.value(i)._1}, " +
+                s"sum=${cum - first}/${expB.value(i)._2}) — the persisted " +
+                "range partition was recomputed with freshly sampled " +
+                "boundaries (executor loss); offsets misaligned, rerun")
+            h
+          }
+          def next(): (Long, Long, Long, Long, Long) = mapped.next()
         }
       }.toDF("doc_id", "n_tokens", "seq_start", "seq_end", "seq_offset")
         .persistOnce()
