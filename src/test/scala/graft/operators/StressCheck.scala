@@ -190,13 +190,15 @@ object StressCheck {
     spark.stop()
   }
 
-  /** Row-count span of a repartitionByRange over `keys` at the session
-    * shuffle parallelism: (partitions, max rows, mean rows). The honest
-    * external probe of whether a two-phase rank/running-sum stage's
-    * work spreads across tasks or funnels into one. */
+  /** Row-count span of a repartitionByRange over `keys` at an EXPLICIT
+    * partition count (AQE would coalesce a corpus this small into one
+    * partition and make the measurement vacuous — at deployment scale
+    * the exchange keeps its width): (partitions, max rows, mean rows).
+    * The honest external probe of whether a two-phase rank/running-sum
+    * stage's work spreads across tasks or funnels into one. */
   private def rangeSpan(df: DataFrame,
                         keys: Seq[org.apache.spark.sql.Column]): (Int, Long, Long) = {
-    val parts = df.repartitionByRange(keys: _*).rdd
+    val parts = df.repartitionByRange(32, keys: _*).rdd
       .mapPartitions { it =>
         var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
       }.collect()
