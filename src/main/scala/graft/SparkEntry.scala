@@ -23,7 +23,7 @@ object SparkEntry {
     EmdJoins.emd1dThresholdJoin(hists, 0.153)
   }
 
-  private val Theta = 0.153
+  private[graft] val Theta = 0.153
   private val RubnerTheta = 0.0401
   private val TopK = 20
   // fixed size of q_stream_emd's static broadcast reference index: a
@@ -37,6 +37,10 @@ object SparkEntry {
   // still be bounded; 2M rows ~ a full web-scale word vocabulary and
   // stays ~100 MB on the driver
   private val BpeWitnessVocabCap = 2000000
+  // exact shingle-Jaccard threshold shared by q_ngram_jaccard, its oracle
+  // (8969/10000 rational form), and the scaling/stress calibration probes
+  // — one constant so the contract evidence cannot desynchronize
+  private[graft] val NgramTau = 0.8969
   private val Theta3d = 0.0803
   // tree-EMD overestimates 1-D EMD by up to 2n-2; sized so the pair set
   // is in the same regime as the exact join. 0.4071 = 4071/10000: a
@@ -406,34 +410,39 @@ object SparkEntry {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val engineFs: Seq[(String, Future[DataFrame])] = Seq(
-        "closed_form" -> Future(norm(EmdJoins.emd1dThresholdJoin(hists, Theta))),
-        "melody" -> Future(norm(MelodyJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))),
-        "mrsim" -> Future(norm(MrSimJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))),
-        "baseline" -> Future(norm(BaselineJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))))
-      val engines: Seq[(String, DataFrame)] =
-        engineFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
-      // ONE action for all counts + diffs: tag, union, per-pair presence
-      // flags + distance spread, then a global aggregate — each engine
-      // runs exactly once and no pair set is recomputed for
-      // set-difference passes
-      val tagged = engines.map { case (n, df) =>
-        df.withColumn("engine", lit(n))
-      }.reduce(_ unionByName _)
-      val flags = engines.map { case (n, _) =>
-        max(when(col("engine") === n, 1).otherwise(0)).as(s"f_$n")
-      } :+ (max(col("dist")) - min(col("dist"))).as("spread")
-      val perKey = tagged.groupBy(col("rid"), col("sid"))
-        .agg(flags.head, flags.tail: _*)
-      val aggs = engines.flatMap { case (n, _) => Seq(
-        coalesce(sum(col(s"f_$n")), lit(0)).cast("long").as(s"n_$n"),
-        coalesce(sum(abs(col(s"f_$n") - col("f_closed_form"))), lit(0))
-          .cast("long").as(s"d_$n"))
-      } :+ coalesce(max(col("spread")), lit(0.0)).as("max_spread")
-      val r = perKey.agg(aggs.head, aggs.tail: _*).head()
-      hists.unpersist(false)
-      val distOk = r.getDouble(2 * engines.size) <= 1e-9
-      val rows = engines.zipWithIndex.map { case ((n, _), i) =>
+      // try/finally: a failing engine Future must not leak the pinned
+      // slice (Await rethrows; the sibling jobs finish against a frame
+      // whose unpersist is lazy-safe)
+      val r = try {
+        val engineFs: Seq[(String, Future[DataFrame])] = Seq(
+          "closed_form" -> Future(norm(EmdJoins.emd1dThresholdJoin(hists, Theta))),
+          "melody" -> Future(norm(MelodyJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))),
+          "mrsim" -> Future(norm(MrSimJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))),
+          "baseline" -> Future(norm(BaselineJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))))
+        val engines: Seq[(String, DataFrame)] =
+          engineFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
+        // ONE action for all counts + diffs: tag, union, per-pair presence
+        // flags + distance spread, then a global aggregate — each engine
+        // runs exactly once and no pair set is recomputed for
+        // set-difference passes
+        val tagged = engines.map { case (n, df) =>
+          df.withColumn("engine", lit(n))
+        }.reduce(_ unionByName _)
+        val flags = engines.map { case (n, _) =>
+          max(when(col("engine") === n, 1).otherwise(0)).as(s"f_$n")
+        } :+ (max(col("dist")) - min(col("dist"))).as("spread")
+        val perKey = tagged.groupBy(col("rid"), col("sid"))
+          .agg(flags.head, flags.tail: _*)
+        val aggs = engines.flatMap { case (n, _) => Seq(
+          coalesce(sum(col(s"f_$n")), lit(0)).cast("long").as(s"n_$n"),
+          coalesce(sum(abs(col(s"f_$n") - col("f_closed_form"))), lit(0))
+            .cast("long").as(s"d_$n"))
+        } :+ coalesce(max(col("spread")), lit(0.0)).as("max_spread")
+        perKey.agg(aggs.head, aggs.tail: _*).head()
+      } finally hists.unpersist(false)
+      val engineNames = Seq("closed_form", "melody", "mrsim", "baseline")
+      val distOk = r.getDouble(2 * engineNames.size) <= 1e-9
+      val rows = engineNames.zipWithIndex.map { case (n, i) =>
         (n, r.getLong(2 * i), r.getLong(2 * i + 1), distOk)
       }
       s.createDataFrame(rows).toDF("engine", "n_pairs", "n_diff", "dist_ok")
@@ -695,7 +704,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
         .select(col("doc_id"), concat_ws(" ", TextCols.shingles(col("text"), 3)).as("shtext"))
-      Dedup.jaccardJoin(docs, 0.8969, textCol = "shtext")
+      Dedup.jaccardJoin(docs, NgramTau, textCol = "shtext")
         .select(col("rid"), col("sid"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
@@ -2782,8 +2791,12 @@ object SparkEntry {
     // Bounded Levenshtein join: the length band |la-lb| <= 4 is the
     // admissible pre-filter (ed >= length difference); distances are
     // integers so both engines agree exactly at the ed = 4 boundary.
+    // COALESCE(text, '') mirrors the engine's NULL-is-empty-string rule
+    // (EditJoin short legs): a NULL-text row must pair like an empty
+    // string in BOTH systems, not NULL-propagate out of the oracle
     "q_edit_pairs" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents),
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+        |                  length(coalesce(text, '')) AS l FROM documents),
         |p AS (
         |  SELECT a.doc_id AS rid, b.doc_id AS sid,
         |         levenshtein(a.text, b.text) AS ed

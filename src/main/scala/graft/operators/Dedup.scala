@@ -245,7 +245,12 @@ object Dedup {
     * any ulp-level disagreement between the two expressions (and every
     * declared tau carries a measured >= 1e-6 boundary gap anyway — see
     * FIXTURES.md), so over-pruning is impossible while exact-boundary
-    * pairs still pass to verification.
+    * pairs still pass to verification. (The cross-multiply-to-integers
+    * rule does not apply here: tau is an arbitrary-double API
+    * parameter with no declared rational form, and this filter never
+    * decides OUTPUT membership — the exact jaccard verification does —
+    * so the slack's only cost is passing a few boundary-hugging
+    * candidates through to the verifier.)
     * Measured on the 3x stress corpus: candidates 116,558 -> 41,074
     * (the sub-threshold prefix-collision mass), zero qualifying pairs
     * lost (NgramStressProbe; PLANS.md stress table). */

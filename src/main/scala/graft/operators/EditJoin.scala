@@ -105,7 +105,10 @@ object EditJoin {
             "qualifies trivially (ed <= max length <= d), so the answer " +
             "itself is quadratic in that count — pre-filter sub-threshold-" +
             "length rows or lower d rather than materializing it")
-        val sa = broadcast(shorts.select(col("id").as("aid")).persistOnce())
+        // no persist: the short projection is <= ShortLegCap rows over the
+        // caller's (usually cached) texts frame — a persistOnce here would
+        // leak a cache entry past the call (nothing downstream unpersists)
+        val sa = broadcast(shorts.select(col("id").as("aid")))
         // short-short: all pairs (each trivially within d)
         val ss = sa.crossJoin(shorts.select(col("id").as("bid")))
           .filter(col("aid") < col("bid"))

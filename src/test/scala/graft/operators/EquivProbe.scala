@@ -14,7 +14,7 @@ object EquivProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val theta = 0.153
+    val theta = graft.SparkEntry.Theta
     val cfg = graft.SparkEntry.melodyCfg1d
     // warmup JIT on an unrelated query
     graft.SparkEntry.queries("q1_agg")(spark, dir).count()

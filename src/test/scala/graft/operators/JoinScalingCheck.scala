@@ -168,7 +168,13 @@ object ScalingStats {
   def editJoin(spark: SparkSession, docs: DataFrame, d: Int): EditStats = {
     val n = docs.count()
     val cand = EditJoin.candidatePairs(docs, d, "doc_id", "text").count()
-    val out = EditJoin.editJoin(docs, d).count()
+    // editJoin re-derives candidates internally (the probe deliberately
+    // measures the kernel twice rather than restructuring the operator);
+    // its materialized result is the caller's to free — unpersist so the
+    // stress run's later probes don't inherit the cache
+    val res = EditJoin.editJoin(docs, d)
+    val out = res.count()
+    res.unpersist(false)
     EditStats(n, cand, out)
   }
 
@@ -287,7 +293,7 @@ object JoinScalingCheck {
         graft.functions.TextCols.shingles(col("text"), 3)).as("shtext"))
         .persist()
       val t1 = System.nanoTime()
-      val g = ScalingStats.prefixJaccard(spark, shdocs, 0.8969,
+      val g = ScalingStats.prefixJaccard(spark, shdocs, graft.SparkEntry.NgramTau,
         textCol = "shtext")
       println(f"NGRAM  $sf%-8s N=${g.nDocs}%6d sets=${g.nSets}%6d " +
         f"setToks=${g.setTokens}%8d post=${g.postings}%8d " +

@@ -15,7 +15,7 @@ object NgramStressProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val tau = 0.8969
+    val tau = graft.SparkEntry.NgramTau
 
     def shingled(docs: DataFrame): DataFrame =
       docs.select(col("doc_id"), concat_ws(" ",

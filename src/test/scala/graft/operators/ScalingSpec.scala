@@ -88,7 +88,7 @@ class ScalingSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.concat_ws(" ",
             graft.functions.TextCols.shingles(
               org.apache.spark.sql.functions.col("text"), 3)).as("shtext"))
-      val g = ScalingStats.prefixJaccard(spark, shdocs, 0.8969,
+      val g = ScalingStats.prefixJaccard(spark, shdocs, graft.SparkEntry.NgramTau,
         textCol = "shtext")
       withClue(s"$dir sets=${g.nSets} cand=${g.candPairs} out=${g.out} " +
         s"near=${g.near}: ") {

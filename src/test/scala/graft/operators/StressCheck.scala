@@ -111,7 +111,7 @@ object StressCheck {
       graft.functions.TextCols.shingles(col("text"), 3)).as("shtext"))
       .persist()
     val t1 = System.nanoTime()
-    val g = ScalingStats.prefixJaccard(spark, shdocs, 0.8969, textCol = "shtext")
+    val g = ScalingStats.prefixJaccard(spark, shdocs, graft.SparkEntry.NgramTau, textCol = "shtext")
     // envelope written against out + near (pairs no admissible filter
     // may reject: the rotation copies plant a just-below-tau band) plus
     // 3*sets for the mutual-rarest-token collisions the positional
