@@ -31,6 +31,10 @@ object SparkEntry {
   // shape at any corpus scale), selected deterministically by
   // (md5(id), id) hash-spread order in BOTH engines
   private val StreamEmdRefCap = 256
+  // fixed size of q_stream_editmatch's static broadcast segment index —
+  // the StreamEmdRefCap contract applied to the string metric: selected
+  // by the same (md5(id), id) hash-spread order in BOTH engines
+  private val StreamEditRefCap = 512
   // driver cap on q_bpe_witness's word-count collect: the sequential
   // reference trainer is a witness, not the operator, and vocabulary
   // grows sublinearly (Heaps' law) — but a data-derived collect must
@@ -1578,6 +1582,24 @@ object SparkEntry {
           maxRefs = StreamEmdRefCap, numBatches = 2)
         .select(col("stream_id"), col("ref_id"),
           round(col("dist"), 6).as("dist"))
+    }),
+
+    // --- STREAMING stream-static bounded edit-distance match: the
+    //     fuzzy-blocklist ingestion shape — documents stream against a
+    //     FIXED-size broadcast PassJoin segment index (refs = ids
+    //     divisible by 10, hash-spread to StreamEditRefCap by
+    //     (md5(id), id) order in BOTH engines); per batch a pure
+    //     map-side probe + banded-DP verify, no shuffle, no state.
+    //     Stateless per batch => emitted set == the batch banded
+    //     levenshtein join the oracle replays ---
+    "q_stream_editmatch" -> ((s, dir) => {
+      val d = Fixtures.documents(s, dir)
+      val refs = d.filter(col("doc_id") % 10 === 0)
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(StreamEditRefCap)
+      graft.streaming.StreamOps.replayEditMatch(s,
+        d.filter(col("doc_id") % 10 =!= 0), refs, d = 4,
+        maxRefs = StreamEditRefCap, numBatches = 2)
     }),
 
     // --- STREAMING stream-static ANN, driver-visible: every 20th
@@ -4005,6 +4027,24 @@ object SparkEntry {
            |)
            | SELECT stream_id, ref_id, round(dist, 6) AS dist
            | FROM emds WHERE dist <= $Theta""".stripMargin),
+
+    // Stream-static edit match: the same banded-levenshtein arithmetic
+    // as q_edit_pairs (COALESCE NULL-is-empty rule included), stream
+    // side = ids not divisible by 10, reference side hash-spread to
+    // StreamEditRefCap by (md5(id), id) — mirroring the Spark selection
+    "q_stream_editmatch" ->
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+         |                  length(coalesce(text, '')) AS l FROM documents),
+         |refsel AS (
+         |  SELECT doc_id FROM d WHERE doc_id % 10 = 0
+         |  ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id LIMIT $StreamEditRefCap
+         |),
+         |r AS (SELECT d.* FROM d JOIN refsel USING (doc_id)),
+         |s AS (SELECT * FROM d WHERE doc_id % 10 <> 0)
+         |SELECT s.doc_id AS stream_id, r.doc_id AS ref_id,
+         |       CAST(levenshtein(s.text, r.text) AS BIGINT) AS ed
+         |FROM s JOIN r ON r.l BETWEEN s.l - 4 AND s.l + 4
+         |WHERE levenshtein(s.text, r.text) <= 4""".stripMargin,
 
     "q_cell_assign" ->
       (HistCte +

@@ -170,6 +170,119 @@ object EditJoin {
     shortLegs.fold(longLeg)(longLeg.unionByName(_)).distinct()
   }
 
+  /** Banded Levenshtein over CODE POINTS: the exact distance when it is
+    * <= d, else -1 — the same contract as Spark's `levenshtein(l, r, d)`
+    * expression, as a plain-JVM kernel for executor-side probe loops
+    * (stream-static matching). Two-row DP restricted to the |i - j| <= d
+    * band: O(d * len) time, O(len) space. */
+  private[operators] def bandedEd(a: Array[Int], b: Array[Int], d: Int): Int = {
+    if (math.abs(a.length - b.length) > d) return -1
+    val (x, y) = if (a.length <= b.length) (a, b) else (b, a)
+    val n = x.length
+    val m = y.length
+    val inf = d + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= d) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      if (i <= d) cur(0) = i
+      var jj = math.max(1, i - d)
+      val hi = math.min(m, i + d)
+      while (jj <= hi) {
+        var v = prev(jj - 1) + (if (x(i - 1) == y(jj - 1)) 0 else 1)
+        if (prev(jj) + 1 < v) v = prev(jj) + 1
+        if (cur(jj - 1) + 1 < v) v = cur(jj - 1) + 1
+        cur(jj) = if (v > inf) inf else v
+        jj += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    if (prev(m) > d) -1 else prev(m)
+  }
+
+  /** Broadcastable static-side index for stream-static edit matching:
+    * segment signatures of every reference of length >= d+1 (the
+    * PassJoin index side), references shorter than d+1 code points as a
+    * brute list (their pair counts are bounded by the index size, which
+    * is bounded by contract), and the reference code points for the
+    * banded verify. Built once from a BOUNDED reference set (a
+    * broadcast index is fixed-size by definition — the q_stream_emd
+    * contract applied to strings). */
+  final case class ProbeIndex(
+      d: Int,
+      segs: Map[(Int, String, Int), Array[Long]],
+      shorts: Array[(Long, Array[Int])],
+      texts: Map[Long, Array[Int]]) extends Serializable
+
+  def buildProbeIndex(refs: Array[(Long, String)], d: Int): ProbeIndex = {
+    require(d >= 1, s"edit-distance threshold must be >= 1, got $d")
+    val texts = refs.map { case (id, t) =>
+      id -> Option(t).getOrElse("").codePoints().toArray
+    }.toMap
+    val segs = scala.collection.mutable.HashMap
+      .empty[(Int, String, Int), scala.collection.mutable.ArrayBuffer[Long]]
+    val shorts = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Int])]
+    refs.foreach { case (id, _) =>
+      val cps = texts(id)
+      val l = cps.length
+      if (l <= d) shorts += ((id, cps))
+      else (0 to d).foreach { i =>
+        val p0 = pos(i, l, d)
+        val key = (i, new String(cps, p0, pos(i + 1, l, d) - p0), l)
+        segs.getOrElseUpdate(key,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += id
+      }
+    }
+    ProbeIndex(d, segs.view.mapValues(_.toArray).toMap, shorts.toArray, texts)
+  }
+
+  /** All references within edit distance d of `t`, as (refId, ed):
+    * pigeonhole probe over indexed lengths la in [max(d+1, l-d), l+d]
+    * (the STATIC side is the indexed side here, so both shorter and
+    * longer references are reachable from one probe — a qualifying
+    * reference has an unedited segment appearing in t within +-d of its
+    * home position, and an unedited segment is a substring of t so its
+    * length never exceeds l), plus the brute short-reference leg, then
+    * the banded-DP verify. ~(2d+1)^2*(d+1) hash lookups per call at the
+    * declared d = 4. */
+  def matchOne(idx: ProbeIndex, t: String): Seq[(Long, Int)] = {
+    val cps = Option(t).getOrElse("").codePoints().toArray
+    val l = cps.length
+    val d = idx.d
+    val cand = scala.collection.mutable.HashSet.empty[Long]
+    var la = math.max(d + 1, l - d)
+    val laMax = l + d
+    while (la <= laMax) {
+      var i = 0
+      while (i <= d) {
+        val p0 = pos(i, la, d)
+        val segLen = pos(i + 1, la, d) - p0
+        if (segLen > 0 && segLen <= l) {
+          var s = math.max(0, p0 - d)
+          val sMax = math.min(l - segLen, p0 + d)
+          while (s <= sMax) {
+            idx.segs.get((i, new String(cps, s, segLen), la))
+              .foreach(ids => ids.foreach(cand += _))
+            s += 1
+          }
+        }
+        i += 1
+      }
+      la += 1
+    }
+    idx.shorts.foreach { case (id, rc) =>
+      if (math.abs(rc.length - l) <= d) cand += id
+    }
+    cand.iterator.flatMap { id =>
+      val ed = bandedEd(cps, idx.texts(id), d)
+      if (ed >= 0) Some((id, ed)) else None
+    }.toSeq
+  }
+
   /** All pairs with levenshtein(a, b) <= d, canonically oriented
     * rid < sid, with the exact distance. Output: (rid, sid, ed). */
   def editJoin(docs: DataFrame, d: Int,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.core.{Emd, HistOps}
-import graft.operators.MelodyJoin
+import graft.operators.{EditJoin, MelodyJoin}
 
 /** Structured-Streaming operators.
   *
@@ -649,6 +649,90 @@ object StreamOps {
       val rows = spark.table(name).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       spark.createDataset(rows.toSeq).toDF("stream_id", "ref_id", "dist")
+    } finally {
+      query.stop()
+    }
+  }
+
+  /** Bounded materialization of a static TEXT reference side (the
+    * [[collectBoundedRefs]] contract for string matching): at most
+    * `maxRefs` (id, text) rows, require-refused above the bound,
+    * ascending-id order for reproducible broadcasts. */
+  def collectBoundedTexts(refs: DataFrame, maxRefs: Int): Array[(Long, String)] = {
+    val rows = refs.select(col("id").cast("long"),
+        coalesce(col("text").cast("string"), lit("")))
+      .limit(maxRefs + 1).collect()
+    require(rows.length <= maxRefs,
+      s"static reference side exceeds maxRefs=$maxRefs rows — a broadcast " +
+        "index must be bounded; pre-select a fixed-size reference set " +
+        "(deterministic hash-spread ORDER BY md5(id) LIMIT n)")
+    rows.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+  }
+
+  /** Streaming bounded edit-distance match: each incoming document is
+    * matched against a static, broadcast PassJoin segment index
+    * ([[EditJoin.buildProbeIndex]]) — the fuzzy-blocklist shape of an
+    * ingestion pipeline (match arriving text against a bounded
+    * reference set under OCR/transcription noise). Per micro-batch work
+    * is a pure mapPartitions probe + banded-DP verify against the
+    * broadcast index: no shuffle, no state, nothing corpus-proportional
+    * anywhere — the q_stream_emd shape applied to the string metric. */
+  def streamingEditMatch(spark: SparkSession, docStream: DataFrame,
+                         staticRefs: Array[(Long, String)], d: Int): DataFrame = {
+    import spark.implicits._
+    val idxB = spark.sparkContext.broadcast(
+      EditJoin.buildProbeIndex(staticRefs, d))
+    docStream.select(col("doc_id").cast("long").as("id"),
+        coalesce(col("text").cast("string"), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val idx = idxB.value
+        it.flatMap { case (id, t) =>
+          EditJoin.matchOne(idx, t).iterator.map { case (rid, ed) =>
+            (id, rid, ed.toLong)
+          }
+        }
+      }.toDF("stream_id", "ref_id", "ed")
+  }
+
+  /** Verification replay for the stream-static edit match — the
+    * [[replayEmdMatch]] harness contract: the document corpus streams
+    * in as ascending-id micro-batches against the broadcast reference
+    * index (materialized through [[collectBoundedTexts]] — the bound is
+    * the operator's honest contract). Stateless per batch, so the
+    * append-mode match set is ingestion-order-invariant and a batch
+    * banded-levenshtein oracle replays it exactly. */
+  def replayEditMatch(spark: SparkSession, docs: DataFrame,
+                      refs: DataFrame, d: Int,
+                      maxRefs: Int = 4096,
+                      numBatches: Int = 2): DataFrame =
+      withReplayShuffle(spark) {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val staticRefs = collectBoundedTexts(
+      refs.select(col("doc_id").as("id"), col("text")), maxRefs)
+    val src = docs.select(col("doc_id").cast("long"),
+        coalesce(col("text").cast("string"), lit("")))
+      .as[(Long, String)]
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val name = "graft_replay_editmatch"
+    val query = streamingEditMatch(spark,
+        mem.toDF().toDF("doc_id", "text"), staticRefs, d)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("doc_id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      spark.createDataset(rows.toSeq).toDF("stream_id", "ref_id", "ed")
     } finally {
       query.stop()
     }

@@ -140,6 +140,71 @@ class EditJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("quadratic"), e.getMessage)
   }
 
+  test("probe index matchOne == brute-force DP across shorter/longer/short refs (d = 4)") {
+    val d = 4
+    val rnd = new scala.util.Random(19)
+    def mut(s: String, k: Int): String = {
+      var t = s
+      for (_ <- 0 until k) {
+        val p = rnd.nextInt(math.max(1, t.length))
+        rnd.nextInt(3) match {
+          case 0 if t.nonEmpty => t = t.updated(p, ('a' + rnd.nextInt(26)).toChar)
+          case 1 => t = t.substring(0, p) + ('a' + rnd.nextInt(26)).toChar + t.substring(p)
+          case _ if t.length > 2 => t = t.substring(0, p) + t.substring(math.min(t.length, p + 1))
+          case _ => ()
+        }
+      }
+      t
+    }
+    val bases = (0 until 30).map(_ =>
+      (0 until (10 + rnd.nextInt(20))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+    // refs: some bases, short refs (<= d), and an empty ref
+    val refs: Array[(Long, String)] =
+      (bases.take(10).zipWithIndex.map { case (s, i) => (1000L + i, s) } ++
+        Seq((2000L, "ab"), (2001L, ""), (2002L, "abcd"))).toArray
+    // stream rows: mutations straddling d on both sides (insertions make
+    // some LONGER than their ref — the la > l probe path), short rows,
+    // and unrelated strings
+    val stream: Seq[(Long, String)] =
+      bases.take(10).zipWithIndex.flatMap { case (s, i) =>
+        Seq((10L * i, mut(s, 1 + rnd.nextInt(8))), (10L * i + 1, mut(s, 6)))
+      } ++ Seq((900L, "abc"), (901L, ""), (902L, "zzzzzzzzzzzzzzzzzz"))
+    val idx = EditJoin.buildProbeIndex(refs, d)
+    val got = stream.flatMap { case (sid, t) =>
+      EditJoin.matchOne(idx, t).map { case (rid, ed) => ((sid, rid), ed) }
+    }.toMap
+    val want = (for {
+      (sid, t) <- stream; (rid, rt) <- refs
+      e = refEdCp(t, rt) if e <= d
+    } yield ((sid, rid), e)).toMap
+    assert(want.nonEmpty && want.values.exists(_ == d),
+      "fixture must plant pairs incl. the ed == d boundary")
+    // the la > l probe path must be exercised: some qualifying pair has
+    // a ref strictly longer than its stream row
+    val streamLen = stream.toMap.view.mapValues(_.codePoints().count()).toMap
+    val refLen = refs.toMap.view.mapValues(_.codePoints().count()).toMap
+    assert(want.keys.exists { case (sid, rid) => refLen(rid) > streamLen(sid) },
+      "fixture must plant a longer-ref pair (la > l probe path)")
+    assert(got == want, s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+  }
+
+  test("bandedEd == full DP on random pairs incl. astral code points") {
+    val rnd = new scala.util.Random(5)
+    for (_ <- 0 until 300) {
+      val d = 1 + rnd.nextInt(5)
+      def gen(n: Int) = Array.fill(n)(
+        if (rnd.nextBoolean()) 'a'.toInt + rnd.nextInt(4) else 0x1F600 + rnd.nextInt(4))
+      val a = gen(rnd.nextInt(20))
+      val b = gen(rnd.nextInt(20))
+      val sa = new String(a, 0, a.length)
+      val sb = new String(b, 0, b.length)
+      val full = refEdCp(sa, sb)
+      val banded = EditJoin.bandedEd(a, b, d)
+      assert(banded == (if (full <= d) full else -1),
+        s"d=$d a=${a.toSeq} b=${b.toSeq} full=$full banded=$banded")
+    }
+  }
+
   /** Reference DP over CODE POINTS — the unit both Spark `levenshtein`
     * and the segmentation must agree on. */
   private def refEdCp(a: String, b: String): Int = {

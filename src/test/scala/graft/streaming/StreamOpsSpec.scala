@@ -295,6 +295,31 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(!rows.exists { case (s, r, _) => (s, r) == (1L, 200L) || (s, r) == (2L, 100L) })
   }
 
+  test("stream-static edit match replay equals the batch banded join; batch-count invariant") {
+    val docs = graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val stream = docs.filter(col("doc_id") % 10 =!= 0)
+    val refs = docs.filter(col("doc_id") % 10 === 0)
+    def run(nb: Int): Set[(Long, Long, Long)] =
+      StreamOps.replayEditMatch(spark, stream, refs, d = 4,
+          maxRefs = 4096, numBatches = nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = run(2)
+    // independent batch truth: the editJoin self-join restricted to
+    // cross-(stream, ref) pairs, reoriented to (stream_id, ref_id)
+    val batch = graft.operators.EditJoin.editJoin(docs, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .flatMap { case (a, b, ed) =>
+        if (a % 10 == 0 && b % 10 != 0) Some((b, a, ed))
+        else if (b % 10 == 0 && a % 10 != 0) Some((a, b, ed))
+        else None
+      }.toSet
+    assert(streamed == batch,
+      s"stream != batch: missing=${batch -- streamed} extra=${streamed -- batch}")
+    assert(streamed.nonEmpty, "fixture must plant cross-split pairs")
+    // replay invariance: a different ingestion slicing emits the same set
+    assert(run(4) == streamed)
+  }
+
   test("stream-static ANN replay equals the one-shot batch read path") {
     val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
     val queries = graft.operators.Cluster
