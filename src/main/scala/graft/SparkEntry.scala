@@ -1406,6 +1406,15 @@ object SparkEntry {
       EventOps.sessionize(Fixtures.events(s, dir), gapSec = 86400L)
     }),
 
+    // --- windowed duplicate-event suppression (ingestion dedup): an
+    //     event is a dup iff any same-(user, type) event precedes it
+    //     within 30 minutes; one lag window per bounded key partition,
+    //     integer micros, 6/91/926 dups at the three scales (the rule
+    //     passes AND fails everywhere — non-vacuous) ---
+    "q_event_dedup" -> ((s, dir) => {
+      EventOps.dedupEvents(Fixtures.events(s, dir), windowSec = 1800L)
+    }),
+
     // --- STREAMING sessionize, driver-visible: the event table replays
     //     through the real flatMapGroupsWithState operator as
     //     ascending-time micro-batches; explicit integer-micros gap
@@ -3875,6 +3884,23 @@ object SparkEntry {
         |       count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
         |       round(cast(sum(value) AS DOUBLE), 6) AS sum_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // Windowed event dedup: the same lag-gap arithmetic in integer
+    // micros; "any earlier within W" == "latest earlier within W"
+    // because a key's events are totally ordered by (us, eid)
+    "q_event_dedup" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus
+        |  FROM events
+        |), g AS (
+        |  SELECT event_id, user_id, event_type,
+        |         tus - lag(tus) OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY tus, event_id) AS gap_us
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, event_type, CAST(gap_us AS BIGINT) AS gap_us,
+        |       coalesce(gap_us <= 1800::BIGINT * 1000000, false) AS is_dup
+        |FROM g""".stripMargin,
 
     // streaming sessionize replay: under the ascending-time feed the
     // closed-session set equals the batch gap split — same SQL as

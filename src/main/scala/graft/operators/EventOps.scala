@@ -159,6 +159,37 @@ object EventOps {
         round(sum(col("value")), 6).as("sum_value"))
   }
 
+  /** Windowed duplicate-event suppression — the ingestion dedup rule
+    * of an event pipeline: an event is a duplicate iff ANY earlier
+    * event with the same (user, type) key lies within `windowSec`
+    * before it. Since a key's events are totally ordered by (ts, id),
+    * the immediately preceding event decides ("any earlier within W"
+    * == "the latest earlier within W"), so ONE lag window per key
+    * partition computes the rule exactly — integer micros end to end,
+    * no FP anywhere, ties on equal timestamps broken by id (an
+    * equal-ts twin IS a duplicate: gap 0 <= W).
+    *
+    * Output: (event_id, user_id, event_type, gap_us, is_dup) —
+    * gap_us NULL for each key's first event. The window partition is
+    * (user, type): bounded by the data model (one user's events of one
+    * type), not a corpus share — the same argument as sessionize/asof. */
+  def dedupEvents(events: DataFrame, windowSec: Long,
+                  userCol: String = "user_id", typeCol: String = "event_type",
+                  tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    events.select(col(idCol).cast("long").as("event_id"),
+        col(userCol).cast("long").as("user_id"),
+        col(typeCol).as("event_type"),
+        unix_micros(col(tsCol)).as("tus"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("gap_us"),
+        coalesce(col("gap_us") <= windowSec * 1000000L, lit(false))
+          .as("is_dup"))
+  }
+
   /** Cohort retention — the third leg of the event-analytics trio
     * (sessions, funnels, retention): users cohort by their FIRST active
     * day, and each (cohort_day, age_days) cell counts the distinct

@@ -151,6 +151,38 @@ class EventOpsSpec extends AnyFunSuite {
       "vacuous: need multi-event sessions and multi-session users")
   }
 
+  test("dedupEvents == brute-force any-earlier-within-window rule, incl. equal-ts ties") {
+    import spark.implicits._
+    val W = 10L // seconds
+    // (id, user, type, us): chains, exact-boundary gaps, equal-ts twins,
+    // cross-type independence, singletons
+    val rows = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "a", 5000000L),   // 5s: dup
+      (3L, 1L, "a", 15000000L),                      // 10s after id 2: boundary dup
+      (4L, 1L, "a", 26000001L),                      // 11.000001s: NOT dup
+      (5L, 1L, "b", 5000000L),                       // other type: first, not dup
+      (6L, 2L, "a", 5000000L), (7L, 2L, "a", 5000000L), // equal-ts twin: id 7 dup
+      (8L, 3L, "a", 100L)                            // singleton
+    )
+    val df = rows.toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val got = EventOps.dedupEvents(df, windowSec = W)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3))), r.getBoolean(4))).toMap
+    // brute force: exists an earlier (ts, id)-ordered same-key event
+    // within W; gap = to the latest such predecessor
+    val want = rows.map { case (id, u, t, us) =>
+      val earlier = rows.filter { case (id2, u2, t2, us2) =>
+        u2 == u && t2 == t && (us2 < us || (us2 == us && id2 < id))
+      }
+      val gap = earlier.map(e => us - e._4).minOption
+      id -> ((gap, gap.exists(_ <= W * 1000000L)))
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    assert(want(3L)._2 && !want(4L)._2, "boundary cases must straddle W")
+    assert(want(7L) == ((Some(0L), true)), "equal-ts twin must be a zero-gap dup")
+  }
+
   test("retention == brute-force cohort/age counts") {
     import spark.implicits._
     val rnd = new scala.util.Random(53)
