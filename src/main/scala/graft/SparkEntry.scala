@@ -1470,6 +1470,19 @@ object SparkEntry {
           col("cluster").cast("long").as("cluster"), col("d2"))
     }),
 
+    // --- embedding outlier scoring (curation filter): per-cluster
+    //     farthest-point rank over the integer-exact kmeans assignment,
+    //     top-5 per cluster flagged; the rank is the groupRunningSum
+    //     two-phase pass (never a one-task-per-cluster window) and the
+    //     (d2 desc, id) total order replays exactly in the oracle ---
+    "q_emb_outliers" -> ((s, dir) => {
+      Cluster.outliers(s, Fixtures.embeddings(s, dir), k = 8, iters = 2,
+          topM = 5)
+        .select(col("id").as("vec_id"),
+          col("cluster").cast("long").as("cluster"), col("d2"),
+          col("c_rank"), col("is_outlier"))
+    }),
+
     // --- SemDeDup: the q_kmeans clustering (integer-exact, so the
     //     oracle replays the assignments) + exact within-cluster cosine
     //     pairs at the q_emb_neardup tau (0.45 — gap-probed on this
@@ -2155,6 +2168,23 @@ object SparkEntry {
         |SELECT id AS vec_id, cast(cid AS BIGINT) AS cluster, d2
         |FROM af WHERE rn = 1""".stripMargin
 
+  // per-cluster farthest-point rank over the same assignment chain;
+  // (d2 DESC, id) is a total order so row_number replays the engine's
+  // groupRunningSum rank exactly
+  private val EmbOutliersSql: String =
+    KmeansBody +
+      """, asg AS (
+        |  SELECT id, cid, d2 FROM af WHERE rn = 1
+        |), rk AS (
+        |  SELECT id, cid, d2,
+        |         row_number() OVER (PARTITION BY cid ORDER BY d2 DESC, id)
+        |           AS c_rank
+        |  FROM asg
+        |)
+        |SELECT id AS vec_id, cast(cid AS BIGINT) AS cluster, d2,
+        |       cast(c_rank AS BIGINT) AS c_rank, c_rank <= 5 AS is_outlier
+        |FROM rk""".stripMargin
+
   /** One per-subspace Lloyd's round of the PQ oracles — the kmeansRound
     * arithmetic with an extra `m` (subspace) key: assign each subDim-dim
     * sub-vector (BIGINT squared-L2 argmin, ties to the lowest code),
@@ -2499,6 +2529,7 @@ object SparkEntry {
         |     t(query, only_primary, only_witness, engines_agree)""".stripMargin,
 
     "q_kmeans" -> KmeansSql,
+    "q_emb_outliers" -> EmbOutliersSql,
 
     // the q_kmeans assignment chain verbatim (KmeansBody), then exact
     // within-cluster cosine pairs on the ORIGINAL double vectors at the

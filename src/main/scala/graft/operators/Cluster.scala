@@ -182,4 +182,31 @@ object Cluster {
       q.unpersist(false)
     }
   }
+
+  /** Per-cluster farthest-point outlier scoring — the embedding-quality
+    * filter of a curation pipeline (prune vectors far from their
+    * centroid before training): the [[kmeans]] assignment ranked by
+    * (d2 desc, id) WITHIN each cluster, flagging the topM farthest per
+    * cluster. Integer-exact end to end (quantized BIGINT d2, total
+    * order tie-broken by id), so the oracle replays the rank
+    * deterministically. The per-cluster rank is the
+    * CorpusOps.groupRunningSum two-phase pass (clusters are bounded by
+    * k, the groupRunningSum contract), never a one-task-per-cluster
+    * window. Output: (id, cluster, d2, c_rank, is_outlier). */
+  def outliers(spark: SparkSession, embs: DataFrame, k: Int, iters: Int,
+               topM: Int, scale: Int = 1000, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(topM > 0, s"topM=$topM")
+    val a = kmeans(spark, embs, k, iters, scale, idCol, vecCol)
+    val rk = CorpusOps.groupRunningSum(
+      a.select(col("id"), col("cluster"), col("d2")),
+      "cluster", Seq(col("d2").desc, col("id")), lit(1L), "c_rank")
+    val out = rk.select(col("id"), col("cluster"), col("d2"), col("c_rank"),
+        (col("c_rank") <= topM).as("is_outlier"))
+      .persistOnce()
+    out.count()
+    rk.unpersist(false)
+    a.unpersist(false)
+    out
+  }
 }

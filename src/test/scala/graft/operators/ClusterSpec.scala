@@ -59,6 +59,28 @@ class ClusterSpec extends AnyFunSuite {
     assert(got.values.map(_._1).toSet.size > 1)
   }
 
+  test("outliers == per-cluster (d2 desc, id) rank over the kmeans assignment") {
+    val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val topM = 5
+    val asg = Cluster.kmeans(spark, embs, k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val got = Cluster.outliers(spark, embs, k = 8, iters = 2, topM = topM)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    // brute rank: within each cluster, 1-based position in (d2 desc, id)
+    val want = asg.groupBy(_._2).toSeq.flatMap { case (c, rows) =>
+      rows.sortBy { case (id, _, d2) => (-d2, id) }.zipWithIndex.map {
+        case ((id, _, d2), i) =>
+          id -> ((c, d2, (i + 1).toLong, i + 1 <= topM))
+      }.toSeq
+    }.toMap
+    assert(got == want)
+    assert(got.values.count(_._4) > 0 && got.values.exists(!_._4),
+      "the outlier flag must pass and fail somewhere")
+    asg.foreach(_ => ())
+  }
+
   test("kmeans handles k > distinct points (empty clusters keep seeds)") {
     import spark.implicits._
     val tiny = Seq(
