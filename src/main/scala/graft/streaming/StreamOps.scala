@@ -588,23 +588,32 @@ object StreamOps {
       }.toDF("stream_id", "ref_id", "dist")
   }
 
-  /** Bounded materialization of a static reference side destined for a
-    * broadcast index: collects at most `maxRefs` rows and REFUSES a
-    * larger input (`require`) instead of silently pulling a
-    * corpus-proportional side through the driver — the gate-bounded
-    * exact-baseline idiom. Callers pick the bound; the deterministic
-    * ascending-id sort makes the broadcast order reproducible. */
-  def collectBoundedRefs(refs: DataFrame,
-                         maxRefs: Int): Array[(Long, Array[Double])] = {
-    val rows = refs.select(col("id").cast("long"),
-        col("weights").cast("array<double>"))
-      .limit(maxRefs + 1).collect()
+  /** Shared bounded-collect kernel for static reference sides destined
+    * for a broadcast index: collects at most `maxRefs` projected rows
+    * and REFUSES a larger input (`require`) instead of silently pulling
+    * a corpus-proportional side through the driver — the gate-bounded
+    * exact-baseline idiom. Callers pick the bound and the row decoder;
+    * the deterministic ascending-id sort makes the broadcast order
+    * reproducible. ONE implementation so the contract (the +1 probe
+    * row, the refusal message, the ordering) cannot diverge between
+    * payload types. */
+  private def collectBounded[T](projected: DataFrame, maxRefs: Int)(
+      decode: org.apache.spark.sql.Row => (Long, T))(
+      implicit ct: scala.reflect.ClassTag[T]): Array[(Long, T)] = {
+    val rows = projected.limit(maxRefs + 1).collect()
     require(rows.length <= maxRefs,
       s"static reference side exceeds maxRefs=$maxRefs rows — a broadcast " +
         "index must be bounded; pre-select a fixed-size reference set " +
         "(deterministic hash-spread ORDER BY md5(id) LIMIT n)")
-    rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    rows.map(decode).sortBy(_._1)
   }
+
+  /** Bounded (id, weights) materialization — see [[collectBounded]]. */
+  def collectBoundedRefs(refs: DataFrame,
+                         maxRefs: Int): Array[(Long, Array[Double])] =
+    collectBounded(refs.select(col("id").cast("long"),
+        col("weights").cast("array<double>")), maxRefs)(
+      r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
   /** Verification replay for the stream-static EMD match — the
     * [[replayExactDedup]] harness contract driving [[streamingEmdMatch]]:
@@ -654,20 +663,12 @@ object StreamOps {
     }
   }
 
-  /** Bounded materialization of a static TEXT reference side (the
-    * [[collectBoundedRefs]] contract for string matching): at most
-    * `maxRefs` (id, text) rows, require-refused above the bound,
-    * ascending-id order for reproducible broadcasts. */
-  def collectBoundedTexts(refs: DataFrame, maxRefs: Int): Array[(Long, String)] = {
-    val rows = refs.select(col("id").cast("long"),
-        coalesce(col("text").cast("string"), lit("")))
-      .limit(maxRefs + 1).collect()
-    require(rows.length <= maxRefs,
-      s"static reference side exceeds maxRefs=$maxRefs rows — a broadcast " +
-        "index must be bounded; pre-select a fixed-size reference set " +
-        "(deterministic hash-spread ORDER BY md5(id) LIMIT n)")
-    rows.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-  }
+  /** Bounded (id, text) materialization (NULL text = empty string) —
+    * see [[collectBounded]]. */
+  def collectBoundedTexts(refs: DataFrame, maxRefs: Int): Array[(Long, String)] =
+    collectBounded(refs.select(col("id").cast("long"),
+        coalesce(col("text").cast("string"), lit(""))), maxRefs)(
+      r => (r.getLong(0), r.getString(1)))
 
   /** Streaming bounded edit-distance match: each incoming document is
     * matched against a static, broadcast PassJoin segment index

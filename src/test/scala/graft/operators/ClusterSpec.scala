@@ -78,7 +78,6 @@ class ClusterSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.values.count(_._4) > 0 && got.values.exists(!_._4),
       "the outlier flag must pass and fail somewhere")
-    asg.foreach(_ => ())
   }
 
   test("kmeans handles k > distinct points (empty clusters keep seeds)") {
