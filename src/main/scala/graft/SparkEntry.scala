@@ -414,15 +414,22 @@ object SparkEntry {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
+      // ONE declaration owns both the engine roster and its order: the
+      // Futures below and the result-row decoding after the try block
+      // both derive from it, so adding/reordering an engine cannot
+      // silently mislabel counts (the two used to be separate lists)
+      val engineDefs: Seq[(String, () => DataFrame)] = Seq(
+        "closed_form" -> (() => norm(EmdJoins.emd1dThresholdJoin(hists, Theta))),
+        "melody" -> (() => norm(MelodyJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))),
+        "mrsim" -> (() => norm(MrSimJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))),
+        "baseline" -> (() => norm(BaselineJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))))
+      val engineNames = engineDefs.map(_._1)
       // try/finally: a failing engine Future must not leak the pinned
       // slice (Await rethrows; the sibling jobs finish against a frame
       // whose unpersist is lazy-safe)
       val r = try {
-        val engineFs: Seq[(String, Future[DataFrame])] = Seq(
-          "closed_form" -> Future(norm(EmdJoins.emd1dThresholdJoin(hists, Theta))),
-          "melody" -> Future(norm(MelodyJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))),
-          "mrsim" -> Future(norm(MrSimJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))),
-          "baseline" -> Future(norm(BaselineJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))))
+        val engineFs: Seq[(String, Future[DataFrame])] =
+          engineDefs.map { case (n, mk) => n -> Future(mk()) }
         val engines: Seq[(String, DataFrame)] =
           engineFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
         // ONE action for all counts + diffs: tag, union, per-pair presence
@@ -444,7 +451,6 @@ object SparkEntry {
         } :+ coalesce(max(col("spread")), lit(0.0)).as("max_spread")
         perKey.agg(aggs.head, aggs.tail: _*).head()
       } finally hists.unpersist(false)
-      val engineNames = Seq("closed_form", "melody", "mrsim", "baseline")
       val distOk = r.getDouble(2 * engineNames.size) <= 1e-9
       val rows = engineNames.zipWithIndex.map { case (n, i) =>
         (n, r.getLong(2 * i), r.getLong(2 * i + 1), distOk)

@@ -108,15 +108,21 @@ object EditJoin {
         // no persist: the short projection is <= ShortLegCap rows over the
         // caller's (usually cached) texts frame — a persistOnce here would
         // leak a cache entry past the call (nothing downstream unpersists)
-        val sa = broadcast(shorts.select(col("id").as("aid")))
+        val sa = broadcast(shorts.select(col("id").as("aid"),
+          length(col("t")).as("la")))
         // short-short: all pairs (each trivially within d)
         val ss = sa.crossJoin(shorts.select(col("id").as("bid")))
           .filter(col("aid") < col("bid"))
-        // short-long: only longs within length reach (|b| <= |a| + d <= 2d)
+        // short-long: only longs within length reach of THIS short
+        // (ed >= |b| - |a|, so |b| <= |a| + d per pair — the global
+        // |b| <= 2d band alone admits pairs whose length gap already
+        // exceeds d, e.g. a 1-char short vs a 2d-char long)
         val sl = sa.crossJoin(
             t.filter(length(col("t")).between(d + 1, 2 * d))
-              .select(col("id").as("bid")))
-        Some(ss.unionByName(sl)
+              .select(col("id").as("bid"), length(col("t")).as("lb")))
+          .filter(col("lb") <= col("la") + d)
+        Some(ss.select(col("aid"), col("bid"))
+          .unionByName(sl.select(col("aid"), col("bid")))
           .select(least(col("aid"), col("bid")).as("rid"),
             greatest(col("aid"), col("bid")).as("sid")))
       }
@@ -216,7 +222,12 @@ object EditJoin {
       d: Int,
       segs: Map[(Int, String, Int), Array[Long]],
       shorts: Array[(Long, Array[Int])],
-      texts: Map[Long, Array[Int]]) extends Serializable
+      texts: Map[Long, Array[Int]],
+      /** Distinct indexed reference lengths: matchOne skips target
+        * lengths la with no indexed reference entirely, shrinking the
+        * ~(2d+1)^2(d+1) per-row probe constant when reference lengths
+        * cluster (they do on real corpora). */
+      lengths: Set[Int]) extends Serializable
 
   def buildProbeIndex(refs: Array[(Long, String)], d: Int): ProbeIndex = {
     require(d >= 1, s"edit-distance threshold must be >= 1, got $d")
@@ -237,7 +248,10 @@ object EditJoin {
           scala.collection.mutable.ArrayBuffer.empty[Long]) += id
       }
     }
-    ProbeIndex(d, segs.view.mapValues(_.toArray).toMap, shorts.toArray, texts)
+    val lengths = refs.iterator.map { case (id, _) => texts(id).length }
+      .filter(_ > d).toSet
+    ProbeIndex(d, segs.view.mapValues(_.toArray).toMap, shorts.toArray,
+      texts, lengths)
   }
 
   /** All references within edit distance d of `t`, as (refId, ed):
@@ -257,20 +271,25 @@ object EditJoin {
     var la = math.max(d + 1, l - d)
     val laMax = l + d
     while (la <= laMax) {
-      var i = 0
-      while (i <= d) {
-        val p0 = pos(i, la, d)
-        val segLen = pos(i + 1, la, d) - p0
-        if (segLen > 0 && segLen <= l) {
-          var s = math.max(0, p0 - d)
-          val sMax = math.min(l - segLen, p0 + d)
-          while (s <= sMax) {
-            idx.segs.get((i, new String(cps, s, segLen), la))
-              .foreach(ids => ids.foreach(cand += _))
-            s += 1
+      // skip target lengths with no indexed reference: every key built
+      // for such a la misses, and the (d+1)(2d+1) substring builds +
+      // hash lookups per la dominate the per-row probe constant
+      if (idx.lengths.contains(la)) {
+        var i = 0
+        while (i <= d) {
+          val p0 = pos(i, la, d)
+          val segLen = pos(i + 1, la, d) - p0
+          if (segLen > 0 && segLen <= l) {
+            var s = math.max(0, p0 - d)
+            val sMax = math.min(l - segLen, p0 + d)
+            while (s <= sMax) {
+              idx.segs.get((i, new String(cps, s, segLen), la))
+                .foreach(ids => ids.foreach(cand += _))
+              s += 1
+            }
           }
+          i += 1
         }
-        i += 1
       }
       la += 1
     }

@@ -234,6 +234,32 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(got.toSet == want)
   }
 
+  test("dedupEvents survives one hot (user, type) key with 100k events") {
+    // same per-group window contract as sessionize/asOfJoin/tokenBudget:
+    // one bot user emitting ONE event type serializes its lag window into
+    // one task but must complete with the exact answer. Events every 1 s
+    // with a 10 s jump every 1000 events, window 2 s — analytically the
+    // first event and each post-jump event (gap 11 s) are originals, all
+    // 99,900 others are duplicates at gap exactly 1 s.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val evs = (0L until 100000L).map { i =>
+      (i, 7L, "click", i * 1000000L + (i / 1000L) * 10000000L)
+    }.toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val got = EventOps.dedupEvents(evs, windowSec = 2L).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.length == 100000)
+    val byId = got.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(0L) == ((-1L, false)), "first event: null gap, original")
+    assert((1L until 100000L).forall { i =>
+      byId(i) == (if (i % 1000L == 0L) ((11000000L, false))
+                  else ((1000000L, true)))
+    }, "gap/dup pattern must be analytic across the hot key")
+  }
+
   test("asOfJoin sliced path completes one hot user with 100k events at bounded task state") {
     // one pathological key, 100k left + 10k right rows: the sliced path
     // buckets into 100 time slices (~1.1k rows per (key, slice) window
