@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.{BinaryScan, Fixtures}
 import graft.functions.{EmdCols, TextCols}
 import graft.core.Caching.PersistOnce
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -686,6 +686,18 @@ object SparkEntry {
             lit(".0."), (col("doc_id") % 100).cast("string")))
           .otherwise(lit(""))).as("text"))
       CorpusOps.piiScrub(contact)
+    }),
+
+    // --- HTML boilerplate extraction: the fixture text wraps in a
+    //     deterministic doc_id-derived page (title/script/nav/aside/
+    //     footer boilerplate + entity- and link-bearing paragraphs);
+    //     the density-rule extractor (HtmlOps) recovers the main text.
+    //     The oracle replays the per-line generation and the
+    //     tag-strip/entity-decode/density rule in SQL — keep decisions
+    //     are integer-exact (cross-multiplied link density, word
+    //     counts), no FP anywhere ---
+    "q_html_extract" -> ((s, dir) => {
+      HtmlOps.extractMain(HtmlOps.htmlWrap(Fixtures.documents(s, dir)))
     }),
 
     // --- heuristic language ID ---
@@ -3613,6 +3625,60 @@ object SparkEntry {
          |)
          |SELECT doc_id, t3 AS clean_text, n_email, n_phone, n_ip FROM s3""".stripMargin
     },
+
+    // HTML extraction replay: the `lines` CTE regenerates HtmlOps.htmlWrap
+    // one block-line per row (concat_ws-joined on the Spark side, so the
+    // per-line view is the same document); `ext` replays tag-strip (tags
+    // are word separators), whitespace normalization, the 5-entity decode
+    // (amp LAST — matches the kernel's single-pass longest-match), anchor
+    // link-char sums; the keep rule is integer-exact. script/style blocks
+    // carry no text by the kernel's content-skip, so they are excluded
+    // from both counts here.
+    "q_html_extract" ->
+      """WITH lines AS (
+        |  SELECT doc_id, 1 AS bno, '<html>' AS ln FROM documents
+        |  UNION ALL SELECT doc_id, 2, '<head>' FROM documents
+        |  UNION ALL SELECT doc_id, 3,
+        |    concat('<title>Doc ', CAST(doc_id AS VARCHAR), ' | corpus</title>') FROM documents
+        |  UNION ALL SELECT doc_id, 4,
+        |    concat('<script>var page=', CAST(doc_id AS VARCHAR), ';track();</script>') FROM documents
+        |  UNION ALL SELECT doc_id, 5, '</head>' FROM documents
+        |  UNION ALL SELECT doc_id, 6, '<body>' FROM documents
+        |  UNION ALL SELECT doc_id, 7,
+        |    '<nav><a href="/home">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>' FROM documents
+        |  UNION ALL SELECT doc_id, 8, concat('<p>', text, '</p>') FROM documents
+        |  UNION ALL SELECT doc_id, 9,
+        |    concat('<p>see &amp; read &lt;more&gt; notes in &quot;section&quot; ',
+        |           CAST(doc_id % 7 AS VARCHAR), ' today</p>')
+        |    FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT doc_id, 10,
+        |    '<p>for background you can consult the <a href="/ref">reference</a> material listed here</p>'
+        |    FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL SELECT doc_id, 11,
+        |    '<aside>related: <a href="/read">read this other fine article</a></aside>' FROM documents
+        |  UNION ALL SELECT doc_id, 12,
+        |    '<footer>copyright 2024 <a href="/terms">terms</a> <a href="/privacy">privacy</a></footer>' FROM documents
+        |), ext AS (
+        |  SELECT doc_id, bno,
+        |    lower(regexp_extract(ln, '^<([a-zA-Z0-9]+)', 1)) AS btag,
+        |    replace(replace(replace(replace(replace(
+        |      trim(regexp_replace(regexp_replace(ln, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS dtext,
+        |    coalesce(list_sum(list_transform(regexp_extract_all(ln, '<a [^>]*>([^<]*)</a>', 1),
+        |      t -> len(trim(regexp_replace(t, ' +', ' ', 'g'))))), 0) AS link_chars
+        |  FROM lines
+        |), judged AS (
+        |  SELECT doc_id, bno, dtext, len(dtext) AS chars,
+        |    (len(string_split(dtext, ' ')) >= 5 AND 3 * link_chars < len(dtext)) AS keep
+        |  FROM ext
+        |  WHERE dtext <> '' AND btag NOT IN ('script', 'style')
+        |)
+        |SELECT doc_id,
+        |  coalesce(string_agg(dtext, chr(10) ORDER BY bno) FILTER (WHERE keep), '') AS clean_text,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept_blocks,
+        |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS dropped_blocks,
+        |  CAST(coalesce(sum(chars) FILTER (WHERE keep), 0) AS BIGINT) AS kept_chars
+        |FROM judged GROUP BY doc_id""".stripMargin,
 
     "q_lang_id" -> {
       val hitExprs = TextCols.LangMarkers.map { case (lang, ms) =>
