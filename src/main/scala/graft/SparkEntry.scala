@@ -45,6 +45,11 @@ object SparkEntry {
   // (8969/10000 rational form), and the scaling/stress calibration probes
   // — one constant so the contract evidence cannot desynchronize
   private[graft] val NgramTau = 0.8969
+  // ExactSubstr anchor length (tokens), shared by q_exact_substr, its
+  // oracle CTE, and the stress probe: k = 6 is past the fixture
+  // vocabulary's chance-collision cliff (k <= 5 spans are dominated by
+  // coincidental matches; the span set is k-stable from 6 through 10)
+  private[graft] val ExactSubstrK = 6
   private val Theta3d = 0.0803
   // tree-EMD overestimates 1-D EMD by up to 2n-2; sized so the pair set
   // is in the same regime as the exact join. 0.4071 = 4071/10000: a
@@ -1004,6 +1009,17 @@ object SparkEntry {
     //     q_contamination_capped convention ---
     "q_span_rewrite_capped" -> ((s, dir) => {
       CorpusOps.spanRewrite(Fixtures.documents(s, dir), n = 3, maxDf = 2)
+    }),
+
+    // --- ExactSubstr dedup detection (Lee et al. 2022): maximal spans
+    //     covered by >= k-token substrings appearing verbatim in another
+    //     document, via duplicated k-gram anchors merged per doc. k = 6
+    //     sits past the measured chance-collision cliff of the small
+    //     fixture vocabulary (k = 4 admits 656/639/20436 coincidental
+    //     spans at the three scales; k = 6 pins the stable genuine set
+    //     45/47/529, identical at k = 8/10) — all-integer positions ---
+    "q_exact_substr" -> ((s, dir) => {
+      CorpusOps.exactSubstrSpans(Fixtures.documents(s, dir), k = ExactSubstrK)
     }),
 
     // --- winnowing fingerprints (MOSS local fingerprinting): 3-gram
@@ -3096,6 +3112,50 @@ object SparkEntry {
         |             / count(*), 6) AS dup_frac
         |FROM sh s JOIN owners o USING (gram)
         |GROUP BY s.id""".stripMargin,
+
+    // ExactSubstr replay: k-gram anchors with 0-based positions, the
+    // duplicated set (min != max doc over postings), and the per-doc
+    // merge window pos_next <= pos_prev + k — the same arithmetic SHAPE
+    // as the Spark path (lag + running sum of breaks). Docs shorter than
+    // k tokens generate no anchor (generate_series upper bound 0).
+    "q_exact_substr" -> {
+      val k = ExactSubstrK
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |), kg0 AS (
+         |  SELECT doc_id, ts,
+         |         unnest(generate_series(1, greatest(len(ts) - ${k - 1}, 0))) AS i
+         |  FROM toks
+         |), kg AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         array_to_string(ts[i:i + ${k - 1}], ' ') AS g
+         |  FROM kg0
+         |), dup AS (
+         |  SELECT g FROM kg GROUP BY g HAVING min(doc_id) <> max(doc_id)
+         |), dpos AS (
+         |  SELECT doc_id, pos FROM kg JOIN dup USING (g)
+         |), marked AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+         |              THEN 0 ELSE 1 END AS brk
+         |  FROM dpos
+         |), sp AS (
+         |  SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+         |  FROM marked
+         |), agg AS (
+         |  SELECT doc_id, sid, min(pos) AS span_start, max(pos) + $k AS span_end,
+         |         count(*) AS n_windows
+         |  FROM sp GROUP BY doc_id, sid
+         |)
+         |SELECT a.doc_id,
+         |       CAST(a.span_start AS BIGINT) AS span_start,
+         |       CAST(a.span_end AS BIGINT) AS span_end,
+         |       CAST(a.span_end - a.span_start AS BIGINT) AS n_tokens,
+         |       CAST(a.n_windows AS BIGINT) AS n_windows,
+         |       array_to_string(t.ts[a.span_start + 1:a.span_end], ' ') AS span_text
+         |FROM agg a JOIN toks t ON a.doc_id = t.doc_id""".stripMargin
+    },
 
     // Span-removal rewrite: occurrence-level spans (start s, inclusive end
     // e) whose gram is owned by an earlier doc mark their covered token

@@ -630,6 +630,105 @@ object CorpusOps {
         col("n_tokens"), col("cum"))
   }
 
+  /** Exact substring dedup DETECTION (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * pass), at token granularity: find, per document, the maximal
+    * spans covered by substrings of >= k tokens that appear verbatim
+    * in ANOTHER document. The published criterion "remove every
+    * substring of length >= k occurring elsewhere" reduces exactly to
+    * k-gram anchors: a >= k-token duplicated substring is duplicated
+    * in all of its k-token windows, and conversely every duplicated
+    * k-token window IS a duplicated substring — so the union of
+    * removable text per doc is precisely the union of its duplicated
+    * k-gram windows, and the maximal spans are runs of duplicated
+    * anchor positions merged while pos_next <= pos_prev + k (windows
+    * overlap or touch). No suffix array, no driver state.
+    *
+    * "Elsewhere" means a DIFFERENT document (min/max doc over the
+    * anchor's postings differ) — a within-doc repeat alone is not
+    * cross-corpus duplication. Documents shorter than k tokens carry
+    * no anchor and produce no span (they cannot host a >= k-token
+    * duplicate). Grams are matched as exact STRINGS end to end —
+    * detection is exact by construction, never hash-probabilistic (at
+    * larger k a 128-bit anchor fingerprint is the leaner shuffle key;
+    * exactness here is the operator's contract and the shuffled gram
+    * is k short tokens).
+    *
+    * 100 TB shape: anchor postings (gram, id, pos) are one map-side
+    * flatMap; the duplicated-anchor decision is ONE gram-keyed
+    * aggregation (min != max doc — high-cardinality keys, near-unique
+    * grams, no skew hot-spot) whose semi-join back to the postings is
+    * co-partitioned on the same key; only ids+positions of DUPLICATED
+    * anchors (the probed ~9% at the fixture, data-dependent) reach the
+    * per-doc merge window, which is bounded by one document's token
+    * count (the sessionize/dedupEvents data-model argument). The scan
+    * of every k-gram is the honest cost of EXACT detection — the
+    * suffix-array formulation sorts the same mass.
+    *
+    * Output: (doc_id, span_start, span_end, n_tokens, n_windows,
+    * span_text) with 0-based token positions, end exclusive.
+    * [[spanRewrite]]/[[spanOwnership]] own the C4-style removal action;
+    * this operator contributes the exact cross-document detection their
+    * shingle heuristics approximate. */
+  def exactSubstrSpans(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"anchor length must be >= 2 tokens, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = widen(docs).select(col(idCol).cast("long").as("id"),
+      coalesce(col(textCol).cast("string"), lit("")).as("t"))
+    // anchor postings: one row per k-token window. Plain-loop kernel
+    // (an aggregate/transform HOF pipeline would re-evaluate the split
+    // per element — the CLAUDE.md shingle lesson). split(" ", -1)
+    // mirrors the oracle's string_split (empty trailing fields kept).
+    val kg = toks.as[(Long, String)].mapPartitions(_.flatMap {
+      case (id, t) =>
+        val ts = t.split(" ", -1)
+        if (ts.length < k) Iterator.empty
+        else (0 to ts.length - k).iterator.map { p =>
+          val sb = new java.lang.StringBuilder
+          var j = p
+          while (j < p + k) {
+            if (j > p) sb.append(' ')
+            sb.append(ts(j))
+            j += 1
+          }
+          (sb.toString, id, p)
+        }
+    }).toDF("g", "id", "pos").persistOnce()
+    // duplicated anchors: postings spanning >= 2 distinct docs
+    val dup = kg.groupBy(col("g"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("g"))
+    // ids+positions only past this point
+    val dpos = kg.join(dup, "g").select(col("id"), col("pos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val spans = dpos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0L)
+          .otherwise(1L))
+      .withColumn("sid", sum(col("brk")).over(w))
+      .groupBy(col("id"), col("sid"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+    val out = spans.join(toks, "id")
+      .select(col("id").as("doc_id"),
+        col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_tokens"),
+        col("n_windows"),
+        array_join(slice(split(col("t"), " ", -1),
+          (col("span_start") + 1).cast("int"),
+          (col("span_end") - col("span_start")).cast("int")), " ")
+          .as("span_text"))
+      .persistOnce()
+    out.count()
+    kg.unpersist()
+    out
+  }
+
   /** C4-style span-ownership analysis — the repeated-span dedup
     * primitive: every distinct n-token shingle is "owned" by the lowest
     * doc_id containing it; per document, how many of its distinct

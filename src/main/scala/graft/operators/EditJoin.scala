@@ -265,6 +265,18 @@ object EditJoin {
     * declared d = 4. */
   def matchOne(idx: ProbeIndex, t: String): Seq[(Long, Int)] = {
     val cps = Option(t).getOrElse("").codePoints().toArray
+    val cand = candidateIds(idx, cps)
+    cand.iterator.flatMap { id =>
+      val ed = bandedEd(cps, idx.texts(id), idx.d)
+      if (ed >= 0) Some((id, ed)) else None
+    }.toSeq
+  }
+
+  /** The probe's candidate set alone (no verify) — package-visible so
+    * the stress probe can measure per-row candidate counts through the
+    * operator's own kernel. */
+  private[graft] def candidateIds(idx: ProbeIndex,
+                                  cps: Array[Int]): scala.collection.mutable.HashSet[Long] = {
     val l = cps.length
     val d = idx.d
     val cand = scala.collection.mutable.HashSet.empty[Long]
@@ -296,10 +308,7 @@ object EditJoin {
     idx.shorts.foreach { case (id, rc) =>
       if (math.abs(rc.length - l) <= d) cand += id
     }
-    cand.iterator.flatMap { id =>
-      val ed = bandedEd(cps, idx.texts(id), d)
-      if (ed >= 0) Some((id, ed)) else None
-    }.toSeq
+    cand
   }
 
   /** All pairs with levenshtein(a, b) <= d, canonically oriented

@@ -178,6 +178,77 @@ object ScalingStats {
     EditStats(n, cand, out)
   }
 
+  final case class SubstrStats(n: Long, kgrams: Long, dupPostings: Long,
+                               spans: Long, spanTokens: Long,
+                               maxGramDf: Long)
+
+  /** ExactSubstr anchor-posting counters: total k-gram postings, the
+    * duplicated subset (the only rows that reach the per-doc merge
+    * window), the resulting span set, and the hottest anchor's distinct
+    * doc-frequency (the gram-keyed aggregation's skew lever). The k-gram
+    * derivation mirrors the operator's kernel verbatim. */
+  def exactSubstr(spark: SparkSession, docs: DataFrame, k: Int): SubstrStats = {
+    import spark.implicits._
+    val n = docs.count()
+    val kg = docs.select(col("doc_id").cast("long").as("id"),
+        coalesce(col("text").cast("string"), lit("")).as("t"))
+      .as[(Long, String)].mapPartitions(_.flatMap { case (id, t) =>
+        val ts = t.split(" ", -1)
+        if (ts.length < k) Iterator.empty
+        else (0 to ts.length - k).iterator.map { p =>
+          (ts.slice(p, p + k).mkString(" "), id, p)
+        }
+      }).toDF("g", "id", "pos").persist()
+    val kgrams = kg.count()
+    val perGram = kg.groupBy(col("g")).agg(
+      countDistinct(col("id")).as("df"),
+      count(lit(1)).as("posts"),
+      min(col("id")).as("mn"), max(col("id")).as("mx")).persist()
+    val row = perGram.agg(
+      coalesce(sum(when(col("mn") =!= col("mx"), col("posts"))), lit(0L))
+        .cast("long"),
+      coalesce(max(col("df")), lit(0L)).cast("long")).head()
+    val (dupPostings, maxGramDf) = (row.getLong(0), row.getLong(1))
+    perGram.unpersist(false)
+    kg.unpersist(false)
+    val spansDf = CorpusOps.exactSubstrSpans(docs, k)
+    val srow = spansDf.agg(count(lit(1)),
+      coalesce(sum(col("n_tokens")), lit(0L)).cast("long")).head()
+    spansDf.unpersist(false)
+    SubstrStats(n, kgrams, dupPostings, srow.getLong(0), srow.getLong(1),
+      maxGramDf)
+  }
+
+  final case class EditMatchStats(rows: Long, cand: Long, maxCand: Long,
+                                  matches: Long)
+
+  /** Stream-editmatch probe-cost counters through the operator's own
+    * kernel: per streamed row, the broadcast-index candidate-set size
+    * (EditJoin.candidateIds — what the banded verify must pay) and the
+    * emitted match count. */
+  def streamEditMatch(spark: SparkSession, docs: DataFrame,
+                      refs: Array[(Long, String)], d: Int): EditMatchStats = {
+    import spark.implicits._
+    val idxB = spark.sparkContext.broadcast(EditJoin.buildProbeIndex(refs, d))
+    val per = docs.select(col("doc_id").cast("long").as("id"),
+        coalesce(col("text").cast("string"), lit("")).as("t"))
+      .as[(Long, String)].mapPartitions { it =>
+        val idx = idxB.value
+        it.map { case (_, t) =>
+          val cps = Option(t).getOrElse("").codePoints().toArray
+          val cand = EditJoin.candidateIds(idx, cps)
+          val m = cand.count(cid => EditJoin.bandedEd(cps, idx.texts(cid), d) >= 0)
+          (cand.size.toLong, m.toLong)
+        }
+      }.toDF("c", "m")
+    val row = per.agg(count(lit(1)),
+      coalesce(sum(col("c")), lit(0L)).cast("long"),
+      coalesce(max(col("c")), lit(0L)).cast("long"),
+      coalesce(sum(col("m")), lit(0L)).cast("long")).head()
+    EditMatchStats(row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3))
+  }
+
   final case class SemDedupStats(n: Long, k: Int, withinPairs: Long,
                                  maxCluster: Long) {
     def naive: Long = n * (n - 1) / 2

@@ -27,6 +27,34 @@ object StressCheck {
     if (c == 0) a
     else concat(slice(a, c + 1, len - c), slice(a, 1, c))
 
+  /** The 3x perturbed document corpus (reversal + 7-token rotation
+    * copies, disjoint id spaces) — shared by the text-join rows and the
+    * round-14 rows. Persisted; caller unpersists. */
+  private def stressDocs(spark: SparkSession, dir: String, off: Long): DataFrame = {
+    val d0 = graft.sources.Fixtures.documents(spark, dir)
+    val toks = split(col("text"), " ")
+    // rotation by 7 degenerates to an IDENTITY copy for docs with <= 7
+    // tokens (and reversal for 1-token docs) — exactly the artificial
+    // zero-distance twins the header says replication must avoid; the
+    // corpus generator has shipped drifting shapes across rounds, so
+    // fail loudly instead of silently softening the envelopes
+    val minToks = d0.select(min(size(toks))).head().getInt(0)
+    require(minToks >= 8,
+      s"doc replication rotates by 7 tokens; min tokens in corpus is $minToks " +
+        "— a <=7-token doc would replicate as an identity copy and plant " +
+        "artificial exact twins; shrink the rotation or re-perturb")
+    val docs = Seq(
+      d0.select(col("doc_id"), col("text"), col("lang"), col("source")),
+      d0.select((col("doc_id") + off).as("doc_id"),
+        concat_ws(" ", reverse(toks)).as("text"), col("lang"), col("source")),
+      d0.select((col("doc_id") + 2 * off).as("doc_id"),
+        concat_ws(" ", concat(slice(toks, 8, 100000), slice(toks, 1, 7)))
+          .as("text"), col("lang"), col("source"))
+    ).reduce(_ unionByName _).persist()
+    docs.count()
+    docs
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -35,6 +63,10 @@ object StressCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val off = 10000000L
+    // `r14` runs only the round-14 rows (exact-substr anchors,
+    // stream-editmatch probe cost) for iteration; default runs all
+    val r14only = args.contains("r14")
+    if (r14only) { round14Rows(spark, dir, off); spark.stop(); return }
 
     // --- melody 3-D threshold join at ~3x sf0.1 density ---
     val h0 = graft.sources.Fixtures.tripleHists(spark, dir)
@@ -86,27 +118,7 @@ object StressCheck {
     embs.unpersist(false)
 
     // --- prefix-filter text joins on the 3x shingle corpus ---
-    val d0 = graft.sources.Fixtures.documents(spark, dir)
-    val toks = split(col("text"), " ")
-    // rotation by 7 degenerates to an IDENTITY copy for docs with <= 7
-    // tokens (and reversal for 1-token docs) — exactly the artificial
-    // zero-distance twins the header says replication must avoid; the
-    // corpus generator has shipped drifting shapes across rounds, so
-    // fail loudly instead of silently softening the envelopes
-    val minToks = d0.select(min(size(toks))).head().getInt(0)
-    require(minToks >= 8,
-      s"doc replication rotates by 7 tokens; min tokens in corpus is $minToks " +
-        "— a <=7-token doc would replicate as an identity copy and plant " +
-        "artificial exact twins; shrink the rotation or re-perturb")
-    val docs = Seq(
-      d0.select(col("doc_id"), col("text"), col("lang"), col("source")),
-      d0.select((col("doc_id") + off).as("doc_id"),
-        concat_ws(" ", reverse(toks)).as("text"), col("lang"), col("source")),
-      d0.select((col("doc_id") + 2 * off).as("doc_id"),
-        concat_ws(" ", concat(slice(toks, 8, 100000), slice(toks, 1, 7)))
-          .as("text"), col("lang"), col("source"))
-    ).reduce(_ unionByName _).persist()
-    docs.count()
+    val docs = stressDocs(spark, dir, off)
     val shdocs = docs.select(col("doc_id"), concat_ws(" ",
       graft.functions.TextCols.shingles(col("text"), 3)).as("shtext"))
       .persist()
@@ -187,7 +199,51 @@ object StressCheck {
       f"(${(System.nanoTime() - t6) / 1e9}%5.1f s)")
 
     docs.unpersist(false)
+    round14Rows(spark, dir, off)
     spark.stop()
+  }
+
+  /** Round-14 stress rows: ExactSubstr anchor postings and the
+    * stream-editmatch per-row probe cost, both at 3x sf0.1. */
+  private def round14Rows(spark: SparkSession, dir: String, off: Long): Unit = {
+    val docs = stressDocs(spark, dir, off)
+
+    // --- ExactSubstr anchors at 3x: dup postings (the only rows that
+    //     reach the merge window) must stay inside the span-token mass
+    //     they evidence (dupPost <= sum n_tokens is the structural
+    //     identity; the measured ratio pins the headroom), and the
+    //     hottest anchor's doc-frequency is the gram-keyed join's skew
+    //     lever — the quantity a spanOwnership-style df-cap would need
+    //     to bound on a chrome-ridden corpus ---
+    val t7 = System.nanoTime()
+    val es = ScalingStats.exactSubstr(spark, docs, graft.SparkEntry.ExactSubstrK)
+    println(f"EXSUB  sf0.3x N=${es.n}%6d kgrams=${es.kgrams}%9d " +
+      f"dupPost=${es.dupPostings}%8d spans=${es.spans}%7d " +
+      f"spanToks=${es.spanTokens}%8d maxGramDf=${es.maxGramDf}%5d " +
+      f"postBound=${es.dupPostings <= es.spanTokens} " +
+      f"dupFrac=${es.dupPostings.toDouble / math.max(1L, es.kgrams)}%6.4f " +
+      f"(${(System.nanoTime() - t7) / 1e9}%5.1f s)")
+
+    // --- stream-editmatch probe cost at 3x against the 512-ref index:
+    //     candidate-set sizes per streamed row are data-dependent (the
+    //     probe CONSTANT is fixed, candidates are not) — measure the
+    //     total and max per-row candidates and verify calls per emitted
+    //     match through the operator's own kernel ---
+    val t8 = System.nanoTime()
+    val refs = docs.filter(col("doc_id") % 10 === 0)
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(512)
+      .select(col("doc_id").as("id"), col("text"))
+    val refArr = graft.streaming.StreamOps.collectBoundedTexts(refs, 512)
+    val em = ScalingStats.streamEditMatch(spark,
+      docs.filter(col("doc_id") % 10 =!= 0), refArr, d = 4)
+    println(f"EDITMA sf0.3x rows=${em.rows}%6d refs=${refArr.length}%4d " +
+      f"cand=${em.cand}%8d maxCand=${em.maxCand}%5d matches=${em.matches}%6d " +
+      f"candPerRow=${em.cand.toDouble / math.max(1L, em.rows)}%6.3f " +
+      f"within=${em.cand <= 4L * em.matches + em.rows} " +
+      f"(${(System.nanoTime() - t8) / 1e9}%5.1f s)")
+
+    docs.unpersist(false)
   }
 
   /** Row-count span of a repartitionByRange over `keys` at an EXPLICIT
