@@ -28,7 +28,8 @@ object Plans {
         "q_pipeline", "q_bloom_join", "q_cms_audit", "q_data_split",
         "q_cooccur", "q_bm25_topk",
         "q_edit_pairs", "q_dsir_select", "q_semdedup", "q_domain_mix",
-        "q_event_dedup", "q_emb_outliers")) {
+        "q_event_dedup", "q_emb_outliers",
+        "q_html_extract", "q_exact_substr")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
