@@ -29,7 +29,8 @@ object Plans {
         "q_cooccur", "q_bm25_topk",
         "q_edit_pairs", "q_dsir_select", "q_semdedup", "q_domain_mix",
         "q_event_dedup", "q_emb_outliers",
-        "q_html_extract", "q_exact_substr")) {
+        "q_html_extract", "q_exact_substr", "q_json_ingest",
+        "q_url_normalize")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

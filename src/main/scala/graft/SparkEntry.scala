@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.{BinaryScan, Fixtures}
 import graft.functions.{EmdCols, TextCols}
 import graft.core.Caching.PersistOnce
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1009,6 +1009,25 @@ object SparkEntry {
     //     q_contamination_capped convention ---
     "q_span_rewrite_capped" -> ((s, dir) => {
       CorpusOps.spanRewrite(Fixtures.documents(s, dir), n = 3, maxDf = 2)
+    }),
+
+    // --- URL canonicalization + domain policy: deterministic URL
+    //     fixture (mixed-case scheme/host, default and non-default
+    //     ports, utm/ref tracking params, sortable queries, fragments,
+    //     a tracker-domain slice), normalized by the UrlOps kernel;
+    //     registered domains via longest public-suffix match, blocklist
+    //     verdicts as a boolean column — all-string/integer output ---
+    "q_url_normalize" -> ((s, dir) => {
+      UrlOps.normalizeUrls(UrlOps.urlWrap(Fixtures.documents(s, dir)),
+        blocklist = Set("tracker.com", "tracker.org", "tracker.co.uk"))
+    }),
+
+    // --- schema'd JSONL ingestion with a per-row malformed-record
+    //     policy: every 17th record truncates to an unterminated string
+    //     (invalid under Jackson AND DuckDB json_valid); corrupt rows
+    //     surface as valid=false with NULL fields, never a job abort ---
+    "q_json_ingest" -> ((s, dir) => {
+      CorpusOps.jsonIngest(CorpusOps.jsonWrap(Fixtures.documents(s, dir)))
     }),
 
     // --- ExactSubstr dedup detection (Lee et al. 2022): maximal spans
@@ -3112,6 +3131,94 @@ object SparkEntry {
         |             / count(*), 6) AS dup_frac
         |FROM sh s JOIN owners o USING (gram)
         |GROUP BY s.id""".stripMargin,
+
+    // URL normalization replay: regenerate the fixture COMPONENT-WISE
+    // (string ops are exact, so the oracle validates the normalization
+    // DECISIONS — case folding, default-port strip, tracking filter +
+    // sort, fragment drop, suffix match, blocklist — while the generic
+    // parser is pinned by UrlOpsSpec's hand cases).
+    "q_url_normalize" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+        |    concat('www.', source, '.',
+        |      CASE WHEN doc_id % 11 = 0 THEN 'tracker' ELSE 'example' END, '.',
+        |      CASE WHEN doc_id % 3 = 0 THEN 'com'
+        |           WHEN doc_id % 3 = 1 THEN 'co.uk' ELSE 'org' END) AS host,
+        |    CASE WHEN doc_id % 5 = 0 THEN '80' WHEN doc_id % 5 = 1 THEN '443'
+        |         WHEN doc_id % 5 = 2 THEN '8080' ELSE '' END AS port,
+        |    concat('/Docs/', CAST(doc_id AS VARCHAR)) AS path,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |           concat('utm_source=feed&q=', CAST(doc_id % 7 AS VARCHAR),
+        |                  '&utm_campaign=x&ref=home&page=', CAST(doc_id % 5 AS VARCHAR))
+        |         WHEN doc_id % 4 = 2 THEN 'beta=2&alpha=1' ELSE '' END AS q
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, scheme, host, path,
+        |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |              OR (scheme = 'https' AND port = '443') THEN ''
+        |         ELSE concat(':', port) END AS portpart,
+        |    list_sort(list_filter(string_split(q, '&'), p -> p <> ''
+        |      AND NOT starts_with(p, 'utm_')
+        |      AND NOT list_contains(['ref','fbclid','gclid','msclkid'],
+        |                            split_part(p, '=', 1)))) AS kept,
+        |    len(list_filter(string_split(q, '&'), p -> p <> ''
+        |      AND (starts_with(p, 'utm_')
+        |           OR list_contains(['ref','fbclid','gclid','msclkid'],
+        |                            split_part(p, '=', 1))))) AS n_dropped
+        |  FROM g
+        |), r AS (
+        |  SELECT doc_id, scheme, host, portpart, path, kept, n_dropped,
+        |    CASE WHEN ends_with(host, '.co.uk')
+        |         THEN array_to_string(string_split(host, '.')[-3:], '.')
+        |         ELSE array_to_string(string_split(host, '.')[-2:], '.')
+        |         END AS registered
+        |  FROM n
+        |)
+        |SELECT doc_id,
+        |  concat(scheme, '://', host, portpart, path,
+        |    CASE WHEN len(kept) > 0 THEN concat('?', array_to_string(kept, '&'))
+        |         ELSE '' END) AS url_norm,
+        |  host,
+        |  registered AS registered_domain,
+        |  list_contains(['tracker.com','tracker.org','tracker.co.uk'],
+        |                registered) AS blocked,
+        |  CAST(len(kept) AS BIGINT) AS n_params_kept,
+        |  CAST(n_dropped AS BIGINT) AS n_params_dropped
+        |FROM r""".stripMargin,
+
+    // JSONL ingest replay: regenerate the record (concat, truncation for
+    // doc_id % 17), then json_valid-guarded extraction — CASE guards keep
+    // DuckDB from erroring on the planted corrupt rows while yielding the
+    // same NULL fields Spark's from_json produces.
+    "q_json_ingest" ->
+      """WITH gen AS (
+        |  SELECT doc_id,
+        |    concat('{"id": ', CAST(doc_id AS VARCHAR),
+        |           ', "meta": {"lang": "', lang,
+        |           '", "source": "', source,
+        |           '", "n_chars": ', CAST(n_chars AS VARCHAR),
+        |           '}, "tags": ',
+        |           CASE WHEN doc_id % 3 = 0 THEN '["wiki", "ref"]'
+        |                WHEN doc_id % 3 = 1 THEN '["web"]'
+        |                ELSE '[]' END,
+        |           ', "text": "', text, '"}') AS fj
+        |  FROM documents
+        |), rec AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN substr(fj, 1, len(fj) - 5)
+        |         ELSE fj END AS j
+        |  FROM gen
+        |)
+        |SELECT doc_id,
+        |  json_valid(j) AS valid,
+        |  CASE WHEN json_valid(j) THEN CAST(json_extract(j, '$.id') AS BIGINT) END AS jid,
+        |  CASE WHEN json_valid(j) THEN json_extract_string(j, '$.meta.lang') END AS lang,
+        |  CASE WHEN json_valid(j) THEN json_extract_string(j, '$.meta.source') END AS source,
+        |  CASE WHEN json_valid(j) THEN CAST(json_array_length(j, '$.tags') AS BIGINT) END AS n_tags,
+        |  CASE WHEN json_valid(j) THEN json_extract_string(j, '$.tags[0]') END AS tag0,
+        |  CASE WHEN json_valid(j) THEN CAST(len(json_extract_string(j, '$.text')) AS BIGINT) END AS text_chars
+        |FROM rec""".stripMargin,
 
     // ExactSubstr replay: k-gram anchors with 0-based positions, the
     // duplicated set (min != max doc over postings), and the per-doc

@@ -630,6 +630,68 @@ object CorpusOps {
         col("n_tokens"), col("cum"))
   }
 
+  /** Schema'd JSONL ingestion with a malformed-record policy — the
+    * entry step of every jsonl-shaped corpus: parse each record against
+    * an explicit schema and DEGRADE PER ROW on corrupt input (valid
+    * flag false, NULL fields), never abort the job — at 100 TB some
+    * records are always truncated/garbled, and a FAILFAST ingest is an
+    * operational non-starter. Spark-first: `from_json` is a codegen'd
+    * Catalyst expression (Jackson under the hood, NULL struct on
+    * malformed input); nothing leaves the row, no shuffle, no UDF.
+    *
+    * Output: (doc_id, valid, jid, lang, source, n_tags, tag0,
+    * text_chars) — `jid` re-extracts the record's own id so an
+    * id/payload mismatch is visible, `tag0` uses ANSI-safe `get()`
+    * (element_at THROWS on an empty array under ANSI mode). */
+  def jsonIngest(df: DataFrame, idCol: String = "doc_id",
+                 jsonCol: String = "json"): DataFrame = {
+    // PERMISSIVE from_json yields an all-NULL struct (not a NULL
+    // struct) on corrupt input, so validity rides the standard
+    // columnNameOfCorruptRecord channel: corrupt rows carry their raw
+    // text there, valid rows carry NULL — the same policy surface as
+    // the DataFrameReader's json source
+    val schema = "id BIGINT, meta STRUCT<lang: STRING, source: STRING, " +
+      "n_chars: BIGINT>, tags ARRAY<STRING>, text STRING, _corrupt STRING"
+    df.select(col(idCol).cast("long").as("doc_id"),
+        from_json(col(jsonCol), org.apache.spark.sql.types.StructType
+            .fromDDL(schema),
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+      .select(col("doc_id"),
+        col("j._corrupt").isNull.as("valid"),
+        col("j.id").as("jid"),
+        col("j.meta.lang").as("lang"),
+        col("j.meta.source").as("source"),
+        size(col("j.tags")).cast("long").as("n_tags"),
+        get(col("j.tags"), lit(0)).as("tag0"),
+        length(col("j.text")).cast("long").as("text_chars"))
+  }
+
+  /** Deterministic JSONL wrapper over the documents fixture (the
+    * [[graft.operators.HtmlOps.htmlWrap]] convention for JSON): every
+    * doc serializes to one schema'd record; docs with doc_id % 17 == 0
+    * TRUNCATE five characters short (an unterminated string — invalid
+    * under both Jackson and DuckDB's json_valid), planting the corrupt
+    * rows the ingest policy exists for. Tag arrays cycle through
+    * two/one/zero elements so list extraction sees every shape. */
+  def jsonWrap(docs: DataFrame): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val tags = when(col("doc_id") % 3 === 0, lit("[\"wiki\", \"ref\"]"))
+      .when(col("doc_id") % 3 === 1, lit("[\"web\"]"))
+      .otherwise(lit("[]"))
+    val full = concat(
+      lit("{\"id\": "), idS,
+      lit(", \"meta\": {\"lang\": \""), col("lang"),
+      lit("\", \"source\": \""), col("source"),
+      lit("\", \"n_chars\": "), col("n_chars").cast("string"),
+      lit("}, \"tags\": "), tags,
+      lit(", \"text\": \""), col("text"), lit("\"}"))
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 17 === 0,
+        full.substr(lit(1), length(full) - 5))
+        .otherwise(full).as("json"))
+  }
+
   /** Exact substring dedup DETECTION (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the ExactSubstr
     * pass), at token granularity: find, per document, the maximal
