@@ -1011,6 +1011,15 @@ object SparkEntry {
       CorpusOps.spanRewrite(Fixtures.documents(s, dir), n = 3, maxDf = 2)
     }),
 
+    // --- checksum-validated card scrubbing: 13-19 digit runs redact
+    //     ONLY when they pass Luhn mod-10 (the precision gate real PII
+    //     pipelines use); the fixture's id-derived check digit passes
+    //     ~10% of the time so both lanes stay non-vacuous, and a
+    //     5-digit decoy pins the length gate ---
+    "q_pii_luhn" -> ((s, dir) => {
+      CorpusOps.luhnScrub(CorpusOps.cardWrap(Fixtures.documents(s, dir)))
+    }),
+
     // --- URL canonicalization + domain policy: deterministic URL
     //     fixture (mixed-case scheme/host, default and non-default
     //     ports, utm/ref tracking params, sortable queries, fragments,
@@ -3131,6 +3140,44 @@ object SparkEntry {
         |             / count(*), 6) AS dup_frac
         |FROM sh s JOIN owners o USING (gram)
         |GROUP BY s.id""".stripMargin,
+
+    // Luhn scrub replay: regenerate the card (id-derived digits), compute
+    // the checksum with the same from-the-right doubling (position i is
+    // doubled iff 16 - i is odd), and redact structurally — the fixture
+    // has exactly one card and one sub-length decoy per planted doc, so
+    // replace() reproduces the kernel's span rewrite exactly.
+    "q_pii_luhn" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    concat('4', lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0')) AS c16
+        |  FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, text, c16,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN concat(substr(c16, 1, 4), '-', substr(c16, 5, 4), '-',
+        |                     substr(c16, 9, 4), '-', substr(c16, 13, 4))
+        |         ELSE c16 END AS cardstr,
+        |    doc_id % 3 = 0 AS has_card
+        |  FROM g
+        |), t AS (
+        |  SELECT doc_id, cardstr, has_card,
+        |    concat(text, CASE WHEN has_card
+        |      THEN concat(' pay ', cardstr, ' today ref 12345 ok')
+        |      ELSE '' END) AS full_text,
+        |    list_sum(list_transform(generate_series(1, 16), i ->
+        |      CASE WHEN (16 - i) % 2 = 1
+        |           THEN CASE WHEN 2 * CAST(substr(c16, i, 1) AS INT) > 9
+        |                     THEN 2 * CAST(substr(c16, i, 1) AS INT) - 9
+        |                     ELSE 2 * CAST(substr(c16, i, 1) AS INT) END
+        |           ELSE CAST(substr(c16, i, 1) AS INT) END)) % 10 = 0 AS luhn_ok
+        |  FROM g2
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN has_card AND luhn_ok THEN replace(full_text, cardstr, '<CARD>')
+        |       ELSE full_text END AS clean_text,
+        |  CAST(CASE WHEN has_card AND luhn_ok THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
+        |  CAST(CASE WHEN has_card AND NOT luhn_ok THEN 1 ELSE 0 END AS BIGINT) AS n_rejected
+        |FROM t""".stripMargin,
 
     // URL normalization replay: regenerate the fixture COMPONENT-WISE
     // (string ops are exact, so the oracle validates the normalization

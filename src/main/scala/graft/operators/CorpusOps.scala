@@ -630,6 +630,102 @@ object CorpusOps {
         col("n_tokens"), col("cum"))
   }
 
+  /** Luhn mod-10 checksum over a digit sequence (most-significant
+    * first): double every second digit from the RIGHT, subtract 9 from
+    * two-digit products, valid iff the sum divides by 10. */
+  private[operators] def luhnValid(digits: Array[Int]): Boolean = {
+    var s = 0
+    var dbl = false
+    var i = digits.length - 1
+    while (i >= 0) {
+      var d = digits(i)
+      if (dbl) { d *= 2; if (d > 9) d -= 9 }
+      s += d
+      dbl = !dbl
+      i -= 1
+    }
+    s % 10 == 0
+  }
+
+  /** Checksum-validated payment-card scrubbing — the precision upgrade
+    * over pattern-only PII removal ([[piiScrub]]): a 13-19 digit run
+    * (single ' ' or '-' separators allowed between digits, the common
+    * card groupings) redacts to `<CARD>` ONLY when it passes the Luhn
+    * mod-10 check; checksum-failing runs of card length stay in the
+    * text and are counted as rejected — order numbers, timestamps, and
+    * random ids overwhelmingly fail Luhn, so the checksum is what keeps
+    * a corpus-scale scrubber from eating every long number (the
+    * published PII-redaction practice, e.g. the BigScience/BigCode PII
+    * pipelines gate candidates exactly this way).
+    *
+    * One mapPartitions pass, a single linear scan per row (no regex
+    * backtracking); emits (doc_id, clean_text, n_cards, n_rejected). */
+  def luhnScrub(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"),
+        coalesce(col(textCol).cast("string"), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val n = t.length
+        val out = new java.lang.StringBuilder(n)
+        var cards = 0L
+        var rejected = 0L
+        var i = 0
+        while (i < n) {
+          val c = t.charAt(i)
+          if (c >= '0' && c <= '9') {
+            // maximal digit run with single inter-digit separators
+            val digits = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var j = i
+            var end = i // exclusive end of the last DIGIT consumed
+            while (j < n && {
+              val cj = t.charAt(j)
+              if (cj >= '0' && cj <= '9') {
+                digits += (cj - '0'); end = j + 1; j += 1; true
+              } else if ((cj == '-' || cj == ' ') && j + 1 < n &&
+                t.charAt(j + 1) >= '0' && t.charAt(j + 1) <= '9') {
+                j += 1; true
+              } else false
+            }) {}
+            val span = t.substring(i, end)
+            if (digits.length >= 13 && digits.length <= 19) {
+              if (luhnValid(digits.toArray)) { out.append("<CARD>"); cards += 1 }
+              else { out.append(span); rejected += 1 }
+            } else out.append(span)
+            i = end
+          } else {
+            out.append(c)
+            i += 1
+          }
+        }
+        (id, out.toString, cards, rejected)
+      })
+      .toDF(idCol, "clean_text", "n_cards", "n_rejected")
+  }
+
+  /** Deterministic card fixture over the documents table: docs with
+    * doc_id % 3 == 0 append one 16-digit number derived from doc_id
+    * ('4' + 15 id-derived digits — dash-grouped for even ids), plus a
+    * 5-digit decoy that card-length gating must ignore. Validity is
+    * NOT controlled: the id-derived check digit passes Luhn for ~10%
+    * of cards naturally, so both redaction lanes stay non-vacuous and
+    * the oracle must actually compute the checksum. */
+  def cardWrap(docs: DataFrame): DataFrame = {
+    val card16 = concat(lit("4"),
+      lpad(((col("doc_id") * 7919) % 1000000000000000L).cast("string"),
+        15, "0"))
+    val grouped = concat(
+      substring(card16, 1, 4), lit("-"), substring(card16, 5, 4), lit("-"),
+      substring(card16, 9, 4), lit("-"), substring(card16, 13, 4))
+    val cardStr = when(col("doc_id") % 2 === 0, grouped).otherwise(card16)
+    docs.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" pay "), cardStr, lit(" today ref 12345 ok")))
+        .otherwise(lit(""))).as("text"))
+  }
+
   /** Schema'd JSONL ingestion with a malformed-record policy — the
     * entry step of every jsonl-shaped corpus: parse each record against
     * an explicit schema and DEGRADE PER ROW on corrupt input (valid

@@ -174,6 +174,31 @@ class ScalingSpec extends AnyFunSuite {
     }
   }
 
+  test("exact substring dedup: anchor evidence stays inside the span mass it proves") {
+    sfs.foreach { dir =>
+      val docs = graft.sources.Fixtures.documents(spark, dir)
+      val es = ScalingStats.exactSubstr(spark, docs, graft.SparkEntry.ExactSubstrK)
+      withClue(s"$dir n=${es.n} dupPost=${es.dupPostings} " +
+        s"spanToks=${es.spanTokens} maxDf=${es.maxGramDf}: ") {
+        // structural: every duplicated posting lies inside exactly one
+        // merged span, and a span of T tokens holds at most T-k+1 postings
+        assert(es.dupPostings <= es.spanTokens)
+        // the merge window's input is the duplicated slice, not the corpus:
+        // measured dupFrac 9.7/8.9/9.2% at the generated scales (the 3x
+        // stress corpus is the deliberate full-duplication regime — see
+        // PLANS.md); 4x headroom catches a drift toward all-dup kgrams
+        assert(es.dupPostings * 10L <= 4L * es.kgrams)
+        // gram-keyed aggregation skew lever: hottest anchor df stays tiny
+        // (measured 4/3/4 docs, 8 at the 3x stress point); a
+        // boilerplate-gram regime would need the spanOwnership-style
+        // df-cap and must fail here first
+        assert(es.maxGramDf <= 64L)
+        // non-vacuous at every generated scale (45/47/529 spans)
+        assert(es.spans >= 1L)
+      }
+    }
+  }
+
   test("semantic dedup: within-cluster pair work stays near the balanced 1/k ideal") {
     sfs.foreach { dir =>
       val embs = graft.sources.Fixtures.embeddings(spark, dir)
