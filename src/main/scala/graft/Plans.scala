@@ -30,7 +30,7 @@ object Plans {
         "q_edit_pairs", "q_dsir_select", "q_semdedup", "q_domain_mix",
         "q_event_dedup", "q_emb_outliers",
         "q_html_extract", "q_exact_substr", "q_json_ingest",
-        "q_url_normalize", "q_pii_luhn")) {
+        "q_url_normalize", "q_pii_luhn", "q_ingest_pipeline")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

@@ -1011,6 +1011,32 @@ object SparkEntry {
       CorpusOps.spanRewrite(Fixtures.documents(s, dir), n = 3, maxDf = 2)
     }),
 
+    // --- composed INGESTION pipeline (the q_pipeline idiom for the
+    //     acquisition side): plant cards -> serialize to JSONL (with the
+    //     doc_id % 17 truncation) -> schema'd parse (corrupt records
+    //     drop: the parse lane) -> Luhn card scrub on the EXTRACTED
+    //     text -> Gopher-style quality gate on the SCRUBBED text. Any
+    //     stage-interface mismatch (a scrub that changes token counts,
+    //     a parse that drops different rows) shifts the gate verdicts
+    //     and the row set — caught by no per-operator oracle ---
+    "q_ingest_pipeline" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val carded = CorpusOps.cardWrap(docs)
+      val records = CorpusOps.jsonWrap(carded.join(
+        docs.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars")), "doc_id"))
+      val parsed = CorpusOps.jsonIngest(records, withText = true)
+      val scrubbed = CorpusOps.luhnScrub(
+        parsed.filter(col("valid")).select(col("doc_id"), col("text")))
+      val gated = CorpusOps.qualityGate(scrubbed.select(col("doc_id"),
+        col("clean_text").as("text")))
+      gated.select(col("doc_id"), col("keep"), col("n_tokens"))
+        .join(scrubbed.select(col("doc_id"), col("n_cards"),
+          col("n_rejected"),
+          length(col("clean_text")).cast("long").as("clean_chars")),
+          "doc_id")
+    }),
+
     // --- checksum-validated card scrubbing: 13-19 digit runs redact
     //     ONLY when they pass Luhn mod-10 (the precision gate real PII
     //     pipelines use); the fixture's id-derived check digit passes
@@ -3140,6 +3166,76 @@ object SparkEntry {
         |             / count(*), 6) AS dup_frac
         |FROM sh s JOIN owners o USING (gram)
         |GROUP BY s.id""".stripMargin,
+
+    // Composed ingestion replay: card derivation + Luhn verdict (the
+    // q_pii_luhn CTE shapes, renamed lg*), JSONL serialization over the
+    // CARDED text with the % 17 truncation (the q_json_ingest shape),
+    // json_valid parse lane, structural scrub replace, then the SHARED
+    // qualityGateCtes/qgKeepPred over the scrubbed text — one body per
+    // rule, composed not copied (the q_pipeline convention).
+    "q_ingest_pipeline" ->
+      ("WITH lg AS (\n" +
+        """  SELECT doc_id, text, lang, source, n_chars,
+          |    concat('4', lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0')) AS c16
+          |  FROM documents
+          |), lg2 AS (
+          |  SELECT doc_id, text, lang, source, n_chars, c16,
+          |    CASE WHEN doc_id % 2 = 0
+          |         THEN concat(substr(c16, 1, 4), '-', substr(c16, 5, 4), '-',
+          |                     substr(c16, 9, 4), '-', substr(c16, 13, 4))
+          |         ELSE c16 END AS cardstr,
+          |    doc_id % 3 = 0 AS has_card
+          |  FROM lg
+          |), lg3 AS (
+          |  SELECT doc_id, lang, source, n_chars, cardstr, has_card,
+          |    concat(text, CASE WHEN has_card
+          |      THEN concat(' pay ', cardstr, ' today ref 12345 ok')
+          |      ELSE '' END) AS ctext,
+          |    list_sum(list_transform(generate_series(1, 16), i ->
+          |      CASE WHEN (16 - i) % 2 = 1
+          |           THEN CASE WHEN 2 * CAST(substr(c16, i, 1) AS INT) > 9
+          |                     THEN 2 * CAST(substr(c16, i, 1) AS INT) - 9
+          |                     ELSE 2 * CAST(substr(c16, i, 1) AS INT) END
+          |           ELSE CAST(substr(c16, i, 1) AS INT) END)) % 10 = 0 AS luhn_ok
+          |  FROM lg2
+          |), jg AS (
+          |  SELECT doc_id, cardstr, has_card, luhn_ok,
+          |    concat('{"id": ', CAST(doc_id AS VARCHAR),
+          |           ', "meta": {"lang": "', lang,
+          |           '", "source": "', source,
+          |           '", "n_chars": ', CAST(n_chars AS VARCHAR),
+          |           '}, "tags": ',
+          |           CASE WHEN doc_id % 3 = 0 THEN '["wiki", "ref"]'
+          |                WHEN doc_id % 3 = 1 THEN '["web"]'
+          |                ELSE '[]' END,
+          |           ', "text": "', ctext, '"}') AS fj
+          |  FROM lg3
+          |), jrec AS (
+          |  SELECT doc_id, cardstr, has_card, luhn_ok,
+          |    CASE WHEN doc_id % 17 = 0 THEN substr(fj, 1, len(fj) - 5)
+          |         ELSE fj END AS j
+          |  FROM jg
+          |), parsed AS (
+          |  SELECT doc_id, cardstr, has_card, luhn_ok,
+          |    json_extract_string(j, '$.text') AS ptext
+          |  FROM jrec WHERE json_valid(j)
+          |), scrub AS (
+          |  SELECT doc_id,
+          |    CASE WHEN has_card AND luhn_ok THEN replace(ptext, cardstr, '<CARD>')
+          |         ELSE ptext END AS clean_text,
+          |    CAST(CASE WHEN has_card AND luhn_ok THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
+          |    CAST(CASE WHEN has_card AND NOT luhn_ok THEN 1 ELSE 0 END AS BIGINT) AS n_rejected
+          |  FROM parsed
+          |), gsrc AS (
+          |  SELECT doc_id, clean_text AS text FROM scrub
+          |), """.stripMargin + qualityGateCtes("gsrc") +
+        s"""
+           |SELECT h.doc_id,
+           |  ($qgKeepPred) AS keep,
+           |  CAST(h.n AS BIGINT) AS n_tokens,
+           |  s.n_cards, s.n_rejected,
+           |  CAST(len(s.clean_text) AS BIGINT) AS clean_chars
+           |FROM h JOIN scrub s ON s.doc_id = h.doc_id""".stripMargin),
 
     // Luhn scrub replay: regenerate the card (id-derived digits), compute
     // the checksum with the same from-the-right doubling (position i is

@@ -740,7 +740,8 @@ object CorpusOps {
     * id/payload mismatch is visible, `tag0` uses ANSI-safe `get()`
     * (element_at THROWS on an empty array under ANSI mode). */
   def jsonIngest(df: DataFrame, idCol: String = "doc_id",
-                 jsonCol: String = "json"): DataFrame = {
+                 jsonCol: String = "json",
+                 withText: Boolean = false): DataFrame = {
     // PERMISSIVE from_json yields an all-NULL struct (not a NULL
     // struct) on corrupt input, so validity rides the standard
     // columnNameOfCorruptRecord channel: corrupt rows carry their raw
@@ -748,19 +749,21 @@ object CorpusOps {
     // the DataFrameReader's json source
     val schema = "id BIGINT, meta STRUCT<lang: STRING, source: STRING, " +
       "n_chars: BIGINT>, tags ARRAY<STRING>, text STRING, _corrupt STRING"
+    val base = Seq(col("doc_id"),
+      col("j._corrupt").isNull.as("valid"),
+      col("j.id").as("jid"),
+      col("j.meta.lang").as("lang"),
+      col("j.meta.source").as("source"),
+      size(col("j.tags")).cast("long").as("n_tags"),
+      get(col("j.tags"), lit(0)).as("tag0"),
+      length(col("j.text")).cast("long").as("text_chars"))
+    val cols = if (withText) base :+ col("j.text").as("text") else base
     df.select(col(idCol).cast("long").as("doc_id"),
         from_json(col(jsonCol), org.apache.spark.sql.types.StructType
             .fromDDL(schema),
           Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
-      .select(col("doc_id"),
-        col("j._corrupt").isNull.as("valid"),
-        col("j.id").as("jid"),
-        col("j.meta.lang").as("lang"),
-        col("j.meta.source").as("source"),
-        size(col("j.tags")).cast("long").as("n_tags"),
-        get(col("j.tags"), lit(0)).as("tag0"),
-        length(col("j.text")).cast("long").as("text_chars"))
+      .select(cols: _*)
   }
 
   /** Deterministic JSONL wrapper over the documents fixture (the

@@ -260,6 +260,27 @@ class EdgeCasesSpec extends AnyFunSuite {
     }, "gap/dup pattern must be analytic across the hot key")
   }
 
+  test("exactSubstrSpans survives one mega document pair with 100k-token full duplication") {
+    // the per-doc merge window's hot key is a single huge document whose
+    // every anchor is duplicated (a full-corpus mirror): 2 docs x 100k
+    // tokens, all ~100k anchor positions per doc reach the lag window in
+    // ONE partition each, and the answer is analytic — one maximal span
+    // covering each document end to end.
+    import spark.implicits._
+    val n = 100000
+    // identical long texts with a small shared vocab (anchors repeat
+    // within AND across docs; dedup is by distinct-doc rule)
+    val body = (0 until n).map(i => s"w${i % 97}").mkString(" ")
+    val docs = Seq((1L, body), (2L, body), (3L, "totally different words " +
+      "nothing shared here at all")).toDF("doc_id", "text")
+    val got = CorpusOps.exactSubstrSpans(docs, k = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.length == 2)
+    assert(got(0) == ((1L, 0L, n.toLong, n.toLong)))
+    assert(got(1) == ((2L, 0L, n.toLong, n.toLong)))
+  }
+
   test("asOfJoin sliced path completes one hot user with 100k events at bounded task state") {
     // one pathological key, 100k left + 10k right rows: the sliced path
     // buckets into 100 time slices (~1.1k rows per (key, slice) window
