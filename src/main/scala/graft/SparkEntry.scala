@@ -1020,21 +1020,23 @@ object SparkEntry {
     //     a parse that drops different rows) shifts the gate verdicts
     //     and the row set — caught by no per-operator oracle ---
     "q_ingest_pipeline" -> ((s, dir) => {
-      val docs = Fixtures.documents(s, dir)
-      val carded = CorpusOps.cardWrap(docs)
-      val records = CorpusOps.jsonWrap(carded.join(
-        docs.select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars")), "doc_id"))
+      // one scan, zero joins, zero shuffles: card wrap and JSONL
+      // serialization are projections, parse and scrub are per-row
+      // kernels, and the gate verdicts ride the SAME projection as the
+      // scrub stats (qualityGate passthrough) — the composed pipeline
+      // never re-derives its own lineage
+      val records = CorpusOps.jsonWrap(
+        CorpusOps.cardWrap(Fixtures.documents(s, dir)))
       val parsed = CorpusOps.jsonIngest(records, withText = true)
       val scrubbed = CorpusOps.luhnScrub(
         parsed.filter(col("valid")).select(col("doc_id"), col("text")))
-      val gated = CorpusOps.qualityGate(scrubbed.select(col("doc_id"),
-        col("clean_text").as("text")))
-      gated.select(col("doc_id"), col("keep"), col("n_tokens"))
-        .join(scrubbed.select(col("doc_id"), col("n_cards"),
-          col("n_rejected"),
-          length(col("clean_text")).cast("long").as("clean_chars")),
-          "doc_id")
+      CorpusOps.qualityGate(
+          scrubbed.select(col("doc_id"), col("clean_text").as("text"),
+            col("n_cards"), col("n_rejected")),
+          passthrough = Seq(col("n_cards"), col("n_rejected"),
+            length(col("text")).cast("long").as("clean_chars")))
+        .select(col("doc_id"), col("keep"), col("n_tokens"),
+          col("n_cards"), col("n_rejected"), col("clean_chars"))
     }),
 
     // --- checksum-validated card scrubbing: 13-19 digit runs redact

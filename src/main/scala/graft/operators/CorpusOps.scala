@@ -327,7 +327,8 @@ object CorpusOps {
     * length window, lexical diversity >= 0.4, >= 1 English stopword,
     * top-token fraction <= 0.2, duplicate-3-gram fraction <= 0.02. */
   def qualityGate(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  passthrough: Seq[Column] = Nil): DataFrame = {
     val t = col(textCol)
     val n = TextCols.tokenCount(t).cast("long")
     val d = size(TextCols.distinctTokens(t)).cast("long")
@@ -340,10 +341,14 @@ object CorpusOps {
     val stopOk = stops >= 1
     val topOk = m * 5 <= n
     val repOk = (g3 - g3d) * 50 <= g3
-    docs.select(col(idCol), n.as("n_tokens"),
-      lenOk.as("len_ok"), divOk.as("diversity_ok"), stopOk.as("stop_ok"),
-      topOk.as("toptok_ok"), repOk.as("rep_ok"),
-      (lenOk && divOk && stopOk && topOk && repOk).as("keep"))
+    // passthrough columns ride the same projection so a composed
+    // pipeline never re-joins (and re-derives) its own lineage to pair
+    // gate verdicts with upstream per-row stats
+    docs.select((col(idCol) +: n.as("n_tokens") +:
+      lenOk.as("len_ok") +: divOk.as("diversity_ok") +: stopOk.as("stop_ok") +:
+      topOk.as("toptok_ok") +: repOk.as("rep_ok") +:
+      (lenOk && divOk && stopOk && topOk && repOk).as("keep") +:
+      passthrough): _*)
   }
 
   /** Deterministic training-order shuffle: every document gets a stable
@@ -711,7 +716,9 @@ object CorpusOps {
     * 5-digit decoy that card-length gating must ignore. Validity is
     * NOT controlled: the id-derived check digit passes Luhn for ~10%
     * of cards naturally, so both redaction lanes stay non-vacuous and
-    * the oracle must actually compute the checksum. */
+    * the oracle must actually compute the checksum. Carries the
+    * fixture metadata columns so jsonWrap composes without a
+    * self-join. */
   def cardWrap(docs: DataFrame): DataFrame = {
     val card16 = concat(lit("4"),
       lpad(((col("doc_id") * 7919) % 1000000000000000L).cast("string"),
@@ -723,7 +730,8 @@ object CorpusOps {
     docs.select(col("doc_id"), concat(col("text"),
       when(col("doc_id") % 3 === 0,
         concat(lit(" pay "), cardStr, lit(" today ref 12345 ok")))
-        .otherwise(lit(""))).as("text"))
+        .otherwise(lit(""))).as("text"),
+      col("lang"), col("source"), col("n_chars"))
   }
 
   /** Schema'd JSONL ingestion with a malformed-record policy — the
