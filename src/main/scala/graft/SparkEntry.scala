@@ -1039,6 +1039,18 @@ object SparkEntry {
           col("n_cards"), col("n_rejected"), col("clean_chars"))
     }),
 
+    // --- STREAMING ingestion, driver-visible: the serialized records
+    //     (cards planted, % 17 truncation) stream in as ascending-id
+    //     micro-batches; parse + Luhn scrub run per batch (stateless
+    //     projections/kernels, no state, no watermark), so the landed
+    //     set equals the batch parse+scrub and the composed ingest
+    //     oracle replays it in full ---
+    "q_stream_ingest" -> ((s, dir) => {
+      graft.streaming.StreamOps.replayIngest(s,
+        CorpusOps.jsonWrap(CorpusOps.cardWrap(Fixtures.documents(s, dir))),
+        numBatches = 2)
+    }),
+
     // --- checksum-validated card scrubbing: 13-19 digit runs redact
     //     ONLY when they pass Luhn mod-10 (the precision gate real PII
     //     pipelines use); the fixture's id-derived check digit passes
@@ -2024,6 +2036,67 @@ object SparkEntry {
     * column reference (aliased call sites pass "d.text") instead of
     * post-hoc string surgery, which would silently corrupt the SQL if
     * the body ever gained another 'text' occurrence. */
+  /** Ingest-chain CTEs (lg/lg2/lg3 card derivation + Luhn verdict, jg
+    * JSONL serialization, jrec truncation, parsed json_valid lane,
+    * scrub structural redaction) over `documents` — shared by
+    * q_ingest_pipeline (which appends the quality gate) and
+    * q_stream_ingest (whose stateless replay lands exactly the scrub
+    * output): one body, two call sites. */
+  private def ingestScrubCtes: String =
+    """lg AS (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |    concat('4', lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0')) AS c16
+      |  FROM documents
+      |), lg2 AS (
+      |  SELECT doc_id, text, lang, source, n_chars, c16,
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN concat(substr(c16, 1, 4), '-', substr(c16, 5, 4), '-',
+      |                     substr(c16, 9, 4), '-', substr(c16, 13, 4))
+      |         ELSE c16 END AS cardstr,
+      |    doc_id % 3 = 0 AS has_card
+      |  FROM lg
+      |), lg3 AS (
+      |  SELECT doc_id, lang, source, n_chars, cardstr, has_card,
+      |    concat(text, CASE WHEN has_card
+      |      THEN concat(' pay ', cardstr, ' today ref 12345 ok')
+      |      ELSE '' END) AS ctext,
+      |    list_sum(list_transform(generate_series(1, 16), i ->
+      |      CASE WHEN (16 - i) % 2 = 1
+      |           THEN CASE WHEN 2 * CAST(substr(c16, i, 1) AS INT) > 9
+      |                     THEN 2 * CAST(substr(c16, i, 1) AS INT) - 9
+      |                     ELSE 2 * CAST(substr(c16, i, 1) AS INT) END
+      |           ELSE CAST(substr(c16, i, 1) AS INT) END)) % 10 = 0 AS luhn_ok
+      |  FROM lg2
+      |), jg AS (
+      |  SELECT doc_id, cardstr, has_card, luhn_ok,
+      |    concat('{"id": ', CAST(doc_id AS VARCHAR),
+      |           ', "meta": {"lang": "', lang,
+      |           '", "source": "', source,
+      |           '", "n_chars": ', CAST(n_chars AS VARCHAR),
+      |           '}, "tags": ',
+      |           CASE WHEN doc_id % 3 = 0 THEN '["wiki", "ref"]'
+      |                WHEN doc_id % 3 = 1 THEN '["web"]'
+      |                ELSE '[]' END,
+      |           ', "text": "', ctext, '"}') AS fj
+      |  FROM lg3
+      |), jrec AS (
+      |  SELECT doc_id, cardstr, has_card, luhn_ok,
+      |    CASE WHEN doc_id % 17 = 0 THEN substr(fj, 1, len(fj) - 5)
+      |         ELSE fj END AS j
+      |  FROM jg
+      |), parsed AS (
+      |  SELECT doc_id, cardstr, has_card, luhn_ok,
+      |    json_extract_string(j, '$.text') AS ptext
+      |  FROM jrec WHERE json_valid(j)
+      |), scrub AS (
+      |  SELECT doc_id,
+      |    CASE WHEN has_card AND luhn_ok THEN replace(ptext, cardstr, '<CARD>')
+      |         ELSE ptext END AS clean_text,
+      |    CAST(CASE WHEN has_card AND luhn_ok THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
+      |    CAST(CASE WHEN has_card AND NOT luhn_ok THEN 1 ELSE 0 END AS BIGINT) AS n_rejected
+      |  FROM parsed
+      |)""".stripMargin
+
   private def fingerprintSql(col: String = "text"): String =
     s"""md5(regexp_replace(lower($col), '\\s+', ' ', 'g'))"""
   private val FingerprintSql = fingerprintSql()
@@ -3176,60 +3249,8 @@ object SparkEntry {
     // qualityGateCtes/qgKeepPred over the scrubbed text — one body per
     // rule, composed not copied (the q_pipeline convention).
     "q_ingest_pipeline" ->
-      ("WITH lg AS (\n" +
-        """  SELECT doc_id, text, lang, source, n_chars,
-          |    concat('4', lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0')) AS c16
-          |  FROM documents
-          |), lg2 AS (
-          |  SELECT doc_id, text, lang, source, n_chars, c16,
-          |    CASE WHEN doc_id % 2 = 0
-          |         THEN concat(substr(c16, 1, 4), '-', substr(c16, 5, 4), '-',
-          |                     substr(c16, 9, 4), '-', substr(c16, 13, 4))
-          |         ELSE c16 END AS cardstr,
-          |    doc_id % 3 = 0 AS has_card
-          |  FROM lg
-          |), lg3 AS (
-          |  SELECT doc_id, lang, source, n_chars, cardstr, has_card,
-          |    concat(text, CASE WHEN has_card
-          |      THEN concat(' pay ', cardstr, ' today ref 12345 ok')
-          |      ELSE '' END) AS ctext,
-          |    list_sum(list_transform(generate_series(1, 16), i ->
-          |      CASE WHEN (16 - i) % 2 = 1
-          |           THEN CASE WHEN 2 * CAST(substr(c16, i, 1) AS INT) > 9
-          |                     THEN 2 * CAST(substr(c16, i, 1) AS INT) - 9
-          |                     ELSE 2 * CAST(substr(c16, i, 1) AS INT) END
-          |           ELSE CAST(substr(c16, i, 1) AS INT) END)) % 10 = 0 AS luhn_ok
-          |  FROM lg2
-          |), jg AS (
-          |  SELECT doc_id, cardstr, has_card, luhn_ok,
-          |    concat('{"id": ', CAST(doc_id AS VARCHAR),
-          |           ', "meta": {"lang": "', lang,
-          |           '", "source": "', source,
-          |           '", "n_chars": ', CAST(n_chars AS VARCHAR),
-          |           '}, "tags": ',
-          |           CASE WHEN doc_id % 3 = 0 THEN '["wiki", "ref"]'
-          |                WHEN doc_id % 3 = 1 THEN '["web"]'
-          |                ELSE '[]' END,
-          |           ', "text": "', ctext, '"}') AS fj
-          |  FROM lg3
-          |), jrec AS (
-          |  SELECT doc_id, cardstr, has_card, luhn_ok,
-          |    CASE WHEN doc_id % 17 = 0 THEN substr(fj, 1, len(fj) - 5)
-          |         ELSE fj END AS j
-          |  FROM jg
-          |), parsed AS (
-          |  SELECT doc_id, cardstr, has_card, luhn_ok,
-          |    json_extract_string(j, '$.text') AS ptext
-          |  FROM jrec WHERE json_valid(j)
-          |), scrub AS (
-          |  SELECT doc_id,
-          |    CASE WHEN has_card AND luhn_ok THEN replace(ptext, cardstr, '<CARD>')
-          |         ELSE ptext END AS clean_text,
-          |    CAST(CASE WHEN has_card AND luhn_ok THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
-          |    CAST(CASE WHEN has_card AND NOT luhn_ok THEN 1 ELSE 0 END AS BIGINT) AS n_rejected
-          |  FROM parsed
-          |), gsrc AS (
-          |  SELECT doc_id, clean_text AS text FROM scrub
+      ("WITH " + ingestScrubCtes + ", gsrc AS (\n" +
+        """  SELECT doc_id, clean_text AS text FROM scrub
           |), """.stripMargin + qualityGateCtes("gsrc") +
         s"""
            |SELECT h.doc_id,
@@ -3238,6 +3259,13 @@ object SparkEntry {
            |  s.n_cards, s.n_rejected,
            |  CAST(len(s.clean_text) AS BIGINT) AS clean_chars
            |FROM h JOIN scrub s ON s.doc_id = h.doc_id""".stripMargin),
+
+    // Streaming ingest replay: stateless per batch, so the landed rows
+    // ARE the batch parse+scrub — the shared ingest CTE chain truncated
+    // at the scrub stage.
+    "q_stream_ingest" ->
+      ("WITH " + ingestScrubCtes + "\n" +
+        "SELECT doc_id, clean_text, n_cards, n_rejected FROM scrub"),
 
     // Luhn scrub replay: regenerate the card (id-derived digits), compute
     // the checksum with the same from-the-right doubling (position i is

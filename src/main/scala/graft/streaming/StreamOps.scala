@@ -739,6 +739,60 @@ object StreamOps {
     }
   }
 
+  /** Streaming INGESTION: JSONL records stream in, parse against the
+    * schema'd malformed-record policy, and card-scrub the extracted
+    * text — the acquisition front of a pipeline run as arriving data
+    * (the q_ingest_pipeline stages that are per-record; the quality
+    * gate and everything after read the LANDED output as batch). Every
+    * stage is a stateless projection or per-row kernel
+    * ([[graft.operators.CorpusOps.jsonIngest]] /
+    * [[graft.operators.CorpusOps.luhnScrub]] applied to the streaming
+    * frame — both are shuffle-free, so they are valid append-mode
+    * streaming transforms as-is): no state store, no watermark, and
+    * the match set is ingestion-order-invariant by construction. */
+  def streamingIngest(spark: SparkSession, recordStream: DataFrame): DataFrame =
+    graft.operators.CorpusOps.luhnScrub(
+      graft.operators.CorpusOps.jsonIngest(recordStream, withText = true)
+        .filter(col("valid"))
+        .select(col("doc_id"), col("text")))
+
+  /** Verification replay for the streaming ingest — the
+    * [[replayEditMatch]] harness contract: serialized records stream
+    * as ascending-id micro-batches; stateless per batch, so the
+    * append-mode output equals the batch parse+scrub and the composed
+    * ingest oracle replays it exactly. */
+  def replayIngest(spark: SparkSession, records: DataFrame,
+                   numBatches: Int = 2): DataFrame =
+      withReplayShuffle(spark) {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = records.select(col("doc_id").cast("long"),
+        coalesce(col("json").cast("string"), lit("")))
+      .as[(Long, String)]
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val name = "graft_replay_ingest"
+    val query = streamingIngest(spark, mem.toDF().toDF("doc_id", "json"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("doc_id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      spark.createDataset(rows.toSeq)
+        .toDF("doc_id", "clean_text", "n_cards", "n_rejected")
+    } finally {
+      query.stop()
+    }
+  }
+
   /** Stream-static ANN: quantized query vectors stream against a
     * PRE-BUILT static residual IVF-PQ index ([[Ann.buildIvfPqIndex]] —
     * the index is static by definition; queries come and go). Each

@@ -320,6 +320,31 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(run(4) == streamed)
   }
 
+  test("streaming ingest replay equals the batch parse+scrub; batch-count invariant") {
+    import graft.operators.CorpusOps
+    val docs = graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val records = CorpusOps.jsonWrap(CorpusOps.cardWrap(docs))
+    def run(nb: Int): Set[(Long, String, Long, Long)] =
+      StreamOps.replayIngest(spark, records, numBatches = nb)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val streamed = run(2)
+    val batch = CorpusOps.luhnScrub(
+        CorpusOps.jsonIngest(records, withText = true)
+          .filter(col("valid")).select(col("doc_id"), col("text")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch,
+      s"stream != batch: missing=${(batch -- streamed).size} extra=${(streamed -- batch).size}")
+    // the lanes are non-vacuous: parse drops, redactions, rejections
+    assert(streamed.size < 500 && streamed.nonEmpty)
+    assert(streamed.exists(_._3 > 0) && streamed.exists(_._4 > 0))
+    // replay invariance: a different ingestion slicing lands the same set
+    assert(run(3) == streamed)
+  }
+
   test("stream-static ANN replay equals the one-shot batch read path") {
     val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
     val queries = graft.operators.Cluster
