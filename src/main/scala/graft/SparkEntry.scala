@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.{BinaryScan, Fixtures}
 import graft.functions.{EmdCols, TextCols}
 import graft.core.Caching.PersistOnce
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps, Frontier, Wordpiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,18 @@ object SparkEntry {
   // still be bounded; 2M rows ~ a full web-scale word vocabulary and
   // stays ~100 MB on the driver
   private val BpeWitnessVocabCap = 2000000
+  // pinned static WordPiece demo vocabulary for q_wordpiece_tokens —
+  // the INFERENCE kernel's full oracle runs against this fixed piece
+  // set (single source of truth: the oracle VALUES list interpolates
+  // from this val). Every letter is a start piece EXCEPT 'v' (value/
+  // vector exercise the whole-word-[UNK] lane); every letter is a
+  // continuation; three multi-char starts (th, sc, join) and three
+  // multi-char continuations (##able, ##ow, ##tream) exercise
+  // longest-match-first over the char-by-char fallback
+  private[graft] val WordpieceDemoVocab: Seq[String] =
+    ('a' to 'z').filterNot(_ == 'v').map(_.toString) ++
+      Seq("th", "sc", "join") ++
+      ('a' to 'z').map(c => s"##$c") ++ Seq("##able", "##ow", "##tream")
   // exact shingle-Jaccard threshold shared by q_ngram_jaccard, its oracle
   // (8969/10000 rational form), and the scaling/stress calibration probes
   // — one constant so the contract evidence cannot desynchronize
@@ -893,6 +905,68 @@ object SparkEntry {
       rows.toDF("query", "n_merges", "engines_agree")
     }),
 
+    // --- WordPiece tokenizer family (Schuster & Nakajima 2012; the
+    //     BERT tokenizer), next to BPE: same corpus-collapse + RDD-round
+    //     shape, the likelihood-gain selection rule count(ab)/(count(a)
+    //     *count(b)) compared via BigInt CROSS-MULTIPLICATION (never a
+    //     double — the FP-safe-ratio rule), ## continuations. Like BPE,
+    //     the iterative argmax has no SQL oracle; q_wordpiece_witness
+    //     re-trains with an independent sequential implementation and
+    //     re-derives the encode totals with an independently-coded
+    //     segmenter, hash-checked ---
+    "q_wordpiece_train" -> ((s, dir) => {
+      Wordpiece.mergeTable(s,
+        Wordpiece.train(s, Fixtures.documents(s, dir), numMerges = 30))
+    }),
+    // --- WordPiece INFERENCE against the pinned demo vocabulary: greedy
+    //     longest-match-first with whole-word [UNK] — full oracle (the
+    //     recursive-CTE replay; the vocab literal interpolates from the
+    //     same WordpieceDemoVocab val the Spark side uses) ---
+    "q_wordpiece_tokens" -> ((s, dir) => {
+      Wordpiece.encode(Fixtures.documents(s, dir), WordpieceDemoVocab)
+    }),
+    "q_wordpiece_witness" -> ((s, dir) => {
+      import s.implicits._
+      val enabled = sys.props.getOrElse("graft.crosscheck", "on") != "off"
+      val rows =
+        if (!enabled) Seq(("q_wordpiece_train", 30L, true),
+          ("q_wordpiece_tokens", 30L, true))
+        else {
+          val d = Fixtures.documents(s, dir)
+          val dist = Wordpiece.train(s, d, numMerges = 30)
+          val wc = Bpe.wordCounts(d).limit(BpeWitnessVocabCap + 1).collect()
+          require(wc.length <= BpeWitnessVocabCap,
+            s"q_wordpiece_witness: word-count vocabulary exceeds the " +
+              s"$BpeWitnessVocabCap-row driver cap for the sequential " +
+              "reference trainer (the q_bpe_witness bound)")
+          val vocab = wc.map(r => (r.getString(0), r.getLong(1))).toSeq
+          val ref = Wordpiece.trainReference(vocab, numMerges = 30)
+          // encode-total witness: the distributed encoder over the
+          // TRAINED pieces vs an independently-coded recursive
+          // segmenter on the driver's word-count table
+          val pieces = Wordpiece.vocabFromTraining(s, d, dist)
+          val starts = pieces.filterNot(_.startsWith("##")).toSet
+          val conts = pieces.filter(_.startsWith("##")).map(_.substring(2)).toSet
+          def segRec(w: String, pos: Int, acc: Int): (Int, Boolean) =
+            if (pos >= w.length) (acc, false)
+            else {
+              val set = if (pos == 0) starts else conts
+              val l = (w.length - pos to 1 by -1)
+                .find(n => set.contains(w.substring(pos, pos + n)))
+              l match {
+                case None => (1, true)
+                case Some(n) => segRec(w, pos + n, acc + 1)
+              }
+            }
+          val refTotal = vocab.map { case (w, c) => segRec(w, 0, 0)._1 * c }.sum
+          val encTotal = Wordpiece.encode(d, pieces)
+            .agg(sum(col("n_pieces"))).head().getLong(0)
+          Seq(("q_wordpiece_train", dist.length.toLong, dist == ref),
+            ("q_wordpiece_tokens", dist.length.toLong, encTotal == refTotal))
+        }
+      rows.toDF("query", "n_merges", "engines_agree")
+    }),
+
     // --- per-language top-k frequent bigrams (vocabulary statistics for
     //     tokenizer training); rank window runs over vocab-sized rows ---
     "q_top_ngrams" -> ((s, dir) => {
@@ -1060,6 +1134,29 @@ object SparkEntry {
       CorpusOps.luhnScrub(CorpusOps.cardWrap(Fixtures.documents(s, dir)))
     }),
 
+    // --- CCNet paragraph-level exact dedup: the fixture derives a
+    //     deterministic multi-paragraph page from doc_id (shared
+    //     boilerplate at three duplication frequencies + a unique
+    //     per-doc trailer, all words outside the corpus vocabulary);
+    //     the operator keeps the globally FIRST occurrence of every
+    //     distinct paragraph via a hash-partial min-struct aggregation
+    //     (no per-fingerprint window — a million-doc boilerplate para
+    //     is one combiner cell per map task) and reassembles the
+    //     surviving text per document ---
+    "q_para_dedup" -> ((s, dir) => {
+      Dedup.paragraphDedup(Dedup.paraWrap(Fixtures.documents(s, dir)))
+    }),
+
+    // --- Unicode text normalization (CCNet-class cleanup): the fixture
+    //     injects a decomposed combining accent, NBSP, zero-width
+    //     space, tab/double-space runs, uppercasing, and trailing
+    //     spaces — the kernel NFC-composes, strips accents, lowercases,
+    //     and collapses whitespace in ONE map pass; unmatched docs pass
+    //     through byte-identical (changed = false lane) ---
+    "q_text_norm" -> ((s, dir) => {
+      CorpusOps.normalizeText(CorpusOps.messWrap(Fixtures.documents(s, dir)))
+    }),
+
     // --- URL canonicalization + domain policy: deterministic URL
     //     fixture (mixed-case scheme/host, default and non-default
     //     ports, utm/ref tracking params, sortable queries, fragments,
@@ -1071,12 +1168,92 @@ object SparkEntry {
         blocklist = Set("tracker.com", "tracker.org", "tracker.co.uk"))
     }),
 
+    // --- crawl-frontier politeness scheduling over the canonicalized,
+    //     policy-filtered URL set (the acquisition chain composed:
+    //     urlWrap -> normalize + blocklist -> frontier): at most 8 URLs
+    //     per host, priority (doc_id*37 % 100) DESC with id tiebreak,
+    //     slot-paced at 1000 ms per host. Per-host selection is a
+    //     BOUNDED typed Aggregator (O(cap) combiner state, map-side
+    //     partial agg) — immune to the Zipf mega-host, where a window
+    //     or collect_list would funnel or blow state ---
+    "q_crawl_frontier" -> ((s, dir) => {
+      val urls = UrlOps.normalizeUrls(
+          UrlOps.urlWrap(Fixtures.documents(s, dir)),
+          blocklist = Set("tracker.com", "tracker.org", "tracker.co.uk"))
+        .filter(not(col("blocked")))
+        .select(col("doc_id").as("url_id"), col("host"),
+          ((col("doc_id") * 37) % 100).as("priority"))
+      Frontier.schedule(urls, perHostCap = 8, delayMs = 1000L)
+    }),
+
+    // --- int8 scalar-quantized ANN (SQ8): per-dimension affine codes
+    //     from a one-pass treeAggregate (min/max), integer dot-product
+    //     scoring against the min-vec_id query, (qdot DESC, id) top-20.
+    //     Scores are pure integers — engine-exact ranking with no
+    //     rounding convention; the code map's fixed IEEE shape is
+    //     replayed verbatim by the oracle ---
+    "q_sq8_topk" -> ((s, dir) => {
+      val embs = Fixtures.embeddings(s, dir)
+      val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+      val q = embs.filter(col("vec_id") === minId)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      Ann.sq8TopK(embs, q, 20, excludeId = Some(minId))
+    }),
+
     // --- schema'd JSONL ingestion with a per-row malformed-record
     //     policy: every 17th record truncates to an unterminated string
     //     (invalid under Jackson AND DuckDB json_valid); corrupt rows
     //     surface as valid=false with NULL fields, never a job abort ---
     "q_json_ingest" -> ((s, dir) => {
       CorpusOps.jsonIngest(CorpusOps.jsonWrap(Fixtures.documents(s, dir)))
+    }),
+
+    // --- schema'd CSV ingestion (the from_csv twin of q_json_ingest):
+    //     RFC 4180 quoting exercised by embedded-comma and doubled-quote
+    //     injections; every 13th record truncates below the schema's
+    //     token count -> the malformed lane (fields nulled, valid=false,
+    //     no abort). Data fields are NULLED on invalid rows — univocity
+    //     keeps partially-parsed prefixes, and a partial parse is a
+    //     silent corpus poisoner ---
+    "q_csv_ingest" -> ((s, dir) => {
+      CorpusOps.csvIngest(CorpusOps.csvWrap(Fixtures.documents(s, dir)))
+    }),
+
+    // --- SQ8 recall audit: |quantized top-20 ∩ exact round-6 cosine
+    //     top-20| — the one-number measurement a quantized index ships
+    //     with; both legs are the already-hash-checked constructions ---
+    "q_sq8_recall" -> ((s, dir) => {
+      val embs = Fixtures.embeddings(s, dir)
+      val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+      val q = embs.filter(col("vec_id") === minId)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val rest = embs.filter(col("vec_id") =!= minId)
+      val s8 = Ann.sq8TopK(embs, q, 20, excludeId = Some(minId)).select(col("id"))
+      val exact = Ann.bruteForceTopK(rest, q, 20)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+        .select(col("id"))
+      s8.join(exact, "id")
+        .agg(count(lit(1)).cast("long").as("n_common"))
+    }),
+
+    // --- composed cleaning pipeline: messy raw text -> Unicode
+    //     normalization -> paragraph structure -> corpus-wide paragraph
+    //     dedup -> Gopher quality gate on the CLEANED text, chained
+    //     end-to-end with the para stats as passthrough columns (the
+    //     q_ingest_pipeline rule: no lineage re-join). Normalization
+    //     BEFORE dedup is the order that matters: case/accent variants
+    //     of the same paragraph must fingerprint identically ---
+    "q_clean_pipeline" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val normed = CorpusOps.normalizeText(CorpusOps.messWrap(docs))
+      val paras = Dedup.paraWrap(
+        normed.select(col("doc_id"), col("norm_text").as("text")))
+      val deduped = Dedup.paragraphDedup(paras)
+      CorpusOps.qualityGate(deduped, textCol = "clean_text",
+        passthrough = Seq(col("kept_paras"), col("dropped_paras")))
     }),
 
     // --- ExactSubstr dedup detection (Lee et al. 2022): maximal spans
@@ -2107,6 +2284,101 @@ object SparkEntry {
     * cross-multiplied, engine-exact. Shared by q_quality_gate and
     * q_pipeline (the advisor's compose-don't-copy rule: one body, two
     * call sites). */
+  /** Paragraph-dedup CTE chain (Dedup.paraWrap + paragraphDedup replay)
+    * over `src` (doc_id, text): emits paras/ranked/rdoc where rdoc is
+    * (doc_id, clean_text, kept_paras, dropped_paras). Shared by
+    * q_para_dedup and the composed q_clean_pipeline so the replay
+    * cannot desynchronize from the fixture. */
+  private def paraDedupCtes(src: String): String =
+    s"""paras AS (
+       |  SELECT doc_id, 1 AS pno, text AS para FROM $src
+       |  UNION ALL SELECT doc_id, 2,
+       |    'subscribe to our newsletter for weekly updates and news'
+       |    FROM $src WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id, 3,
+       |    concat('all rights reserved contact support team ', CAST(doc_id % 5 AS VARCHAR))
+       |    FROM $src WHERE doc_id % 4 = 1
+       |  UNION ALL SELECT doc_id, 4,
+       |    concat('popular in category ', CAST(doc_id % 11 AS VARCHAR), ' read more stories')
+       |    FROM $src WHERE doc_id % 7 = 2
+       |  UNION ALL SELECT doc_id, 5,
+       |    concat('trailer note for document ', CAST(doc_id AS VARCHAR))
+       |    FROM $src
+       |), ranked AS (
+       |  SELECT doc_id, pno, para,
+       |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pno) AS rn
+       |  FROM paras
+       |), rdoc AS (
+       |  SELECT doc_id,
+       |    coalesce(string_agg(para, chr(10) ORDER BY pno) FILTER (WHERE rn = 1), '') AS clean_text,
+       |    CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_paras,
+       |    CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dropped_paras
+       |  FROM ranked GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Text-normalization CTE chain (CorpusOps.messWrap + normalizeText
+    * replay) over `src` (doc_id, text): emits g/n where n is
+    * (doc_id, raw, norm_text). The normalization chain mirrors the
+    * kernel's step order exactly — raw char maps innermost (8203/8204/
+    * 8205 zero-width out, 160/9 to space), then nfc_normalize,
+    * strip_accents (utf8proc == NFD-minus-Mn on the reachable charset),
+    * lower, space-run collapse, trim. Shared by q_text_norm and
+    * q_clean_pipeline. */
+  private def textNormCtes(src: String): String =
+    s"""g AS (
+       |  SELECT doc_id, concat(
+       |    CASE WHEN doc_id % 3 = 0 THEN concat('Cafe', chr(769), ' menu ') ELSE '' END,
+       |    CASE WHEN doc_id % 5 = 1 THEN concat('hot', chr(160), 'take ') ELSE '' END,
+       |    CASE WHEN doc_id % 7 = 3 THEN concat('zero', chr(8203), 'width ') ELSE '' END,
+       |    CASE WHEN doc_id % 4 = 2 THEN concat('TAB', chr(9), 'SPACED  OUT ') ELSE '' END,
+       |    CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END,
+       |    CASE WHEN doc_id % 11 = 5 THEN '  ' ELSE '' END) AS raw
+       |  FROM $src
+       |), n AS (
+       |  SELECT doc_id, raw,
+       |    trim(regexp_replace(
+       |      lower(strip_accents(nfc_normalize(
+       |        replace(replace(replace(replace(replace(raw,
+       |          chr(8203), ''), chr(8204), ''), chr(8205), ''),
+       |          chr(160), ' '), chr(9), ' ')))),
+       |      ' +', ' ', 'g')) AS norm_text
+       |  FROM g
+       |)""".stripMargin
+
+  /** SQ8 CTE chain (Ann.sq8MaxAbs + sq8TopK replay): emits
+    * base/e/amax/qq/c/scored where scored is (id, qdot) over the whole
+    * corpus minus the min-vec_id query row; the scale covers the FULL
+    * corpus (query included), matching sq8TopK's stats-before-exclusion.
+    * The signed code map is the kernel's exact left-associated IEEE
+    * shape (symmetric, zero offset — the measured design; see
+    * Ann.sq8Code). Shared by q_sq8_topk and q_sq8_recall. */
+  private def sq8Ctes: String =
+    """base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), e AS (
+      |  SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM base
+      |), amax AS (
+      |  SELECT max(abs(val)) AS a FROM e
+      |), qq AS (
+      |  SELECT e.dim,
+      |    CASE WHEN (SELECT a FROM amax) = 0 THEN 0
+      |         ELSE CAST(floor(e.val * 127.0 / (SELECT a FROM amax) + 0.5) AS BIGINT)
+      |    END AS qc
+      |  FROM e
+      |  WHERE e.vec_id = (SELECT min(vec_id) FROM base)
+      |), c AS (
+      |  SELECT e.vec_id, e.dim,
+      |    CASE WHEN (SELECT a FROM amax) = 0 THEN 0
+      |         ELSE CAST(floor(e.val * 127.0 / (SELECT a FROM amax) + 0.5) AS BIGINT)
+      |    END AS cc
+      |  FROM e
+      |  WHERE e.vec_id <> (SELECT min(vec_id) FROM base)
+      |), scored AS (
+      |  SELECT c.vec_id AS id, CAST(sum(c.cc * qq.qc) AS BIGINT) AS qdot
+      |  FROM c JOIN qq USING (dim)
+      |  GROUP BY c.vec_id
+      |)""".stripMargin
+
   private def qualityGateCtes(src: String): String =
     s"""t AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM $src
@@ -3199,6 +3471,56 @@ object SparkEntry {
       """SELECT 'q_bpe_train' AS query, CAST(30 AS BIGINT) AS n_merges,
         |       TRUE AS engines_agree""".stripMargin,
 
+    // WordPiece inference replay: greedy longest-match-first per
+    // DISTINCT word as a recursive CTE (cursor state (word, pos,
+    // pieces, failed); the longest matching piece is a correlated MAX —
+    // a no-match round sets failed and jumps the cursor past the end so
+    // the recursion terminates), whole-word [UNK] on failure, then the
+    // token stream joins the per-word stats. The vocab literal
+    // interpolates from the same WordpieceDemoVocab val the Spark
+    // encoder uses — one source of truth.
+    "q_wordpiece_tokens" -> {
+      val vocabVals = WordpieceDemoVocab.map(p => s"('$p')").mkString(", ")
+      s"""WITH RECURSIVE vocab AS (
+         |  SELECT * FROM (VALUES $vocabVals) AS v(p)
+         |), pieces AS (
+         |  SELECT p, p LIKE '##%' AS cont,
+         |    CASE WHEN p LIKE '##%' THEN substr(p, 3) ELSE p END AS raw
+         |  FROM vocab
+         |), toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |), words AS (
+         |  SELECT DISTINCT w FROM toks
+         |), st(w, pos, np, failed) AS (
+         |  SELECT w, 1, 0, false FROM words
+         |  UNION ALL
+         |  SELECT w, CASE WHEN l = 0 THEN len(w) + 1 ELSE pos + l END,
+         |         CASE WHEN l = 0 THEN 1 ELSE np + 1 END, l = 0
+         |  FROM (
+         |    SELECT st.w, st.pos, st.np,
+         |      coalesce((SELECT max(len(p2.raw)) FROM pieces p2
+         |                WHERE p2.cont = (st.pos > 1)
+         |                  AND substr(st.w, st.pos, len(p2.raw)) = p2.raw), 0) AS l
+         |    FROM st
+         |    WHERE st.pos <= len(st.w) AND NOT st.failed
+         |  )
+         |), wstats AS (
+         |  SELECT w, np, failed AS unk FROM st WHERE pos > len(w)
+         |)
+         |SELECT t.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+         |  CAST(count(*) FILTER (WHERE ws.unk) AS BIGINT) AS n_unk_words
+         |FROM toks t JOIN wstats ws ON t.w = ws.w
+         |GROUP BY t.doc_id""".stripMargin
+    },
+
+    "q_wordpiece_witness" ->
+      """SELECT * FROM (VALUES
+        |  ('q_wordpiece_train', CAST(30 AS BIGINT), TRUE),
+        |  ('q_wordpiece_tokens', CAST(30 AS BIGINT), TRUE))
+        |AS v(query, n_merges, engines_agree)""".stripMargin,
+
     "q_funnel" -> FunnelSql,
     // the streaming replay carries the batch twin's exact schema, so the
     // same chained-window oracle checks the cross-batch state carries
@@ -3305,6 +3627,29 @@ object SparkEntry {
         |  CAST(CASE WHEN has_card AND NOT luhn_ok THEN 1 ELSE 0 END AS BIGINT) AS n_rejected
         |FROM t""".stripMargin,
 
+    // Paragraph dedup replay: the `paras` CTE regenerates Dedup.paraWrap
+    // one generated row per paragraph (concat_ws null-skipping = the
+    // WHERE-filtered UNION legs); first-occurrence is a window here but a
+    // hash-partial min-struct aggregation on the Spark side — the winner
+    // is identical because within-doc paragraph collisions are vocabulary-
+    // unreachable, so (doc_id, pno) ordering only ever decides by doc_id.
+    "q_para_dedup" ->
+      ("WITH " + paraDedupCtes("documents") +
+        "\nSELECT doc_id, clean_text, kept_paras, dropped_paras FROM rdoc"),
+
+    // Text normalization replay: the `g` CTE regenerates messWrap with
+    // chr() codes (769 = combining acute, 160 = NBSP, 8203 = ZWSP); the
+    // normalization chain mirrors the kernel's step order exactly — raw
+    // char maps innermost, then nfc_normalize, strip_accents (utf8proc ==
+    // NFD-minus-Mn on this charset), lower, space-run collapse, trim.
+    // Lengths count CODE POINTS in both engines.
+    "q_text_norm" ->
+      ("WITH " + textNormCtes("documents") +
+        """
+          |SELECT doc_id, norm_text, norm_text <> raw AS changed,
+          |  CAST(len(raw) - len(norm_text) AS BIGINT) AS delta_chars
+          |FROM n""".stripMargin),
+
     // URL normalization replay: regenerate the fixture COMPONENT-WISE
     // (string ops are exact, so the oracle validates the normalization
     // DECISIONS — case folding, default-port strip, tracking filter +
@@ -3359,6 +3704,116 @@ object SparkEntry {
         |  CAST(len(kept) AS BIGINT) AS n_params_kept,
         |  CAST(n_dropped AS BIGINT) AS n_params_dropped
         |FROM r""".stripMargin,
+
+    // Frontier replay: regenerate host + registered domain (the compact
+    // slice of the URL fixture the scheduler consumes — scheme/port/query
+    // are irrelevant to politeness), apply the blocklist, then the
+    // admission window. The Spark side is a bounded aggregator, not a
+    // window, but the admitted set and slots are identical because the
+    // (priority DESC, id) order is a total order per host.
+    "q_crawl_frontier" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    concat('www.', source, '.',
+        |      CASE WHEN doc_id % 11 = 0 THEN 'tracker' ELSE 'example' END, '.',
+        |      CASE WHEN doc_id % 3 = 0 THEN 'com'
+        |           WHEN doc_id % 3 = 1 THEN 'co.uk' ELSE 'org' END) AS host,
+        |    (doc_id * 37) % 100 AS priority
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, host, priority,
+        |    CASE WHEN ends_with(host, '.co.uk')
+        |         THEN array_to_string(string_split(host, '.')[-3:], '.')
+        |         ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS registered
+        |  FROM g
+        |), a AS (
+        |  SELECT doc_id, host, priority,
+        |    row_number() OVER (PARTITION BY host ORDER BY priority DESC, doc_id) AS rn
+        |  FROM r
+        |  WHERE NOT list_contains(['tracker.com','tracker.org','tracker.co.uk'], registered)
+        |)
+        |SELECT doc_id AS url_id, host, CAST(priority AS BIGINT) AS priority,
+        |  CAST(rn - 1 AS BIGINT) AS slot,
+        |  CAST((rn - 1) * 1000 AS BIGINT) AS fetch_at_ms
+        |FROM a WHERE rn <= 8""".stripMargin,
+
+    // SQ8 replay: per-dim min/max over the FULL corpus (query row
+    // included, matching sq8TopK's stats-before-exclusion), the code
+    // map's exact IEEE shape — floor((x - mn) * 255.0 / (mx - mn) + 0.5),
+    // left-associated — and integer dot scoring. qdot sums BIGINTs into
+    // HUGEINT in DuckDB; the final CAST restores the engine type.
+    "q_sq8_topk" ->
+      ("WITH " + sq8Ctes +
+        "\nSELECT id, qdot FROM scored ORDER BY qdot DESC, id LIMIT 20"),
+
+    // SQ8 recall audit: how many of the quantized top-20 are in the
+    // exact round-6 cosine top-20 — the measurement a quantized index
+    // ships with. Both legs reuse the hash-checked constructions
+    // (sq8Ctes == q_sq8_topk; ex == q_cosine_topk's round-6 rank).
+    "q_sq8_recall" ->
+      ("WITH " + sq8Ctes +
+        """, ex AS (
+          |  SELECT e2.vec_id AS id,
+          |    round(list_cosine_similarity(e2.embedding::DOUBLE[], q2.qv), 6) AS cosine
+          |  FROM embeddings e2,
+          |    (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          |     WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) q2
+          |  WHERE e2.vec_id <> (SELECT min(vec_id) FROM embeddings)
+          |  ORDER BY cosine DESC, id LIMIT 20
+          |), s8 AS (
+          |  SELECT id FROM scored ORDER BY qdot DESC, id LIMIT 20
+          |)
+          |SELECT CAST(count(*) AS BIGINT) AS n_common
+          |FROM s8 JOIN ex USING (id)""".stripMargin),
+
+    // CSV ingest replay, component-wise (the url_normalize convention):
+    // the oracle regenerates the FIELD VALUES the RFC 4180 round-trip
+    // must recover — comma and doubled-quote injections land in the
+    // parsed text verbatim — and the truncation lane's verdict; the
+    // generic parser behavior (quoting, token-count gating) is pinned
+    // by CsvIngestSpec hand cases.
+    "q_csv_ingest" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    concat(text,
+        |      CASE WHEN doc_id % 6 = 0 THEN ', comma extra' ELSE '' END,
+        |      CASE WHEN doc_id % 9 = 4 THEN ' says "hi" ok' ELSE '' END) AS tf,
+        |    doc_id % 13 = 7 AS corrupt
+        |  FROM documents
+        |)
+        |SELECT doc_id, NOT corrupt AS valid,
+        |  CASE WHEN corrupt THEN NULL ELSE doc_id END AS cid,
+        |  CASE WHEN corrupt THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN corrupt THEN NULL ELSE source END AS source,
+        |  CASE WHEN corrupt THEN NULL ELSE CAST(n_chars AS BIGINT) END AS n_chars_parsed,
+        |  CASE WHEN corrupt THEN NULL ELSE CAST(len(tf) AS BIGINT) END AS text_chars
+        |FROM t""".stripMargin,
+
+    // Composed cleaning pipeline: the three shared CTE generators chain
+    // exactly as the Spark operators do (norm -> paras-over-norm ->
+    // dedup -> gate-over-clean), with the para stats joined from rdoc —
+    // a pure replay join on doc_id, NOT a lineage re-derivation (the
+    // Spark side carries them as passthrough columns).
+    "q_clean_pipeline" ->
+      ("WITH " + textNormCtes("documents") +
+        ", ns AS (SELECT doc_id, norm_text AS text FROM n),\n" +
+        paraDedupCtes("ns") +
+        ", qsrc AS (SELECT doc_id, clean_text AS text FROM rdoc),\n" +
+        qualityGateCtes("qsrc") +
+        s""", r AS (
+           |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           |    $QgLenOk AS len_ok,
+           |    $QgDivOk AS diversity_ok,
+           |    $QgStopOk AS stop_ok,
+           |    $QgTopOk AS toptok_ok,
+           |    $QgRepOk AS rep_ok
+           |  FROM h
+           |)
+           |SELECT r.doc_id, n_tokens, len_ok, diversity_ok, stop_ok,
+           |  toptok_ok, rep_ok,
+           |  len_ok AND diversity_ok AND stop_ok AND toptok_ok AND rep_ok AS keep,
+           |  kept_paras, dropped_paras
+           |FROM r JOIN rdoc ON r.doc_id = rdoc.doc_id""".stripMargin),
 
     // JSONL ingest replay: regenerate the record (concat, truncation for
     // doc_id % 17), then json_valid-guarded extraction — CASE guards keep

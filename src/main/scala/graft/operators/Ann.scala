@@ -245,6 +245,86 @@ object Ann {
     }.toDF("rid", "sid", "cosine")
   }
 
+  /** Global max-|value| for symmetric scalar quantization: ONE
+    * treeAggregate over the corpus — a single double of task state, no
+    * explode (a posexplode-groupBy form would shuffle dim x N rows at
+    * 100 TB for one comparison's worth of information). Max is
+    * comparison-only (no FP accumulation), so the result is
+    * partition-order-independent and engine-exact. */
+  def sq8MaxAbs(embs: DataFrame, vecCol: String = "embedding"): Double =
+    embs.select(col(vecCol).cast("array<double>")).rdd
+      .map(_.getSeq[Double](0))
+      .treeAggregate(0.0)(
+        { (a, v) =>
+          var m = a
+          var i = 0
+          while (i < v.length) {
+            val x = math.abs(v(i))
+            if (x > m) m = x
+            i += 1
+          }
+          m
+        },
+        math.max)
+
+  /** One value's symmetric signed SQ8 code in [-127, 127]:
+    * floor(x * 127.0 / a + 0.5), left-associated IEEE doubles — the
+    * exact SHAPE the oracle replays, so codes are bit-identical across
+    * engines with no rounding convention. SYMMETRY is the load-bearing
+    * choice, measured not assumed: per-dimension AFFINE codes
+    * (floor((x - min_d) * 255 / range_d + 0.5)) destroy the dot-product
+    * proxy — the code dot expands into cross terms involving each
+    * vector's per-dim offsets, and on the embeddings fixture the exact
+    * cosine top-20 needed quantized rank 1435/2000 to cover. Zero-offset
+    * shared-scale codes make the integer dot proportional to the true
+    * dot up to quantization noise: measured max qrank 20/20 at all
+    * three scales (DuckDB probe, recorded in PLANS.md). */
+  @inline private def sq8Code(x: Double, a: Double): Long =
+    if (a == 0.0) 0L else math.floor(x * 127.0 / a + 0.5).toLong
+
+  /** Int8 symmetric scalar-quantized brute-force top-k (the signed
+    * int8 quantization recipe, public knowledge — FAISS SQ8_direct /
+    * standard int8 inference quantization): one global scale, signed
+    * codes, integer dot-product scoring, (score DESC, id) rank. Scores
+    * are pure integers — ranking is engine-exact with no FP anywhere
+    * past the (fixed-shape) code map.
+    *
+    * Scale shape: stats is one treeAggregate (a scalar); scoring is ONE
+    * map-side scan (plain-loop kernel, primitive arrays, broadcast
+    * query codes) into TakeOrderedAndProject — no shuffle, no driver
+    * loop. The point of SQ8 at 100 TB is memory bandwidth: the codes
+    * array is 8x smaller than float64 vectors, and the integer kernel
+    * has no per-element boxing (an aggregate()/zip_with HOF form would
+    * evaluate interpreted — the measured repo rule). */
+  def sq8TopK(embs: DataFrame, query: Array[Double], k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              excludeId: Option[Long] = None): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val dim = query.length
+    val a = sq8MaxAbs(embs, vecCol)
+    val qCodes = Array.tabulate(dim)(i => sq8Code(query(i), a))
+    val bc = spark.sparkContext.broadcast((a, qCodes))
+    val base = excludeId.fold(embs)(q => embs.filter(col(idCol) =!= q))
+    base.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (ba, bq) = bc.value
+        it.map { case (id, v) =>
+          var dot = 0L
+          var i = 0
+          while (i < dim) {
+            dot += sq8Code(v(i), ba) * bq(i)
+            i += 1
+          }
+          (id, dot)
+        }
+      }
+      .toDF("id", "qdot")
+      .orderBy(col("qdot").desc, col("id"))
+      .limit(k)
+  }
+
   /** IVF coarse-quantizer size for an n-row corpus: ~sqrt(n), clamped.
     * sqrt(n) balances the two scan costs of a probe (centroid scan is
     * O(c), probed-bucket rerank is O(n/c) per probe — minimized at

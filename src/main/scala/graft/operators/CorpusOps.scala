@@ -734,6 +734,93 @@ object CorpusOps {
       col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Unicode text normalization — the CCNet-class cleanup pass every
+    * ingestion pipeline runs before tokenization: raw character maps
+    * (zero-width removal, NBSP/tab -> space), NFC composition, accent
+    * stripping (NFD + combining-mark removal), Unicode lowercase (ROOT
+    * locale), whitespace-run collapse + trim. One map-side pass per
+    * row, no shuffle, nothing leaves the executor.
+    *
+    * The step ORDER is part of the contract — the oracle replays it
+    * verbatim (char maps innermost, then nfc_normalize, strip_accents,
+    * lower, collapse, trim). Engine agreement: NFD-minus-Mn equals
+    * DuckDB's utf8proc strip_accents on the Latin range the fixture
+    * reaches (pinned by TextNormSpec hand cases); lengths are counted
+    * in CODE POINTS on both sides (DuckDB len() counts codepoints —
+    * Java String.length counts UTF-16 units and would drift on any
+    * supplementary-plane char).
+    * Output: (doc_id, norm_text, changed, delta_chars). */
+  def normalizeText(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"),
+        coalesce(col(textCol).cast("string"), lit("")).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val n = normalizeOneText(t)
+        (id, n, n != t,
+          t.codePointCount(0, t.length).toLong -
+            n.codePointCount(0, n.length))
+      })
+      .toDF(idCol, "norm_text", "changed", "delta_chars")
+  }
+
+  private[operators] def normalizeOneText(raw: String): String = {
+    // 1. raw char maps (exact, pre-normalization): zero-width chars
+    //    out, NBSP and tab to plain space
+    val mapped = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      raw.charAt(i) match {
+        case '\u200B' | '\u200C' | '\u200D' | '\uFEFF' => ()
+        case '\u00A0' | '\t' => mapped.append(' ')
+        case c => mapped.append(c)
+      }
+      i += 1
+    }
+    // 2. NFC compose, 3. accent strip = NFD then drop combining marks
+    val nfc = java.text.Normalizer.normalize(mapped,
+      java.text.Normalizer.Form.NFC)
+    val nfd = java.text.Normalizer.normalize(nfc,
+      java.text.Normalizer.Form.NFD)
+    val stripped = new java.lang.StringBuilder(nfd.length)
+    i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK)
+        stripped.append(c)
+      i += 1
+    }
+    // 4. lowercase, 5. collapse space runs, 6. trim (trim-then-collapse
+    //    equals the oracle's collapse-then-trim: edge runs shrink to
+    //    one space either way before trim removes them)
+    stripped.toString.toLowerCase(java.util.Locale.ROOT)
+      .trim.replaceAll(" +", " ")
+  }
+
+  /** Deterministic messy-text wrapper over the documents fixture: the
+    * corpus is clean lowercase ASCII, so the Unicode mess (a decomposed
+    * combining-acute accent, an NBSP-joined word pair, a zero-width
+    * split, tab + double-space runs, whole-document uppercasing,
+    * trailing spaces) derives from doc_id alone — replayed verbatim by
+    * the q_text_norm oracle with chr() codes. Injected words are
+    * outside the corpus vocabulary; docs matching NO branch pass
+    * through unchanged, keeping `changed = false` non-vacuous. */
+  def messWrap(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(col("doc_id"), concat(
+      when(id % 3 === 0, concat(lit("Cafe"), lit("\u0301"), lit(" menu ")))
+        .otherwise(lit("")),
+      when(id % 5 === 1, concat(lit("hot"), lit("\u00A0"), lit("take ")))
+        .otherwise(lit("")),
+      when(id % 7 === 3, concat(lit("zero"), lit("\u200B"), lit("width ")))
+        .otherwise(lit("")),
+      when(id % 4 === 2, lit("TAB\tSPACED  OUT ")).otherwise(lit("")),
+      when(id % 2 === 0, upper(col("text"))).otherwise(col("text")),
+      when(id % 11 === 5, lit("  ")).otherwise(lit(""))).as("text"))
+  }
+
   /** Schema'd JSONL ingestion with a malformed-record policy — the
     * entry step of every jsonl-shaped corpus: parse each record against
     * an explicit schema and DEGRADE PER ROW on corrupt input (valid
@@ -797,6 +884,66 @@ object CorpusOps {
       when(col("doc_id") % 17 === 0,
         full.substr(lit(1), length(full) - 5))
         .otherwise(full).as("json"))
+  }
+
+  /** Schema'd CSV ingestion with the jsonIngest malformed-record
+    * policy — the other ubiquitous corpus wire format: parse each line
+    * against an explicit schema with Spark's codegen'd `from_csv`
+    * (univocity under the hood, RFC 4180 quoting: quoted fields,
+    * doubled quotes, embedded separators), degrade PER ROW on
+    * malformed input via columnNameOfCorruptRecord, never abort.
+    * Data fields are nulled when the row is invalid — univocity's
+    * PERMISSIVE mode keeps the successfully-parsed prefix fields, and
+    * trusting a partial parse is how a truncated record poisons a
+    * corpus silently. Zero shuffle, nothing leaves the row.
+    * Output: (doc_id, valid, cid, lang, source, n_chars_parsed,
+    * text_chars). */
+  def csvIngest(df: DataFrame, idCol: String = "doc_id",
+                csvCol: String = "line"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, lang STRING, source STRING, n_chars BIGINT, " +
+        "text STRING, _corrupt STRING")
+    // escape = '"' selects RFC 4180 quote-doubling; Spark's default
+    // escape is backslash, under which a doubled "" inside a quoted
+    // field round-trips with its quotes kept literally (measured)
+    val parsed = from_csv(col(csvCol), schema,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt",
+        "escape" -> "\""))
+    // univocity does NOT flag an empty or NULL input line as corrupt —
+    // it yields an all-NULL row with _corrupt unset (measured; the CSV
+    // twin of the from_json all-NULL-struct lesson), so blank input is
+    // gated explicitly
+    val valid = col("c._corrupt").isNull &&
+      col("_line").isNotNull && col("_line") =!= ""
+    def gated(c: Column): Column = when(valid, c)
+    df.select(col(idCol), col(csvCol).as("_line"), parsed.as("c"))
+      .select(col(idCol),
+        valid.as("valid"),
+        gated(col("c.id")).as("cid"),
+        gated(col("c.lang")).as("lang"),
+        gated(col("c.source")).as("source"),
+        gated(col("c.n_chars")).as("n_chars_parsed"),
+        gated(length(col("c.text")).cast("long")).as("text_chars"))
+  }
+
+  /** Deterministic CSV-line fixture over the documents table (the
+    * jsonWrap convention): id,lang,source,n_chars,"text" with the text
+    * field RFC 4180-quoted; doc_id-derived injections exercise an
+    * embedded comma (% 6), a doubled inner quote (% 9), and a
+    * truncation to 10 chars (% 13 == 7) that cuts the record down to
+    * fewer tokens than the schema — the malformed lane. */
+  def csvWrap(docs: DataFrame): DataFrame = {
+    val idS = col("doc_id").cast("string")
+    val textFull = concat(col("text"),
+      when(col("doc_id") % 6 === 0, lit(", comma extra")).otherwise(lit("")),
+      when(col("doc_id") % 9 === 4, lit(" says \"hi\" ok")).otherwise(lit("")))
+    val quoted = concat(lit("\""),
+      regexp_replace(textFull, "\"", "\"\""), lit("\""))
+    val line0 = concat_ws(",", idS, col("lang"), col("source"),
+      col("n_chars").cast("string"), quoted)
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 13 === 7, substring(line0, 1, 10))
+        .otherwise(line0).as("line"))
   }
 
   /** Exact substring dedup DETECTION (Lee et al. 2022, "Deduplicating

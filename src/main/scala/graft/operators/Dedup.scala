@@ -750,6 +750,72 @@ object Dedup {
     * all-duplicates corpus (one cluster = the whole corpus) reduces in
     * constant per-row state. (The previous rank+count window pair was
     * bounded by the largest family; this removes that bound entirely.) */
+  /** CCNet-style paragraph-level exact deduplication (Wenzek et al.
+    * 2019, public): split each document into newline-delimited
+    * paragraphs, fingerprint each, keep only the globally FIRST
+    * occurrence of every distinct paragraph (ordered by
+    * (doc_id, position)), and reassemble each document from its
+    * surviving paragraphs. This is the classic Common-Crawl boilerplate
+    * killer — repeated nav/footer/subscribe paragraphs vanish corpus-wide
+    * while each document keeps its unique prose.
+    *
+    * Scale shape: the first-occurrence winner is a hash-partial
+    * `min(struct(doc_id, pno))` AGGREGATION on the fingerprint — never a
+    * per-fingerprint window — so a boilerplate paragraph shared by
+    * millions of documents costs one combiner cell per map task instead
+    * of a single-task window funnel; the marker join back is a shuffled
+    * (AQE-broadcastable) equijoin on the fingerprint, and reassembly is
+    * a per-document hash aggregation over the paragraph count of ONE
+    * document (bounded by the data model, the sessionize argument).
+    * Output: (doc_id, clean_text, kept_paras, dropped_paras). */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val paras = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pno", "para")))
+      .withColumn("fp", md5(col("para")))
+    val firsts = paras.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("pno"))).as("first"))
+    paras.join(firsts, "fp")
+      .withColumn("keep",
+        col("doc_id") === col("first.doc_id") && col("pno") === col("first.pno"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          filter(sort_array(collect_list(struct(col("pno"), col("keep"), col("para")))),
+            r => r.getField("keep")),
+          r => r.getField("para")), "\n").as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_paras"),
+        sum(when(not(col("keep")), 1L).otherwise(0L)).as("dropped_paras"))
+  }
+
+  /** Deterministic multi-paragraph wrapper over the documents fixture:
+    * the corpus text is single-line, so paragraph structure (shared
+    * boilerplate at three duplication frequencies plus a per-document
+    * unique trailer) derives from doc_id alone — replayed verbatim by
+    * the q_para_dedup oracle CTE, one generated row per paragraph.
+    * Every boilerplate word is OUTSIDE the corpus's closed 31-word
+    * vocabulary, so no generated paragraph can collide with a
+    * document's own text (and the generated paragraphs are mutually
+    * distinct within a doc), making the first-occurrence tie-break
+    * depend on doc_id alone — position numbering differences between
+    * the engines are unreachable. Conditional paragraphs ride
+    * `concat_ws`'s null-skipping. */
+  def paraWrap(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(col("doc_id"), concat_ws("\n",
+      col("text"),
+      when(id % 3 === 0,
+        lit("subscribe to our newsletter for weekly updates and news")),
+      when(id % 4 === 1,
+        concat(lit("all rights reserved contact support team "),
+          (id % 5).cast("string"))),
+      when(id % 7 === 2,
+        concat(lit("popular in category "), (id % 11).cast("string"),
+          lit(" read more stories"))),
+      concat(lit("trailer note for document "), id.cast("string"))).as("text"))
+  }
+
   def keepBest(spark: SparkSession, docs: DataFrame, edges: DataFrame,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cc = connectedComponents(spark, edges, docs.select(col(idCol)))

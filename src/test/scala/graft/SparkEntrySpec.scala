@@ -17,7 +17,8 @@ class SparkEntrySpec extends AnyFunSuite {
     * behind the hash-checked q_bpe_witness verdict; FIXTURES.md
     * "witness-verdict queries"). */
   private val noOracleAllowlist = Set(
-    "q_emd3d_pairs", "q_emd3d_topk", "q_treeexact3d_pairs", "q_bpe_train")
+    "q_emd3d_pairs", "q_emd3d_topk", "q_treeexact3d_pairs", "q_bpe_train",
+    "q_wordpiece_train")
 
   test("every declared query has an oracle or is on the LP allowlist") {
     val missing = SparkEntry.queries.keySet --
@@ -41,7 +42,8 @@ class SparkEntrySpec extends AnyFunSuite {
     // if the allowlist grows, a witness query and its literal oracle
     // must grow with it
     val sql = SparkEntry.oracleSql("q_lp_witness") +
-      SparkEntry.oracleSql("q_bpe_witness")
+      SparkEntry.oracleSql("q_bpe_witness") +
+      SparkEntry.oracleSql("q_wordpiece_witness")
     noOracleAllowlist.foreach(q =>
       assert(sql.contains(s"'$q'"), s"no witness oracle row mentions $q"))
   }
