@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.{BinaryScan, Fixtures}
 import graft.functions.{EmdCols, TextCols}
 import graft.core.Caching.PersistOnce
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps, Frontier, Wordpiece}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps, Frontier, Wordpiece, Graph, Search, Blocklist, Classifier}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,23 @@ object SparkEntry {
   // still be bounded; 2M rows ~ a full web-scale word vocabulary and
   // stays ~100 MB on the driver
   private val BpeWitnessVocabCap = 2000000
+
+  /** q_phrase_search's query set — shared by the Spark lambda and the
+    * oracle generator so the literal phrases can never drift apart.
+    * Chosen non-vacuous (probed in DuckDB): at least four phrases hit
+    * at every generated scale, and the two 3-gram phrases exercise the
+    * repeated-word and multi-word anchor lanes. */
+  private val searchPhrases = Seq(
+    "table scan", "join order", "slow query",
+    "batch batch batch", "hash join merge")
+
+  /** q_blocklist_match's dictionary — shared by the Spark lambda and
+    * the oracle. Deliberate lanes: a nested pair ("join" inside
+    * "join order"), a self-overlapping pattern ("batch batch" overlaps
+    * itself in "batch batch batch" — all-positions semantics counts
+    * both), and plain word/phrase members. */
+  private val blockPatterns = Seq(
+    "join", "join order", "batch batch", "slow query", "vector")
   // pinned static WordPiece demo vocabulary for q_wordpiece_tokens —
   // the INFERENCE kernel's full oracle runs against this fixed piece
   // set (single source of truth: the oracle VALUES list interpolates
@@ -1184,6 +1201,43 @@ object SparkEntry {
         .select(col("doc_id").as("url_id"), col("host"),
           ((col("doc_id") * 37) % 100).as("priority"))
       Frontier.schedule(urls, perHostCap = 8, delayMs = 1000L)
+    }),
+
+    // --- hashed linear classifier inference (fastText-shaped quality
+    //     model): unigram+bigram features hashed into 4096 buckets,
+    //     md5-derived INTEGER weights, long-sum score — one broadcast +
+    //     one map pass, engine-exact with no float anywhere ---
+    "q_hash_classify" -> ((s, dir) => {
+      Classifier.scoreDocs(s, Fixtures.documents(s, dir))
+    }),
+
+    // --- Aho–Corasick blocklist matching (C4-class banned-phrase
+    //     filter): the dictionary compiles ONCE into a goto/fail trie,
+    //     ships as one broadcast, each doc scans in O(len + hits)
+    //     regardless of dictionary size — one map pass, no shuffle.
+    //     ALL match positions count (nested + overlapping) ---
+    "q_blocklist_match" -> ((s, dir) => {
+      Blocklist.matchCounts(s, Fixtures.documents(s, dir), blockPatterns)
+    }),
+
+    // --- positional inverted index + exact-phrase search: posting
+    //     lists with positions, anchor-join matching (word k at pos p
+    //     votes for anchor p-k; an anchor with all m k's is a hit) —
+    //     one broadcast of the query terms + ONE wide shuffle, never an
+    //     m-way posting self-join or a per-phrase corpus rescan ---
+    "q_phrase_search" -> ((s, dir) => {
+      Search.phraseSearch(s,
+        Search.positionalIndex(Fixtures.documents(s, dir)), searchPhrases)
+    }),
+
+    // --- PageRank over the md5-derived link graph: fixed-point BIGINT
+    //     ranks (1.0 = 1e12), truncating integer division everywhere, so
+    //     4 damped iterations are bit-identical in any engine. RDD
+    //     rounds: edges hash-partitioned ONCE; each round one O(V)
+    //     contribution shuffle (the Pregel schedule) ---
+    "q_pagerank" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      Graph.pageRank(s, Graph.linkEdges(docs), docs, iters = 4)
     }),
 
     // --- int8 scalar-quantized ANN (SQ8): per-dimension affine codes
@@ -3736,6 +3790,114 @@ object SparkEntry {
         |  CAST(rn - 1 AS BIGINT) AS slot,
         |  CAST((rn - 1) * 1000 AS BIGINT) AS fetch_at_ms
         |FROM a WHERE rn <= 8""".stripMargin,
+
+    // Hash-classifier replay: rebuild the md5 weight of the md5 bucket of
+    // every unigram + adjacent bigram (duplicates kept — bag semantics)
+    // and sum as BIGINT. Trailing empty tokens survive string_split in
+    // both engines; a 1-token doc has no bigram leg (empty list unnest).
+    "q_hash_classify" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |f AS (
+        |  SELECT doc_id, unnest(t) AS f FROM t
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS f
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(
+        |      ('0x' || substr(md5('ftw:' || CAST(
+        |        ('0x' || substr(md5('ft:' || f), 1, 8))::BIGINT % 4096
+        |        AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) AS BIGINT) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_features
+        |  FROM f GROUP BY doc_id
+        |)
+        |SELECT doc_id, score, n_features, score >= 0 AS keep FROM s""".stripMargin,
+
+    // Blocklist replay: position-exact — for each (doc, pattern), count
+    // the 1-based i where substr(text, i, len(p)) = p. No leftmost-greedy
+    // or non-overlap convention exists to drift: both engines count ALL
+    // positions (replace()-based counting would undercount the
+    // self-overlapping "batch batch" lane and is deliberately avoided).
+    "q_blocklist_match" -> {
+      val pats = blockPatterns.map(p => s"('$p')").mkString(", ")
+      s"""WITH pats AS (SELECT * FROM (VALUES $pats) v(pattern)),
+         |h AS (
+         |  SELECT d.doc_id, p.pattern,
+         |    CAST(len(list_filter(
+         |      range(1, len(d.text) - len(p.pattern) + 2),
+         |      i -> substr(d.text, CAST(i AS INTEGER), len(p.pattern)) = p.pattern))
+         |      AS BIGINT) AS hits
+         |  FROM documents d CROSS JOIN pats p
+         |)
+         |SELECT doc_id, pattern, hits FROM h WHERE hits > 0""".stripMargin
+    },
+
+    // Phrase-search replay: same postings (generate_subscripts parallel
+    // unnest), same anchor-join — word k voting for anchor pos-k, an
+    // anchor with all m distinct k's is an occurrence. The phrase VALUES
+    // rows are generated from the same Scala Seq the Spark lambda uses.
+    "q_phrase_search" -> {
+      val valuesRows = searchPhrases.flatMap { p =>
+        val ws = p.split(" ")
+        ws.zipWithIndex.map { case (w, k) =>
+          s"('$p', ${ws.length}, $k, '$w')"
+        }
+      }.mkString(",\n    ")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos,
+         |    unnest(t) AS token
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |), ph AS (
+         |  SELECT * FROM (VALUES
+         |    $valuesRows) v(phrase, m, k, token)
+         |), votes AS (
+         |  SELECT ph.phrase, ph.m, p.doc_id, p.pos - ph.k AS anchor, ph.k
+         |  FROM p JOIN ph ON ph.token = p.token
+         |  WHERE p.pos - ph.k >= 0
+         |), occ AS (
+         |  SELECT phrase, m, doc_id, anchor
+         |  FROM votes GROUP BY phrase, m, doc_id, anchor
+         |  HAVING count(DISTINCT k) = m
+         |)
+         |SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS hits
+         |FROM occ GROUP BY phrase, doc_id""".stripMargin
+    },
+
+    // PageRank replay: rebuild the md5 edge set, then unroll the four
+    // damped rounds as CTEs. Every quantity is a BIGINT and every
+    // division truncates nonnegative operands, so the recurrence is
+    // engine-exact with no rounding convention at all; the CASTs peel
+    // DuckDB's HUGEINT SUM back to the engine type.
+    "q_pagerank" -> {
+      val iters = 4
+      val rounds = (1 to iters).map { k =>
+        s"""r$k AS (
+           |  SELECT r.node,
+           |    CAST(150000000000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM r${k - 1} r LEFT JOIN (
+           |    SELECT ew.dst AS node, CAST(SUM(p.pr // ew.odeg) AS BIGINT) AS s
+           |    FROM ew JOIN r${k - 1} p ON ew.src = p.node
+           |    GROUP BY ew.dst) c ON c.node = r.node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT d.doc_id AS src,
+         |    (('0x' || substr(md5('edge:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+         |        CAST(jj.j AS VARCHAR)), 1, 8))::BIGINT
+         |      % (SELECT count(*) FROM documents)) AS dst
+         |  FROM documents d CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) jj
+         |), e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, od.odeg FROM e JOIN od ON od.src = e.src),
+         |r0 AS (SELECT doc_id AS node, CAST(1000000000000 AS BIGINT) AS pr
+         |       FROM documents),
+         |$rounds
+         |SELECT r.node AS doc_id, r.pr,
+         |  COALESCE(od.odeg, CAST(0 AS BIGINT)) AS out_links
+         |FROM r$iters r LEFT JOIN od ON od.src = r.node""".stripMargin
+    },
 
     // SQ8 replay: per-dim min/max over the FULL corpus (query row
     // included, matching sq8TopK's stats-before-exclusion), the code

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.Caching._
+import graft.functions.TextCols
+
+/** Link-graph analytics over the document corpus.
+  *
+  * A crawl-shaped corpus is a graph (pages link to pages, hosts to
+  * hosts), and the canonical corpus-quality signal over that graph is
+  * PageRank — used by production training-data pipelines both as a
+  * document-quality prior (e.g. the Common-Crawl-derived corpora rank
+  * hosts by centrality before sampling) and as a crawl-frontier
+  * priority. The reference engine has no graph operator; this module is
+  * pipeline-capability growth, built public-knowledge-first (the
+  * original PageRank formulation plus the standard Pregel-style
+  * message-passing schedule).
+  *
+  * Everything is INTEGER arithmetic: ranks are scaled fixed-point
+  * BIGINTs (1.0 == `scaleUnit`), per-edge contributions are integer
+  * division `rank / odeg`, damping is `85 * s / 100`. Long sums are
+  * exact and order-independent, so the result is bit-identical in any
+  * engine that replays the same recurrence — the FP-safe-threshold rule
+  * (CLAUDE.md) applied to an iterative kernel: no float ever appears.
+  */
+object Graph {
+
+  /** Deterministic md5-derived out-links over an id column: doc `i`
+    * emits `fanout` candidate targets `md5_32("edge:i:j") mod n`
+    * (j = 1..fanout), self-loops dropped, duplicates collapsed. Both
+    * engines rebuild the same edge set from the ids alone — the same
+    * fixture-derivation contract every other synthetic column in this
+    * repo uses (FIXTURES.md).
+    *
+    * `n` (the modulus) is the corpus row count — an O(1) driver-side
+    * aggregate, NOT a collect; at deployment scale this is one
+    * `count()` job over the id column.
+    */
+  def linkEdges(docs: DataFrame, idCol: String = "doc_id",
+                fanout: Int = 3): DataFrame = {
+    require(fanout >= 1, s"linkEdges: fanout must be >= 1, got $fanout")
+    val n = docs.count()
+    require(n > 0, "linkEdges: empty corpus")
+    docs
+      .select(col(idCol).cast("long").as("src"))
+      .select(col("src"),
+        explode(array((1 to fanout).map(lit): _*)).as("j"))
+      .select(col("src"),
+        (TextCols.md5Bits32(concat(lit("edge:"), col("src").cast("string"),
+          lit(":"), col("j").cast("string"))) % lit(n)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+      .distinct()
+  }
+
+  /** Fixed-point PageRank (damping 0.85, dangling mass dropped — the
+    * "lost mass" variant, whose recurrence is exactly SQL-replayable):
+    *
+    *   pr_0(v)   = scaleUnit
+    *   pr_k+1(v) = base + (dampNum * SUM_{(u,v) in E} pr_k(u) / odeg(u))
+    *               / dampDen
+    *
+    * with `base = scaleUnit / dampDen * (dampDen - dampNum)` and every
+    * division a truncating integer division.
+    *
+    * Execution is RDD rounds (the iterative-loop rule: below the ~50M
+    * cutover Catalyst re-planning dominates — see
+    * Dedup.connectedComponents): edges are hash-partitioned by src ONCE
+    * and persisted; each round is edges⋈ranks (narrow — both sides
+    * carry the same partitioner), one reduceByKey shuffle for the
+    * contribution sum, and a narrow leftOuterJoin back onto the node
+    * set. Per-iteration network cost is therefore ONE shuffle of O(V)
+    * contribution rows — the Pregel schedule, which is how this holds
+    * at a 100 TB crawl graph (edges never move after the initial
+    * partition; only the rank vector flows).
+    *
+    * Overflow envelope (ANSI mode throws rather than wraps): the total
+    * rank mass is bounded by scaleUnit*V, so `dampNum * sum` needs
+    * scaleUnit*V*dampNum < 2^63 — at the default 1e12 scale that is
+    * ~10^8 vertices; shrink `scaleUnit` as V grows (the require below
+    * makes the contract explicit rather than relying on a runtime
+    * throw deep inside a round).
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+               idCol: String = "doc_id", iters: Int = 4,
+               scaleUnit: Long = 1000000000000L,
+               dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    import spark.implicits._
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"pageRank: need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val nV = nodes.count()
+    require(nV > 0 && scaleUnit <= Long.MaxValue / math.max(1L, nV) / dampNum,
+      s"pageRank: scaleUnit=$scaleUnit overflows at V=$nV (need " +
+        s"scaleUnit*V*dampNum < 2^63); pass a smaller scaleUnit")
+    val base = scaleUnit / dampDen * (dampDen - dampNum)
+
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    val part = new HashPartitioner(parts)
+
+    val eRaw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd
+    val odeg = eRaw.mapValues(_ => 1L).reduceByKey(part, _ + _)
+    // (src, (dst, odeg)), partitioned by src once for the whole run
+    val ew = eRaw.join(odeg, part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeR = nodes.select(col(idCol).cast("long")).as[Long].rdd
+      .map((_, ())).partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks: RDD[(Long, Long)] = nodeR.mapValues(_ => scaleUnit)
+    var i = 0
+    while (i < iters) {
+      val contribs = ew.join(ranks) // narrow: same partitioner both sides
+        .map { case (_, ((dst, o), r)) => (dst, r / o) }
+        .reduceByKey(part, _ + _) // the round's one shuffle
+      ranks = nodeR.leftOuterJoin(contribs, part)
+        .mapValues { case (_, c) => base + dampNum * c.getOrElse(0L) / dampDen }
+      i += 1
+    }
+
+    val rankDf = spark.createDataset(ranks).toDF(idCol, "pr")
+    val odegDf = spark.createDataset(odeg).toDF(idCol, "out_links")
+    val out = rankDf.join(odegDf, Seq(idCol), "left")
+      .na.fill(0L, Seq("out_links"))
+      .select(col(idCol), col("pr"), col("out_links"))
+      .persistOnce()
+    out.count() // materialize before freeing the round inputs
+    ew.unpersist(false)
+    nodeR.unpersist(false)
+    out
+  }
+}
