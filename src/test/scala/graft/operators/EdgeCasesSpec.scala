@@ -333,6 +333,59 @@ class EdgeCasesSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseSearch survives one hot token with 100k postings at bounded key width") {
+    // the skew question for the anchor-join: a stop-word-dense mega doc
+    // puts 100k postings on ONE token, but the aggregation key is
+    // (phrase, doc, anchor) and each anchor collects at most m votes —
+    // the hot token fans out across 100k DISTINCT keys instead of
+    // funneling into one. Analytic answer: "b b b" over a 100k-repeat
+    // "b" doc anchors at 0..n-3, so hits = n-2.
+    import spark.implicits._
+    val n = 100000
+    val docs = Seq(
+      (1L, Seq.fill(n)("b").mkString(" ")),
+      (2L, "no match here")).toDF("doc_id", "text")
+    val got = Search.phraseSearch(spark, Search.positionalIndex(docs),
+        Seq("b b b")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("b b b", 1L, (n - 2).toLong)))
+  }
+
+  test("pageRank survives a 100k-spoke star graph (one hot in-degree node)") {
+    // worst-case in-degree skew: every spoke links ONLY to the hub, so
+    // the hub's contribution sum collects 100k-1 messages — a combiner
+    // reduceByKey cell, never a window partition. Integer recurrence is
+    // replayed by hand: after round 1 every spoke holds `cold` (base +
+    // nothing, odeg 1), the hub holds base + 85*(n-1)*unit/100; rounds
+    // only change the hub (spokes never receive).
+    import spark.implicits._
+    val n = 100000L
+    val unit = 1000000000L // shrunk per the overflow contract: unit*V*85 < 2^63
+    val edges = (1L until n).map(i => (i, 0L)).toDF("src", "dst")
+    val nodes = (0L until n).map(i => Tuple1(i)).toDF("doc_id")
+    val got = Graph.pageRank(spark, edges, nodes, iters = 2, scaleUnit = unit)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = unit / 100L * 15L
+    val cold = base // a spoke after any round >= 1: no in-links
+    val hub1 = base + 85L * ((n - 1L) * unit) / 100L      // round 1
+    val hub2 = base + 85L * ((n - 1L) * cold) / 100L      // round 2
+    assert(got(0L) == ((hub2, 0L)), "hub rank + zero out-links")
+    assert(got(1L) == ((cold, 1L)) && got(n - 1L) == ((cold, 1L)))
+    assert(got.size == n.toInt)
+  }
+
+  test("blocklist countAll stays linear on a 100k-repeat self-overlapping text") {
+    // one 200k-char doc of "ab" repeated: "ab" hits every even offset
+    // (n times), "abab" every even offset but the last (n-1, the
+    // all-positions overlap semantics) — exact counts prove the
+    // automaton never rescans (a quadratic scan would not finish the
+    // suite's time budget at this length).
+    val n = 100000
+    val ac = new Blocklist.AhoCorasick(Array("ab", "abab", "zz"))
+    val got = ac.countAll("ab" * n)
+    assert(got.toSeq == Seq(n.toLong, (n - 1).toLong, 0L))
+  }
+
   test("round-9 operators survive an empty corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
