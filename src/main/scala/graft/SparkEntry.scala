@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.{BinaryScan, Fixtures}
 import graft.functions.{EmdCols, TextCols}
 import graft.core.Caching.PersistOnce
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps, Frontier, Wordpiece, Graph, Search, Blocklist, Classifier}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps, Frontier, Wordpiece, Graph, Search, Blocklist, Classifier, Warc}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1238,6 +1238,16 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       Graph.pageRank(s, Graph.linkEdges(docs), docs, iters = 4)
+    }),
+
+    // --- WARC container parsing (the Common Crawl wire format): files
+    //     assembled from the documents fixture (8 docs/file + warcinfo
+    //     leader; planted lanes: WARC/1.0 inside a payload, a short
+    //     Content-Length lie), then ONE linear mapPartitions walk by
+    //     declared length — never a magic-scan; a length lie emits
+    //     _corrupt and ends the file (no resync guessing) ---
+    "q_warc_ingest" -> ((s, dir) => {
+      Warc.parseWarc(s, Warc.warcWrap(Fixtures.documents(s, dir)))
     }),
 
     // --- int8 scalar-quantized ANN (SQ8): per-dimension affine codes
@@ -3898,6 +3908,90 @@ object SparkEntry {
          |  COALESCE(od.odeg, CAST(0 AS BIGINT)) AS out_links
          |FROM r$iters r LEFT JOIN od ON od.src = r.node""".stripMargin
     },
+
+    // WARC replay: rebuild the same files (string_agg ordered by doc_id
+    // mirrors the sorted-struct concat), then walk records with a
+    // recursive CTE carrying (off, stop) — each step parses the record
+    // at off by its declared Content-Length exactly like the kernel:
+    // magic check, CRLF CRLF header split, regexp header extraction,
+    // terminator check at off + len; a failed check emits _corrupt and
+    // sets stop. The trap payloads (embedded WARC/1.0) parse cleanly
+    // because nothing ever scans for magic past the first record.
+    "q_warc_ingest" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT doc_id // 8 AS file_id, doc_id,
+        |    'WARC/1.0' || chr(13)||chr(10) ||
+        |    'WARC-Type: response' || chr(13)||chr(10) ||
+        |    'WARC-Target-URI: http://h' || CAST(doc_id % 13 AS VARCHAR) ||
+        |      '.example/p/' || CAST(doc_id AS VARCHAR) || chr(13)||chr(10) ||
+        |    'Content-Length: ' || CAST(length(payload) -
+        |      CASE WHEN doc_id % 31 = 0 THEN 3 ELSE 0 END AS VARCHAR) ||
+        |      chr(13)||chr(10) || chr(13)||chr(10) ||
+        |    payload || chr(13)||chr(10) || chr(13)||chr(10) AS rec
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 17 = 0
+        |           THEN 'WARC/1.0' || chr(13)||chr(10) || text
+        |           ELSE text END AS payload
+        |    FROM documents)
+        |), files AS (
+        |  SELECT file_id,
+        |    'WARC/1.0' || chr(13)||chr(10) ||
+        |    'WARC-Type: warcinfo' || chr(13)||chr(10) ||
+        |    'Content-Length: 15' || chr(13)||chr(10) || chr(13)||chr(10) ||
+        |    'software: graft' || chr(13)||chr(10) || chr(13)||chr(10) ||
+        |    string_agg(rec, '' ORDER BY doc_id) AS content
+        |  FROM recs GROUP BY file_id
+        |), st(file_id, content, off, rec_no, warc_type, target_uri,
+        |      content_length, payload_md5, payload_chars, stop) AS (
+        |  SELECT file_id, content, CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS BIGINT), false
+        |  FROM files
+        |  UNION ALL
+        |  SELECT file_id, content,
+        |    CASE WHEN ok THEN pstart + clen + 4 ELSE off END,
+        |    rec_no + 1,
+        |    CASE WHEN ok THEN wtype ELSE '_corrupt' END,
+        |    CASE WHEN ok AND wuri <> '' THEN wuri ELSE NULL END,
+        |    CASE WHEN ok THEN clen ELSE NULL END,
+        |    CASE WHEN ok THEN md5(substr(content, CAST(pstart AS INTEGER),
+        |      CAST(clen AS INTEGER))) ELSE NULL END,
+        |    CASE WHEN ok THEN clen ELSE NULL END,
+        |    NOT ok
+        |  FROM (
+        |    SELECT file_id, content, off, rec_no, pstart, clen,
+        |      regexp_extract(hdrs, 'WARC-Type: ([^\r\n]+)', 1) AS wtype,
+        |      regexp_extract(hdrs, 'WARC-Target-URI: ([^\r\n]+)', 1) AS wuri,
+        |      (substr(content, CAST(off AS INTEGER), 10)
+        |         = 'WARC/1.0' || chr(13)||chr(10)
+        |       AND hdr_rel > 0 AND clen IS NOT NULL AND clen >= 0
+        |       AND substr(content, CAST(pstart + clen AS INTEGER), 4)
+        |             = chr(13)||chr(10)||chr(13)||chr(10)) AS ok
+        |    FROM (
+        |      SELECT file_id, content, off, rec_no, hdr_rel, hdrs,
+        |        off + hdr_rel - 1 + 4 AS pstart,
+        |        TRY_CAST(regexp_extract(hdrs, 'Content-Length: ([0-9]+)', 1)
+        |          AS BIGINT) AS clen
+        |      FROM (
+        |        SELECT file_id, content, off, rec_no, hdr_rel,
+        |          substr(content, CAST(off AS INTEGER),
+        |            CAST(greatest(hdr_rel - 1, 0) AS INTEGER)) AS hdrs
+        |        FROM (
+        |          SELECT file_id, content, off, rec_no,
+        |            CAST(instr(substr(content, CAST(off AS INTEGER)),
+        |              chr(13)||chr(10)||chr(13)||chr(10)) AS BIGINT) AS hdr_rel
+        |          FROM st
+        |          WHERE NOT stop AND off <= length(content)
+        |        )
+        |      )
+        |    )
+        |  )
+        |)
+        |SELECT file_id, rec_no, warc_type, target_uri, content_length,
+        |  payload_md5, payload_chars
+        |FROM st WHERE rec_no >= 0""".stripMargin,
 
     // SQ8 replay: per-dim min/max over the FULL corpus (query row
     // included, matching sq8TopK's stats-before-exclusion), the code
