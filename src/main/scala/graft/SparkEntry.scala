@@ -58,6 +58,68 @@ object SparkEntry {
     * both), and plain word/phrase members. */
   private val blockPatterns = Seq(
     "join", "join order", "batch batch", "slow query", "vector")
+
+  /** q_classifier_eval's sweep — probed against the score distribution
+    * (roughly ±20k, median near 0 at every scale) so each cut moves
+    * the confusion counts. Integer >= cuts are exact in both engines —
+    * no boundary-gap probing needed (the FP rule applies to ratios). */
+  private val evalThresholds = Seq(-8000L, -4000L, -2000L, -1000L, 0L,
+    1000L, 2000L, 4000L, 8000L)
+
+  /** md5-derived link-edge replay shared by q_pagerank and q_hits —
+    * ends in `e(src, dst)` (self-loops dropped, duplicates collapsed);
+    * the single source of truth for [[graft.operators.Graph.linkEdges]]'
+    * fixture contract. */
+  private val LinkEdgeCtes: String =
+    """e0 AS (
+      |  SELECT d.doc_id AS src,
+      |    (('0x' || substr(md5('edge:' || CAST(d.doc_id AS VARCHAR) || ':' ||
+      |        CAST(jj.j AS VARCHAR)), 1, 8))::BIGINT
+      |      % (SELECT count(*) FROM documents)) AS dst
+      |  FROM documents d CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) jj
+      |), e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src)""".stripMargin
+
+  /** Position-exact blocklist replay, shared by the batch and streaming
+    * legs (the stream is stateless per batch, so one oracle checks
+    * both): for each (doc, pattern), count the 1-based i where
+    * substr(text, i, len(p)) = p — no leftmost-greedy or non-overlap
+    * convention exists to drift (replace()-counting would undercount
+    * the self-overlapping "batch batch" lane). */
+  private lazy val BlocklistSql: String = {
+    val pats = blockPatterns.map(p => s"('$p')").mkString(", ")
+    s"""WITH pats AS (SELECT * FROM (VALUES $pats) v(pattern)),
+       |h AS (
+       |  SELECT d.doc_id, p.pattern,
+       |    CAST(len(list_filter(
+       |      range(1, len(d.text) - len(p.pattern) + 2),
+       |      i -> substr(d.text, CAST(i AS INTEGER), len(p.pattern)) = p.pattern))
+       |      AS BIGINT) AS hits
+       |  FROM documents d CROSS JOIN pats p
+       |)
+       |SELECT doc_id, pattern, hits FROM h WHERE hits > 0""".stripMargin
+  }
+
+  /** Shared CTE chain for the hash-classifier score replay — ends in
+    * `s(doc_id, score, n_features)`; q_hash_classify and
+    * q_classifier_eval both build on it (one source of truth for the
+    * md5 bucket/weight arithmetic). */
+  private def hashClassifyScoreCtes(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |f AS (
+       |  SELECT doc_id, unnest(t) AS f FROM t
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS f
+       |  FROM t
+       |), s AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(
+       |      ('0x' || substr(md5('ftw:' || CAST(
+       |        ('0x' || substr(md5('ft:' || f), 1, 8))::BIGINT % 4096
+       |        AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) AS BIGINT) AS score,
+       |    CAST(count(*) AS BIGINT) AS n_features
+       |  FROM f GROUP BY doc_id
+       |)""".stripMargin
   // pinned static WordPiece demo vocabulary for q_wordpiece_tokens —
   // the INFERENCE kernel's full oracle runs against this fixed piece
   // set (single source of truth: the oracle VALUES list interpolates
@@ -1142,6 +1204,16 @@ object SparkEntry {
         numBatches = 2)
     }),
 
+    // --- STREAMING blocklist matching: documents stream in, the
+    //     broadcast Aho–Corasick automaton scans each batch (stateless
+    //     map, no state store) — the ingestion filter at arrival time;
+    //     append output equals the batch run, so the position-exact
+    //     blocklist oracle replays it in full ---
+    "q_stream_blocklist" -> ((s, dir) => {
+      graft.streaming.StreamOps.replayBlocklist(s,
+        Fixtures.documents(s, dir), blockPatterns, numBatches = 2)
+    }),
+
     // --- checksum-validated card scrubbing: 13-19 digit runs redact
     //     ONLY when they pass Luhn mod-10 (the precision gate real PII
     //     pipelines use); the fixture's id-derived check digit passes
@@ -1211,6 +1283,20 @@ object SparkEntry {
       Classifier.scoreDocs(s, Fixtures.documents(s, dir))
     }),
 
+    // --- classifier evaluation: fixed threshold sweep + exact AUC as
+    //     an integer pair (Mann–Whitney U with midrank ties, kept as
+    //     2*wins+ties over 2*npos*nneg — never a double); the label is
+    //     lang='en', the below-cut counts ride the two-phase prefix
+    //     sum over the score HISTOGRAM (no doc-level sort, no
+    //     single-task window) ---
+    "q_classifier_eval" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val scored = Classifier.scoreDocs(s, docs)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").as("label")), "doc_id")
+      Classifier.evalScores(s, scored, evalThresholds)
+    }),
+
     // --- Aho–Corasick blocklist matching (C4-class banned-phrase
     //     filter): the dictionary compiles ONCE into a goto/fail trie,
     //     ships as one broadcast, each doc scans in O(len + hits)
@@ -1238,6 +1324,17 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       Graph.pageRank(s, Graph.linkEdges(docs), docs, iters = 4)
+    }),
+
+    // --- HITS hubs/authorities over the same link graph: UN-normalized
+    //     fixed-iteration power rounds (normalization is the FP trap —
+    //     it never changes the ranking), so every score is an exact
+    //     integer; edges partitioned once per join direction, each
+    //     half-round ONE O(V) reduceByKey shuffle; BigInt overflow
+    //     contract checked up front ---
+    "q_hits" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      Graph.hits(s, Graph.linkEdges(docs), docs, iters = 2)
     }),
 
     // --- WARC container parsing (the Common Crawl wire format): files
@@ -3806,42 +3903,64 @@ object SparkEntry {
     // and sum as BIGINT. Trailing empty tokens survive string_split in
     // both engines; a 1-token doc has no bigram leg (empty list unnest).
     "q_hash_classify" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |f AS (
-        |  SELECT doc_id, unnest(t) AS f FROM t
-        |  UNION ALL
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS f
-        |  FROM t
-        |), s AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(
-        |      ('0x' || substr(md5('ftw:' || CAST(
-        |        ('0x' || substr(md5('ft:' || f), 1, 8))::BIGINT % 4096
-        |        AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000) AS BIGINT) AS score,
-        |    CAST(count(*) AS BIGINT) AS n_features
-        |  FROM f GROUP BY doc_id
-        |)
-        |SELECT doc_id, score, n_features, score >= 0 AS keep FROM s""".stripMargin,
+      ("WITH " + hashClassifyScoreCtes("documents") +
+        "\nSELECT doc_id, score, n_features, score >= 0 AS keep FROM s"),
+
+    // Eval replay: same score CTE chain, label = (lang = 'en'); AUC as
+    // the integer pair 2*wins+ties / 2*npos*nneg via a window prefix
+    // sum over the score histogram (DuckDB's window replaces the
+    // engine's two-phase pass — same arithmetic, different machinery);
+    // the sweep VALUES list interpolates from the same Scala Seq.
+    "q_classifier_eval" -> {
+      val thrRows = evalThresholds.map(t => s"($t)").mkString(", ")
+      "WITH " + hashClassifyScoreCtes("documents") +
+        s""",
+           |lab AS (
+           |  SELECT s.doc_id, s.score, (d.lang = 'en') AS label
+           |  FROM s JOIN documents d USING (doc_id)
+           |), hist AS (
+           |  SELECT score,
+           |    CAST(count(*) FILTER (label) AS BIGINT) AS pos,
+           |    CAST(count(*) FILTER (NOT label) AS BIGINT) AS neg
+           |  FROM lab GROUP BY score
+           |), c AS (
+           |  SELECT score, pos, neg,
+           |    CAST(sum(neg) OVER (ORDER BY score
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - neg
+           |      AS BIGINT) AS negbelow
+           |  FROM hist
+           |), tot AS (
+           |  SELECT CAST(sum(pos) AS BIGINT) AS totpos,
+           |    CAST(sum(neg) AS BIGINT) AS totneg,
+           |    CAST(2 * sum(pos * negbelow) + sum(pos * neg) AS BIGINT)
+           |      AS auc_num
+           |  FROM c
+           |), thr AS (SELECT * FROM (VALUES $thrRows) v(threshold))
+           |SELECT CAST(th.threshold AS BIGINT) AS threshold,
+           |  CAST(coalesce(sum(c.pos) FILTER (c.score >= th.threshold), 0)
+           |    AS BIGINT) AS tp,
+           |  CAST(coalesce(sum(c.neg) FILTER (c.score >= th.threshold), 0)
+           |    AS BIGINT) AS fp,
+           |  tot.totpos - CAST(coalesce(sum(c.pos) FILTER (c.score >= th.threshold), 0)
+           |    AS BIGINT) AS fn,
+           |  tot.totneg - CAST(coalesce(sum(c.neg) FILTER (c.score >= th.threshold), 0)
+           |    AS BIGINT) AS tn,
+           |  tot.auc_num,
+           |  CAST(2 * tot.totpos * tot.totneg AS BIGINT) AS auc_den
+           |FROM thr th CROSS JOIN c CROSS JOIN tot
+           |GROUP BY th.threshold, tot.totpos, tot.totneg, tot.auc_num""".stripMargin
+    },
 
     // Blocklist replay: position-exact — for each (doc, pattern), count
     // the 1-based i where substr(text, i, len(p)) = p. No leftmost-greedy
     // or non-overlap convention exists to drift: both engines count ALL
     // positions (replace()-based counting would undercount the
     // self-overlapping "batch batch" lane and is deliberately avoided).
-    "q_blocklist_match" -> {
-      val pats = blockPatterns.map(p => s"('$p')").mkString(", ")
-      s"""WITH pats AS (SELECT * FROM (VALUES $pats) v(pattern)),
-         |h AS (
-         |  SELECT d.doc_id, p.pattern,
-         |    CAST(len(list_filter(
-         |      range(1, len(d.text) - len(p.pattern) + 2),
-         |      i -> substr(d.text, CAST(i AS INTEGER), len(p.pattern)) = p.pattern))
-         |      AS BIGINT) AS hits
-         |  FROM documents d CROSS JOIN pats p
-         |)
-         |SELECT doc_id, pattern, hits FROM h WHERE hits > 0""".stripMargin
-    },
+    "q_blocklist_match" -> BlocklistSql,
+
+    // the streaming leg is stateless per batch, so the SAME
+    // position-exact batch oracle checks the appended stream output
+    "q_stream_blocklist" -> BlocklistSql,
 
     // Phrase-search replay: same postings (generate_subscripts parallel
     // unnest), same anchor-join — word k voting for anchor pos-k, an
@@ -3892,13 +4011,7 @@ object SparkEntry {
            |    GROUP BY ew.dst) c ON c.node = r.node
            |)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e0 AS (
-         |  SELECT d.doc_id AS src,
-         |    (('0x' || substr(md5('edge:' || CAST(d.doc_id AS VARCHAR) || ':' ||
-         |        CAST(jj.j AS VARCHAR)), 1, 8))::BIGINT
-         |      % (SELECT count(*) FROM documents)) AS dst
-         |  FROM documents d CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) jj
-         |), e AS (SELECT DISTINCT src, dst FROM e0 WHERE dst <> src),
+      s"""WITH $LinkEdgeCtes,
          |od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY src),
          |ew AS (SELECT e.src, e.dst, od.odeg FROM e JOIN od ON od.src = e.src),
          |r0 AS (SELECT doc_id AS node, CAST(1000000000000 AS BIGINT) AS pr
@@ -3907,6 +4020,36 @@ object SparkEntry {
          |SELECT r.node AS doc_id, r.pr,
          |  COALESCE(od.odeg, CAST(0 AS BIGINT)) AS out_links
          |FROM r$iters r LEFT JOIN od ON od.src = r.node""".stripMargin
+    },
+
+    // HITS replay: same edge CTE, the two half-rounds unrolled per
+    // iteration — auth_k from hub_{k-1} over in-edges, hub_k from
+    // auth_k over out-edges; h_0 = 1, un-normalized, all BIGINT so the
+    // scores match the engine exactly.
+    "q_hits" -> {
+      val iters = 2
+      val rounds = (1 to iters).map { k =>
+        s"""a$k AS (
+           |  SELECT n.node, CAST(COALESCE(c.s, 0) AS BIGINT) AS s
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS s
+           |    FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst) c
+           |    ON c.node = n.node
+           |), h$k AS (
+           |  SELECT n.node, CAST(COALESCE(c.s, 0) AS BIGINT) AS s
+           |  FROM n LEFT JOIN (
+           |    SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS s
+           |    FROM e JOIN a$k a ON e.dst = a.node GROUP BY e.src) c
+           |    ON c.node = n.node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $LinkEdgeCtes,
+         |n AS (SELECT doc_id AS node FROM documents),
+         |h0 AS (SELECT node, CAST(1 AS BIGINT) AS s FROM n),
+         |$rounds
+         |SELECT n.node AS doc_id, a$iters.s AS auth, h$iters.s AS hub
+         |FROM n JOIN a$iters ON a$iters.node = n.node
+         |JOIN h$iters ON h$iters.node = n.node""".stripMargin
     },
 
     // WARC replay: rebuild the same files (string_agg ordered by doc_id

@@ -33,6 +33,67 @@ object Classifier {
   def hashWeights(buckets: Int): Array[Long] =
     Array.tabulate(buckets)(b => md5Bits32Local("ftw:" + b) % 2001L - 1000L)
 
+  /** Classifier evaluation over a scored + labeled frame: a fixed
+    * threshold sweep (confusion counts at each cut) plus the exact AUC
+    * as an INTEGER pair — `auc_num = 2*wins + ties` over all
+    * (positive, negative) pairs, `auc_den = 2*n_pos*n_neg` (the
+    * Mann–Whitney U statistic; midrank tie handling, kept as a ratio of
+    * integers per the FP-safe-threshold rule, so both engines agree
+    * bit-for-bit). No doc-level sort anywhere: scores collapse to a
+    * histogram first (one shuffle), the below-cut negative counts ride
+    * the audited two-phase prefix sum ([[CorpusOps.groupRunningSum]] —
+    * a window over the unpartitioned histogram would funnel every
+    * distinct score into one task), and the sweep is a broadcast of the
+    * threshold list against the histogram. Overflow contract: pair
+    * counts need n_pos*n_neg < 2^62 (~4e9 balanced rows) — eval slices
+    * are sampled, not the full corpus; the require makes the limit
+    * explicit (ANSI would throw mid-agg anyway, this names it).
+    *
+    * Input: (doc_id, score LONG, label BOOLEAN); output one row per
+    * threshold: (threshold, tp, fp, fn, tn, auc_num, auc_den). */
+  def evalScores(spark: SparkSession, scored: DataFrame,
+                 thresholds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    require(thresholds.nonEmpty && thresholds.distinct == thresholds,
+      s"evalScores: thresholds must be non-empty and distinct: $thresholds")
+    val hist = scored
+      .filter(col("score").isNotNull && col("label").isNotNull)
+      .groupBy(col("score").cast("long").as("score"))
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("label"), 0L).otherwise(1L)).as("neg"))
+    val cum = CorpusOps.groupRunningSum(hist.withColumn("grp", lit(0L)),
+      "grp", Seq(col("score")), col("neg"), "cumneg")
+    try {
+      val t = cum.agg(
+        coalesce(sum(col("pos")), lit(0L)).as("totpos"),
+        coalesce(sum(col("neg")), lit(0L)).as("totneg"),
+        coalesce(sum(col("pos") * (col("cumneg") - col("neg"))), lit(0L))
+          .as("wins"),
+        coalesce(sum(col("pos") * col("neg")), lit(0L)).as("ties"))
+        .first() // O(1): four longs
+      val (totPos, totNeg) = (t.getLong(0), t.getLong(1))
+      require(totPos == 0 || totNeg == 0 ||
+        totPos <= Long.MaxValue / 2 / math.max(totNeg, 1L),
+        s"evalScores: pair count 2*$totPos*$totNeg overflows; sample the eval slice")
+      val aucNum = 2L * t.getLong(2) + t.getLong(3)
+      val aucDen = 2L * totPos * totNeg
+      // materialize the sweep (O(|thresholds|) rows) BEFORE the finally
+      // unpersists cum — a lazy result would recompute through freshly
+      // sampled range boundaries (the phase-alignment hazard)
+      val sweep = cum.crossJoin(broadcast(thresholds.toDF("threshold")))
+        .groupBy(col("threshold"))
+        .agg(coalesce(sum(when(col("score") >= col("threshold"), col("pos"))),
+          lit(0L)).as("tp"),
+          coalesce(sum(when(col("score") >= col("threshold"), col("neg"))),
+            lit(0L)).as("fp"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          totPos - r.getLong(1), totNeg - r.getLong(2), aucNum, aucDen))
+        .toSeq
+      sweep.toDF("threshold", "tp", "fp", "fn", "tn", "auc_num", "auc_den")
+    } finally cum.unpersist()
+  }
+
   /** `(doc_id, score, n_features, keep)` — score the long weight sum
     * over hashed unigram+bigram features (duplicate features count each
     * occurrence, the bag semantics), keep = score >= 0. */

@@ -57,6 +57,74 @@ object Graph {
       .distinct()
   }
 
+  /** HITS hubs/authorities (Kleinberg 1999) — the OTHER classic link
+    * signal: a page is a good authority if good hubs point at it, a
+    * good hub if it points at good authorities. Run UN-normalized for a
+    * fixed iteration count: the per-round normalization in the textbook
+    * formulation exists only to stop FP overflow and does not change
+    * the RANKING (scores scale uniformly per round), so dropping it
+    * makes every score an exact integer both engines reproduce
+    * bit-for-bit — the pageRank playbook, minus even the fixed-point
+    * scale.
+    *
+    *   a_k(v) = SUM_{(u,v) in E} h_{k-1}(u),  h_k(u) = SUM_{(u,v) in E} a_k(v)
+    *
+    * with h_0 = 1. Same execution schedule as [[pageRank]]: the edge
+    * set is partitioned ONCE (once by src, once by dst — the two join
+    * directions), each half-round is one narrow join + ONE O(V)
+    * reduceByKey shuffle. Overflow contract (ANSI throws mid-round
+    * otherwise): max score after k rounds is bounded by
+    * (maxIndeg * maxOutdeg)^k, checked up front via BigInt — at real
+    * web degrees (~1e4) two rounds sit near 1e16, inside long range;
+    * more rounds on a skewed graph need the caller to sub-sample or
+    * band degrees first, and the require says so. */
+  def hits(spark: SparkSession, edges: DataFrame, nodes: DataFrame,
+           idCol: String = "doc_id", iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
+    val part = new HashPartitioner(parts)
+    val eRaw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd
+    // degree maxima via two tiny aggs (no window): one shuffle each
+    val maxOut = edges.groupBy(col("src")).count().agg(max(col("count")))
+      .first().getLong(0)
+    val maxIn = edges.groupBy(col("dst")).count().agg(max(col("count")))
+      .first().getLong(0)
+    require(BigInt(maxIn) * BigInt(maxOut) > 0 &&
+      (BigInt(maxIn) * BigInt(maxOut)).pow(iters) <= BigInt(Long.MaxValue),
+      s"hits: (maxIndeg=$maxIn * maxOutdeg=$maxOut)^$iters overflows long; " +
+        "reduce iters or band the degree distribution first")
+    val bySrc = eRaw.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    val byDst = eRaw.map(_.swap).partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeR = nodes.select(col(idCol).cast("long")).as[Long].rdd
+      .map((_, ())).partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var hub: RDD[(Long, Long)] = nodeR.mapValues(_ => 1L)
+    var auth: RDD[(Long, Long)] = hub
+    var k = 0
+    while (k < iters) {
+      val ca = bySrc.join(hub) // narrow: both partitioned by src
+        .map { case (_, (v, h)) => (v, h) }
+        .reduceByKey(part, _ + _)
+      auth = nodeR.leftOuterJoin(ca, part).mapValues(_._2.getOrElse(0L))
+      val ch = byDst.join(auth) // narrow: both partitioned by dst
+        .map { case (_, (u, a)) => (u, a) }
+        .reduceByKey(part, _ + _)
+      hub = nodeR.leftOuterJoin(ch, part).mapValues(_._2.getOrElse(0L))
+      k += 1
+    }
+    val out = spark.createDataset(auth.join(hub))
+      .map { case (id, (a, h)) => (id, a, h) }
+      .toDF(idCol, "auth", "hub")
+      .persistOnce()
+    out.count()
+    bySrc.unpersist(false); byDst.unpersist(false); nodeR.unpersist(false)
+    out
+  }
+
   /** Fixed-point PageRank (damping 0.85, dangling mass dropped — the
     * "lost mass" variant, whose recurrence is exactly SQL-replayable):
     *

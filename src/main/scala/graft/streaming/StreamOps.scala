@@ -793,6 +793,54 @@ object StreamOps {
     }
   }
 
+  /** Streaming BLOCKLIST matching: documents stream in, the compiled
+    * Aho–Corasick automaton (ONE driver-side build, one broadcast —
+    * [[graft.operators.Blocklist]]) scans each micro-batch's rows in
+    * O(len + hits). Stateless per batch (a pure mapPartitions — no
+    * state store, no watermark), so the append-mode match set equals
+    * the batch run and is ingestion-order-invariant: the ingestion
+    * filter applied at arrival time instead of in a nightly sweep. */
+  def streamingBlocklist(spark: SparkSession, docStream: DataFrame,
+                         dictionary: Seq[String]): DataFrame =
+    graft.operators.Blocklist.matchCounts(spark, docStream, dictionary)
+
+  /** Verification replay for streaming blocklist — the
+    * [[replayEditMatch]] harness contract: ascending-id micro-batches,
+    * stateless per batch, append-mode output equals the batch
+    * position-exact oracle. */
+  def replayBlocklist(spark: SparkSession, docs: DataFrame,
+                      dictionary: Seq[String],
+                      numBatches: Int = 2): DataFrame =
+      withReplayShuffle(spark) {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = docs.select(col("doc_id").cast("long"),
+        coalesce(col("text").cast("string"), lit("")))
+      .as[(Long, String)]
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val name = "graft_replay_blocklist"
+    val query = streamingBlocklist(spark,
+        mem.toDF().toDF("doc_id", "text"), dictionary)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("doc_id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      spark.createDataset(rows.toSeq).toDF("doc_id", "pattern", "hits")
+    } finally {
+      query.stop()
+    }
+  }
+
   /** Stream-static ANN: quantized query vectors stream against a
     * PRE-BUILT static residual IVF-PQ index ([[Ann.buildIvfPqIndex]] —
     * the index is static by definition; queries come and go). Each

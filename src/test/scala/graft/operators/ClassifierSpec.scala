@@ -75,6 +75,46 @@ class ClassifierSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("evalScores equals the brute-force pairwise U and confusion counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // small score range forces ties (the midrank lane must count)
+    val rows = (1L to 300L).map(i => (i, rnd.nextInt(21).toLong - 10L,
+      rnd.nextBoolean()))
+    val scored = rows.toDF("doc_id", "score", "label")
+    val thr = Seq(-5L, 0L, 5L)
+    val got = Classifier.evalScores(spark, scored, thr).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val pos = rows.filter(_._3).map(_._2)
+    val neg = rows.filterNot(_._3).map(_._2)
+    val wins = (for (p <- pos; n <- neg if p > n) yield 1L).sum
+    val ties = (for (p <- pos; n <- neg if p == n) yield 1L).sum
+    val (num, den) = (2L * wins + ties, 2L * pos.length.toLong * neg.length)
+    for (t <- thr) {
+      val (tp, fp) = (pos.count(_ >= t).toLong, neg.count(_ >= t).toLong)
+      assert(got(t) === ((tp, fp, pos.length - tp, neg.length - fp, num, den)),
+        s"threshold $t")
+    }
+  }
+
+  test("evalScores corners: one-class input and perfect separation") {
+    import spark.implicits._
+    // all-positive: den = 0, num = 0, sweep still counts tp/fn
+    val onecls = Seq((1L, 5L, true), (2L, -5L, true)).toDF("doc_id", "score", "label")
+    val g1 = Classifier.evalScores(spark, onecls, Seq(0L)).collect().head
+    assert((g1.getLong(1), g1.getLong(2), g1.getLong(3), g1.getLong(4),
+      g1.getLong(5), g1.getLong(6)) === ((1L, 0L, 1L, 0L, 0L, 0L)))
+    // perfect separation: AUC = 1 (num == den)
+    val sep = Seq((1L, 10L, true), (2L, 9L, true), (3L, -1L, false),
+      (4L, -2L, false)).toDF("doc_id", "score", "label")
+    val g2 = Classifier.evalScores(spark, sep, Seq(0L)).collect().head
+    assert(g2.getLong(5) === g2.getLong(6) && g2.getLong(6) === 8L)
+    intercept[IllegalArgumentException] {
+      Classifier.evalScores(spark, sep, Seq.empty)
+    }
+  }
+
   test("bad bucket counts are rejected") {
     import spark.implicits._
     val docs = Seq((1L, "x")).toDF("doc_id", "text")

@@ -97,6 +97,60 @@ class GraphSpec extends AnyFunSuite {
     assert(e1.map(_._1).size === 60) // every doc links out (fanout 3, n 60)
   }
 
+  /** The HITS recurrence, replayed with plain Maps. */
+  private def bruteHits(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                        iters: Int): Map[Long, (Long, Long)] = {
+    var hub = nodes.map(_ -> 1L).toMap
+    var auth = hub
+    for (_ <- 1 to iters) {
+      val a = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, v) <- edges) a(v) += hub(u)
+      auth = nodes.map(n => n -> a(n)).toMap
+      val h = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, v) <- edges) h(u) += auth(v)
+      hub = nodes.map(n => n -> h(n)).toMap
+    }
+    nodes.map(n => n -> ((auth(n), hub(n)))).toMap
+  }
+
+  private def runHits(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                      iters: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    Graph.hits(spark, edges.toDF("src", "dst"), nodes.toDF("doc_id"),
+        iters = iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("hits hand graph: one iteration by hand") {
+    // 0 -> {1, 2}, 1 -> {2}; 3 isolated
+    val got = runHits(Seq(0L, 1L, 2L, 3L), Seq((0L, 1L), (0L, 2L), (1L, 2L)), 1)
+    // a1: 1 <- h0(0)=1; 2 <- h0(0)+h0(1)=2; h1: 0 -> a1(1)+a1(2)=3; 1 -> a1(2)=2
+    assert(got === Map(0L -> ((0L, 3L)), 1L -> ((1L, 2L)),
+      2L -> ((2L, 0L)), 3L -> ((0L, 0L))))
+  }
+
+  test("hits seeded random graph: 3 iterations equal the brute-force replay") {
+    val rnd = new Random(777)
+    val n = 150
+    val nodes = (0L until n.toLong).toSeq
+    val edges = (for (_ <- 1 to 500) yield
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (u, v) => u != v }.distinct
+    assert(runHits(nodes, edges, 3) === bruteHits(nodes, edges, 3))
+  }
+
+  test("hits overflow contract rejects degree^iters past long range") {
+    import spark.implicits._
+    val nodes = (0L until 200L).toDF("doc_id")
+    // star: maxIndeg 199, maxOutdeg 1 -> (199)^k; k = 12 overflows
+    val edges = (1L until 200L).map(i => (i, 0L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hits(spark, edges, nodes, iters = 12)
+    }
+    assert(ex.getMessage.contains("overflow"))
+  }
+
   test("overflow contract: an unsafe scaleUnit is rejected up front") {
     import spark.implicits._
     val docs = (0L until 4L).toDF("doc_id")

@@ -345,6 +345,27 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(run(3) == streamed)
   }
 
+  test("streaming blocklist replay equals the batch automaton; batch-count invariant") {
+    val docs = graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val dict = Seq("join", "join order", "batch batch", "slow query", "vector")
+    def run(nb: Int): Set[(Long, String, Long)] =
+      StreamOps.replayBlocklist(spark, docs, dict, numBatches = nb)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val streamed = run(2)
+    val batch = graft.operators.Blocklist.matchCounts(spark, docs, dict)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch,
+      s"stream != batch: missing=${(batch -- streamed).size} extra=${(streamed -- batch).size}")
+    // non-vacuous: the nested pattern pair both fire somewhere
+    assert(streamed.exists(_._2 == "join") && streamed.exists(_._2 == "join order"))
+    // replay invariance: a different ingestion slicing lands the same set
+    assert(run(3) == streamed)
+  }
+
   test("stream-static ANN replay equals the one-shot batch read path") {
     val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
     val queries = graft.operators.Cluster
