@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.{BinaryScan, Fixtures}
 import graft.functions.{EmdCols, TextCols}
 import graft.core.Caching.PersistOnce
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps, Frontier, Wordpiece, Graph, Search, Blocklist, Classifier, Warc}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps, Frontier, Wordpiece, Graph, Search, Blocklist, Classifier, Warc, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -132,6 +132,21 @@ object SparkEntry {
     ('a' to 'z').filterNot(_ == 'v').map(_.toString) ++
       Seq("th", "sc", "join") ++
       ('a' to 'z').map(c => s"##$c") ++ Seq("##able", "##ow", "##tream")
+  // pinned unigram-LM demo vocabulary (piece -> integer score) for
+  // q_unigram_tokens — the Viterbi INFERENCE kernel's full oracle runs
+  // against this fixed scored set (the oracle VALUES list interpolates
+  // from this val). Lanes: no 'v' piece (value/vector hit whole-word
+  // UNK), "join" at -30 LOSES to jo+in at -27 (Viterbi optimality vs
+  // greedy longest-match — the family's distinguishing behavior),
+  // "scan" at -28 BEATS sc+an at -30, and single chars at -10 make
+  // equal-score decompositions reachable (the min-pieces output is the
+  // tie-free quantity)
+  private[graft] val UnigramDemoVocab: Seq[(String, Long)] =
+    (('a' to 'u') ++ Seq('w', 'y')).map(c => c.toString -> -10L) ++
+      Seq("th" -> -15L, "er" -> -15L, "an" -> -16L, "in" -> -12L,
+        "jo" -> -15L, "join" -> -30L, "sc" -> -14L, "scan" -> -28L,
+        "ing" -> -24L, "que" -> -22L, "ry" -> -13L, "ba" -> -17L,
+        "tch" -> -21L, "order" -> -38L, "ta" -> -16L, "ble" -> -26L)
   // exact shingle-Jaccard threshold shared by q_ngram_jaccard, its oracle
   // (8969/10000 rational form), and the scaling/stress calibration probes
   // — one constant so the contract evidence cannot desynchronize
@@ -1003,6 +1018,16 @@ object SparkEntry {
     //     same WordpieceDemoVocab val the Spark side uses) ---
     "q_wordpiece_tokens" -> ((s, dir) => {
       Wordpiece.encode(Fixtures.documents(s, dir), WordpieceDemoVocab)
+    }),
+
+    // --- unigram-LM (SentencePiece-style) Viterbi tokenization: the
+    //     third tokenizer family, with the OPTIMAL-segmentation
+    //     semantics greedy matchers cannot express (the demo vocab pins
+    //     a longer piece losing to a cheaper split); integer scores,
+    //     tie-free outputs (max score + min pieces at max), one map
+    //     pass with a word memo — no shuffle ---
+    "q_unigram_tokens" -> ((s, dir) => {
+      Unigram.encode(Fixtures.documents(s, dir), UnigramDemoVocab)
     }),
     "q_wordpiece_witness" -> ((s, dir) => {
       import s.implicits._
@@ -3671,6 +3696,58 @@ object SparkEntry {
          |SELECT t.doc_id,
          |  CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+         |  CAST(count(*) FILTER (WHERE ws.unk) AS BIGINT) AS n_unk_words
+         |FROM toks t JOIN wstats ws ON t.w = ws.w
+         |GROUP BY t.doc_id""".stripMargin
+    },
+
+    // Unigram Viterbi replay: per distinct word, a recursive CTE runs
+    // the DP left to right carrying TWO lists — sc[i] = best score of
+    // the length-(i-1) prefix (NULL = unreachable), pc[i] = min pieces
+    // among best — appending one entry per step; the per-step best is a
+    // correlated MAX over vocab pieces ending at the new position, and
+    // the min-pieces a correlated MIN restricted to pieces achieving
+    // that max. The scored-vocab VALUES interpolate from the same
+    // UnigramDemoVocab val the Spark kernel uses.
+    "q_unigram_tokens" -> {
+      val vocabVals = UnigramDemoVocab
+        .map { case (p, s) => s"('$p', CAST($s AS BIGINT))" }.mkString(", ")
+      s"""WITH RECURSIVE vocab AS (
+         |  SELECT * FROM (VALUES $vocabVals) AS v(p, s)
+         |), toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |), words AS (
+         |  SELECT DISTINCT w FROM toks
+         |), st(w, l, sc, pc) AS (
+         |  SELECT w, 0, [CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)] FROM words
+         |  UNION ALL
+         |  SELECT w, l + 1, list_append(sc, ns),
+         |    list_append(pc, CASE WHEN ns IS NULL THEN NULL ELSE
+         |      (SELECT min(pc[l + 2 - len(v.p)] + 1) FROM vocab v
+         |       WHERE len(v.p) <= l + 1
+         |         AND sc[l + 2 - len(v.p)] IS NOT NULL
+         |         AND substr(w, l + 2 - len(v.p), len(v.p)) = v.p
+         |         AND sc[l + 2 - len(v.p)] + v.s = ns) END)
+         |  FROM (
+         |    SELECT w, l, sc, pc,
+         |      (SELECT max(sc[l + 2 - len(v.p)] + v.s) FROM vocab v
+         |       WHERE len(v.p) <= l + 1
+         |         AND sc[l + 2 - len(v.p)] IS NOT NULL
+         |         AND substr(w, l + 2 - len(v.p), len(v.p)) = v.p) AS ns
+         |    FROM st WHERE l < len(w)
+         |  )
+         |), wstats AS (
+         |  SELECT w,
+         |    COALESCE(sc[len(w) + 1], CAST(-10000 AS BIGINT)) AS ws,
+         |    CASE WHEN sc[len(w) + 1] IS NULL THEN CAST(1 AS BIGINT)
+         |         ELSE pc[len(w) + 1] END AS wp,
+         |    sc[len(w) + 1] IS NULL AS unk
+         |  FROM st WHERE l = len(w)
+         |)
+         |SELECT t.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(ws.ws) AS BIGINT) AS total_score,
+         |  CAST(sum(ws.wp) AS BIGINT) AS n_pieces,
          |  CAST(count(*) FILTER (WHERE ws.unk) AS BIGINT) AS n_unk_words
          |FROM toks t JOIN wstats ws ON t.w = ws.w
          |GROUP BY t.doc_id""".stripMargin
