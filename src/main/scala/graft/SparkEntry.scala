@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.{BinaryScan, Fixtures}
 import graft.functions.{EmdCols, TextCols}
 import graft.core.Caching.PersistOnce
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps, Frontier, Wordpiece, Graph, Search, Blocklist, Classifier, Warc, Unigram}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps, Frontier, Wordpiece, Graph, Search, Blocklist, Classifier, Warc, Unigram, Snapshot}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1362,6 +1362,15 @@ object SparkEntry {
       Graph.hits(s, Graph.linkEdges(docs), docs, iters = 2)
     }),
 
+    // --- snapshot diff (the incremental-crawl gate): fingerprint both
+    //     snapshots down to (id, md5), ONE co-partitioned full outer
+    //     join — bodies never move; the derived "next crawl" plants
+    //     all four lanes (added/removed/changed/unchanged) ---
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      Snapshot.diff(docs, Snapshot.nextSnapshot(docs))
+    }),
+
     // --- WARC container parsing (the Common Crawl wire format): files
     //     assembled from the documents fixture (8 docs/file + warcinfo
     //     leader; planted lanes: WARC/1.0 inside a payload, a short
@@ -1370,6 +1379,15 @@ object SparkEntry {
     //     _corrupt and ends the file (no resync guessing) ---
     "q_warc_ingest" -> ((s, dir) => {
       Warc.parseWarc(s, Warc.warcWrap(Fixtures.documents(s, dir)))
+    }),
+
+    // --- STREAMING WARC ingestion: container files stream in as they
+    //     land (the crawl-delivery unit); the linear record walk runs
+    //     per batch, stateless, so append == batch and the same
+    //     recursive-CTE oracle checks the streamed record set ---
+    "q_stream_warc" -> ((s, dir) => {
+      graft.streaming.StreamOps.replayWarc(s,
+        Warc.warcWrap(Fixtures.documents(s, dir)), numBatches = 2)
     }),
 
     // --- int8 scalar-quantized ANN (SQ8): per-dimension affine codes
@@ -3132,6 +3150,83 @@ object SparkEntry {
       |)
       |SELECT doc_id, bin, round(c / 256.0, 6) AS w FROM dense""".stripMargin
 
+  /** WARC parse replay shared by the batch and streaming legs. */
+  private lazy val WarcIngestSql: String =
+      """WITH RECURSIVE recs AS (
+        |  SELECT doc_id // 8 AS file_id, doc_id,
+        |    'WARC/1.0' || chr(13)||chr(10) ||
+        |    'WARC-Type: response' || chr(13)||chr(10) ||
+        |    'WARC-Target-URI: http://h' || CAST(doc_id % 13 AS VARCHAR) ||
+        |      '.example/p/' || CAST(doc_id AS VARCHAR) || chr(13)||chr(10) ||
+        |    'Content-Length: ' || CAST(length(payload) -
+        |      CASE WHEN doc_id % 31 = 0 THEN 3 ELSE 0 END AS VARCHAR) ||
+        |      chr(13)||chr(10) || chr(13)||chr(10) ||
+        |    payload || chr(13)||chr(10) || chr(13)||chr(10) AS rec
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 17 = 0
+        |           THEN 'WARC/1.0' || chr(13)||chr(10) || text
+        |           ELSE text END AS payload
+        |    FROM documents)
+        |), files AS (
+        |  SELECT file_id,
+        |    'WARC/1.0' || chr(13)||chr(10) ||
+        |    'WARC-Type: warcinfo' || chr(13)||chr(10) ||
+        |    'Content-Length: 15' || chr(13)||chr(10) || chr(13)||chr(10) ||
+        |    'software: graft' || chr(13)||chr(10) || chr(13)||chr(10) ||
+        |    string_agg(rec, '' ORDER BY doc_id) AS content
+        |  FROM recs GROUP BY file_id
+        |), st(file_id, content, off, rec_no, warc_type, target_uri,
+        |      content_length, payload_md5, payload_chars, stop) AS (
+        |  SELECT file_id, content, CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS BIGINT), false
+        |  FROM files
+        |  UNION ALL
+        |  SELECT file_id, content,
+        |    CASE WHEN ok THEN pstart + clen + 4 ELSE off END,
+        |    rec_no + 1,
+        |    CASE WHEN ok THEN wtype ELSE '_corrupt' END,
+        |    CASE WHEN ok AND wuri <> '' THEN wuri ELSE NULL END,
+        |    CASE WHEN ok THEN clen ELSE NULL END,
+        |    CASE WHEN ok THEN md5(substr(content, CAST(pstart AS INTEGER),
+        |      CAST(clen AS INTEGER))) ELSE NULL END,
+        |    CASE WHEN ok THEN clen ELSE NULL END,
+        |    NOT ok
+        |  FROM (
+        |    SELECT file_id, content, off, rec_no, pstart, clen,
+        |      regexp_extract(hdrs, 'WARC-Type: ([^\r\n]+)', 1) AS wtype,
+        |      regexp_extract(hdrs, 'WARC-Target-URI: ([^\r\n]+)', 1) AS wuri,
+        |      (substr(content, CAST(off AS INTEGER), 10)
+        |         = 'WARC/1.0' || chr(13)||chr(10)
+        |       AND hdr_rel > 0 AND clen IS NOT NULL AND clen >= 0
+        |       AND substr(content, CAST(pstart + clen AS INTEGER), 4)
+        |             = chr(13)||chr(10)||chr(13)||chr(10)) AS ok
+        |    FROM (
+        |      SELECT file_id, content, off, rec_no, hdr_rel, hdrs,
+        |        off + hdr_rel - 1 + 4 AS pstart,
+        |        TRY_CAST(regexp_extract(hdrs, 'Content-Length: ([0-9]+)', 1)
+        |          AS BIGINT) AS clen
+        |      FROM (
+        |        SELECT file_id, content, off, rec_no, hdr_rel,
+        |          substr(content, CAST(off AS INTEGER),
+        |            CAST(greatest(hdr_rel - 1, 0) AS INTEGER)) AS hdrs
+        |        FROM (
+        |          SELECT file_id, content, off, rec_no,
+        |            CAST(instr(substr(content, CAST(off AS INTEGER)),
+        |              chr(13)||chr(10)||chr(13)||chr(10)) AS BIGINT) AS hdr_rel
+        |          FROM st
+        |          WHERE NOT stop AND off <= length(content)
+        |        )
+        |      )
+        |    )
+        |  )
+        |)
+        |SELECT file_id, rec_no, warc_type, target_uri, content_length,
+        |  payload_md5, payload_chars
+        |FROM st WHERE rec_no >= 0""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // The LP rows themselves stay no_oracle (LP-EMD is not DuckDB-
     // expressible), but their cross-engine witness verdict is a fixed
@@ -4129,6 +4224,28 @@ object SparkEntry {
          |JOIN h$iters ON h$iters.node = n.node""".stripMargin
     },
 
+    // Snapshot-diff replay: rebuild the derived next-crawl snapshot and
+    // full-outer-join on id; content equality replays as direct text
+    // comparison (the engine compares md5 fingerprints of the same
+    // bytes — equal iff the texts are).
+    "q_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN text || ' updated content'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 23 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'new page for ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 11 = 5
+        |)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text <> b.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
+
     // WARC replay: rebuild the same files (string_agg ordered by doc_id
     // mirrors the sorted-struct concat), then walk records with a
     // recursive CTE carrying (off, stop) — each step parses the record
@@ -4137,81 +4254,11 @@ object SparkEntry {
     // terminator check at off + len; a failed check emits _corrupt and
     // sets stop. The trap payloads (embedded WARC/1.0) parse cleanly
     // because nothing ever scans for magic past the first record.
-    "q_warc_ingest" ->
-      """WITH RECURSIVE recs AS (
-        |  SELECT doc_id // 8 AS file_id, doc_id,
-        |    'WARC/1.0' || chr(13)||chr(10) ||
-        |    'WARC-Type: response' || chr(13)||chr(10) ||
-        |    'WARC-Target-URI: http://h' || CAST(doc_id % 13 AS VARCHAR) ||
-        |      '.example/p/' || CAST(doc_id AS VARCHAR) || chr(13)||chr(10) ||
-        |    'Content-Length: ' || CAST(length(payload) -
-        |      CASE WHEN doc_id % 31 = 0 THEN 3 ELSE 0 END AS VARCHAR) ||
-        |      chr(13)||chr(10) || chr(13)||chr(10) ||
-        |    payload || chr(13)||chr(10) || chr(13)||chr(10) AS rec
-        |  FROM (
-        |    SELECT doc_id,
-        |      CASE WHEN doc_id % 17 = 0
-        |           THEN 'WARC/1.0' || chr(13)||chr(10) || text
-        |           ELSE text END AS payload
-        |    FROM documents)
-        |), files AS (
-        |  SELECT file_id,
-        |    'WARC/1.0' || chr(13)||chr(10) ||
-        |    'WARC-Type: warcinfo' || chr(13)||chr(10) ||
-        |    'Content-Length: 15' || chr(13)||chr(10) || chr(13)||chr(10) ||
-        |    'software: graft' || chr(13)||chr(10) || chr(13)||chr(10) ||
-        |    string_agg(rec, '' ORDER BY doc_id) AS content
-        |  FROM recs GROUP BY file_id
-        |), st(file_id, content, off, rec_no, warc_type, target_uri,
-        |      content_length, payload_md5, payload_chars, stop) AS (
-        |  SELECT file_id, content, CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
-        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-        |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-        |    CAST(NULL AS BIGINT), false
-        |  FROM files
-        |  UNION ALL
-        |  SELECT file_id, content,
-        |    CASE WHEN ok THEN pstart + clen + 4 ELSE off END,
-        |    rec_no + 1,
-        |    CASE WHEN ok THEN wtype ELSE '_corrupt' END,
-        |    CASE WHEN ok AND wuri <> '' THEN wuri ELSE NULL END,
-        |    CASE WHEN ok THEN clen ELSE NULL END,
-        |    CASE WHEN ok THEN md5(substr(content, CAST(pstart AS INTEGER),
-        |      CAST(clen AS INTEGER))) ELSE NULL END,
-        |    CASE WHEN ok THEN clen ELSE NULL END,
-        |    NOT ok
-        |  FROM (
-        |    SELECT file_id, content, off, rec_no, pstart, clen,
-        |      regexp_extract(hdrs, 'WARC-Type: ([^\r\n]+)', 1) AS wtype,
-        |      regexp_extract(hdrs, 'WARC-Target-URI: ([^\r\n]+)', 1) AS wuri,
-        |      (substr(content, CAST(off AS INTEGER), 10)
-        |         = 'WARC/1.0' || chr(13)||chr(10)
-        |       AND hdr_rel > 0 AND clen IS NOT NULL AND clen >= 0
-        |       AND substr(content, CAST(pstart + clen AS INTEGER), 4)
-        |             = chr(13)||chr(10)||chr(13)||chr(10)) AS ok
-        |    FROM (
-        |      SELECT file_id, content, off, rec_no, hdr_rel, hdrs,
-        |        off + hdr_rel - 1 + 4 AS pstart,
-        |        TRY_CAST(regexp_extract(hdrs, 'Content-Length: ([0-9]+)', 1)
-        |          AS BIGINT) AS clen
-        |      FROM (
-        |        SELECT file_id, content, off, rec_no, hdr_rel,
-        |          substr(content, CAST(off AS INTEGER),
-        |            CAST(greatest(hdr_rel - 1, 0) AS INTEGER)) AS hdrs
-        |        FROM (
-        |          SELECT file_id, content, off, rec_no,
-        |            CAST(instr(substr(content, CAST(off AS INTEGER)),
-        |              chr(13)||chr(10)||chr(13)||chr(10)) AS BIGINT) AS hdr_rel
-        |          FROM st
-        |          WHERE NOT stop AND off <= length(content)
-        |        )
-        |      )
-        |    )
-        |  )
-        |)
-        |SELECT file_id, rec_no, warc_type, target_uri, content_length,
-        |  payload_md5, payload_chars
-        |FROM st WHERE rec_no >= 0""".stripMargin,
+    "q_warc_ingest" -> WarcIngestSql,
+
+    // the streaming leg is stateless per batch — the SAME oracle
+    // checks the appended record set
+    "q_stream_warc" -> WarcIngestSql,
 
     // SQ8 replay: per-dim min/max over the FULL corpus (query row
     // included, matching sq8TopK's stats-before-exclusion), the code

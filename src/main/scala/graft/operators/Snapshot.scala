@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot diffing — the bookkeeping pass every recurring-crawl
+  * pipeline runs between refreshes: which documents appeared,
+  * disappeared, or changed content since the last snapshot. Downstream
+  * consumers re-process ONLY the added/changed set (incremental dedup,
+  * re-embedding, re-scoring), so the diff is the gate that turns a
+  * full-corpus pipeline into an incremental one.
+  *
+  * Shape: ONE full outer join on the identity key with both sides
+  * reduced to (id, fingerprint) projections first — the join moves two
+  * id+hash columns, never document bodies, and both sides hash-shuffle
+  * once on the same key (co-partitioned merge). Content equality is
+  * md5-fingerprint equality, the repo-wide exact-dedup convention
+  * ([[Dedup]]).
+  */
+object Snapshot {
+
+  /** `(doc_id, status)` over the union of ids, status in
+    * {added, removed, changed, unchanged} — `added` = only in `b`,
+    * `removed` = only in `a`, `changed` = in both with differing
+    * fingerprints. */
+  def diff(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
+           textCol: String = "text"): DataFrame = {
+    def fp(df: DataFrame, h: String) = df
+      .select(col(idCol).cast("long").as(idCol),
+        md5(col(textCol).cast("binary")).as(h))
+      .filter(col(idCol).isNotNull)
+    val j = fp(a, "a_fp").join(fp(b, "b_fp"), Seq(idCol), "full_outer")
+    j.select(col(idCol),
+      when(col("a_fp").isNull, lit("added"))
+        .when(col("b_fp").isNull, lit("removed"))
+        .when(col("a_fp") =!= col("b_fp"), lit("changed"))
+        .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** Deterministic "next crawl" snapshot over the documents fixture
+    * (the jsonWrap convention): doc_id % 23 == 0 pages vanish,
+    * doc_id % 7 == 3 pages change content, and each doc_id % 11 == 5
+    * page spawns a NEW page at id + 1000000 — all four diff lanes
+    * non-vacuous at every scale. */
+  def nextSnapshot(docs: DataFrame): DataFrame = {
+    val kept = docs
+      .filter(col("doc_id") % 23 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" updated content")))
+          .otherwise(col("text")).as("text"))
+    val added = docs
+      .filter(col("doc_id") % 11 === 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("new page for "), col("doc_id").cast("string")).as("text"))
+    kept.unionByName(added)
+  }
+}

@@ -841,6 +841,55 @@ object StreamOps {
     }
   }
 
+  /** Streaming WARC ingestion: container files stream in as they land
+    * (the crawl-delivery shape — each WARC file is an independent unit),
+    * and [[graft.operators.Warc.parseWarc]]'s linear record walk runs
+    * per micro-batch. Stateless (one flatMap, no state store, nothing
+    * crosses files), so the append-mode record set equals the batch
+    * parse and the recursive-CTE oracle replays it in full. */
+  def streamingWarc(spark: SparkSession, fileStream: DataFrame): DataFrame =
+    graft.operators.Warc.parseWarc(spark, fileStream)
+
+  /** Verification replay for streaming WARC — the [[replayEditMatch]]
+    * harness contract: ascending-file-id micro-batches, stateless per
+    * batch. */
+  def replayWarc(spark: SparkSession, files: DataFrame,
+                 numBatches: Int = 2): DataFrame =
+      withReplayShuffle(spark) {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = files.select(col("file_id").cast("long"),
+        coalesce(col("content").cast("string"), lit("")))
+      .as[(Long, String)]
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val name = "graft_replay_warc"
+    val query = streamingWarc(spark, mem.toDF().toDF("file_id", "content"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("file_id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          Option(r.getString(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))
+      spark.createDataset(rows.toSeq)
+        .toDF("file_id", "rec_no", "warc_type", "target_uri",
+          "content_length", "payload_md5", "payload_chars")
+    } finally {
+      query.stop()
+    }
+  }
+
   /** Stream-static ANN: quantized query vectors stream against a
     * PRE-BUILT static residual IVF-PQ index ([[Ann.buildIvfPqIndex]] —
     * the index is static by definition; queries come and go). Each

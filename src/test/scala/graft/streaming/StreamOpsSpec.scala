@@ -366,6 +366,26 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(run(3) == streamed)
   }
 
+  test("streaming WARC replay equals the batch parse; batch-count invariant") {
+    import graft.operators.Warc
+    val docs = graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val files = Warc.warcWrap(docs)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(5)))
+    def run(nb: Int): Set[(Long, Long, String, Option[String], Option[String])] =
+      StreamOps.replayWarc(spark, files, numBatches = nb)
+        .collect().map(key).toSet
+    val streamed = run(2)
+    val batch = Warc.parseWarc(spark, files).collect().map(key).toSet
+    assert(streamed == batch,
+      s"stream != batch: missing=${(batch -- streamed).size} extra=${(streamed -- batch).size}")
+    // the corrupt-stop and trap lanes survive the streaming path
+    assert(streamed.exists(_._3 == "_corrupt") &&
+      streamed.exists(_._3 == "warcinfo"))
+    assert(run(3) == streamed)
+  }
+
   test("stream-static ANN replay equals the one-shot batch read path") {
     val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
     val queries = graft.operators.Cluster
