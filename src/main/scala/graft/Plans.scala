@@ -30,7 +30,10 @@ object Plans {
         "q_edit_pairs", "q_dsir_select", "q_semdedup", "q_domain_mix",
         "q_event_dedup", "q_emb_outliers",
         "q_html_extract", "q_exact_substr", "q_json_ingest",
-        "q_url_normalize", "q_pii_luhn", "q_ingest_pipeline")) {
+        "q_url_normalize", "q_pii_luhn", "q_ingest_pipeline",
+        "q_phrase_search", "q_blocklist_match", "q_hash_classify",
+        "q_classifier_eval", "q_warc_ingest", "q_snapshot_diff",
+        "q_unigram_tokens")) {
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

@@ -64,29 +64,39 @@ object Classifier {
     val cum = CorpusOps.groupRunningSum(hist.withColumn("grp", lit(0L)),
       "grp", Seq(col("score")), col("neg"), "cumneg")
     try {
-      val t = cum.agg(
+      // the totals/AUC agg and the threshold sweep are INDEPENDENT jobs
+      // over the same persisted histogram — run them concurrently (the
+      // q_engine_equiv pattern: small audit jobs are latency-bound on
+      // job-submission round-trips, not compute)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fTot = Future(cum.agg(
         coalesce(sum(col("pos")), lit(0L)).as("totpos"),
         coalesce(sum(col("neg")), lit(0L)).as("totneg"),
         coalesce(sum(col("pos") * (col("cumneg") - col("neg"))), lit(0L))
           .as("wins"),
         coalesce(sum(col("pos") * col("neg")), lit(0L)).as("ties"))
-        .first() // O(1): four longs
+        .first()) // O(1): four longs
+      // materialized here (O(|thresholds|) rows) BEFORE the finally
+      // unpersists cum — a lazy result would recompute through freshly
+      // sampled range boundaries (the phase-alignment hazard)
+      val fSweep = Future(
+        cum.crossJoin(broadcast(thresholds.toDF("threshold")))
+          .groupBy(col("threshold"))
+          .agg(coalesce(sum(when(col("score") >= col("threshold"), col("pos"))),
+            lit(0L)).as("tp"),
+            coalesce(sum(when(col("score") >= col("threshold"), col("neg"))),
+              lit(0L)).as("fp"))
+          .collect())
+      val t = Await.result(fTot, Duration.Inf)
       val (totPos, totNeg) = (t.getLong(0), t.getLong(1))
       require(totPos == 0 || totNeg == 0 ||
         totPos <= Long.MaxValue / 2 / math.max(totNeg, 1L),
         s"evalScores: pair count 2*$totPos*$totNeg overflows; sample the eval slice")
       val aucNum = 2L * t.getLong(2) + t.getLong(3)
       val aucDen = 2L * totPos * totNeg
-      // materialize the sweep (O(|thresholds|) rows) BEFORE the finally
-      // unpersists cum — a lazy result would recompute through freshly
-      // sampled range boundaries (the phase-alignment hazard)
-      val sweep = cum.crossJoin(broadcast(thresholds.toDF("threshold")))
-        .groupBy(col("threshold"))
-        .agg(coalesce(sum(when(col("score") >= col("threshold"), col("pos"))),
-          lit(0L)).as("tp"),
-          coalesce(sum(when(col("score") >= col("threshold"), col("neg"))),
-            lit(0L)).as("fp"))
-        .collect()
+      val sweep = Await.result(fSweep, Duration.Inf)
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           totPos - r.getLong(1), totNeg - r.getLong(2), aucNum, aucDen))
         .toSeq

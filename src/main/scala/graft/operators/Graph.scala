@@ -86,12 +86,19 @@ object Graph {
     val part = new HashPartitioner(parts)
     val eRaw = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd
-    // degree maxima via two tiny aggs (no window): one shuffle each
-    val maxOut = edges.groupBy(col("src")).count().agg(max(col("count")))
-      .first().getLong(0)
-    val maxIn = edges.groupBy(col("dst")).count().agg(max(col("count")))
-      .first().getLong(0)
-    require(BigInt(maxIn) * BigInt(maxOut) > 0 &&
+    // degree maxima in ONE job: tag each endpoint, count per (node,
+    // side), max per side — one shuffle instead of two sequential aggs
+    // (small audit jobs are latency-bound on submission round-trips)
+    val degRow = edges.select(col("src").as("k"), lit("o").as("side"))
+      .unionByName(edges.select(col("dst").as("k"), lit("i").as("side")))
+      .groupBy(col("k"), col("side")).count()
+      .groupBy()
+      .agg(max(when(col("side") === "o", col("count"))).as("mo"),
+        max(when(col("side") === "i", col("count"))).as("mi"))
+      .first()
+    val maxOut = if (degRow.isNullAt(0)) 0L else degRow.getLong(0)
+    val maxIn = if (degRow.isNullAt(1)) 0L else degRow.getLong(1)
+    require(maxIn == 0L || maxOut == 0L ||
       (BigInt(maxIn) * BigInt(maxOut)).pow(iters) <= BigInt(Long.MaxValue),
       s"hits: (maxIndeg=$maxIn * maxOutdeg=$maxOut)^$iters overflows long; " +
         "reduce iters or band the degree distribution first")

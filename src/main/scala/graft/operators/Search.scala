@@ -53,9 +53,14 @@ object Search {
       .select(col("phrase"), col("m"), col("doc_id"),
         (col("pos") - col("k")).as("anchor"), col("k"))
       .filter(col("anchor") >= 0)
+    // count(*) == count(DISTINCT k) here BY CONSTRUCTION: postings are
+    // unique per (token, doc, pos) and pos = anchor + k, so a given
+    // (phrase, doc, anchor, k) cell can receive at most ONE vote — the
+    // distinct form costs a whole extra Exchange (the dedup pre-agg)
+    // for nothing (measured: 3 shuffles -> 2, hashes unchanged)
     val occurrences = votes
       .groupBy(col("phrase"), col("m"), col("doc_id"), col("anchor"))
-      .agg(countDistinct(col("k")).as("nk"))
+      .agg(count(lit(1)).as("nk"))
       .filter(col("nk") === col("m"))
     occurrences
       .groupBy(col("phrase"), col("doc_id"))
