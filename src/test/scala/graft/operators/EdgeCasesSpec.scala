@@ -386,6 +386,22 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(n.toLong, (n - 1).toLong, 0L))
   }
 
+  test("evalScores survives 100k rows on one hot score value") {
+    // worst histogram skew: every row lands on ONE score — the
+    // histogram is a single combiner cell (never a per-score window),
+    // and the AUC is pure ties: num = ties = npos*nneg, AUC = 1/2.
+    import spark.implicits._
+    val n = 100000
+    val rows = (0 until n).map(i => (i.toLong, 7L, i % 4 == 0))
+    val got = Classifier.evalScores(spark,
+        rows.toDF("doc_id", "score", "label"), Seq(0L, 100L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val (np, nn) = (n / 4L, n - n / 4L)
+    assert(got(0L) === ((np, nn, 0L, 0L, np * nn, 2L * np * nn)))
+    assert(got(100L) === ((0L, 0L, np, nn, np * nn, 2L * np * nn)))
+  }
+
   test("round-9 operators survive an empty corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
