@@ -1362,6 +1362,15 @@ object SparkEntry {
       Graph.hits(s, Graph.linkEdges(docs), docs, iters = 2)
     }),
 
+    // --- per-node triangle counts (clustering-coefficient numerator,
+    //     the link-farm signal): degree-ordered orientation — wedges
+    //     only at each triangle's lowest-rank vertex, O(E^1.5) wedge
+    //     work under ANY skew, each triangle found exactly once ---
+    "q_triangles" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      Graph.triangles(s, Graph.linkEdges(docs), docs)
+    }),
+
     // --- snapshot diff (the incremental-crawl gate): fingerprint both
     //     snapshots down to (id, md5), ONE co-partitioned full outer
     //     join — bodies never move; the derived "next crawl" plants
@@ -1739,6 +1748,19 @@ object SparkEntry {
       val embs = Fixtures.embeddings(s, dir)
       val qs = embs.orderBy(col("vec_id")).limit(10)
       Ann.topKJoinExact(embs, qs, k = 5)
+        .select(col("qid"), col("id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+    }),
+
+    // --- hard-negative mining (contrastive data prep): per anchor,
+    //     top-5 nearest DIFFERENT-label vectors (labels = vec_id % 5 —
+    //     the fixture-derivation contract); the label predicate sits
+    //     BEFORE the rank window so k negatives always return ---
+    "q_hard_negatives" -> ((s, dir) => {
+      val embs = Fixtures.embeddings(s, dir)
+        .withColumn("label", col("vec_id") % 5)
+      val qs = embs.orderBy(col("vec_id")).limit(10)
+      Ann.hardNegatives(embs, qs, k = 5)
         .select(col("qid"), col("id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
     }),
@@ -4246,6 +4268,45 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status
         |FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
 
+    // Triangle replay: same edge CTE symmetrized + deduped, the same
+    // deg*2^32+id rank key orientation, wedge at the lowest-rank
+    // vertex, closing-edge equi-join, per-node count over the three
+    // corners, zero-filled over all docs.
+    "q_triangles" -> {
+      s"""WITH $LinkEdgeCtes,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e
+         |), deg AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+         |  GROUP BY n
+         |), o AS (
+         |  SELECT CASE WHEN da.d * 4294967296 + u.a < db.d * 4294967296 + u.b
+         |              THEN u.a ELSE u.b END AS x,
+         |         CASE WHEN da.d * 4294967296 + u.a < db.d * 4294967296 + u.b
+         |              THEN u.b ELSE u.a END AS y,
+         |         CASE WHEN da.d * 4294967296 + u.a < db.d * 4294967296 + u.b
+         |              THEN db.d * 4294967296 + u.b
+         |              ELSE da.d * 4294967296 + u.a END AS ry
+         |  FROM und u
+         |  JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+         |), tri AS (
+         |  SELECT e1.x AS u, e1.y AS v, e2.y AS w
+         |  FROM o e1
+         |  JOIN o e2 ON e1.x = e2.x AND e1.ry < e2.ry
+         |  JOIN o e3 ON e3.x = e1.y AND e3.y = e2.y
+         |), cnt AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT u AS n FROM tri UNION ALL
+         |    SELECT v AS n FROM tri UNION ALL
+         |    SELECT w AS n FROM tri)
+         |  GROUP BY n
+         |)
+         |SELECT d.doc_id, COALESCE(c.c, CAST(0 AS BIGINT)) AS n_triangles
+         |FROM documents d LEFT JOIN cnt c ON c.n = d.doc_id""".stripMargin
+    },
+
     // WARC replay: rebuild the same files (string_agg ordered by doc_id
     // mirrors the sorted-struct concat), then walk records with a
     // recursive CTE carrying (off, stop) — each step parses the record
@@ -5098,6 +5159,24 @@ object SparkEntry {
         |  SELECT q.qid, e.vec_id AS id,
         |         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+        |)
+        |SELECT qid, id, round(cosine, 6) AS cosine, cast(rank AS BIGINT) AS rank
+        |FROM (SELECT qid, id, cosine, row_number() OVER (
+        |        PARTITION BY qid ORDER BY round(cosine, 6) DESC, id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    // Hard-negative replay: q_ann_batch's shape with the label
+    // inequality (vec_id % 5) applied before the rank window.
+    "q_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |  FROM embeddings ORDER BY vec_id LIMIT 10
+        |), scored AS (
+        |  SELECT q.qid, e.vec_id AS id,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cosine
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.qid AND e.vec_id % 5 <> q.qid % 5
         |)
         |SELECT qid, id, round(cosine, 6) AS cosine, cast(rank AS BIGINT) AS rank
         |FROM (SELECT qid, id, cosine, row_number() OVER (

@@ -47,6 +47,36 @@ object Ann {
       .select(col("qid"), col("id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining — the contrastive-training data prep pass:
+    * for each anchor, the k nearest neighbors whose label DIFFERS from
+    * the anchor's (the "hard" negatives: maximally similar yet
+    * wrong-class, the pairs that actually move a contrastive loss).
+    * Same shape as [[topKJoinExact]] — anchors broadcast, ONE corpus
+    * scan, per-anchor rank window — plus the label-inequality
+    * predicate applied BEFORE ranking (a post-rank filter would return
+    * fewer than k negatives whenever same-label rows crowd the top).
+    * At deployment scale the same predicate rides the IVF probe path
+    * (filter after ADC scoring, before the rank window); the exact
+    * form here is the recall-1 baseline and the oracle's twin. */
+  def hardNegatives(embs: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
+    val e = embs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), col(labelCol).as("lab"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"), col(labelCol).as("qlab"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid") && col("lab") =!= col("qlab"))
+      .select(col("qid"), col("id"),
+        EmdCols.cosine(col("v"), col("qv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(round(col("cosine"), 6).desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("cosine"), col("rank"))
+  }
+
   /** Exact all-pairs cosine threshold join with NO driver-side collect:
     * rows are hashed into B blocks, each row is replicated to the B
     * unordered block-pairs containing its block, and each block-pair is

@@ -151,6 +151,50 @@ class GraphSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("overflow"))
   }
 
+  private def runTriangles(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    Graph.triangles(spark, edges.toDF("src", "dst"), nodes.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangles: K4 by hand, direction- and duplicate-insensitive") {
+    // complete graph on 4 nodes: 4 triangles, each node in 3; edges fed
+    // as a mix of directions and duplicates (the operator symmetrizes)
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (2L, 1L),
+      (1L, 3L), (2L, 3L), (3L, 2L))
+    val got = runTriangles(Seq(0L, 1L, 2L, 3L, 9L), edges)
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 9L -> 0L))
+  }
+
+  test("triangles: seeded random graph equals the brute-force triple scan") {
+    val rnd = new Random(2024)
+    val n = 60
+    val nodes = (0L until n.toLong).toSeq
+    val edges = (for (_ <- 1 to 240) yield
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (u, v) => u != v }.distinct
+    val und = edges.map { case (u, v) => (math.min(u, v), math.max(u, v)) }.toSet
+    val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var total = 0
+    for (a <- nodes; b <- nodes if b > a; c <- nodes if c > b)
+      if (und((a, b)) && und((b, c)) && und((a, c))) {
+        want(a) += 1; want(b) += 1; want(c) += 1; total += 1
+      }
+    assert(total > 0, "seed must produce triangles")
+    val got = runTriangles(nodes, edges)
+    assert(nodes.forall(nd => got(nd) == want(nd)))
+  }
+
+  test("triangles: a 10k-spoke star generates zero wedges (skew lane)") {
+    // every spoke edge points INTO the hub under degree orientation, so
+    // the hub contributes no wedge pairs — the O(E^1.5) argument's
+    // worst-skew case completes with all zeros
+    val n = 10000L
+    val got = runTriangles(0L until n, (1L until n).map(i => (i, 0L)))
+    assert(got.size == n.toInt && got.values.forall(_ == 0L))
+  }
+
   test("overflow contract: an unsafe scaleUnit is rejected up front") {
     import spark.implicits._
     val docs = (0L until 4L).toDF("doc_id")

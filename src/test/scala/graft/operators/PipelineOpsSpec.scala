@@ -536,6 +536,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("hardNegatives == brute-force different-label top-k; filter precedes rank") {
+    val labeled = embs.withColumn("label", col("vec_id") % 3)
+    val qs = labeled.orderBy(col("vec_id")).limit(5)
+    val got = Ann.hardNegatives(labeled, qs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val all = embs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = all.sortBy(_._1).take(5).flatMap { case (qid, qv) =>
+      all.filter { case (id, _) => id != qid && id % 3 != qid % 3 }
+        .map { case (id, v) =>
+          (id, BigDecimal(cos(v, qv)).setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }
+    }.toSet
+    assert(got == want)
+    // no same-label neighbor appears, and k rows per anchor (the filter
+    // runs BEFORE the rank window — a post-rank filter would starve)
+    assert(got.forall { case (qid, _, id) => id % 3 != qid % 3 })
+    assert(got.groupBy(_._1).forall(_._2.size == 3))
+  }
+
   test("blocked exact all-pairs equals broadcast exact all-pairs") {
     val blocked = Ann.cosineAllPairsBlocked(spark, embs, 0.35, numBlocks = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
