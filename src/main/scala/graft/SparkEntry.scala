@@ -1380,6 +1380,17 @@ object SparkEntry {
       Snapshot.diff(docs, Snapshot.nextSnapshot(docs))
     }),
 
+    // --- STREAMING snapshot diff: the next crawl's docs stream against
+    //     the static previous snapshot (stream-static left join on
+    //     (id, md5) projections); arrival-time labels added/changed/
+    //     unchanged — `removed` is structurally invisible to arrival
+    //     events and stays the batch sweep's job ---
+    "q_stream_snapshot" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      graft.streaming.StreamOps.replaySnapshotDiff(s,
+        Snapshot.nextSnapshot(docs), docs, numBatches = 2)
+    }),
+
     // --- WARC container parsing (the Common Crawl wire format): files
     //     assembled from the documents fixture (8 docs/file + warcinfo
     //     leader; planted lanes: WARC/1.0 inside a payload, a short
@@ -4267,6 +4278,25 @@ object SparkEntry {
         |       WHEN a.text <> b.text THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
+
+    // Streaming snapshot-diff replay: the batch diff restricted to the
+    // arrived (next-crawl) side — removed rows have no arrival event.
+    "q_stream_snapshot" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN text || ' updated content'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 23 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'new page for ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 11 = 5
+        |)
+        |SELECT b.doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN a.text <> b.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM b LEFT JOIN documents a ON a.doc_id = b.doc_id""".stripMargin,
 
     // Triangle replay: same edge CTE symmetrized + deduped, the same
     // deg*2^32+id rank key orientation, wedge at the lowest-rank

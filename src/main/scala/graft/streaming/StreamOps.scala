@@ -890,6 +890,70 @@ object StreamOps {
     }
   }
 
+  /** Streaming snapshot diff: the NEW crawl's documents stream in and
+    * are labeled against the static PREVIOUS snapshot at arrival time —
+    * added (id unseen), changed (fingerprint differs), unchanged — via
+    * a stream-static left join on (id, md5) projections (natively
+    * append-safe; the static side builds once). `removed` is
+    * structurally invisible to an arrival-time diff (absence has no
+    * arrival event) and stays the batch sweep's job
+    * ([[graft.operators.Snapshot.diff]]) — callers get the incremental
+    * added/changed feed live and the removal list at snapshot close. */
+  def streamingSnapshotDiff(spark: SparkSession, docStream: DataFrame,
+                            previous: DataFrame): DataFrame = {
+    val old = previous
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text").cast("binary")).as("old_fp"))
+      .filter(col("doc_id").isNotNull)
+    docStream
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text").cast("binary")).as("new_fp"))
+      .filter(col("doc_id").isNotNull)
+      .join(old, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** Verification replay for the streaming snapshot diff — the
+    * [[replayEditMatch]] harness contract: the next crawl streams as
+    * ascending-id micro-batches against the static old snapshot;
+    * stateless per batch, so the appended label set equals the batch
+    * diff restricted to arrived documents. */
+  def replaySnapshotDiff(spark: SparkSession, newDocs: DataFrame,
+                         previous: DataFrame,
+                         numBatches: Int = 2): DataFrame =
+      withReplayShuffle(spark) {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = newDocs.select(col("doc_id").cast("long"),
+        coalesce(col("text").cast("string"), lit("")))
+      .as[(Long, String)]
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val name = "graft_replay_snapdiff"
+    val query = streamingSnapshotDiff(spark,
+        mem.toDF().toDF("doc_id", "text"), previous)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("doc_id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      spark.createDataset(rows.toSeq).toDF("doc_id", "status")
+    } finally {
+      query.stop()
+    }
+  }
+
   /** Stream-static ANN: quantized query vectors stream against a
     * PRE-BUILT static residual IVF-PQ index ([[Ann.buildIvfPqIndex]] —
     * the index is static by definition; queries come and go). Each

@@ -386,6 +386,24 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(run(3) == streamed)
   }
 
+  test("streaming snapshot diff equals the batch diff minus removed; batch-count invariant") {
+    import graft.operators.Snapshot
+    val docs = graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val next = Snapshot.nextSnapshot(docs)
+    def run(nb: Int): Set[(Long, String)] =
+      StreamOps.replaySnapshotDiff(spark, next, docs, numBatches = nb)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = run(2)
+    val batch = Snapshot.diff(docs, next).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2 != "removed").toSet
+    assert(streamed == batch,
+      s"stream != batch: missing=${(batch -- streamed).size} extra=${(streamed -- batch).size}")
+    // all three arrival-visible lanes fire
+    assert(Set("added", "changed", "unchanged").subsetOf(streamed.map(_._2)))
+    assert(run(3) == streamed)
+  }
+
   test("stream-static ANN replay equals the one-shot batch read path") {
     val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
     val queries = graft.operators.Cluster
