@@ -1380,6 +1380,15 @@ object SparkEntry {
       Snapshot.diff(docs, Snapshot.nextSnapshot(docs))
     }),
 
+    // --- STREAMING classifier inference: the hashed-ngram quality gate
+    //     per micro-batch (broadcast weights, stateless map) — the
+    //     model-based arrival-time filter next to q_stream_blocklist;
+    //     append == batch, same engine-exact oracle ---
+    "q_stream_classify" -> ((s, dir) => {
+      graft.streaming.StreamOps.replayClassify(s,
+        Fixtures.documents(s, dir), numBatches = 2)
+    }),
+
     // --- STREAMING snapshot diff: the next crawl's docs stream against
     //     the static previous snapshot (stream-static left join on
     //     (id, md5) projections); arrival-time labels added/changed/
@@ -4108,6 +4117,11 @@ object SparkEntry {
     // and sum as BIGINT. Trailing empty tokens survive string_split in
     // both engines; a 1-token doc has no bigram leg (empty list unnest).
     "q_hash_classify" ->
+      ("WITH " + hashClassifyScoreCtes("documents") +
+        "\nSELECT doc_id, score, n_features, score >= 0 AS keep FROM s"),
+
+    // the streaming leg is stateless per batch — same score oracle
+    "q_stream_classify" ->
       ("WITH " + hashClassifyScoreCtes("documents") +
         "\nSELECT doc_id, score, n_features, score >= 0 AS keep FROM s"),
 

@@ -890,6 +890,48 @@ object StreamOps {
     }
   }
 
+  /** Streaming classifier inference: the hashed-ngram quality model
+    * ([[graft.operators.Classifier.scoreDocs]] — one weight broadcast,
+    * one map pass) applied per micro-batch: the model-based keep/drop
+    * gate at arrival time, completing the arrival-time filter pair
+    * with [[streamingBlocklist]]. Stateless, append == batch. */
+  def streamingClassify(spark: SparkSession, docStream: DataFrame): DataFrame =
+    graft.operators.Classifier.scoreDocs(spark, docStream)
+
+  /** Verification replay for streaming classification — the
+    * [[replayEditMatch]] harness contract. */
+  def replayClassify(spark: SparkSession, docs: DataFrame,
+                     numBatches: Int = 2): DataFrame =
+      withReplayShuffle(spark) {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = docs.select(col("doc_id").cast("long"),
+        coalesce(col("text").cast("string"), lit("")))
+      .as[(Long, String)]
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val name = "graft_replay_classify"
+    val query = streamingClassify(spark, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("doc_id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      spark.createDataset(rows.toSeq)
+        .toDF("doc_id", "score", "n_features", "keep")
+    } finally {
+      query.stop()
+    }
+  }
+
   /** Streaming snapshot diff: the NEW crawl's documents stream in and
     * are labeled against the static PREVIOUS snapshot at arrival time —
     * added (id unseen), changed (fingerprint differs), unchanged — via

@@ -404,6 +404,25 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(run(3) == streamed)
   }
 
+  test("streaming classify replay equals the batch scorer; batch-count invariant") {
+    import graft.operators.Classifier
+    val docs = graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    def run(nb: Int): Set[(Long, Long, Long, Boolean)] =
+      StreamOps.replayClassify(spark, docs, numBatches = nb)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+    val streamed = run(2)
+    val batch = Classifier.scoreDocs(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(streamed == batch,
+      s"stream != batch: missing=${(batch -- streamed).size} extra=${(streamed -- batch).size}")
+    // both verdict lanes fire
+    assert(streamed.exists(_._4) && streamed.exists(!_._4))
+    assert(run(3) == streamed)
+  }
+
   test("stream-static ANN replay equals the one-shot batch read path") {
     val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
     val queries = graft.operators.Cluster
