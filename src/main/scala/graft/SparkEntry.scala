@@ -1380,6 +1380,19 @@ object SparkEntry {
       Snapshot.diff(docs, Snapshot.nextSnapshot(docs))
     }),
 
+    // --- the composed ARRIVAL pipeline, driver-visible: parse ->
+    //     Luhn scrub -> ONE fused per-row pass (classifier score +
+    //     blocklist hits on the CLEAN text) -> admitted verdict, all
+    //     in one streaming query (stateless; fusing the two gates is
+    //     the no-lineage-rejoin rule applied to streams); the oracle
+    //     chains ingestScrubCtes -> hashClassifyScoreCtes -> the
+    //     blocklist positional count over the same scrubbed text ---
+    "q_arrival_pipeline" -> ((s, dir) => {
+      graft.streaming.StreamOps.replayArrival(s,
+        CorpusOps.jsonWrap(CorpusOps.cardWrap(Fixtures.documents(s, dir))),
+        blockPatterns, numBatches = 2)
+    }),
+
     // --- STREAMING classifier inference: the hashed-ngram quality gate
     //     per micro-batch (broadcast weights, stateless map) — the
     //     model-based arrival-time filter next to q_stream_blocklist;
@@ -4124,6 +4137,33 @@ object SparkEntry {
     "q_stream_classify" ->
       ("WITH " + hashClassifyScoreCtes("documents") +
         "\nSELECT doc_id, score, n_features, score >= 0 AS keep FROM s"),
+
+    // Arrival-pipeline replay: the three shared generators chained —
+    // ingestScrubCtes (parse + scrub, %17 corrupt rows drop),
+    // hashClassifyScoreCtes over the SCRUBBED text, and the blocklist
+    // positional count over the same; admitted = keep AND zero hits.
+    "q_arrival_pipeline" -> {
+      val pats = blockPatterns.map(p => s"('$p')").mkString(", ")
+      "WITH " + ingestScrubCtes + ",\n" +
+        "scrub2 AS (SELECT doc_id, clean_text AS text FROM scrub),\n" +
+        hashClassifyScoreCtes("scrub2") +
+        s""",
+           |bpats AS (SELECT * FROM (VALUES $pats) v(pattern)),
+           |bh AS (
+           |  SELECT s2.doc_id,
+           |    CAST(SUM(len(list_filter(
+           |      range(1, len(s2.text) - len(p.pattern) + 2),
+           |      i -> substr(s2.text, CAST(i AS INTEGER), len(p.pattern)) = p.pattern)))
+           |      AS BIGINT) AS block_hits
+           |  FROM scrub2 s2 CROSS JOIN bpats p GROUP BY s2.doc_id
+           |)
+           |SELECT sc.doc_id, sc.n_cards, sc.n_rejected, s.score,
+           |  s.score >= 0 AS keep, bh.block_hits,
+           |  (s.score >= 0 AND bh.block_hits = 0) AS admitted
+           |FROM scrub sc
+           |JOIN s ON s.doc_id = sc.doc_id
+           |JOIN bh ON bh.doc_id = sc.doc_id""".stripMargin
+    },
 
     // Eval replay: same score CTE chain, label = (lang = 'en'); AUC as
     // the integer pair 2*wins+ties / 2*npos*nneg via a window prefix

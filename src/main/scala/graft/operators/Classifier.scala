@@ -33,6 +33,31 @@ object Classifier {
   def hashWeights(buckets: Int): Array[Long] =
     Array.tabulate(buckets)(b => md5Bits32Local("ftw:" + b) % 2001L - 1000L)
 
+  /** Score one text: (score, n_features). The shared per-row kernel —
+    * scoreDocs and the fused arrival pipeline both call it, so the
+    * feature derivation cannot fork. `cache` memoizes feature->bucket
+    * per partition (vocab << token instances). */
+  private[graft] def scoreText(text: String, wt: Array[Long], buckets: Int,
+                               cache: java.util.HashMap[String, Int]): (Long, Long) = {
+    def bucket(f: String): Int = {
+      var b = cache.getOrDefault(f, -1)
+      if (b < 0) {
+        b = (md5Bits32Local("ft:" + f) % buckets).toInt
+        cache.put(f, b)
+      }
+      b
+    }
+    // -1 limit: trailing empty tokens survive, matching both Catalyst
+    // split and DuckDB string_split
+    val t = text.split(" ", -1)
+    var s = 0L
+    var i = 0
+    while (i < t.length) { s += wt(bucket(t(i))); i += 1 }
+    i = 0
+    while (i < t.length - 1) { s += wt(bucket(t(i) + " " + t(i + 1))); i += 1 }
+    (s, (2 * t.length - 1).toLong)
+  }
+
   /** Classifier evaluation over a scored + labeled frame: a fixed
     * threshold sweep (confusion counts at each cut) plus the exact AUC
     * as an INTEGER pair — `auc_num = 2*wins + ties` over all
@@ -119,26 +144,10 @@ object Classifier {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val wt = bw.value
-        // vocab is tiny relative to token instances — memoize the hash
         val cache = new java.util.HashMap[String, Int]()
-        def bucket(f: String): Int = {
-          var b = cache.getOrDefault(f, -1)
-          if (b < 0) {
-            b = (md5Bits32Local("ft:" + f) % buckets).toInt
-            cache.put(f, b)
-          }
-          b
-        }
         rows.map { case (id, text) =>
-          // -1 limit: trailing empty tokens survive, matching both
-          // Catalyst split and DuckDB string_split
-          val t = text.split(" ", -1)
-          var s = 0L
-          var i = 0
-          while (i < t.length) { s += wt(bucket(t(i))); i += 1 }
-          i = 0
-          while (i < t.length - 1) { s += wt(bucket(t(i) + " " + t(i + 1))); i += 1 }
-          (id, s, (2 * t.length - 1).toLong, s >= 0L)
+          val (s, nf) = scoreText(text, wt, buckets, cache)
+          (id, s, nf, s >= 0L)
         }
       }
       .toDF("doc_id", "score", "n_features", "keep")

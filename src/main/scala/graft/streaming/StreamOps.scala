@@ -932,6 +932,81 @@ object StreamOps {
     }
   }
 
+  /** The composed ARRIVAL pipeline — every per-record gate a corpus
+    * runs at ingestion time, in ONE streaming query: schema'd parse
+    * with the malformed-record drop lane, Luhn card scrub, then a
+    * SINGLE fused per-row pass computing the classifier score AND the
+    * blocklist hit count over the CLEAN text (both kernels are pure
+    * per-row; fusing them is the no-lineage-rejoin rule — scoring and
+    * matching in two frames would either self-join the stream or parse
+    * twice). `admitted = keep AND block_hits == 0` is the verdict a
+    * landing sink would filter on. Stateless end to end: no state
+    * store, no watermark, append == batch. */
+  def arrivalPipeline(spark: SparkSession, recordStream: DataFrame,
+                      dictionary: Seq[String],
+                      buckets: Int = 4096): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{Blocklist, Classifier}
+    val bw = spark.sparkContext.broadcast(Classifier.hashWeights(buckets))
+    val bac = spark.sparkContext.broadcast(
+      new Blocklist.AhoCorasick(dictionary.toArray))
+    streamingIngest(spark, recordStream)
+      .select(col("doc_id"), col("clean_text"), col("n_cards"),
+        col("n_rejected"))
+      .as[(Long, String, Long, Long)]
+      .mapPartitions { rows =>
+        val wt = bw.value
+        val ac = bac.value
+        val cache = new java.util.HashMap[String, Int]()
+        rows.map { case (id, text, nc, nr) =>
+          val (s, _) = Classifier.scoreText(text, wt, buckets, cache)
+          var hits = 0L
+          ac.countAll(text).foreach(hits += _)
+          (id, nc, nr, s, s >= 0L, hits, s >= 0L && hits == 0L)
+        }
+      }
+      .toDF("doc_id", "n_cards", "n_rejected", "score", "keep",
+        "block_hits", "admitted")
+  }
+
+  /** Verification replay for the arrival pipeline — the
+    * [[replayEditMatch]] harness contract. */
+  def replayArrival(spark: SparkSession, records: DataFrame,
+                    dictionary: Seq[String],
+                    numBatches: Int = 2): DataFrame =
+      withReplayShuffle(spark) {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = records.select(col("doc_id").cast("long"),
+        coalesce(col("json").cast("string"), lit("")))
+      .as[(Long, String)]
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val name = "graft_replay_arrival"
+    val query = arrivalPipeline(spark,
+        mem.toDF().toDF("doc_id", "json"), dictionary)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("doc_id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getLong(5), r.getBoolean(6)))
+      spark.createDataset(rows.toSeq)
+        .toDF("doc_id", "n_cards", "n_rejected", "score", "keep",
+          "block_hits", "admitted")
+    } finally {
+      query.stop()
+    }
+  }
+
   /** Streaming snapshot diff: the NEW crawl's documents stream in and
     * are labeled against the static PREVIOUS snapshot at arrival time —
     * added (id unseen), changed (fingerprint differs), unchanged — via

@@ -423,6 +423,45 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(run(3) == streamed)
   }
 
+  test("arrival pipeline equals the independently-composed batch gates; batch-count invariant") {
+    import graft.operators.{Blocklist, Classifier, CorpusOps}
+    val docs = graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val records = CorpusOps.jsonWrap(CorpusOps.cardWrap(docs))
+    val dict = Seq("join", "join order", "batch batch", "slow query", "vector")
+    def run(nb: Int): Set[(Long, Long, Long, Long, Boolean, Long, Boolean)] =
+      StreamOps.replayArrival(spark, records, dict, numBatches = nb)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getLong(5), r.getBoolean(6))).toSet
+    val streamed = run(2)
+    // independent batch composition: separate frames + a join, vs the
+    // pipeline's fused single-pass kernel
+    val scrubbed = CorpusOps.luhnScrub(
+      CorpusOps.jsonIngest(records, withText = true)
+        .filter(col("valid")).select(col("doc_id"), col("text")))
+    val scores = Classifier.scoreDocs(spark, scrubbed, textCol = "clean_text")
+    val hits = Blocklist.matchCounts(spark, scrubbed, dict,
+        textCol = "clean_text")
+      .groupBy("doc_id").agg(sum(col("hits")).as("bh"))
+    val batch = scrubbed.join(scores, "doc_id")
+      .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("bh"))
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("n_cards")),
+        r.getLong(r.fieldIndex("n_rejected")),
+        r.getLong(r.fieldIndex("score")),
+        r.getBoolean(r.fieldIndex("keep")),
+        r.getLong(r.fieldIndex("bh")),
+        r.getBoolean(r.fieldIndex("keep")) && r.getLong(r.fieldIndex("bh")) == 0L))
+      .toSet
+    assert(streamed == batch,
+      s"stream != batch: missing=${(batch -- streamed).size} extra=${(streamed -- batch).size}")
+    // lane variety: admitted and rejected both fire, blocked and clean both exist
+    assert(streamed.exists(_._7) && streamed.exists(!_._7))
+    assert(streamed.exists(_._6 == 0L) && streamed.exists(_._6 > 0L))
+    assert(run(3) == streamed)
+  }
+
   test("stream-static ANN replay equals the one-shot batch read path") {
     val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
     val queries = graft.operators.Cluster
