@@ -1371,6 +1371,23 @@ object SparkEntry {
       Graph.triangles(s, Graph.linkEdges(docs), docs)
     }),
 
+    // --- bucketed co-located join: both sides written bucketBy the
+    //     join key (16 buckets, sorted), read back through the catalog,
+    //     joined EXCHANGE-FREE (the physical-layout lever for recurring
+    //     fact-dim joins — spec asserts zero pre-join Exchange) ---
+    "q_bucketed_join" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_buckets").toString
+      val (c, o) = Layout.writeBucketed(s,
+        Fixtures.customer(s, dir), Fixtures.orders(s, dir),
+        "c_custkey", "o_custkey", buckets = 16, basePath = base,
+        leftName = "graft_b_cust", rightName = "graft_b_ord")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_okey"))
+    }),
+
     // --- snapshot diff (the incremental-crawl gate): fingerprint both
     //     snapshots down to (id, md5), ONE co-partitioned full outer
     //     join — bodies never move; the derived "next crawl" plants
@@ -4310,6 +4327,16 @@ object SparkEntry {
          |FROM n JOIN a$iters ON a$iters.node = n.node
          |JOIN h$iters ON h$iters.node = n.node""".stripMargin
     },
+
+    // Bucketed-join replay: bucketing changes the physical layout, not
+    // the answer — the oracle is the plain join+agg on the original
+    // tables (the plan assertion lives in LayoutSpec).
+    "q_bucketed_join" ->
+      """SELECT c.c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(o.o_orderkey) AS BIGINT) AS sum_okey
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_nationkey""".stripMargin,
 
     // Snapshot-diff replay: rebuild the derived next-crawl snapshot and
     // full-outer-join on id; content equality replays as direct text

@@ -36,6 +36,9 @@ object Fixtures {
   def orders(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/orders.parquet")
 
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 

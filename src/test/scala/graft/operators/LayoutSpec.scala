@@ -73,4 +73,35 @@ class LayoutSpec extends AnyFunSuite {
     // layout must not lose or duplicate rows
     assert(out.count() == 5000)
   }
+
+  test("bucketed write makes the key join exchange-free and answer-preserving") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bucket_spec").toString
+    val fact = (0L until 5000L).map(i => (i % 400, i, s"p$i"))
+      .toDF("k", "row_id", "payload")
+    val dim = (0L until 400L).map(i => (i, s"d$i")).toDF("k", "name")
+    val (bf, bd) = Layout.writeBucketed(spark, fact, dim, "k", "k",
+      buckets = 8, basePath = base,
+      leftName = "graft_spec_fact", rightName = "graft_spec_dim")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the assertion tests CO-LOCATION, not size
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = bf.join(bd.withColumnRenamed("k", "dk"),
+        col("k") === col("dk"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      val got = j.select(col("row_id"), col("name")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = fact.join(dim, "k").select(col("row_id"), col("name"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want && got.size == 5000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_spec_fact")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_dim")
+    }
+  }
 }
