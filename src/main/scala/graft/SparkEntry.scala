@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.{BinaryScan, Fixtures}
 import graft.functions.{EmdCols, TextCols}
 import graft.core.Caching.PersistOnce
-import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps, Frontier, Wordpiece, Graph, Search, Blocklist, Classifier, Warc, Unigram, Snapshot}
+import graft.operators.{EmdJoins, MelodyJoin, BaselineJoin, MrSimJoin, Dedup, Ann, Multimodal, CorpusOps, TfIdf, EventOps, Cluster, SketchOps, Layout, Bpe, Skew, EditJoin, HtmlOps, UrlOps, Frontier, Wordpiece, Graph, Search, Blocklist, Classifier, Warc, Unigram, Snapshot, Profile}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -65,6 +65,14 @@ object SparkEntry {
     * no boundary-gap probing needed (the FP rule applies to ratios). */
   private val evalThresholds = Seq(-8000L, -4000L, -2000L, -1000L, 0L,
     1000L, 2000L, 4000L, 8000L)
+
+  /** q_profile's column lists — shared by the Spark melt and the oracle
+    * UNION ALL generator (one source of truth). l_quantity is
+    * integral-valued in the fixture (long-castable); truly fractional
+    * doubles stay out per the Profile string-form contract. */
+  private val ProfileNumericCols = Seq("l_orderkey", "l_partkey",
+    "l_suppkey", "l_linenumber", "l_quantity")
+  private val ProfileStringCols = Seq("l_returnflag", "l_linestatus")
 
   /** md5-derived link-edge replay shared by q_pagerank and q_hits —
     * ends in `e(src, dst)` (self-loops dropped, duplicates collapsed);
@@ -1369,6 +1377,16 @@ object SparkEntry {
     "q_triangles" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       Graph.triangles(s, Graph.linkEdges(docs), docs)
+    }),
+
+    // --- column profiling (the ANALYZE pass): per-column row/null/
+    //     distinct/min/max for ALL columns in ONE scan + one tiny
+    //     shuffle (melt -> aggregate by column name), numeric min/max
+    //     on the exact integer lane — never lexicographic, never one
+    //     scan per column ---
+    "q_profile" -> ((s, dir) => {
+      Profile.columnStats(Fixtures.lineitem(s, dir),
+        numeric = ProfileNumericCols, strings = ProfileStringCols)
     }),
 
     // --- bucketed co-located join: both sides written bucketBy the
@@ -4326,6 +4344,31 @@ object SparkEntry {
          |SELECT n.node AS doc_id, a$iters.s AS auth, h$iters.s AS hub
          |FROM n JOIN a$iters ON a$iters.node = n.node
          |JOIN h$iters ON h$iters.node = n.node""".stripMargin
+    },
+
+    // Profile replay: the same melt (UNION ALL legs generated from the
+    // SAME column lists) + per-column aggregation; numeric min/max on
+    // the integer lane, unified to strings at the end.
+    "q_profile" -> {
+      val legs =
+        ProfileNumericCols.map(c =>
+          s"SELECT '$c' AS column_name, CAST($c AS BIGINT) AS vnum, " +
+            "CAST(NULL AS VARCHAR) AS vstr FROM lineitem") ++
+          ProfileStringCols.map(c =>
+            s"SELECT '$c' AS column_name, CAST(NULL AS BIGINT) AS vnum, " +
+              s"$c AS vstr FROM lineitem")
+      s"""WITH m AS (
+         |  ${legs.mkString("\n  UNION ALL\n  ")}
+         |)
+         |SELECT column_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN vnum IS NULL AND vstr IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT COALESCE(vstr, CAST(vnum AS VARCHAR)))
+         |    AS BIGINT) AS n_distinct,
+         |  COALESCE(CAST(MIN(vnum) AS VARCHAR), MIN(vstr)) AS min_val,
+         |  COALESCE(CAST(MAX(vnum) AS VARCHAR), MAX(vstr)) AS max_val
+         |FROM m GROUP BY column_name""".stripMargin
     },
 
     // Bucketed-join replay: bucketing changes the physical layout, not
