@@ -402,6 +402,36 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(got(100L) === ((0L, 0L, np, nn, np * nn, 2L * np * nn)))
   }
 
+  test("round-14 operators survive an empty corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Warc.parseWarc(spark, Warc.warcWrap(noDocs)
+      .withColumnRenamed("content", "content")).count() == 0)
+    assert(Search.phraseSearch(spark, Search.positionalIndex(noDocs),
+      Seq("a b")).count() == 0)
+    assert(Blocklist.matchCounts(spark, noDocs, Seq("x")).count() == 0)
+    assert(Classifier.scoreDocs(spark, noDocs).count() == 0)
+    val noScored = Seq.empty[(Long, Long, Boolean)]
+      .toDF("doc_id", "score", "label")
+    assert(Classifier.evalScores(spark, noScored, Seq(0L)).count() == 0)
+    assert(Unigram.encode(noDocs, Seq("a" -> -1L)).count() == 0)
+    assert(Snapshot.diff(noDocs, Snapshot.nextSnapshot(noDocs)).count() == 0)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val someNodes = (0L until 4L).map(Tuple1(_)).toDF("doc_id")
+    // graphs tolerate empty EDGE sets over real node sets…
+    assert(Graph.hits(spark, noEdges, someNodes).collect()
+      .forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+    assert(Graph.triangles(spark, noEdges, someNodes).collect()
+      .forall(_.getLong(1) == 0L))
+    // …while an empty NODE set is a contract violation, loudly
+    intercept[IllegalArgumentException] { Graph.linkEdges(noDocs) }
+    assert(Profile.columnStats(noDocs, Seq("doc_id"), Seq("text")).count() == 0)
+    val noEmb = Seq.empty[(Long, Array[Double], Long)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Ann.hardNegatives(noEmb, noEmb, k = 3).count() == 0)
+  }
+
   test("round-9 operators survive an empty corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
