@@ -1406,6 +1406,16 @@ object SparkEntry {
           sum(col("o_orderkey")).as("sum_okey"))
     }),
 
+    // --- cross-snapshot CONTENT dedup: arriving docs whose content
+    //     the historical corpus already holds under ANY id (mirrors,
+    //     re-hosts) are duplicates despite their fresh ids; distinct
+    //     fp projection over history (the skew gate) + one fp-keyed
+    //     join, only (id, md5) pairs shuffle ---
+    "q_incr_dedup" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      Snapshot.contentDedup(docs, Snapshot.rehostWrap(docs))
+    }),
+
     // --- snapshot diff (the incremental-crawl gate): fingerprint both
     //     snapshots down to (id, md5), ONE co-partitioned full outer
     //     join — bodies never move; the derived "next crawl" plants
@@ -4380,6 +4390,23 @@ object SparkEntry {
         |  CAST(sum(o.o_orderkey) AS BIGINT) AS sum_okey
         |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_nationkey""".stripMargin,
+
+    // Incremental content-dedup replay: same arrival derivation, text
+    // membership against the history (md5 equality == text equality on
+    // the fixture's exact bytes).
+    "q_incr_dedup" ->
+      """WITH arr AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 13 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    'unseen page about topic ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 13 = 2
+        |)
+        |SELECT a.doc_id,
+        |  NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = a.text)
+        |    AS fresh
+        |FROM arr a""".stripMargin,
 
     // Snapshot-diff replay: rebuild the derived next-crawl snapshot and
     // full-outer-join on id; content equality replays as direct text

@@ -37,6 +37,47 @@ object Snapshot {
         .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Cross-snapshot CONTENT dedup — the other half of incremental
+    * ingestion next to the id-keyed [[diff]]: an arriving document
+    * whose CONTENT already exists in the historical corpus under ANY
+    * id (a re-hosted page, a mirror, a boilerplate clone) is a
+    * duplicate even though its id is new. One distinct fingerprint
+    * projection over history + one co-partitioned LEFT SEMI-shaped
+    * join on the fp — only (id, md5) pairs shuffle, and history keeps
+    * ONE row per distinct content regardless of how duplicated it is
+    * (the distinct is the skew gate: a million-copy boilerplate page
+    * is one fp row). Output: `(doc_id, fresh)` per incoming doc. */
+  def contentDedup(history: DataFrame, incoming: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val seen = history
+      .select(md5(col(textCol).cast("binary")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .distinct()
+      .withColumn("seen", lit(true))
+    incoming
+      .select(col(idCol).cast("long").as(idCol),
+        md5(col(textCol).cast("binary")).as("fp"))
+      .filter(col(idCol).isNotNull)
+      .join(seen, Seq("fp"), "left")
+      .select(col(idCol), col("seen").isNull.as("fresh"))
+  }
+
+  /** Deterministic "re-hosted + fresh" arrival batch over the documents
+    * fixture: doc_id % 13 == 1 pages REAPPEAR verbatim under
+    * id + 2000000 (the mirror lane — content dedup must catch them),
+    * doc_id % 13 == 2 pages arrive with genuinely new text (the fresh
+    * lane). */
+  def rehostWrap(docs: DataFrame): DataFrame = {
+    val mirrored = docs.filter(col("doc_id") % 13 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val fresh = docs.filter(col("doc_id") % 13 === 2)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("unseen page about topic "), col("doc_id").cast("string"))
+          .as("text"))
+    mirrored.unionByName(fresh)
+  }
+
   /** Deterministic "next crawl" snapshot over the documents fixture
     * (the jsonWrap convention): doc_id % 23 == 0 pages vanish,
     * doc_id % 7 == 3 pages change content, and each doc_id % 11 == 5

@@ -43,6 +43,28 @@ class SnapshotSpec extends AnyFunSuite {
     assert(d.filter(_._2 == "added").forall(_._1 >= 1000000L))
   }
 
+  test("contentDedup catches re-hosted content under any id; history multiplicity irrelevant") {
+    import spark.implicits._
+    val history = Seq((1L, "shared boilerplate"), (2L, "shared boilerplate"),
+      (3L, "unique old page")).toDF("doc_id", "text")
+    val arriving = Seq(
+      (100L, "shared boilerplate"),  // re-host of a MULTI-copy old text
+      (101L, "unique old page"),     // re-host of a single-copy old text
+      (102L, "genuinely new text")).toDF("doc_id", "text")
+    val got = Snapshot.contentDedup(history, arriving).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(100L -> false, 101L -> false, 102L -> true))
+  }
+
+  test("rehostWrap plants the mirror and fresh lanes against the fixture") {
+    val docs = graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val got = Snapshot.contentDedup(docs, Snapshot.rehostWrap(docs)).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val (mirror, fresh) = got.partition(_._1 < 3000000L)
+    assert(mirror.nonEmpty && mirror.forall(!_._2), "every mirror is caught")
+    assert(fresh.nonEmpty && fresh.forall(_._2), "every fresh page passes")
+  }
+
   test("identical snapshots diff to all-unchanged") {
     import spark.implicits._
     val a = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
