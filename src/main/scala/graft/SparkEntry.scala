@@ -1655,6 +1655,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // --- LEAKAGE-SAFE split: assignment keyed by the near-dup cluster
+    //     representative, so near-duplicates structurally cannot
+    //     straddle train/test (the doc-keyed split's silent
+    //     contamination); shares the session-cached edge set ---
+    "q_leak_split" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      val edges = simhashEdges(s, dir).select(col("rid"), col("sid"))
+      CorpusOps.leakSafeSplit(
+        Dedup.connectedComponents(s, edges, docs.select(col("doc_id")))
+          .select(col("id").as("doc_id"), col("cluster")))
+    }),
+
     // --- the ACTION the clustering feeds: keep the best-quality member
     //     per near-dup cluster ((round(score,6) DESC, id) total order —
     //     the rounded score is itself the hash-checked q_quality row);
@@ -3578,6 +3590,27 @@ object SparkEntry {
         """SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
           |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
           |GROUP BY d.doc_id""".stripMargin),
+
+    // Leak-safe split: the q_dedup_clusters closure + the q_data_split
+    // bucket arithmetic applied to the CLUSTER id — one recursive
+    // closure, one hash, structurally no straddling.
+    "q_leak_split" ->
+      ("WITH RECURSIVE " + SimhashCteBody +
+        """, e AS (
+          |  SELECT rid AS u, sid AS v FROM pairs WHERE hamming <= 7
+          |), """.stripMargin + reachCtes("e") + ",\n" +
+        """cl AS (
+          |  SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster
+          |  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+          |  GROUP BY d.doc_id
+          |)
+          |SELECT doc_id, cluster,
+          |  CASE WHEN b < 3435973837 THEN 'train'
+          |       WHEN b < 3865470566 THEN 'val' ELSE 'test' END AS split
+          |FROM (SELECT doc_id, cluster,
+          |        ('0x' || substr(md5('split:' || cast(cluster AS VARCHAR)),
+          |                        1, 8))::BIGINT AS b
+          |      FROM cl)""".stripMargin),
 
     // Keep-best: the q_dedup_clusters recursive closure + the q_quality
     // score, ranked (score DESC, id) per cluster.

@@ -112,21 +112,44 @@ object CorpusOps {
     * in both engines — no FP boundary.
     *
     * Output: (id, split) with split in {train, val, test}. */
+  /** The md5-bucket split assignment over an arbitrary key column —
+    * shared by [[dataSplit]] (key = doc id) and [[leakSafeSplit]]
+    * (key = near-dup cluster representative). */
+  private def splitExpr(key: Column, thresholds: Seq[(String, Long)],
+                        lastName: String): Column = {
+    require(thresholds.nonEmpty &&
+      thresholds.map(_._2) == thresholds.map(_._2).sorted,
+      s"split thresholds must ascend: $thresholds")
+    val bucket = TextCols.md5Bits32(concat(lit("split:"), key.cast("string")))
+    thresholds.foldRight(lit(lastName): Column) {
+      case ((nm, th), acc) => when(bucket < lit(th), lit(nm)).otherwise(acc)
+    }
+  }
+
   def dataSplit(docs: DataFrame,
                 idCol: String = "doc_id",
                 thresholds: Seq[(String, Long)] = Seq(
                   "train" -> 3435973837L, "val" -> 3865470566L),
-                lastName: String = "test"): DataFrame = {
-    require(thresholds.nonEmpty &&
-      thresholds.map(_._2) == thresholds.map(_._2).sorted,
-      s"dataSplit: thresholds must ascend: $thresholds")
-    val bucket = TextCols.md5Bits32(
-      concat(lit("split:"), col(idCol).cast("string")))
-    val split = thresholds.foldRight(lit(lastName): Column) {
-      case ((nm, th), acc) => when(bucket < lit(th), lit(nm)).otherwise(acc)
-    }
-    docs.select(col(idCol), split.as("split"))
-  }
+                lastName: String = "test"): DataFrame =
+    docs.select(col(idCol),
+      splitExpr(col(idCol), thresholds, lastName).as("split"))
+
+  /** LEAKAGE-SAFE split: the assignment key is the near-dup CLUSTER
+    * representative, not the document id — a doc-keyed split puts
+    * near-duplicates on both sides of the train/test fence (the
+    * contamination a decontamination pass then has to detect after
+    * the fact), while a cluster-keyed split makes straddling
+    * STRUCTURALLY impossible: every member hashes the same key. Input
+    * is the (id, cluster) frame from [[Dedup.connectedComponents]];
+    * pure projection, no extra shuffle beyond what clustering paid. */
+  def leakSafeSplit(clustered: DataFrame,
+                    idCol: String = "doc_id",
+                    clusterCol: String = "cluster",
+                    thresholds: Seq[(String, Long)] = Seq(
+                      "train" -> 3435973837L, "val" -> 3865470566L),
+                    lastName: String = "test"): DataFrame =
+    clustered.select(col(idCol), col(clusterCol),
+      splitExpr(col(clusterCol), thresholds, lastName).as("split"))
 
   /** Fixed-size deterministic per-group sample: the n rows with the
     * smallest md5("<group>:<id>") per group — the fixed-budget companion

@@ -132,4 +132,30 @@ class SketchOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     subset.foreach { case (id, sp) => assert(full(id) == sp) }
   }
+
+  test("leakSafeSplit: no near-dup cluster ever straddles a split fence") {
+    import spark.implicits._
+    // hand clusters: members share their cluster's split, whatever it is
+    val clustered = Seq(
+      (1L, 1L), (2L, 1L), (900L, 1L),   // one 3-member cluster
+      (3L, 3L), (77L, 3L),              // a 2-member cluster
+      (5L, 5L)).toDF("doc_id", "cluster")
+    val got = CorpusOps.leakSafeSplit(clustered).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1),
+      "members of one cluster MUST share a split")
+    // cluster split == the id-split of the representative id (shared hash)
+    val repSplit = CorpusOps.dataSplit(Seq(1L, 3L, 5L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (_, c, sp) => assert(sp == repSplit(c)) }
+    // the fixture path: the declared query's clustering never straddles
+    val docs = graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val edges = Dedup.simhashDedup(spark, docs, maxHamming = 7)
+      .select(col("rid"), col("sid"))
+    val fixture = CorpusOps.leakSafeSplit(
+      Dedup.connectedComponents(spark, edges, docs.select(col("doc_id")))
+        .select(col("id").as("doc_id"), col("cluster"))).collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+    assert(fixture.groupBy(_._1).forall(_._2.map(_._2).distinct.size == 1))
+  }
 }
