@@ -74,6 +74,21 @@ object SparkEntry {
     "l_suppkey", "l_linenumber", "l_quantity")
   private val ProfileStringCols = Seq("l_returnflag", "l_linestatus")
 
+  /** Content-dedup replay shared by the batch and streaming legs. */
+  private lazy val IncrDedupSql: String =
+    """WITH arr AS (
+      |  SELECT doc_id + 2000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 13 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS doc_id,
+      |    'unseen page about topic ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM documents WHERE doc_id % 13 = 2
+      |)
+      |SELECT a.doc_id,
+      |  NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = a.text)
+      |    AS fresh
+      |FROM arr a""".stripMargin
+
   /** md5-derived link-edge replay shared by q_pagerank and q_hits —
     * ends in `e(src, dst)` (self-loops dropped, duplicates collapsed);
     * the single source of truth for [[graft.operators.Graph.linkEdges]]'
@@ -1404,6 +1419,16 @@ object SparkEntry {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_orderkey")).as("sum_okey"))
+    }),
+
+    // --- STREAMING content dedup: the arriving batch's fingerprints
+    //     check against the static history at arrival time (stream-
+    //     static left join on the distinct-fp projection) — the stream
+    //     twin of q_incr_dedup, same oracle ---
+    "q_stream_incrdedup" -> ((s, dir) => {
+      val docs = Fixtures.documents(s, dir)
+      graft.streaming.StreamOps.replayContentDedup(s,
+        Snapshot.rehostWrap(docs), docs, numBatches = 2)
     }),
 
     // --- cross-snapshot CONTENT dedup: arriving docs whose content
@@ -4427,19 +4452,10 @@ object SparkEntry {
     // Incremental content-dedup replay: same arrival derivation, text
     // membership against the history (md5 equality == text equality on
     // the fixture's exact bytes).
-    "q_incr_dedup" ->
-      """WITH arr AS (
-        |  SELECT doc_id + 2000000 AS doc_id, text
-        |  FROM documents WHERE doc_id % 13 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 3000000 AS doc_id,
-        |    'unseen page about topic ' || CAST(doc_id AS VARCHAR) AS text
-        |  FROM documents WHERE doc_id % 13 = 2
-        |)
-        |SELECT a.doc_id,
-        |  NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = a.text)
-        |    AS fresh
-        |FROM arr a""".stripMargin,
+    "q_incr_dedup" -> IncrDedupSql,
+
+    // the streaming leg is stateless per batch — same oracle
+    "q_stream_incrdedup" -> IncrDedupSql,
 
     // Snapshot-diff replay: rebuild the derived next-crawl snapshot and
     // full-outer-join on id; content equality replays as direct text

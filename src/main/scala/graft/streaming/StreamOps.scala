@@ -1007,6 +1007,62 @@ object StreamOps {
     }
   }
 
+  /** Streaming content dedup: arriving documents check their CONTENT
+    * fingerprint against the static historical corpus at arrival time
+    * (the stream twin of [[graft.operators.Snapshot.contentDedup]] —
+    * mirrors and re-hosts are duplicates under ANY id). Stream-static
+    * left join on the distinct-fp projection; the history side builds
+    * once and holds one row per distinct content (the skew gate). */
+  def streamingContentDedup(spark: SparkSession, docStream: DataFrame,
+                            history: DataFrame): DataFrame = {
+    val seen = history
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .distinct()
+      .withColumn("seen", lit(true))
+    docStream
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(col("text").cast("binary")).as("fp"))
+      .filter(col("doc_id").isNotNull)
+      .join(seen, Seq("fp"), "left")
+      .select(col("doc_id"), col("seen").isNull.as("fresh"))
+  }
+
+  /** Verification replay for streaming content dedup — the
+    * [[replayEditMatch]] harness contract. */
+  def replayContentDedup(spark: SparkSession, newDocs: DataFrame,
+                         history: DataFrame,
+                         numBatches: Int = 2): DataFrame =
+      withReplayShuffle(spark) {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = newDocs.select(col("doc_id").cast("long"),
+        coalesce(col("text").cast("string"), lit("")))
+      .as[(Long, String)]
+    val n = src.count()
+    val per = math.max(1L, (n + numBatches - 1) / numBatches).toInt
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val name = "graft_replay_contentdedup"
+    val query = streamingContentDedup(spark,
+        mem.toDF().toDF("doc_id", "text"), history)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      src.orderBy(col("doc_id")).toLocalIterator().asScala
+        .grouped(per).foreach { chunk =>
+          mem.addData(chunk.toSeq: _*)
+          query.processAllAvailable()
+        }
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1)))
+      spark.createDataset(rows.toSeq).toDF("doc_id", "fresh")
+    } finally {
+      query.stop()
+    }
+  }
+
   /** Streaming snapshot diff: the NEW crawl's documents stream in and
     * are labeled against the static PREVIOUS snapshot at arrival time —
     * added (id unseen), changed (fingerprint differs), unchanged — via

@@ -462,6 +462,23 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(run(3) == streamed)
   }
 
+  test("streaming content dedup equals the batch anti-join; batch-count invariant") {
+    import graft.operators.Snapshot
+    val docs = graft.sources.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val arriving = Snapshot.rehostWrap(docs)
+    def run(nb: Int): Set[(Long, Boolean)] =
+      StreamOps.replayContentDedup(spark, arriving, docs, numBatches = nb)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val streamed = run(2)
+    val batch = Snapshot.contentDedup(docs, arriving).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(streamed == batch,
+      s"stream != batch: missing=${(batch -- streamed).size} extra=${(streamed -- batch).size}")
+    assert(streamed.exists(_._2) && streamed.exists(!_._2),
+      "mirror and fresh lanes must both fire")
+    assert(run(3) == streamed)
+  }
+
   test("stream-static ANN replay equals the one-shot batch read path") {
     val embs = graft.sources.Fixtures.embeddings(spark, "/root/testdata/sf0.001")
     val queries = graft.operators.Cluster
