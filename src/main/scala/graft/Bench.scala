@@ -159,7 +159,21 @@ object Bench {
     // faster box than the recorded floor, would otherwise inflate)
     val totalCal = total * math.min(1.0, CalibRefSec / calib)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","value_calibrated":$totalCal,"calib_sec":$calib,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
+    // stdout gets a COMPACT line instead of the full 4.5k one: the
+    // driver records only the LAST 2000 chars of stdout (BENCH_r13/r14
+    // tails beheaded the JSON mid-map, so its parsed field was null
+    // every round). Budget the line to fit that window with room for
+    // sbt's trailing "[success]" banner: all first-class scalars, the
+    // errors map, and as many slowest-query entries as fit; the full
+    // per-query map always lands in BENCH_LAST.json / BENCH_OUT.
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","value_calibrated":$totalCal,"calib_sec":$calib,"loadavg":[$loadStart,$loadEnd],"n_queries":${names.size},"errors":$errJson,"sf":"$sfDir","queries_full":"BENCH_LAST.json","slowest":{"""
+    val budget = 1800 - head.length - 2
+    val bySlow = names.sortBy(n => -times(n))
+      .map(n => "\"" + n + "\":" + f"${times(n)}%.3f")
+    val fit = bySlow.scanLeft(0)((acc, e) => acc + e.length + 1)
+      .tail.takeWhile(_ <= budget).length
+    val compact = head + bySlow.take(fit).mkString(",") + "}}"
+    println(compact)
     // machine-readable artifact: the stdout line drowns in sbt noise and
     // the driver's BENCH_r*.json "parsed" field has been null every round
     // — write the bare JSON line to SPARK_GRAFT_BENCH_OUT when set, and

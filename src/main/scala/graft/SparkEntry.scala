@@ -295,6 +295,53 @@ object SparkEntry {
     // replication grows at this distribution; 24+ regresses
     sideNum = 16, numDuals = 4, numReductions = 4, reducedDim = 4)
 
+  /** Replace the engine-reported dist on 3-D cube pairs with the
+    * CANONICAL closed form ([[graft.core.CubeKR]]): exact integer
+    * difference vectors from [[Fixtures.tripleCounts]], the KR vertex
+    * max, one divide — the same fixed FP expression the DuckDB oracle
+    * evaluates, so the reported value is bit-identical in both engines
+    * (the SSP kernels' doubles agree with the truth to ~1e-12, but one
+    * fixture pair sits 8e-13 from a 6-decimal rounding boundary, so an
+    * independent recomputation could legitimately round differently —
+    * canonicalization removes the hazard instead of betting on it).
+    * Each row also ASSERTS |engine dist - canonical| <= 1e-6 (engine
+    * dist arrives 6dp-rounded, so legit deviation is < 5e-7 + jitter):
+    * with crossCheckPairs (engines agree) and this bound (engine agrees
+    * with the closed form) the oracle match is evidence about the LP
+    * kernels, not just about CubeKR agreeing with itself. Runs on the
+    * final output only (1.4k-150k rows), one broadcast join per side. */
+  private def cubeCanonicalDist(s: SparkSession, dir: String)
+                               (pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cnt = Fixtures.tripleCounts(s, dir)
+    val aSide = cnt.select(col("id").as("rid") +:
+      (0 until 8).map(i => col(s"c$i").as(s"ca$i")) :+ col("t").as("ta"): _*)
+    val bSide = cnt.select(col("id").as("sid") +:
+      (0 until 8).map(i => col(s"c$i").as(s"cb$i")) :+ col("t").as("tb"): _*)
+    val j = pairs
+      .join(broadcast(aSide), "rid").join(broadcast(bSide), "sid")
+      .select(Seq(col("rid").cast("long"), col("sid").cast("long"),
+        col("dist").cast("double")) ++
+        (0 until 8).map(i => col(s"ca$i").cast("long")) ++
+        Seq(col("ta").cast("long")) ++
+        (0 until 8).map(i => col(s"cb$i").cast("long")) ++
+        Seq(col("tb").cast("long")): _*)
+    val out = j.rdd.map { r =>
+      val rid = r.getLong(0); val sid = r.getLong(1); val eng = r.getDouble(2)
+      val ca = Array.tabulate(8)(i => r.getLong(3 + i)); val ta = r.getLong(11)
+      val cb = Array.tabulate(8)(i => r.getLong(12 + i)); val tb = r.getLong(20)
+      val d = graft.core.CubeKR.emd(ca, ta, cb, tb)
+      require(math.abs(eng - d) <= 1e-6,
+        s"cube canonical dist mismatch ($rid,$sid): engine=$eng canonical=$d")
+      Row(rid, sid, d)
+    }
+    val schema = StructType(Seq(StructField("rid", LongType),
+      StructField("sid", LongType), StructField("dist", DoubleType)))
+    s.createDataFrame(out, schema)
+      .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))
+  }
+
   /** [[melodyCfg3d]] with the grid sized to the corpus density
     * (MelodyJoin.sideNumFor): sf0.01 and below stay at the floor
     * side 6 (so gate-scale plans are unchanged), sf0.1 gets side 8 —
@@ -592,23 +639,27 @@ object SparkEntry {
       s.createDataFrame(rows).toDF("engine", "n_pairs", "n_diff", "dist_ok")
     }),
 
-    // --- grid-pruned melody engine, 3-D exact LP-EMD (J1; LP not
-    //     expressible in DuckDB, so the declared query is SELF-VERIFYING:
-    //     the tree-exact engine recomputes the answer and crossCheckPairs
-    //     requires pair-set equality before returning). Engine state is
-    //     theta-independent and shared with q_emd3d_topk via the session
-    //     prepare cache — the reference pairing of query types over one
-    //     corpus (Join.java:42-131) pays the grid/enrichment once ---
+    // --- grid-pruned melody engine, 3-D exact LP-EMD (J1). The LP is a
+    //     closed form on this corpus (CubeKR: KR duality over the fixed
+    //     sqrt-Hamming cube metric), so the row carries a FULL DuckDB
+    //     oracle; it additionally stays SELF-VERIFYING (the tree-exact
+    //     engine recomputes the answer and crossCheckPairs requires
+    //     pair-set equality) and the reported dist is canonicalized to
+    //     the same closed form both engines print bit-identically.
+    //     Engine state is theta-independent and shared with
+    //     q_emd3d_topk via the session prepare cache — the reference
+    //     pairing of query types over one corpus (Join.java:42-131)
+    //     pays the grid/enrichment once ---
     "q_emd3d_pairs" -> ((s, dir) => {
       val hists = Fixtures.tripleHists(s, dir)
       val cfg3 = melodyCfg3dFor(s, dir)
       val prep = MelodyJoin.prepareCached(s, hists, cfg3)
-      crossCheckPairs(
+      cubeCanonicalDist(s, dir)(crossCheckPairs(
         MelodyJoin.thresholdJoinPrepared(s, prep, Theta3d, cfg3)
           .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
         EmdJoins.treeExact3dThresholdJoin(hists, Theta3d),
         "q_emd3d_pairs",
-        audit = simplexAudit3d(hists, "q_emd3d_pairs"))
+        audit = simplexAudit3d(hists, "q_emd3d_pairs")))
     }),
 
     // --- tree-exact 3-D engine (FlowTree-style: banded tree candidates
@@ -617,14 +668,14 @@ object SparkEntry {
     //     the melody engine (LP not SQL-expressible) ---
     "q_treeexact3d_pairs" -> ((s, dir) => {
       val hists = Fixtures.tripleHists(s, dir)
-      crossCheckPairs(
+      cubeCanonicalDist(s, dir)(crossCheckPairs(
         EmdJoins.treeExact3dThresholdJoin(hists, Theta3d)
           .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
         MelodyJoin.thresholdJoinPrepared(s,
           MelodyJoin.prepareCached(s, hists, melodyCfg3dFor(s, dir)),
           Theta3d, melodyCfg3dFor(s, dir)),
         "q_treeexact3d_pairs",
-        audit = simplexAudit3d(hists, "q_treeexact3d_pairs"))
+        audit = simplexAudit3d(hists, "q_treeexact3d_pairs")))
     }),
 
     // --- 3-D exact EMD top-k (J2/A7; shares the cached engine state;
@@ -635,12 +686,12 @@ object SparkEntry {
       val hists = Fixtures.tripleHists(s, dir)
       val cfg3 = melodyCfg3dFor(s, dir)
       val prep = MelodyJoin.prepareCached(s, hists, cfg3)
-      crossCheckPairs(
+      cubeCanonicalDist(s, dir)(crossCheckPairs(
         MelodyJoin.topKJoinPrepared(s, prep, TopK, cfg3)
           .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
         EmdJoins.treeExact3dTopK(hists, TopK),
         "q_emd3d_topk",
-        audit = simplexAudit3d(hists, "q_emd3d_topk"))
+        audit = simplexAudit3d(hists, "q_emd3d_topk")))
     }),
 
     // --- ORACLE-VISIBLE witness verdict for the three no_oracle LP rows:
@@ -1855,6 +1906,31 @@ object SparkEntry {
       Ann.ivfPqTopKRerank(s, rest, qq, kCoarse = 4, nProbe = 2,
         numSub = 4, ksub = 8, k = 20, shortlist = 100)
     }),
+    // --- IVF-PQ recall audit: |reranked top-20 ∩ exact integer-L2
+    //     top-20| under the shared (d2, id) total order — the same
+    //     continuously-measured recall row the SQ8 path has
+    //     (q_sq8_recall), closing the driver-visible gap for the
+    //     two-level index. A shortlist miss (a true neighbor whose
+    //     cell is never probed or whose ADC rank falls past 100) is
+    //     the ONLY way the two legs can differ, so this one number is
+    //     the quantization-quality contract of the production read
+    //     path ---
+    "q_ivfpq_recall" -> ((s, dir) => {
+      val embs = Fixtures.embeddings(s, dir)
+      val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+      val rest = embs.filter(col("vec_id") =!= minId)
+      val qq = Cluster.quantize(embs.filter(col("vec_id") === minId), 1000)
+        .select(col("v")).head().getSeq[Long](0).toArray
+      val approx = Ann.ivfPqTopKRerank(s, rest, qq, kCoarse = 4, nProbe = 2,
+        numSub = 4, ksub = 8, k = 20, shortlist = 100).select(col("id"))
+      val exact = Cluster.quantize(rest, 1000)
+        .select(col("id"),
+          aggregate(zip_with(col("v"), lit(qq), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"))
+        .orderBy(col("d2"), col("id")).limit(20).select(col("id"))
+      approx.join(exact, "id")
+        .agg(count(lit(1)).cast("long").as("n_common"))
+    }),
 
     // --- batch retrieval: exact top-5 corpus neighbors for EVERY query
     //     in a broadcast query set (the 10 lowest vec_ids) — the
@@ -3060,6 +3136,272 @@ object SparkEntry {
         |)
         |SELECT id, d2 FROM prr ORDER BY d2, id LIMIT 20""".stripMargin
 
+  /** Shared CTE prefix of the 3-D exact-EMD oracles: cube-corner
+    * integer count histograms (the [[Fixtures.tripleCounts]]
+    * derivation) + per-id 3-D means for the rubner stage. Exact EMD on
+    * this corpus is a CLOSED FORM — max over [[graft.core.CubeKR]]'s
+    * 709 fixed KR-dual vertices of an integer dot product — so the LP
+    * rows carry full DuckDB oracles: stage 1 prunes by the rubner
+    * mean-distance lower bound, stage 2 by the 24 hardest-pruning
+    * vertices inline (121k -> 2.5k candidates at sf0.01), stage 3
+    * joins survivors against the full vertex VALUES table. Every stage
+    * bound is admissible (each vertex is a lower bound; slack 1e-9
+    * absorbs FP jitter), so only cost — never membership — depends on
+    * the cascade; membership and the reported value come from the
+    * identical fixed-shape FP expression the Spark side evaluates
+    * (SparkEntry.cubeCanonicalDist). */
+  private lazy val Cube3dBody: String = {
+    val counts = (0 until 8).map(k =>
+      s"CAST(count(*) FILTER (bin = $k) AS BIGINT) AS c$k").mkString(",\n    ")
+    s"""WITH bsrc AS (
+       |  SELECT l_partkey AS id,
+       |    (CASE WHEN l_quantity > 25.0 THEN 4 ELSE 0 END +
+       |     CASE WHEN l_extendedprice > 30000.0 THEN 2 ELSE 0 END +
+       |     CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS bin
+       |  FROM lineitem
+       |), h AS (
+       |  SELECT id,
+       |    $counts,
+       |    CAST(count(*) AS BIGINT) AS t
+       |  FROM bsrc GROUP BY id
+       |), hm AS (
+       |  SELECT id, c0,c1,c2,c3,c4,c5,c6,c7, t,
+       |    CAST(c4+c5+c6+c7 AS DOUBLE)/t AS mx,
+       |    CAST(c2+c3+c6+c7 AS DOUBLE)/t AS my,
+       |    CAST(c1+c3+c5+c7 AS DOUBLE)/t AS mz
+       |  FROM h
+       |)""".stripMargin
+  }
+
+  private def cube3dNs: String =
+    (0 until 8).map(i => s"a.c$i*b.t - b.c$i*a.t AS n$i").mkString(",\n    ")
+
+  private def cube3dVtx: String = {
+    val cols = ((0 until 8).map(i => s"a$i") ++ (0 until 8).map(i => s"b$i") ++
+      (0 until 8).map(i => s"g$i")).mkString(", ")
+    s", vtx($cols) AS (VALUES\n" + graft.core.CubeKR.sqlVertexValues + "\n)"
+  }
+
+  /** stage-3 exact evaluation + the final projection (caller appends
+    * the membership filter / ordering). */
+  private def cube3dExCte: String = {
+    def dot(p: String) = (0 until 8).map(i => s"v.$p$i*p.n$i").mkString(" + ")
+    s""", ex AS (
+       |  SELECT p.rid, p.sid, p.tt,
+       |    max(abs(CAST(${dot("a")} AS DOUBLE)
+       |            + CAST(${dot("b")} AS DOUBLE)*sqrt(2.0)
+       |            + CAST(${dot("g")} AS DOUBLE)*sqrt(3.0))) AS mxv
+       |  FROM surv p CROSS JOIN vtx v
+       |  GROUP BY p.rid, p.sid, p.tt
+       |)""".stripMargin
+  }
+
+  /** q_emd3d_pairs / q_treeexact3d_pairs: all pairs with exact
+    * cube-EMD <= Theta3d (both engines compute the same answer, so
+    * both rows share this oracle). */
+  private lazy val Cube3dPairsSql: String =
+    Cube3dBody +
+      s""", cand AS (
+         |  SELECT a.id AS rid, b.id AS sid,
+         |    $cube3dNs,
+         |    a.t*b.t AS tt
+         |  FROM hm a JOIN hm b ON a.id < b.id
+         |   AND sqrt((a.mx-b.mx)*(a.mx-b.mx) + (a.my-b.my)*(a.my-b.my)
+         |            + (a.mz-b.mz)*(a.mz-b.mz)) <= $Theta3d + 1e-9
+         |), surv AS (
+         |  SELECT * FROM cand
+         |  WHERE ${graft.core.CubeKR.sqlPrefilterMax}
+         |    <= ($Theta3d + 1e-9) * tt
+         |)""".stripMargin + cube3dVtx + cube3dExCte +
+      s"""
+         |SELECT rid, sid, round(mxv / tt, 6) AS dist
+         |FROM ex WHERE mxv / tt <= $Theta3d""".stripMargin
+
+  /** q_emd3d_topk: the top-20 budget comes from the 20th smallest
+    * sqrt(3)*TV upper bound over ALL pairs (any >=20-pair subset's
+    * 20th-smallest UB bounds the global 20th-smallest exact dist from
+    * above; the full set needs no size precondition), then the same
+    * admissible cascade at the budget radius, exact evaluation, and
+    * the engines' unified (round(dist,6), rid, sid) order. */
+  private lazy val Cube3dTopKSql: String = {
+    val absn = (0 until 8).map(i => s"abs(n$i)").mkString(" + ")
+    Cube3dBody +
+      s""", allp AS (
+         |  SELECT $cube3dNs,
+         |    a.t*b.t AS tt
+         |  FROM hm a JOIN hm b ON a.id < b.id
+         |), bud AS (
+         |  SELECT sqrt(3.0) * ($absn) / (2.0 * tt) AS ub
+         |  FROM allp ORDER BY ub LIMIT 1 OFFSET ${TopK - 1}
+         |), cand AS (
+         |  SELECT a.id AS rid, b.id AS sid,
+         |    $cube3dNs,
+         |    a.t*b.t AS tt
+         |  FROM hm a, hm b
+         |  WHERE a.id < b.id
+         |   AND sqrt((a.mx-b.mx)*(a.mx-b.mx) + (a.my-b.my)*(a.my-b.my)
+         |            + (a.mz-b.mz)*(a.mz-b.mz))
+         |       <= coalesce((SELECT ub FROM bud), 1e9) + 1e-9
+         |), surv AS (
+         |  SELECT * FROM cand
+         |  WHERE ${graft.core.CubeKR.sqlPrefilterMax}
+         |    <= (coalesce((SELECT ub FROM bud), 1e9) + 1e-9) * tt
+         |)""".stripMargin + cube3dVtx + cube3dExCte +
+      s"""
+         |SELECT rid, sid, round(mxv / tt, 6) AS dist
+         |FROM ex ORDER BY round(mxv / tt, 6), rid, sid LIMIT $TopK""".stripMargin
+  }
+
+  /** Unrolled-merge replay of the BPE trainer: each round is one block
+    * of MATERIALIZED CTEs — adjacent-pair counts over the exploded
+    * symbol rows (window lead, overlaps counted like the trainer's
+    * flatMap), the deterministic argmax (count DESC, then (left,
+    * right) ASC — ASCII corpus, so Scala UTF-16 order == DuckDB byte
+    * order), and the greedy non-overlapping merge application: within
+    * a maximal run of consecutive match positions only even offsets
+    * merge (runs longer than 1 exist only for a == b, where this IS
+    * left-to-right greediness), and the consumed right-hand rows drop
+    * via a lag(take) flag. MATERIALIZED is load-bearing: each round
+    * references its predecessor three times, and inlining would expand
+    * the 30-round chain exponentially. */
+  private def bpeRoundCte(r: Int): String =
+    s""", pc$r AS MATERIALIZED (
+       |  SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b, cnt
+       |  FROM v$r
+       |), tot$r AS MATERIALIZED (
+       |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c FROM pc$r
+       |  WHERE b IS NOT NULL GROUP BY a, b
+       |), best$r AS MATERIALIZED (
+       |  SELECT a, b FROM tot$r WHERE c >= 2 ORDER BY c DESC, a, b LIMIT 1
+       |), mk$r AS MATERIALIZED (
+       |  SELECT v.word, v.cnt, v.pos, v.sym,
+       |    (v.sym = bb.a AND lead(v.sym) OVER (PARTITION BY v.word ORDER BY v.pos) = bb.b)
+       |      AS m
+       |  FROM v$r v LEFT JOIN best$r bb ON TRUE
+       |), rp$r AS MATERIALIZED (
+       |  SELECT word, cnt, pos, sym, m,
+       |    CASE WHEN m THEN
+       |      (row_number() OVER (PARTITION BY word, grp ORDER BY pos) - 1) % 2 = 0
+       |    ELSE FALSE END AS take
+       |  FROM (
+       |    SELECT *,
+       |      CASE WHEN m THEN pos - row_number() OVER (PARTITION BY word, m ORDER BY pos)
+       |           ELSE NULL END AS grp
+       |    FROM mk$r
+       |  )
+       |), v${r + 1} AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |    CASE WHEN take THEN sym || (SELECT b FROM best$r) ELSE sym END AS sym
+       |  FROM (
+       |    SELECT *, coalesce(lag(take) OVER (PARTITION BY word ORDER BY pos),
+       |      FALSE) AS consumed
+       |    FROM rp$r
+       |  ) WHERE NOT consumed
+       |)""".stripMargin
+
+  private def trainSelect(rounds: Int): String = {
+    val sel = (0 until rounds).map(r =>
+      s"SELECT $r + 1 AS rank, a AS left, b AS right FROM best$r")
+      .mkString(" UNION ALL ")
+    s"""
+       |SELECT CAST(rank AS INTEGER) AS rank, "left", "right" FROM (
+       |  $sel
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** q_bpe_train: 30 unrolled merge rounds over the word-frequency
+    * vocabulary (chars + the `</w>` end-of-word marker). Early stop
+    * replicates structurally: an empty best leaves the state CTE
+    * unchanged, so all later rounds stay empty and the UNION simply
+    * yields fewer rows. */
+  private lazy val BpeTrainSql: String =
+    """WITH wc AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      |  ) GROUP BY word
+      |), v0 AS MATERIALIZED (
+      |  SELECT word, cnt, pos, sym FROM (
+      |    SELECT word, cnt, generate_subscripts(chars, 1) AS pos, unnest(chars) AS sym
+      |    FROM (SELECT word, cnt, list_append(string_split(word, ''), '</w>') AS chars FROM wc)
+      |  )
+      |)""".stripMargin +
+      (0 until 30).map(bpeRoundCte).mkString + trainSelect(30)
+
+  /** One WordPiece round: like [[bpeRoundCte]] plus per-round symbol
+    * counts, argmax by likelihood gain c/(u_a*u_b) made ENGINE-EXACT
+    * via a HUGEINT quotient key c*10^30 // (u_a*u_b): two distinct
+    * fractions with denominators <= D differ by >= 1/D^2, so the key
+    * discriminates exactly whenever corpus token count <= 1e7 (D <=
+    * 1e14, 1/D^2 = 1e-28 >= 100 key ulps; sf0.1 is ~2.2M tokens, 4.5x
+    * inside the bound, and c*10^30 <= 1e37 < HUGEINT max). Equal
+    * fractions get equal keys and fall to the (left, right) ASC
+    * tie-break — the trainer's BigInt cross-multiplication order
+    * exactly. The merged symbol drops the right side's `##`. */
+  private def wpRoundCte(r: Int): String =
+    s""", uni$r AS MATERIALIZED (
+       |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS u FROM v$r GROUP BY sym
+       |), pc$r AS MATERIALIZED (
+       |  SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b, cnt
+       |  FROM v$r
+       |), tot$r AS MATERIALIZED (
+       |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c FROM pc$r
+       |  WHERE b IS NOT NULL GROUP BY a, b
+       |), best$r AS MATERIALIZED (
+       |  SELECT t.a, t.b,
+       |    t.a || CASE WHEN starts_with(t.b, '##') THEN substr(t.b, 3) ELSE t.b END
+       |      AS joined
+       |  FROM tot$r t
+       |  JOIN uni$r ua ON ua.sym = t.a
+       |  JOIN uni$r ub ON ub.sym = t.b
+       |  WHERE t.c >= 2
+       |  ORDER BY (CAST(t.c AS HUGEINT) * CAST('1000000000000000000000000000000' AS HUGEINT))
+       |           // (CAST(ua.u AS HUGEINT) * CAST(ub.u AS HUGEINT)) DESC,
+       |           t.a, t.b
+       |  LIMIT 1
+       |), mk$r AS MATERIALIZED (
+       |  SELECT v.word, v.cnt, v.pos, v.sym,
+       |    (v.sym = bb.a AND lead(v.sym) OVER (PARTITION BY v.word ORDER BY v.pos) = bb.b)
+       |      AS m
+       |  FROM v$r v LEFT JOIN best$r bb ON TRUE
+       |), rp$r AS MATERIALIZED (
+       |  SELECT word, cnt, pos, sym, m,
+       |    CASE WHEN m THEN
+       |      (row_number() OVER (PARTITION BY word, grp ORDER BY pos) - 1) % 2 = 0
+       |    ELSE FALSE END AS take
+       |  FROM (
+       |    SELECT *,
+       |      CASE WHEN m THEN pos - row_number() OVER (PARTITION BY word, m ORDER BY pos)
+       |           ELSE NULL END AS grp
+       |    FROM mk$r
+       |  )
+       |), v${r + 1} AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |    CASE WHEN take THEN (SELECT joined FROM best$r) ELSE sym END AS sym
+       |  FROM (
+       |    SELECT *, coalesce(lag(take) OVER (PARTITION BY word ORDER BY pos),
+       |      FALSE) AS consumed
+       |    FROM rp$r
+       |  ) WHERE NOT consumed
+       |)""".stripMargin
+
+  /** q_wordpiece_train: 30 unrolled rounds, `##` continuation symbols. */
+  private lazy val WordpieceTrainSql: String =
+    """WITH wc AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      |  ) GROUP BY word
+      |), v0 AS MATERIALIZED (
+      |  SELECT word, cnt, pos,
+      |    CASE WHEN pos = 1 THEN sym ELSE '##' || sym END AS sym
+      |  FROM (
+      |    SELECT word, cnt, generate_subscripts(chars, 1) AS pos, unnest(chars) AS sym
+      |    FROM (SELECT word, cnt, string_split(word, '') AS chars FROM wc)
+      |  )
+      |)""".stripMargin +
+      (0 until 30).map(wpRoundCte).mkString + trainSelect(30)
+
   /** q_ivfpq_topk: the residual IVF-PQ pipeline end-to-end — 4-cell
     * coarse quantizer (the kmeansRound CTEs over the corpus `q`),
     * final assignment + integer residuals, PQ books trained on the
@@ -3166,6 +3508,30 @@ object SparkEntry {
         |  FROM q c JOIN pshort USING (id) CROSS JOIN qv
         |)
         |SELECT id, d2 FROM prr ORDER BY d2, id LIMIT 20""".stripMargin
+
+  /** q_ivfpq_recall: the rerank pipeline's top-20 intersected with the
+    * exact integer-L2 top-20 over the whole corpus — one BIGINT count
+    * under the shared (d2, id) order. */
+  private val IvfPqRecallSql: String =
+    IvfPqBody +
+      """, pshort AS (
+        |  SELECT id FROM padc ORDER BY adc_d2, id LIMIT 100
+        |), prr AS (
+        |  SELECT c.id,
+        |         cast(list_sum(list_transform(range(1, 65),
+        |           i -> (c.v[i] - qv.v[i]) * (c.v[i] - qv.v[i]))) AS BIGINT) AS d2
+        |  FROM q c JOIN pshort USING (id) CROSS JOIN qv
+        |), approx AS (
+        |  SELECT id FROM prr ORDER BY d2, id LIMIT 20
+        |), exact AS (
+        |  SELECT c.id
+        |  FROM q c CROSS JOIN qv
+        |  ORDER BY cast(list_sum(list_transform(range(1, 65),
+        |    i -> (c.v[i] - qv.v[i]) * (c.v[i] - qv.v[i]))) AS BIGINT), c.id
+        |  LIMIT 20
+        |)
+        |SELECT cast(count(*) AS BIGINT) AS n_common
+        |FROM approx JOIN exact USING (id)""".stripMargin
 
   /** q_stream_ann: the multi-query residual IVF-PQ read path over the
     * FULL-corpus index — the IvfPqBody pipeline (same kmeansRound /
@@ -3333,8 +3699,8 @@ object SparkEntry {
         |    NOT ok
         |  FROM (
         |    SELECT file_id, content, off, rec_no, pstart, clen,
-        |      regexp_extract(hdrs, 'WARC-Type: ([^\r\n]+)', 1) AS wtype,
-        |      regexp_extract(hdrs, 'WARC-Target-URI: ([^\r\n]+)', 1) AS wuri,
+        |      regexp_extract(hdrs, '(^|\r\n)WARC-Type: ([^\r\n]*)', 2) AS wtype,
+        |      regexp_extract(hdrs, '(^|\r\n)WARC-Target-URI: ([^\r\n]*)', 2) AS wuri,
         |      (substr(content, CAST(off AS INTEGER), 10)
         |         = 'WARC/1.0' || chr(13)||chr(10)
         |       AND hdr_rel > 0 AND clen IS NOT NULL AND clen >= 0
@@ -3343,8 +3709,9 @@ object SparkEntry {
         |    FROM (
         |      SELECT file_id, content, off, rec_no, hdr_rel, hdrs,
         |        off + hdr_rel - 1 + 4 AS pstart,
-        |        TRY_CAST(regexp_extract(hdrs, 'Content-Length: ([0-9]+)', 1)
-        |          AS BIGINT) AS clen
+        |        TRY_CAST(regexp_extract(
+        |            regexp_extract(hdrs, '(^|\r\n)Content-Length: ([^\r\n]*)', 2),
+        |            '^([0-9]+)', 1) AS BIGINT) AS clen
         |      FROM (
         |        SELECT file_id, content, off, rec_no, hdr_rel,
         |          substr(content, CAST(off AS INTEGER),
@@ -3406,6 +3773,7 @@ object SparkEntry {
     "q_pq_rerank" -> PqRerankSql,
     "q_ivfpq_topk" -> IvfPqSql,
     "q_ivfpq_rerank" -> IvfPqRerankSql,
+    "q_ivfpq_recall" -> IvfPqRecallSql,
     "q_stream_ann" -> StreamAnnSql,
 
     "q1_agg" ->
@@ -3510,6 +3878,13 @@ object SparkEntry {
            |)
            |SELECT rid, sid, round(dist, 6) AS dist FROM dists
            |WHERE dist <= $Rubner3dTheta""".stripMargin),
+
+    // the 3-D exact LP-EMD rows: closed-form KR-dual oracles (CubeKR
+    // scaladoc has the duality argument; Cube3dBody the cascade). The
+    // pairs rows are two ENGINES over one answer — same oracle.
+    "q_emd3d_pairs" -> Cube3dPairsSql,
+    "q_treeexact3d_pairs" -> Cube3dPairsSql,
+    "q_emd3d_topk" -> Cube3dTopKSql,
 
     "q_rubner_pairs" ->
       (HistCte +
@@ -3905,6 +4280,12 @@ object SparkEntry {
         yield s"(((${c} >> ${b}) & 1) << ${b * 2 + i})").mkString(" + ")
       s"SELECT l_orderkey, l_linenumber, cast($terms AS BIGINT) AS zval FROM lineitem"
     },
+
+    // the tokenizer TRAINERS: full unrolled-merge replays (30 rounds of
+    // pair-count/argmax/greedy-apply CTEs — BpeTrainSql scaladoc); the
+    // witness rows below stay as additional independent evidence
+    "q_bpe_train" -> BpeTrainSql,
+    "q_wordpiece_train" -> WordpieceTrainSql,
 
     "q_bpe_witness" ->
       """SELECT 'q_bpe_train' AS query, CAST(30 AS BIGINT) AS n_merges,

@@ -29,7 +29,12 @@ object Layout {
     * interactive one for fact-dim pipelines that join the same keys
     * daily. Writes go through `saveAsTable` (bucket metadata lives in
     * the catalog — Spark's bucketing contract), under the caller's
-    * path; tables are caller-named so repeated runs replace them.
+    * path. DROP TABLE on an EXTERNAL table (explicit path option)
+    * removes only the catalog entry, never the parquet files — so a
+    * repeated run must also clear the directory itself, or the new
+    * write lands NEXT to the old files and read-back silently doubles
+    * rows. Both are done here: catalog drop + physical delete of
+    * `basePath/name` before each write.
     *
     * Returns the two read-back frames; the join itself is the
     * caller's (any equi-join on the bucket key co-locates). */
@@ -40,6 +45,9 @@ object Layout {
     require(buckets >= 1, s"writeBucketed: buckets must be >= 1")
     def write(df: DataFrame, key: String, name: String): DataFrame = {
       spark.sql(s"DROP TABLE IF EXISTS $name")
+      val dir = new org.apache.hadoop.fs.Path(s"$basePath/$name")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true)
       df.write.format("parquet")
         .bucketBy(buckets, key).sortBy(key)
         .option("path", s"$basePath/$name")

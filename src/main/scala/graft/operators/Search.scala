@@ -36,9 +36,20 @@ object Search {
 
   /** Exact-phrase hit counts per document: `(phrase, doc_id, hits)`,
     * docs with zero hits absent. Overlapping occurrences count — each
-    * anchor is a distinct occurrence. */
+    * anchor is a distinct occurrence.
+    *
+    * PRECONDITION (default `uniquePostings = true`): `index` has at
+    * most one row per `(token, doc_id, pos)` — [[positionalIndex]]
+    * guarantees it by construction. The anchor vote count is then
+    * `count(*)`, one Exchange cheaper than the distinct form. An
+    * index with duplicate postings would inflate `nk` past `m` and
+    * the `nk === m` filter would silently DROP real occurrences —
+    * callers with an unvetted index must pass
+    * `uniquePostings = false` to get the duplicate-safe
+    * `count(DISTINCT k)` vote (same answer, one extra shuffle). */
   def phraseSearch(spark: SparkSession, index: DataFrame,
-                   phrases: Seq[String]): DataFrame = {
+                   phrases: Seq[String],
+                   uniquePostings: Boolean = true): DataFrame = {
     require(phrases.nonEmpty, "phraseSearch: no phrases")
     require(phrases.forall(p => p.trim == p && p.nonEmpty && !p.contains("  ")),
       s"phraseSearch: phrases must be single-space-joined tokens: $phrases")
@@ -53,14 +64,18 @@ object Search {
       .select(col("phrase"), col("m"), col("doc_id"),
         (col("pos") - col("k")).as("anchor"), col("k"))
       .filter(col("anchor") >= 0)
-    // count(*) == count(DISTINCT k) here BY CONSTRUCTION: postings are
-    // unique per (token, doc, pos) and pos = anchor + k, so a given
-    // (phrase, doc, anchor, k) cell can receive at most ONE vote — the
-    // distinct form costs a whole extra Exchange (the dedup pre-agg)
-    // for nothing (measured: 3 shuffles -> 2, hashes unchanged)
+    // count(*) == count(DISTINCT k) under the uniquePostings
+    // precondition: postings unique per (token, doc, pos) and
+    // pos = anchor + k mean a (phrase, doc, anchor, k) cell receives
+    // at most ONE vote — the distinct form costs a whole extra
+    // Exchange (the dedup pre-agg) for nothing (measured: 3 shuffles
+    // -> 2, hashes unchanged). Unvetted indexes take the distinct
+    // path, which is duplicate-safe by definition.
+    val vote =
+      if (uniquePostings) count(lit(1)) else countDistinct(col("k"))
     val occurrences = votes
       .groupBy(col("phrase"), col("m"), col("doc_id"), col("anchor"))
-      .agg(count(lit(1)).as("nk"))
+      .agg(vote.as("nk"))
       .filter(col("nk") === col("m"))
     occurrences
       .groupBy(col("phrase"), col("doc_id"))

@@ -25,14 +25,19 @@ object Snapshot {
     * fingerprints. */
   def diff(a: DataFrame, b: DataFrame, idCol: String = "doc_id",
            textCol: String = "text"): DataFrame = {
-    def fp(df: DataFrame, h: String) = df
+    // presence is a flag per side, NOT fingerprint nullity: a present
+    // row with NULL text has a NULL md5, and reading that as "absent"
+    // would label it added/removed while the SQL-oracle CASE (where
+    // NULL <> x falls through to unchanged) keeps it present
+    def fp(df: DataFrame, h: String, in: String) = df
       .select(col(idCol).cast("long").as(idCol),
-        md5(col(textCol).cast("binary")).as(h))
+        md5(col(textCol).cast("binary")).as(h), lit(true).as(in))
       .filter(col(idCol).isNotNull)
-    val j = fp(a, "a_fp").join(fp(b, "b_fp"), Seq(idCol), "full_outer")
+    val j = fp(a, "a_fp", "a_in")
+      .join(fp(b, "b_fp", "b_in"), Seq(idCol), "full_outer")
     j.select(col(idCol),
-      when(col("a_fp").isNull, lit("added"))
-        .when(col("b_fp").isNull, lit("removed"))
+      when(col("a_in").isNull, lit("added"))
+        .when(col("b_in").isNull, lit("removed"))
         .when(col("a_fp") =!= col("b_fp"), lit("changed"))
         .otherwise(lit("unchanged")).as("status"))
   }

@@ -77,12 +77,16 @@ object Warc {
     d.map(b => f"$b%02x").mkString
   }
 
-  /** First `name: <digits>`-style header value in the block, or None.
-    * Mirrors the oracle's `regexp_extract(hdrs, 'name: ([^\r\n]+)')`
-    * first-occurrence semantics on the reachable header shapes. */
+  /** First LINE-ANCHORED `name: value` header in the block, or None.
+    * Anchoring (match only at block start or right after a CRLF) is
+    * what real WARC header semantics require: a bare substring match
+    * would read `X-Content-Length: 5` as the record length. Mirrors
+    * the oracle's `(^|\r\n)name: ` regex exactly. */
   private def header(block: String, name: String): Option[String] = {
     val key = name + ": "
-    val i = block.indexOf(key)
+    var i = block.indexOf(key)
+    while (i > 0 && block.charAt(i - 1) != '\n')
+      i = block.indexOf(key, i + 1)
     if (i < 0) None
     else {
       val start = i + key.length

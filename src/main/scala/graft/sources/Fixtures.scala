@@ -149,6 +149,26 @@ object Fixtures {
     1, 0, 0, 1, 0, 1, 1, 1, 0, 1, 1, 1)
   val Dim3 = 3
 
+  /** Integer-count form of [[tripleHists]]: (id, c0..c7, t) with
+    * c_k = lineitem rows of the part in cube-corner bin k and
+    * t = their total. The exact-EMD oracle path works on these raw
+    * counts (scaled integer arithmetic, [[graft.core.CubeKR]]); the
+    * engines consume the normalized [[tripleHists]] weights derived
+    * from the same derivation. Same single-scan groupBy shape. */
+  def tripleCounts(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "tripleCounts") {
+      val li = lineitem(spark, dir)
+      val qbit = (col("l_quantity") > 25.0).cast("int")
+      val pbit = (col("l_extendedprice") > 30000.0).cast("int")
+      val dbit = (col("l_discount") > 0.05).cast("int")
+      val bin = (qbit * 4 + pbit * 2 + dbit).as("bin")
+      val binned = li.select(col("l_partkey").as("id"), bin)
+      val countCols = (0 until 8).map(b =>
+        sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b")) :+
+        count(lit(1)).as("t")
+      binned.groupBy(col("id")).agg(countCols.head, countCols.tail: _*)
+    }
+
   def tripleHists(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "triple") {
       val li = lineitem(spark, dir)

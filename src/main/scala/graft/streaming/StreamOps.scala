@@ -408,8 +408,18 @@ object StreamOps {
   private def withReplayShuffle[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val ckKey = "spark.sql.streaming.checkpointLocation"
+    val ssKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
     val prevCk = spark.conf.getOption(ckKey)
+    val prevSs = spark.conf.getOption(ssKey)
+    // state-store realism escape hatch (StreamStateStoreSpec): a real
+    // cluster runs stateful operators MULTI-partition on the RocksDB
+    // provider, not single-partition HDFS-backed — these props let the
+    // spec replay the SAME operators under that configuration and
+    // assert output identity. Defaults preserve the gate's pinned
+    // single-partition replay (deterministic batch boundaries).
+    val parts = sys.props.getOrElse("graft.replay.partitions", "1")
+    val provider = sys.props.get("graft.replay.statestore")
     // Per-batch cost is dominated by checkpoint fsyncs (offset log,
     // commit log, state-store delta per store per batch) — on a disk
     // /tmp that's several forced writes per micro-batch. The replay's
@@ -421,13 +431,18 @@ object StreamOps {
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
         Some(java.nio.file.Files.createTempDirectory(shm, "graft-replay-ck"))
       else None
-    spark.conf.set(key, "1")
+    spark.conf.set(key, parts)
+    provider.foreach(p => spark.conf.set(ssKey, p))
     ckDir.foreach(d => spark.conf.set(ckKey, d.toString))
     try body finally {
       spark.conf.set(key, prev)
       prevCk match {
         case Some(v) => spark.conf.set(ckKey, v)
         case None => spark.conf.unset(ckKey)
+      }
+      if (provider.isDefined) prevSs match {
+        case Some(v) => spark.conf.set(ssKey, v)
+        case None => spark.conf.unset(ssKey)
       }
       ckDir.foreach { d =>
         import scala.jdk.CollectionConverters._
@@ -1074,9 +1089,14 @@ object StreamOps {
     * added/changed feed live and the removal list at snapshot close. */
   def streamingSnapshotDiff(spark: SparkSession, docStream: DataFrame,
                             previous: DataFrame): DataFrame = {
+    // presence flag, not fingerprint nullity: a previous-side row with
+    // NULL text has a NULL md5 and must still read as PRESENT
+    // (old_fp <> new_fp on a NULL falls through to unchanged, matching
+    // the batch diff and its SQL-oracle CASE)
     val old = previous
       .select(col("doc_id").cast("long").as("doc_id"),
-        md5(col("text").cast("binary")).as("old_fp"))
+        md5(col("text").cast("binary")).as("old_fp"),
+        lit(true).as("old_in"))
       .filter(col("doc_id").isNotNull)
     docStream
       .select(col("doc_id").cast("long").as("doc_id"),
@@ -1084,7 +1104,7 @@ object StreamOps {
       .filter(col("doc_id").isNotNull)
       .join(old, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("old_fp").isNull, lit("added"))
+        when(col("old_in").isNull, lit("added"))
           .when(col("old_fp") =!= col("new_fp"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }

@@ -89,17 +89,77 @@ class JoinCliSpec extends AnyFunSuite {
     assert(runCli("mrsim", "distance") == base)
     assert(runCli("bspmelody", "distance") == base)
 
-    // topk join: same dispatch, k rows, same answer set
+    // topk join: same dispatch, k rows, same answer set — all FOUR
+    // framework values, like the distance leg (Join.java:42-131)
     val topkBase = runCli("bspb", "topk")
     assert(topkBase.size == 10)
     assert(runCli("melody", "topk") == topkBase)
     assert(runCli("mrsim", "topk") == topkBase)
+    assert(runCli("bspmelody", "topk") == topkBase)
 
     // output line format is the reference's "rid sid dist"
     val sample = Files.list(
         java.nio.file.Paths.get(dir.resolve("out-melody-topk").toString))
       .toArray.map(_.toString).filter(_.endsWith(".txt"))
     assert(sample.nonEmpty)
+  }
+
+  test("CLI parity on the declared 3-D corpus matches q_emd3d_pairs") {
+    spark.sparkContext.setLogLevel("WARN")
+    // the reference's literal end-to-end contract driven over the SAME
+    // corpus the declared query answers: tripleHists (sf0.001) written
+    // in the reference text format, the cube bins and 3-D projection
+    // vectors in the conf, distance join at Theta3d — the written
+    // "rid sid dist" lines must equal the q_emd3d_pairs answer set
+    // (canonical orientation; dist to 1e-6, the CLI prints the engine
+    // distance while the declared query prints the canonical KR form)
+    val dir = Files.createTempDirectory("joincli-corpus")
+    val sfDir = "/root/testdata/sf0.001"
+    val hists = graft.sources.Fixtures.tripleHists(spark, sfDir)
+      .collect().map { r =>
+        (r.getLong(0) +: r.getSeq[Double](1).map(_.toString)).mkString(" ")
+      }
+    val histPath = dir.resolve("hist.txt")
+    Files.write(histPath, hists.mkString("\n").getBytes)
+    val binsPath = dir.resolve("bins.txt")
+    Files.write(binsPath,
+      graft.sources.Fixtures.Bins3d.map(_.toString).mkString(" ").getBytes)
+    val vecPath = dir.resolve("vectors.txt")
+    val cfg = SparkEntry.melodyCfg3d
+    Files.write(vecPath,
+      cfg.vectors.map(_.map(_.toString).mkString(" ")).mkString(" ").getBytes)
+    val out = dir.resolve("out").toString
+    val conf = dir.resolve("conf.properties")
+    Files.write(conf,
+      s"""data.dimension=3
+         |data.bin.number=8
+         |data.input.hdfs.path=$histPath
+         |data.bin.hdfs.path=$binsPath
+         |melody.project.vector.hdfs.path=$vecPath
+         |data.output.hdfs.path=$out
+         |melody.project.vector.number=${cfg.vectors.length}
+         |melody.normal.error.interval=5
+         |melody.grid.cell.granularity=${cfg.sideNum}
+         |melody.sample.ratio=0.001
+         |melody.join.type=distance
+         |melody.join.distance.threshold=0.0803
+         |melody.join.k=20
+         |mr.method.name=melody
+         |mrsim.pivot.number=5
+         |parallel.task.number=4
+         |""".stripMargin.getBytes)
+    Join.execute(spark, conf.toString)
+    val cli = readPairs(out)
+      .map { case (r, s, d) => ((math.min(r, s), math.max(r, s)), d) }.toMap
+    val declared = SparkEntry.queries("q_emd3d_pairs")(spark, sfDir)
+      .collect().map(r => ((math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))), r.getDouble(2))).toMap
+    assert(declared.nonEmpty)
+    assert(cli.keySet == declared.keySet,
+      s"pair sets differ: onlyCli=${cli.keySet -- declared.keySet} " +
+        s"onlyDeclared=${declared.keySet -- cli.keySet}")
+    for ((k, d) <- declared)
+      assert(math.abs(cli(k) - d) <= 1.1e-6, s"dist differs at $k: ${cli(k)} vs $d")
   }
 
   test("CLI core refuses a conf with an empty required path") {
