@@ -7,7 +7,14 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 names = sorted(oracle.keys())
 heavy = [n for n in names if n in ("q_treeemd_topk", "q_treeemd3d_topk",
-                                   "q_treeemd_pairs", "q_treeemd3d_pairs")]
+                                   "q_treeemd_pairs", "q_treeemd3d_pairs",
+                                   # the round-15 closed-form LP oracles and
+                                   # unrolled-trainer replays: ~20-30s each at
+                                   # sf0.1 (N^2 rubner scans / 30-round CTE
+                                   # chains) — solo passes keep peak RSS flat
+                                   "q_emd3d_pairs", "q_emd3d_topk",
+                                   "q_treeexact3d_pairs",
+                                   "q_bpe_train", "q_wordpiece_train")]
 light = [n for n in names if n not in heavy]
 batches = [light[i::3] for i in range(3)] + [[n] for n in heavy]
 all_ok = True

@@ -229,19 +229,34 @@ object SparkEntry {
       def canon(df: DataFrame): DataFrame = df.select(
         least(col("rid"), col("sid")).as("a"),
         greatest(col("rid"), col("sid")).as("b"),
-        round(col("dist"), 6).as("d"))
+        col("dist").cast("double").as("d"))
       // persist both canonical sets: the two exceptAll directions would
       // otherwise each re-run a full engine (2x the LP work per gate row)
       val p = canon(primary).persist()
       val w = canon(witness).persist()
       try {
-        val diff = p.exceptAll(w).unionAll(w.exceptAll(p)).limit(5).collect()
+        // pair-set equality on IDS, distance agreement by TOLERANCE:
+        // the engines now run genuinely different exact kernels (SSP vs
+        // the KR closed form), and one fixture pair sits 8e-13 from a
+        // 6-decimal rounding boundary — an exact compare of rounded
+        // tuples would flap on which side each kernel's last ulp lands.
+        // 5.2e-7 covers one side's 6dp rounding (callers pass the
+        // primary rounded, the witness raw) plus kernel jitter; a real
+        // solver fault moves distances orders of magnitude more
+        // (CrossCheckSpec seeds 1%).
+        val pk = p.select(col("a"), col("b"))
+        val wk = w.select(col("a"), col("b"))
+        val diff = pk.exceptAll(wk).unionAll(wk.exceptAll(pk)).limit(5).collect()
         require(diff.isEmpty,
           s"$label: cross-engine pair-set mismatch (primary vs witness): " +
             diff.map(_.toString).mkString("; "))
-        // audit over the persisted canonical set (orientation-symmetric,
-        // dist already 6dp-rounded in every declared LP query) — running
-        // it on `primary` would re-execute the engine a third time
+        val spread = p.join(w.select(col("a"), col("b"), col("d").as("dw")),
+            Seq("a", "b"))
+          .agg(coalesce(max(abs(col("d") - col("dw"))), lit(0.0))).head().getDouble(0)
+        require(spread <= 5.2e-7,
+          s"$label: cross-engine distance spread $spread > 5.2e-7")
+        // audit over the persisted canonical set (orientation-symmetric)
+        // — running it on `primary` would re-execute the engine
         audit(p.select(col("a").as("rid"), col("b").as("sid"),
           col("d").as("dist")))
       } finally { p.unpersist(false); w.unpersist(false) }
@@ -718,10 +733,14 @@ object SparkEntry {
           val hists = Fixtures.tripleHists(s, dir)
           val cfg3 = melodyCfg3dFor(s, dir)
           val prep = MelodyJoin.prepareCached(s, hists, cfg3)
+          // raw distances; the verdict compares pair IDS as sets and
+          // distances by tolerance (the engines run different exact
+          // kernels — SSP vs the KR closed form — and a rounded-tuple
+          // compare would flap on rounding-boundary pairs)
           def canon(df: DataFrame): DataFrame = df.select(
             least(col("rid"), col("sid")).as("a"),
             greatest(col("rid"), col("sid")).as("b"),
-            round(col("dist"), 6).as("d"))
+            col("dist").cast("double").as("d"))
           // persist each canonical pair-set: every frame feeds two
           // exceptAll counts (the threshold sets feed four — both diff
           // directions of two verdict rows), and an unpersisted plan
@@ -744,9 +763,16 @@ object SparkEntry {
           val topkXC = canon(MrSimJoin.topKJoin(
             s, hists, TopK, cfg3)).persist()
           def verdict(name: String, po: DataFrame, wo: DataFrame) = {
-            val onlyP = po.exceptAll(wo).count()
-            val onlyW = wo.exceptAll(po).count()
-            (name, onlyP, onlyW, onlyP == 0L && onlyW == 0L)
+            val pk = po.select(col("a"), col("b"))
+            val wk = wo.select(col("a"), col("b"))
+            val onlyP = pk.exceptAll(wk).count()
+            val onlyW = wk.exceptAll(pk).count()
+            val spread = po.join(wo.select(col("a"), col("b"),
+                col("d").as("dw")), Seq("a", "b"))
+              .agg(coalesce(max(abs(col("d") - col("dw"))), lit(0.0)))
+              .head().getDouble(0)
+            (name, onlyP, onlyW,
+              onlyP == 0L && onlyW == 0L && spread <= 5.2e-7)
           }
           try Seq(
             verdict("q_emd3d_pairs", melodyC, treeC),

@@ -34,6 +34,53 @@ object EmdJoins {
     * must be `radius`-Lipschitz lower bounds of the pair distance. The
     * right side replicates into the 3x3 neighbor bands (9 copies), cutting
     * candidates multiplicatively while keeping perfect recall. */
+  /** K-key generalization of [[bandedSelfPairs2]]: each key bands at
+    * its OWN radius and the 3^K neighbor offsets join on the band
+    * tuple. Multiplying independent 1-Lipschitz keys is the density
+    * lever of a fixed-radius banded join — per key the candidate slab
+    * has fixed width, so pair volume is quadratic in density until
+    * enough keys intersect the slabs down to the answer's neighborhood
+    * (measured at sf1: 2 keys = 6.8G band pairs, 5 keys = the melody-
+    * comparable regime). Right-side replication is 3^K rows; keep K
+    * small (<= 5). Recall contract: every key must satisfy
+    * |key(a) - key(b)| <= its radius for every answer pair. */
+  def bandedSelfPairsK(df: DataFrame, idCol: String,
+                       keys: Seq[(String, Double)]): DataFrame = {
+    require(keys.nonEmpty && keys.forall(_._2 > 0), "radii must be positive")
+    require(keys.length <= 5, s"3^${keys.length} neighbor offsets — keep K <= 5")
+    val banded = keys.zipWithIndex.foldLeft(df) { case (d, ((k, r), i)) =>
+      d.withColumn(s"_band$i", floor(col(k) / lit(r)))
+    }
+    val left = banded.select(banded.columns.map(c => col(c).as(c + "_a")): _*)
+    val offsets = keys.indices.foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
+      acc.flatMap(o => Seq(-1, 0, 1).map(d => o :+ d)))
+    // neighbor replication via a broadcast offsets table, NOT an
+    // explode over a 3^K-struct array literal — the latter's generated
+    // consume method exceeds janino's limits at K = 5 (243 structs)
+    // and silently drops the whole stage to interpreted mode
+    val spark0 = df.sparkSession
+    val offsetsDf = spark0.createDataFrame(
+      spark0.sparkContext.parallelize(offsets.map(o =>
+        org.apache.spark.sql.Row.fromSeq(o)), 1),
+      org.apache.spark.sql.types.StructType(keys.indices.map(i =>
+        org.apache.spark.sql.types.StructField(s"_d$i",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    val rightShift = keys.indices.foldLeft(
+        banded.crossJoin(broadcast(offsetsDf)))((d, i) =>
+        d.withColumn(s"_band$i", col(s"_band$i") + col(s"_d$i")))
+      .drop(keys.indices.map(i => s"_d$i"): _*)
+    val rightR = rightShift.select(
+      rightShift.columns.map(c => col(c).as(c + "_b")): _*)
+    val joinCond = keys.indices
+      .map(i => col(s"_band${i}_a") === col(s"_band${i}_b"))
+      .reduce(_ && _) && col(idCol + "_a") < col(idCol + "_b")
+    val filtered = keys.foldLeft(left.join(rightR, joinCond)) {
+      case (d, (k, r)) => d.filter(abs(col(k + "_a") - col(k + "_b")) <= lit(r))
+    }
+    filtered.drop(keys.indices.flatMap(i =>
+      Seq(s"_band${i}_a", s"_band${i}_b")): _*)
+  }
+
   def bandedSelfPairs2(df: DataFrame, idCol: String, keyCol: String,
                        key2Col: Option[String], radius: Double): DataFrame = {
     require(radius > 0, "radius must be positive")
@@ -196,36 +243,52 @@ object EmdJoins {
     * prove the simplex audit catches a regression both engines would
     * otherwise agree on (they share Emd.exact); production callers never
     * pass it. */
+  /** The cube-corner KR-dual exact solver as a drop-in for the cascade
+    * solver slot (cost matrix ignored — the closed form IS this
+    * metric's; CubeKRSpec pins equality with SSP and simplex). A
+    * genuinely different distance kernel from the melody engine's SSP,
+    * which strengthens the cross-engine witness. */
+  val cubeKrSolver: (Array[Double], Array[Double], Array[Double]) => Double =
+    (wa, wb, _) => graft.core.CubeKR.emdFromWeights(wa, wb)
+
   def treeExact3dThresholdJoin(hists: DataFrame, theta: Double,
       solver: (Array[Double], Array[Double], Array[Double]) => Double =
-        graft.core.Emd.exact): DataFrame = {
+        cubeKrSolver): DataFrame = {
     import org.apache.spark.sql.Row
     val spark = hists.sparkSession
     import spark.implicits._
     val tau2 = 2.0 * theta
     val feats = treeFeatExprs(8, KdLevels3d)
     val featCols = feats.zipWithIndex.map { case (c, i) => c.as(s"_f$i") }
-    // TWO independent signed-combination band keys (every coefficient in
-    // {-1, +1}, so each key is 1-Lipschitz w.r.t. the weighted-L1 tree
-    // distance): alternating signs and per-level left-half/right-half
-    // signs. The candidate radius 2*theta is wide, so a single key
-    // degenerates to a handful of bands; the 9-neighbor 2-key equijoin
-    // cuts candidates multiplicatively at perfect recall.
-    val nodesPerLevel = KdLevels3d.map { case (span, _) => 8 / span }
-    val halfSign: Seq[Int] = nodesPerLevel.flatMap { n =>
-      (0 until n).map(nd => if (nd < n / 2) 1 else -1)
+    // FIVE band keys = the five hardest-pruning KR-dual potentials
+    // (CubeKR.BandIdx), each banding at radius theta: a potential pi
+    // in the 1-Lipschitz polytope satisfies |<pi,wa> - <pi,wb>| <=
+    // EMD(a,b), so every answer pair lands within one band-neighbor on
+    // every key — perfect recall. These are the density lever of a
+    // fixed-radius banded join: pair volume grows with density^2 per
+    // slab, and measured at sf1 (10x sf0.1, N = 200k) the original
+    // 2-tree-signature scheme admitted 6.8G band pairs (194x wall,
+    // quadratic); tree+axis-mean keys 2.2G; these five 401M — within
+    // 2.3x of the 2*theta tree-ball floor (172M).
+    def w(i: Int) = col("weights")(i)
+    val bandKeys = graft.core.CubeKR.BandIdx.toSeq.zipWithIndex.map {
+      case (v, j) =>
+        val pi = graft.core.CubeKR.vertexPotential(v)
+        val key = (0 until 8).filter(i => pi(i) != 0.0)
+          .map(i => w(i) * lit(pi(i))).reduce(_ + _)
+        (s"_k$j", key)
     }
-    val flat = hists.select((col("id") +: col("weights") +: featCols): _*)
-      .withColumn("_s", feats.indices.map(i =>
-        if (i % 2 == 0) col(s"_f$i") else -col(s"_f$i")).reduce(_ + _))
-      .withColumn("_s2", feats.indices.map(i =>
-        if (halfSign(i) > 0) col(s"_f$i") else -col(s"_f$i")).reduce(_ + _))
+    val flat = bandKeys.foldLeft(
+        hists.select((col("id") +: col("weights") +: featCols): _*)) {
+        case (d, (name, key)) => d.withColumn(name, key)
+      }
       .persistOnce()
     flat.count()
-    val pairs = bandedSelfPairs2(flat, "id", "_s", Some("_s2"), tau2)
+    val pairs = bandedSelfPairsK(flat, "id",
+      bandKeys.map { case (name, _) => (name, theta) })
     val terms = feats.indices.map(i => abs(col(s"_f${i}_a") - col(s"_f${i}_b")))
-    // prefix cascade + full tree filter at the distortion radius, then the
-    // exact LP only on survivors
+    // prefix cascade + full tree filter at the distortion radius, then
+    // the exact evaluation only on survivors
     val cands = Seq(2, 6)
       .foldLeft(pairs)((df, p) => df.filter(terms.take(p).reduce(_ + _) <= lit(tau2)))
       .filter(terms.reduce(_ + _) <= lit(tau2))
@@ -235,9 +298,22 @@ object EmdJoins {
       val cost = graft.core.Emd.costMatrix(
         graft.sources.Fixtures.Bins3d, graft.sources.Fixtures.Dim3,
         graft.core.GroundDist.L2)
+      val diff = new Array[Double](8)
       it.flatMap { case (ra, wa, rb, wb) =>
-        val d = solver(wa, wb, cost)
-        if (d <= theta) Some((ra, rb, d)) else None
+        // 24-vertex KR lower bound: maxes a SUBSET of the dots the full
+        // evaluator maxes, so lb <= exact holds bitwise — a reject here
+        // is one the solver stage would also make. Kills ~90% of the
+        // gray zone (theta < treeDist <= 2*theta) before the full
+        // 709-vertex / injected-solver evaluation; the tree filter
+        // alone left 214M solver calls at sf1 (13.6 per output pair).
+        var i = 0
+        while (i < 8) { diff(i) = wa(i) - wb(i); i += 1 }
+        if (graft.core.CubeKR.maxDualDiff(diff,
+            graft.core.CubeKR.PrefilterIdx) > theta) None
+        else {
+          val d = solver(wa, wb, cost)
+          if (d <= theta) Some((ra, rb, d)) else None
+        }
       }
     }.toDF("rid", "sid", "dist")
       .persistOnce()

@@ -38,12 +38,19 @@ class CrossCheckSpec extends AnyFunSuite {
     val dropped = pairsDf(Seq((1L, 2L, 0.25)))
     val extra = pairsDf(Seq((1L, 2L, 0.25), (3L, 4L, 0.125), (5L, 6L, 0.5)))
     val wrongDist = pairsDf(Seq((1L, 2L, 0.25), (3L, 4L, 0.125001)))
-    for (bad <- Seq(dropped, extra, wrongDist)) {
+    for (bad <- Seq(dropped, extra)) {
       val e = intercept[IllegalArgumentException] {
         SparkEntry.crossCheckPairs(p, bad, "spec")
       }
       assert(e.getMessage.contains("cross-engine pair-set mismatch"))
     }
+    // distance faults trip the TOLERANCE check (set equality is on ids;
+    // distances compare to 5.2e-7 — a 1e-6 fault that a rounded-tuple
+    // compare could miss when both sides round together now fails)
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.crossCheckPairs(p, wrongDist, "spec")
+    }
+    assert(e.getMessage.contains("cross-engine distance spread"))
     // and symmetrically when the PRIMARY is the faulty side
     intercept[IllegalArgumentException] {
       SparkEntry.crossCheckPairs(dropped, p, "spec")
