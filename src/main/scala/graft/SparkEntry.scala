@@ -367,7 +367,12 @@ object SparkEntry {
     melodyCfg3d.copy(sideNum =
       MelodyJoin.sideNumFor(Fixtures.tripleHists(s, dir).count()))
 
-  /** 3-D melody config over the unit-cube corner bins of tripleHists. */
+  /** 3-D melody config over the unit-cube corner bins of tripleHists.
+    * Carries CubeKR's 24 hardest-pruning KR-dual vertices as the
+    * cascade's caller-supplied Lipschitz-potential stage (admissible
+    * by CubeKRSpec's feasibility proof; the answer is pinned unchanged
+    * by the tree-exact crosscheck, the simplex audit and the full
+    * DuckDB oracle). */
   lazy val melodyCfg3d: MelodyJoin.Config = MelodyJoin.Config(
     dimension = 3,
     bins = Fixtures.Bins3d,
@@ -375,7 +380,9 @@ object SparkEntry {
       Array(1.0, 1.0, 1.0),
       Array(1.0, -1.0, 0.0),
       Array(1.0, 1.0, -2.0)),
-    sideNum = 6, numDuals = 4, numReductions = 4, reducedDim = 4)
+    sideNum = 6, numDuals = 4, numReductions = 4, reducedDim = 4,
+    lipschitzPotentials =
+      graft.core.CubeKR.PrefilterIdx.map(graft.core.CubeKR.vertexPotential))
 
   /** Session-shared simhash near-dup edges over the documents corpus —
     * the q_dedup_clusters / q_keep_best pairing pays the signature +

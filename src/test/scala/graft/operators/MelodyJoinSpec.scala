@@ -48,6 +48,24 @@ class MelodyJoinSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"melody emitted ${extra.size} non-pairs: ${extra.take(5)}")
   }
 
+  test("KR-potential cascade stage prunes only, never changes the answer") {
+    // the cube fixture's Config carries CubeKR's 24 dual vertices as a
+    // caller-supplied Lipschitz lower-bound stage; answers with and
+    // without it must be identical on random histograms (admissibility
+    // in practice, next to CubeKRSpec's feasibility proof)
+    val hists = randomHists(120, 8, seed = 19)
+    val theta = 0.35
+    val withKr = cfg3d.copy(lipschitzPotentials = graft.core.CubeKR
+      .PrefilterIdx.map(graft.core.CubeKR.vertexPotential))
+    val plain = MelodyJoin.thresholdJoin(spark, hists, theta, cfg3d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = MelodyJoin.thresholdJoin(spark, hists, theta, withKr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.nonEmpty && pruned == plain,
+      s"KR stage changed the answer: missed=${(plain -- pruned).take(5)} " +
+        s"extra=${(pruned -- plain).take(5)}")
+  }
+
   test("melody top-k join == baseline top-k") {
     val hists = randomHists(80, 8, seed = 11)
     val k = 15
