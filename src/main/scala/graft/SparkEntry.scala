@@ -2008,6 +2008,25 @@ object SparkEntry {
         .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
     }),
 
+    // --- HIPI-style image-bundle container (S8's last residual —
+    //     mr/EmdGenerate.java:117 ImageBundleInputFormat): the corpus'
+    //     PPM payloads packed 8-per-bundle into length-walked binary
+    //     containers, parsed back, decoded through the real codec. The
+    //     oracle is q_image_hist's — the bundle roundtrip must be
+    //     byte-lossless or the histograms hash-mismatch; HibSpec owns
+    //     the adversarial lanes (length lies, embedded magic, count
+    //     lies -> corrupt-and-stop) ---
+    "q_hib_hist" -> ((s, dir) => {
+      val bundles = graft.sources.Hib.bundleWrap(
+        Multimodal.withImagePayload(Fixtures.documents(s, dir))
+          .select(col("doc_id"), col("payload")), perBundle = 8)
+      val members = graft.sources.Hib.parseBundles(s, bundles)
+        .filter(!col("corrupt"))
+        .select(col("doc_id"), col("payload"))
+      Multimodal.imageRedHist(s, members)
+        .select(col("doc_id"), col("bin"), round(col("w"), 6).as("w"))
+    }),
+
     // --- binary-file directory scan (the reference's local image-dir
     //     acquisition path, EmdGenerate.java:117-172): materialize the
     //     corpus' PPM payloads as one FILE per doc, re-read them with
@@ -5850,6 +5869,9 @@ object SparkEntry {
     // a single zero source byte -> every pixel byte 0 (CASE guards the
     // modulo so a degenerate corpus can't divide by zero).
     "q_image_hist" -> ImageHistSql,
+    // byte-lossless bundle roundtrip of the same payloads == the same
+    // histograms (Hib scaladoc; corrupt lanes are spec-owned)
+    "q_hib_hist" -> ImageHistSql,
 
     // the binary-file scan re-reads the SAME deterministic PPM payloads
     // from disk, so the q_image_hist byte arithmetic is its oracle too —
