@@ -157,8 +157,14 @@ object Bench {
     // toward its quiet-box equivalent, never scale a run UP (a single-
     // threaded loop catching a quiet instant mid-contention, or a
     // faster box than the recorded floor, would otherwise inflate)
-    val totalCal = total * math.min(1.0, CalibRefSec / calib)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_calibrated":$totalCal,"calib_sec":$calib,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val calFactor = math.min(1.0, CalibRefSec / calib)
+    val totalCal = total * calFactor
+    // per-query calibrated values next to the raw ones (VERDICT r15
+    // item 7): round-over-round per-ROW diffs no longer have to
+    // re-litigate ambient contention — both maps ship in every record
+    val qsCal = names.map(n => "\"" + n + "\":" +
+      f"${times(n) * calFactor}%.4f").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","value_calibrated":$totalCal,"calib_sec":$calib,"loadavg":[$loadStart,$loadEnd],"queries":$qs,"queries_calibrated":$qsCal,"errors":$errJson,"sf":"$sfDir"}"""
     // stdout gets a COMPACT line instead of the full 4.5k one: the
     // driver records only the LAST 2000 chars of stdout (BENCH_r13/r14
     // tails beheaded the JSON mid-map, so its parsed field was null
@@ -166,7 +172,7 @@ object Bench {
     // sbt's trailing "[success]" banner: all first-class scalars, the
     // errors map, and as many slowest-query entries as fit; the full
     // per-query map always lands in BENCH_LAST.json / BENCH_OUT.
-    val head = s"""{"metric":"total","value":$total,"unit":"sec","value_calibrated":$totalCal,"calib_sec":$calib,"loadavg":[$loadStart,$loadEnd],"n_queries":${names.size},"errors":$errJson,"sf":"$sfDir","queries_full":"BENCH_LAST.json","slowest":{"""
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","value_calibrated":$totalCal,"calib_sec":$calib,"calib_factor":$calFactor,"loadavg":[$loadStart,$loadEnd],"n_queries":${names.size},"errors":$errJson,"sf":"$sfDir","queries_full":"BENCH_LAST.json","slowest":{"""
     val budget = 1800 - head.length - 2
     val bySlow = names.sortBy(n => -times(n))
       .map(n => "\"" + n + "\":" + f"${times(n)}%.3f")

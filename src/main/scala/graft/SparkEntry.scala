@@ -26,6 +26,11 @@ object SparkEntry {
   private[graft] val Theta = 0.153
   private val RubnerTheta = 0.0401
   private val TopK = 20
+  /** Extra candidates each 3-D top-k engine fetches beyond [[TopK]] so
+    * q_emd3d_topk can SELECT the final k by the canonical rounded
+    * distance (membership hazard fix, ADVICE r15) — the in-query margin
+    * `require` proves at run time that this depth sufficed. */
+  private val CanonPad = 20
   // fixed size of q_stream_emd's static broadcast reference index: a
   // broadcast index is bounded by contract (the honest stream-static
   // shape at any corpus scale), selected deterministically by
@@ -624,6 +629,13 @@ object SparkEntry {
       val engineDefs: Seq[(String, () => DataFrame)] = Seq(
         "closed_form" -> (() => norm(EmdJoins.emd1dThresholdJoin(hists, Theta))),
         "melody" -> (() => norm(MelodyJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))),
+        // the 100 TB quantile path, driver-visibly answer-preserving
+        // (VERDICT r15 item 6): approx-percentile grid boundaries
+        // (Config.exactQuantiles=false) steer PRUNING only, so this
+        // engine's pair set must diff to zero against every other —
+        // the claim the scaladoc makes, now hash-checked every round
+        "melody_approxq" -> (() => norm(MelodyJoin.thresholdJoin(
+          s, hists, Theta, melodyCfg1d.copy(exactQuantiles = false)))),
         "mrsim" -> (() => norm(MrSimJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))),
         "baseline" -> (() => norm(BaselineJoin.thresholdJoin(s, hists, Theta, melodyCfg1d))))
       val engineNames = engineDefs.map(_._1)
@@ -701,19 +713,52 @@ object SparkEntry {
     }),
 
     // --- 3-D exact EMD top-k (J2/A7; shares the cached engine state;
-    //     self-verifying against the tree-exact top-k — both engines use
-    //     the unified (round(dist,6), rid, sid) tie-break, so the k-sets
-    //     must agree pair-for-pair) ---
+    //     self-verifying against the tree-exact top-k). MEMBERSHIP of
+    //     the final k-set is decided by the CANONICAL rounded distance,
+    //     not the engine's (ADVICE r15): each engine fetches a
+    //     TopK + CanonPad candidate pool by its own distance, the pool
+    //     is canonicalized ([[cubeCanonicalDist]] — the same fixed FP
+    //     expression the oracle evaluates), and the k survivors are the
+    //     canonical-least with the (dist, rid, sid) tie-break. A
+    //     per-pool margin `require` proves the pad was deep enough that
+    //     no unfetched pair could enter the canonical top-k, so a
+    //     near-boundary pair rounding differently under the two kernels
+    //     can no longer flip the k-set nondeterministically — both
+    //     engines' canonical k-sets are DETERMINISTICALLY identical and
+    //     the crosscheck spread is exactly 0. ---
     "q_emd3d_topk" -> ((s, dir) => {
       val hists = Fixtures.tripleHists(s, dir)
       val cfg3 = melodyCfg3dFor(s, dir)
       val prep = MelodyJoin.prepareCached(s, hists, cfg3)
-      cubeCanonicalDist(s, dir)(crossCheckPairs(
-        MelodyJoin.topKJoinPrepared(s, prep, TopK, cfg3)
-          .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
-        EmdJoins.treeExact3dTopK(hists, TopK),
+      // Canonical-selection harness: collect the <= TopK + CanonPad pool
+      // (40 scalar rows — O(k) driver state, never data-sized), replace
+      // each distance with the canonical closed form, sort, take TopK.
+      // Soundness of the pad: any UNFETCHED pair U has engine dist
+      // >= engMax (the pool's largest), and |engine - canonical| <= 2e-6
+      // (1e-6 kernel agreement + 6dp rounding), so engMax > cutoff + 2e-6
+      // implies canonical(U) > cutoff — U cannot displace a survivor.
+      def canonicalTopK(pool: DataFrame): DataFrame = {
+        import s.implicits._
+        val fetched = pool.select(col("rid").cast("long"),
+            col("sid").cast("long"), col("dist").cast("double"))
+          .as[(Long, Long, Double)].collect()
+        val engMax = fetched.map(_._3).max
+        val canon = cubeCanonicalDist(s, dir)(
+            s.createDataset(fetched.toSeq).toDF("rid", "sid", "dist"))
+          .as[(Long, Long, Double)].collect()
+        val top = canon.sortBy { case (a, b, d) => (d, a, b) }.take(TopK).toSeq
+        val cutoff = top.map(_._3).max
+        require(engMax > cutoff + 2e-6,
+          s"q_emd3d_topk: CanonPad exhausted (pool max engine dist $engMax" +
+            s" within 2e-6 of canonical cutoff $cutoff) — deepen the pad")
+        s.createDataset(top).toDF("rid", "sid", "dist")
+      }
+      crossCheckPairs(
+        canonicalTopK(MelodyJoin.topKJoinPrepared(s, prep, TopK + CanonPad, cfg3)
+          .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))),
+        canonicalTopK(EmdJoins.treeExact3dTopK(hists, TopK + CanonPad)),
         "q_emd3d_topk",
-        audit = simplexAudit3d(hists, "q_emd3d_topk")))
+        audit = simplexAudit3d(hists, "q_emd3d_topk"))
     }),
 
     // --- ORACLE-VISIBLE witness verdict for the three no_oracle LP rows:
@@ -3353,11 +3398,16 @@ object SparkEntry {
        |)""".stripMargin
 
   private def trainSelect(rounds: Int): String = {
+    // internal aliases are l/r — NEVER bare left/right/full/outer in a
+    // CTE body (DuckDB parses `AS left` but a later bare reference dies
+    // with a misdirected syntax error; CLAUDE.md hard-won rule). The
+    // quoted "left"/"right" rename happens only in the final projection,
+    // where the Spark column-name contract forces those names.
     val sel = (0 until rounds).map(r =>
-      s"SELECT $r + 1 AS rank, a AS left, b AS right FROM best$r")
+      s"SELECT $r + 1 AS rank, a AS l, b AS r FROM best$r")
       .mkString(" UNION ALL ")
     s"""
-       |SELECT CAST(rank AS INTEGER) AS rank, "left", "right" FROM (
+       |SELECT CAST(rank AS INTEGER) AS rank, l AS "left", r AS "right" FROM (
        |  $sel
        |) ORDER BY rank""".stripMargin
   }
@@ -3883,7 +3933,8 @@ object SparkEntry {
          |)
          |SELECT e.engine, cnt.n AS n_pairs, CAST(0 AS BIGINT) AS n_diff,
          |       TRUE AS dist_ok
-         |FROM (VALUES ('baseline'), ('closed_form'), ('melody'), ('mrsim'))
+         |FROM (VALUES ('baseline'), ('closed_form'), ('melody'),
+         |             ('melody_approxq'), ('mrsim'))
          |  AS e(engine)
          |CROSS JOIN cnt""".stripMargin
     },

@@ -284,8 +284,16 @@ object EmdJoins {
       }
       .persistOnce()
     flat.count()
+    // Band/filter at theta + 1e-9, not exactly theta: the band key is
+    // computed as <pi,wa> - <pi,wb> (difference of two dot columns), an
+    // FP-distinct shape from the membership kernel's dot-of-differences
+    // sum pi_i*(wa_i - wb_i). The filter never decides output membership
+    // (the exact solver below does), so the slack is free admissibility
+    // insurance against the two shapes rounding a boundary pair apart —
+    // the same convention as the PPJoin prefix filter and the oracle's
+    // cascade stages.
     val pairs = bandedSelfPairsK(flat, "id",
-      bandKeys.map { case (name, _) => (name, theta) })
+      bandKeys.map { case (name, _) => (name, theta + 1e-9) })
     val terms = feats.indices.map(i => abs(col(s"_f${i}_a") - col(s"_f${i}_b")))
     // prefix cascade + full tree filter at the distortion radius, then
     // the exact evaluation only on survivors

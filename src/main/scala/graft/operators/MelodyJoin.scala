@@ -78,8 +78,10 @@ object MelodyJoin {
         * row is a potential pi with |pi(i) - pi(j)| <= cost(i, j) (a
         * 1-Lipschitz function of the bins under the config's ground
         * distance), giving the KR-duality bound
-        * |<pi, wa - wb>| <= EMD(wa, wb). ADMISSIBILITY IS THE CALLER'S
-        * CONTRACT — a non-Lipschitz row silently drops answers. The
+        * |<pi, wa - wb>| <= EMD(wa, wb). Admissibility is ENFORCED at
+        * construction (the `require` below — O(numBins^2 * P) on the
+        * driver, trivial at any real bin count): a non-Lipschitz row
+        * would silently drop answers, so it is rejected up front. The
         * cube fixture passes CubeKR's 24 hardest-pruning dual vertices
         * (SparkEntry.melodyCfg3d); defaults to none. */
       lipschitzPotentials: Array[Array[Double]] = Array.empty) extends Serializable {
@@ -97,6 +99,32 @@ object MelodyJoin {
     /** Ground-distance cost matrix (L1/L2/L3 supported as in the
       * reference's getEmdLOne/LTwo/LThree - DistanceUtil.java:81-95). */
     val cost: Array[Double] = Emd.costMatrix(bins, dimension, groundDist)
+    // Lipschitz admissibility, enforced at construction: |pi_i - pi_j|
+    // <= cost(i, j) for every potential and bin pair. Polytope VERTICES
+    // attain equality on their tight edges, and both sides are
+    // independent FP expressions, so the comparison carries 1e-9 slack
+    // (the cascade's reject threshold carries matching slack — a
+    // boundary-equal potential can never drop an answer).
+    locally {
+      var q = 0
+      while (q < lipschitzPotentials.length) {
+        val pi = lipschitzPotentials(q)
+        var i = 0
+        while (i < numBins) {
+          var j = i + 1
+          while (j < numBins) {
+            require(math.abs(pi(i) - pi(j)) <= cost(i * numBins + j) + 1e-9,
+              s"lipschitzPotentials($q) is not 1-Lipschitz under the " +
+                s"ground distance: |pi($i) - pi($j)| = " +
+                s"${math.abs(pi(i) - pi(j))} > cost = ${cost(i * numBins + j)}" +
+                " — an inadmissible potential would silently drop answers")
+            j += 1
+          }
+          i += 1
+        }
+        q += 1
+      }
+    }
     /** Per vector: bin order sorted by projected position + consecutive
       * gaps — the 1-D EMD then needs one allocation-free pass (the
       * TreeMap-based general form costs ~10x in the pair cascade). */
@@ -441,7 +469,12 @@ object MelodyJoin {
         var s = 0.0
         var i = 0
         while (i < pi.length) { s += pi(i) * (wa(i) - wb(i)); i += 1 }
-        if (math.abs(s) > theta) return -1.0
+        // reject with 1e-9 slack: this bound never decides membership
+        // (the exact solver below does), so the slack only guards
+        // against the dot product FP-rounding a boundary pair past
+        // theta — same convention as the KR band filter and the
+        // oracle cascade stages
+        if (math.abs(s) > theta + 1e-9) return -1.0
         q += 1
       }
       var k = 0

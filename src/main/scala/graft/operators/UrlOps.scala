@@ -75,7 +75,9 @@ object UrlOps {
     val authority = rest.substring(0, i).toLowerCase(java.util.Locale.ROOT)
     val (host, port) = {
       val c = authority.lastIndexOf(':')
-      if (c < 0 || !authority.substring(c + 1).forall(_.isDigit) ||
+      // ASCII digits only, mirroring the oracle's [0-9] port test —
+      // Character.isDigit also accepts Unicode digit classes
+      if (c < 0 || !authority.substring(c + 1).forall(ch => ch >= '0' && ch <= '9') ||
         authority.contains('@') || authority.contains(']'))
         (authority, "")
       else (authority.substring(0, c), authority.substring(c + 1))

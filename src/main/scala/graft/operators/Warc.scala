@@ -84,8 +84,12 @@ object Warc {
     * the oracle's `(^|\r\n)name: ` regex exactly. */
   private def header(block: String, name: String): Option[String] = {
     val key = name + ": "
+    // anchor means EXACTLY block start or right after a CRLF pair —
+    // a bare '\n' (no preceding '\r') is not a WARC line boundary and
+    // the oracle's (^|\r\n) regex would not match there either
     var i = block.indexOf(key)
-    while (i > 0 && block.charAt(i - 1) != '\n')
+    while (i > 0 && !(block.charAt(i - 1) == '\n' &&
+        i >= 2 && block.charAt(i - 2) == '\r'))
       i = block.indexOf(key, i + 1)
     if (i < 0) None
     else {
@@ -115,8 +119,12 @@ object Warc {
             val hdrEnd = content.indexOf(Crlf + Crlf, off)
             val magicOk = content.regionMatches(off, "WARC/1.0" + Crlf, 0, 10)
             val block = if (hdrEnd < 0) "" else content.substring(off, hdrEnd)
+            // ASCII digits only: Character.isDigit accepts Unicode digit
+            // classes that .toLong then throws on, while the oracle's
+            // [0-9]+/TRY_CAST yields NULL — mirror the oracle exactly
             val clen = header(block, "Content-Length")
-              .map(_.takeWhile(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
+              .map(_.takeWhile(c => c >= '0' && c <= '9'))
+              .filter(_.nonEmpty).map(_.toLong)
             val pStart = hdrEnd + 4
             val ok = magicOk && hdrEnd >= 0 && clen.exists(l =>
               pStart + l + 4 <= content.length &&

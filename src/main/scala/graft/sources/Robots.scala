@@ -158,7 +158,9 @@ object Robots {
                 rest.charAt(i) != '?' && rest.charAt(i) != '#') i += 1
               val auth = rest.substring(0, i).toLowerCase(java.util.Locale.ROOT)
               val c = auth.lastIndexOf(':')
-              val h = if (c >= 0 && auth.substring(c + 1).forall(_.isDigit))
+              // ASCII digits only (same rule as UrlOps' port test)
+              val h = if (c >= 0 &&
+                  auth.substring(c + 1).forall(ch => ch >= '0' && ch <= '9'))
                 auth.substring(0, c) else auth
               val hashAt = rest.indexOf('#', i)
               val tail = if (hashAt < 0) rest.substring(i)

@@ -19,6 +19,18 @@ import graft.operators.{EditJoin, MelodyJoin}
   */
 object StreamOps {
 
+  /** Harness state-store configuration for the replay entry points.
+    * The default (1 shuffle partition, default HDFS-backed provider)
+    * is the gate's pinned deterministic replay.
+    * [[graft.streaming.StreamStateStoreSpec]] passes a multi-partition
+    * RocksDB configuration EXPLICITLY through this parameter — never via
+    * process-global sys.props, because ScalaTest suites share one forked
+    * JVM and run in parallel, so a global flag could leak into a
+    * concurrent suite's replay (same rule as crossCheckPairs' explicit
+    * `enabled` flag). */
+  final case class ReplayStores(partitions: Int = 1,
+                                provider: Option[String] = None)
+
   /** Tumbling-window counts/sums per event type with a watermark for state
     * eviction — the streaming twin of the q_events_window batch query. */
   def windowedEventAgg(events: DataFrame, window_ : String = "1 hour",
@@ -255,10 +267,11 @@ object StreamOps {
     * sink. Production streams come from readStream sources; the operator
     * itself holds ONE long per distinct content at any scale. */
   def replayExactDedup(spark: SparkSession, docs: DataFrame,
-                       numBatches: Int = 4): DataFrame = {
+                       numBatches: Int = 4,
+                       stores: ReplayStores = ReplayStores()): DataFrame = {
     import spark.implicits._
     val verdicts = replayDocStream(spark, docs, numBatches,
-      "graft_replay_exactdedup")(streamingExactDedup(spark, _))
+      "graft_replay_exactdedup", stores)(streamingExactDedup(spark, _))
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     spark.createDataset(verdicts.toSeq).toDF("doc_id", "keeper", "is_dup")
   }
@@ -295,8 +308,9 @@ object StreamOps {
     * row-for-row, so the q_sessionize oracle SQL checks real streaming
     * state splits, carries, and timeout flushes. */
   def replaySessionize(spark: SparkSession, events: DataFrame,
-                       gapUs: Long, numBatches: Int = 4): DataFrame =
-      withReplayShuffle(spark) {
+                       gapUs: Long, numBatches: Int = 4,
+                       stores: ReplayStores = ReplayStores()): DataFrame =
+      withReplayShuffle(spark, stores) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = events.select(col("user_id").cast("long"),
@@ -405,21 +419,24 @@ object StreamOps {
     * narrowing it around the replay affects ONLY the harness query; the
     * session value is restored afterwards. Production streams size this
     * normally — the operators themselves are partition-count-agnostic. */
-  private def withReplayShuffle[T](spark: SparkSession)(body: => T): T = {
+  private def withReplayShuffle[T](spark: SparkSession,
+                                   stores: ReplayStores = ReplayStores())
+                                  (body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val ckKey = "spark.sql.streaming.checkpointLocation"
     val ssKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
     val prevCk = spark.conf.getOption(ckKey)
     val prevSs = spark.conf.getOption(ssKey)
-    // state-store realism escape hatch (StreamStateStoreSpec): a real
-    // cluster runs stateful operators MULTI-partition on the RocksDB
-    // provider, not single-partition HDFS-backed — these props let the
-    // spec replay the SAME operators under that configuration and
-    // assert output identity. Defaults preserve the gate's pinned
-    // single-partition replay (deterministic batch boundaries).
-    val parts = sys.props.getOrElse("graft.replay.partitions", "1")
-    val provider = sys.props.get("graft.replay.statestore")
+    // state-store realism (StreamStateStoreSpec): a real cluster runs
+    // stateful operators MULTI-partition on the RocksDB provider, not
+    // single-partition HDFS-backed — the explicit [[ReplayStores]]
+    // parameter lets the spec replay the SAME operators under that
+    // configuration and assert output identity. The default preserves
+    // the gate's pinned single-partition replay (deterministic batch
+    // boundaries).
+    val parts = stores.partitions.toString
+    val provider = stores.provider
     // Per-batch cost is dominated by checkpoint fsyncs (offset log,
     // commit log, state-store delta per store per batch) — on a disk
     // /tmp that's several forced writes per micro-batch. The replay's
@@ -468,8 +485,9 @@ object StreamOps {
     * oracle replays the pair set exactly. */
   def replayRangeJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
                       keyCol: String, tsCol: String, idCol: String,
-                      deltaSec: Long, numBatches: Int = 4): DataFrame =
-      withReplayShuffle(spark) {
+                      deltaSec: Long, numBatches: Int = 4,
+                      stores: ReplayStores = ReplayStores()): DataFrame =
+      withReplayShuffle(spark, stores) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def srcOf(df: DataFrame) = df.select(col(idCol).cast("long"),
@@ -516,9 +534,10 @@ object StreamOps {
     * a sorted toLocalIterator — one partition of text in driver memory at
     * a time, never the whole corpus. */
   private def replayDocStream(spark: SparkSession, docs: DataFrame,
-                              numBatches: Int, name: String)(
+                              numBatches: Int, name: String,
+                              stores: ReplayStores = ReplayStores())(
       op: DataFrame => DataFrame): Array[org.apache.spark.sql.Row] =
-      withReplayShuffle(spark) {
+      withReplayShuffle(spark, stores) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = docs.select(col("doc_id").cast("long"), col("text"))
@@ -1219,8 +1238,9 @@ object StreamOps {
     * set equals the batch groupBy row-for-row. */
   def replayWindowAgg(spark: SparkSession, events: DataFrame,
                       windowDur: String = "1 hour",
-                      numBatches: Int = 4): DataFrame =
-      withReplayShuffle(spark) {
+                      numBatches: Int = 4,
+                      stores: ReplayStores = ReplayStores()): DataFrame =
+      withReplayShuffle(spark, stores) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val src = events.select(col("ts").cast("timestamp"),

@@ -66,6 +66,21 @@ class MelodyJoinSpec extends AnyFunSuite {
         s"extra=${(pruned -- plain).take(5)}")
   }
 
+  test("an inadmissible Lipschitz potential is rejected at construction") {
+    // |pi_i - pi_j| > cost(i, j) for some bin pair -> Config must throw,
+    // not silently drop answers (VERDICT r15 item 3). The cube corners
+    // are at most sqrt(3) apart, so a potential spanning 10.0 violates
+    // 1-Lipschitz-ness on every long edge.
+    val bad = Array(Array.tabulate(8)(i => if (i == 0) 10.0 else 0.0))
+    val ex = intercept[IllegalArgumentException] {
+      cfg3d.copy(lipschitzPotentials = bad)
+    }
+    assert(ex.getMessage.contains("not 1-Lipschitz"))
+    // the genuine vertices (equality on tight edges) still construct
+    cfg3d.copy(lipschitzPotentials = graft.core.CubeKR
+      .PrefilterIdx.map(graft.core.CubeKR.vertexPotential))
+  }
+
   test("melody top-k join == baseline top-k") {
     val hists = randomHists(80, 8, seed = 11)
     val k = 15

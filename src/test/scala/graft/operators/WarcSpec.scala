@@ -110,6 +110,24 @@ class WarcSpec extends AnyFunSuite {
     assert(p2(2)._5 == "WARC/1.0\r\nx17".length.toLong, "doc 17 trap length")
   }
 
+  test("header anchor requires a full CRLF; bare-LF Content-Length is corrupt") {
+    // the only Content-Length line is preceded by a bare '\n' — the
+    // oracle's (^|\r\n) regex does not match there, so the engine must
+    // not either (ADVICE r15): no usable length -> corrupt-stop
+    val f = "WARC/1.0" + CR + "X-Note: a\nContent-Length: 4" + CR + CR +
+      "body" + CR + CR
+    assert(parse((11L, f)) == Seq((11L, 0L, "_corrupt", None, -1L)))
+  }
+
+  test("Unicode digits in Content-Length are corrupt, not a crash") {
+    // U+0663 ARABIC-INDIC THREE passes Character.isDigit but the
+    // oracle's [0-9]+/TRY_CAST yields NULL — engine must mirror the
+    // NULL (corrupt-stop), and must not throw from .toLong
+    val f = "WARC/1.0" + CR + "WARC-Type: response" + CR +
+      "Content-Length: ٣٣" + CR + CR + "xxx" + CR + CR
+    assert(parse((12L, f)) == Seq((12L, 0L, "_corrupt", None, -1L)))
+  }
+
   test("a 20k-record file parses fully (the walk is linear, never a rescan)") {
     val n = 20000
     val sb = new StringBuilder

@@ -33,16 +33,12 @@ class StreamStateStoreSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** Run `body` with the replay harness reconfigured to `parts`
-    * shuffle partitions and the RocksDB state store. */
-  private def withRealStores[T](body: => T): T = {
-    sys.props("graft.replay.partitions") = "4"
-    sys.props("graft.replay.statestore") = RocksDb
-    try body finally {
-      sys.props.remove("graft.replay.partitions")
-      sys.props.remove("graft.replay.statestore")
-    }
-  }
+  /** The multi-partition RocksDB replay configuration, passed as an
+    * EXPLICIT parameter to each replay entry point — never via
+    * process-global sys.props, which a concurrently-running suite's
+    * replay in the shared forked JVM could silently pick up. */
+  private val realStores = StreamOps.ReplayStores(partitions = 4,
+    provider = Some(RocksDb))
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
@@ -65,8 +61,9 @@ class StreamStateStoreSpec extends AnyFunSuite {
       .select(col("ts"), (col("user_id") % 3).cast("string").as("event_type"),
         col("value"))
     val pinned = rows(StreamOps.replayWindowAgg(spark, evs, numBatches = 5))
-    val real = withRealStores(
-      rows(StreamOps.replayWindowAgg(spark, evs, numBatches = 5)))
+    val real =
+      rows(StreamOps.replayWindowAgg(spark, evs, numBatches = 5,
+        stores = realStores))
     assert(pinned.nonEmpty && real == pinned,
       s"windowed agg diverged: pinned=${pinned.size} real=${real.size}")
   }
@@ -76,8 +73,9 @@ class StreamStateStoreSpec extends AnyFunSuite {
       col("ts"), col("value"))
     val gapUs = 3600L * 1000000L
     val pinned = rows(StreamOps.replaySessionize(spark, evs, gapUs, numBatches = 5))
-    val real = withRealStores(
-      rows(StreamOps.replaySessionize(spark, evs, gapUs, numBatches = 5)))
+    val real =
+      rows(StreamOps.replaySessionize(spark, evs, gapUs, numBatches = 5,
+        stores = realStores))
     assert(pinned.nonEmpty && real == pinned,
       s"sessionize diverged: pinned=${pinned.size} real=${real.size}")
   }
@@ -96,8 +94,9 @@ class StreamStateStoreSpec extends AnyFunSuite {
     val (l, r) = (side(7, 80), side(11, 80))
     val pinned = rows(StreamOps.replayRangeJoin(spark, l, r,
       keyCol = "k", tsCol = "ts", idCol = "id", deltaSec = 600L, numBatches = 4))
-    val real = withRealStores(rows(StreamOps.replayRangeJoin(spark, l, r,
-      keyCol = "k", tsCol = "ts", idCol = "id", deltaSec = 600L, numBatches = 4)))
+    val real = rows(StreamOps.replayRangeJoin(spark, l, r,
+      keyCol = "k", tsCol = "ts", idCol = "id", deltaSec = 600L, numBatches = 4,
+      stores = realStores))
     assert(pinned.nonEmpty && real == pinned,
       s"range join diverged: pinned=${pinned.size} real=${real.size}")
   }
@@ -108,8 +107,9 @@ class StreamStateStoreSpec extends AnyFunSuite {
       (i.toLong, s"text body ${i % 37}") // 37 distinct contents -> real dups
     }.toDF("doc_id", "text")
     val pinned = rows(StreamOps.replayExactDedup(spark, docs, numBatches = 4))
-    val real = withRealStores(
-      rows(StreamOps.replayExactDedup(spark, docs, numBatches = 4)))
+    val real =
+      rows(StreamOps.replayExactDedup(spark, docs, numBatches = 4,
+        stores = realStores))
     assert(pinned.nonEmpty && real == pinned,
       s"exact dedup diverged: pinned=${pinned.size} real=${real.size}")
   }
