@@ -737,26 +737,43 @@ object SparkEntry {
       // >= engMax (the pool's largest), and |engine - canonical| <= 2e-6
       // (1e-6 kernel agreement + 6dp rounding), so engMax > cutoff + 2e-6
       // implies canonical(U) > cutoff — U cannot displace a survivor.
-      def canonicalTopK(pool: DataFrame): DataFrame = {
+      // When the margin CANNOT prove exclusion (e.g. sf0.1 has >= 40
+      // zero-distance duplicate-histogram pairs, so the whole pool ties
+      // at the cutoff), fall back to a COMPLETE fetch: every pair whose
+      // canonical dist could reach the cutoff has engine dist
+      // <= cutoff + 2e-6 < the threshold radius cutoff + 4e-6, so the
+      // canonical (dist, rid, sid) top-k over that set is the GLOBAL
+      // canonical top-k, cutoff ties included — deterministic, and
+      // identical to the oracle's ORDER BY ... LIMIT k.
+      def canonicalTopK(pool: DataFrame,
+                        allWithin: Double => DataFrame): DataFrame = {
         import s.implicits._
+        def canonOf(df: DataFrame): Array[(Long, Long, Double)] =
+          cubeCanonicalDist(s, dir)(df).as[(Long, Long, Double)].collect()
         val fetched = pool.select(col("rid").cast("long"),
             col("sid").cast("long"), col("dist").cast("double"))
           .as[(Long, Long, Double)].collect()
         val engMax = fetched.map(_._3).max
-        val canon = cubeCanonicalDist(s, dir)(
-            s.createDataset(fetched.toSeq).toDF("rid", "sid", "dist"))
-          .as[(Long, Long, Double)].collect()
-        val top = canon.sortBy { case (a, b, d) => (d, a, b) }.take(TopK).toSeq
-        val cutoff = top.map(_._3).max
-        require(engMax > cutoff + 2e-6,
-          s"q_emd3d_topk: CanonPad exhausted (pool max engine dist $engMax" +
-            s" within 2e-6 of canonical cutoff $cutoff) — deepen the pad")
+        val canon = canonOf(s.createDataset(fetched.toSeq)
+          .toDF("rid", "sid", "dist"))
+        val top0 = canon.sortBy { case (a, b, d) => (d, a, b) }.take(TopK)
+        val cutoff = top0.map(_._3).max
+        val top =
+          if (engMax > cutoff + 2e-6) top0.toSeq
+          else canonOf(allWithin(cutoff + 4e-6)
+              .select(col("rid").cast("long"), col("sid").cast("long"),
+                col("dist").cast("double")).toDF("rid", "sid", "dist"))
+            .sortBy { case (a, b, d) => (d, a, b) }.take(TopK).toSeq
         s.createDataset(top).toDF("rid", "sid", "dist")
       }
       crossCheckPairs(
-        canonicalTopK(MelodyJoin.topKJoinPrepared(s, prep, TopK + CanonPad, cfg3)
-          .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))),
-        canonicalTopK(EmdJoins.treeExact3dTopK(hists, TopK + CanonPad)),
+        canonicalTopK(
+          MelodyJoin.topKJoinPrepared(s, prep, TopK + CanonPad, cfg3)
+            .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
+          th => MelodyJoin.thresholdJoinPrepared(s, prep, th, cfg3)
+            .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))),
+        canonicalTopK(EmdJoins.treeExact3dTopK(hists, TopK + CanonPad),
+          th => EmdJoins.treeExact3dThresholdJoin(hists, th)),
         "q_emd3d_topk",
         audit = simplexAudit3d(hists, "q_emd3d_topk"))
     }),
