@@ -111,9 +111,11 @@ PYEOF
 fi
 
 run_scale() {  # $1 = sfDir, $2 = outFile
+  # sbt prefixes stdout with "[info] " — strip it; `sed -n` never fails
+  # on zero matches (a bare grep under pipefail would abort the script)
   env SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.BenchEach ${QUERIES[*]}" 2>&1 \
-    | grep '^TIMING' | tee "$2"
+    | sed -n 's/^.*TIMING /TIMING /p' | tee "$2"
 }
 
 echo "== BenchEach at $BASE =="
