@@ -141,6 +141,24 @@ class MelodyJoinSpec extends AnyFunSuite {
       s"tight-theta routing solves $solvesT not pruned below 800")
   }
 
+  test("mrsim answer is pivot-count-invariant (auto and forced p agree)") {
+    // autoPivotCount only tunes cost: the centroid band + cascade decide
+    // every pair exactly, so wildly different pivot counts (including
+    // the density-swept auto choice) must emit the identical pair set
+    // with identical distances
+    val hists = randomHists(90, 8, seed = 29)
+    val theta = 0.3
+    def run(p: Int) = MrSimJoin.thresholdJoin(spark, hists, theta, cfg3d,
+        numPivots = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val auto = MrSimJoin.thresholdJoin(spark, hists, theta, cfg3d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p7 = run(7)
+    val p31 = run(31)
+    assert(auto.nonEmpty && p7 == auto && p31 == auto,
+      s"pivot-variant answers: auto=${auto.size} p7=${p7.size} p31=${p31.size}")
+  }
+
   test("tree-EMD banded join == brute-force tree distance on normalized hists") {
     import graft.core.HistOps
     val hists = randomHists(150, 8, seed = 41)
