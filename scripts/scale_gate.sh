@@ -43,7 +43,8 @@ if [ ${#QUERIES[@]} -eq 0 ]; then
     q_semdedup q_dsir_select q_rubner_pairs q_stream_rangejoin
     q_mrsim1d_pairs q_ngram_jaccard q_treeexact3d_pairs q_mrsim1d_topk
     q_engine_equiv q_tfidf_pairs q_keep_best q_melody1d_pairs
-    q_emd3d_topk q_winnow_spans q_stream_window)
+    q_emd3d_topk q_winnow_spans q_stream_window q_pipeline
+    q_jaccard_pairs)
 fi
 
 if [ ! -f "$GATE/lineitem.parquet" ]; then

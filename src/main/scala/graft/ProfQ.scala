@@ -11,6 +11,10 @@ object ProfQ {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // mirror Bench: timings measure ONE engine; the witness assertion
+    // belongs to Verify (without this, the 3-D rows profile the witness
+    // engine + simplex audit too and the numbers are not bench-like)
+    System.setProperty("graft.crosscheck", "off")
     val dir = "/root/testdata/sf0.1"
     val names = if (args.nonEmpty) args.toSeq else Seq("q_ngram_jaccard")
     // warmup
