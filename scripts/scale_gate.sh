@@ -112,11 +112,20 @@ PYEOF
 fi
 
 run_scale() {  # $1 = sfDir, $2 = outFile
+  # Lead with the fixed-work CPU calibration (graft.Bench --calib): the
+  # two scales run in separate sbt processes minutes apart, and the
+  # sandbox's 2-3x contention band ACROSS runs otherwise shows up as a
+  # fake wall-ratio change (round-16 measured q_mrsim1d_pairs at 18x
+  # across-process vs 9.8x paired). The ratio table below divides each
+  # scale's walls by its ambient factor.
   # sbt prefixes stdout with "[info] " — strip it; `sed -n` never fails
   # on zero matches (a bare grep under pipefail would abort the script)
   env SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Bench --calib" 2>&1 \
+    | sed -n 's/^.*\(calib_sec=[0-9.]* loadavg=[0-9.]*\).*/CALIB \1/p' | tee "$2"
+  env SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.BenchEach ${QUERIES[*]}" 2>&1 \
-    | sed -n 's/^.*TIMING /TIMING /p' | tee "$2"
+    | sed -n 's/^.*TIMING /TIMING /p' | tee -a "$2"
 }
 
 echo "== BenchEach at $BASE =="
@@ -126,20 +135,30 @@ run_scale "$GATE" /tmp/scale_gate_10x.txt
 
 python3 - <<'PYEOF'
 import re
+CALIB_REF = 0.369  # Bench.CalibRefSec — the quiet-box floor
 def load(p):
-    out = {}
+    out, calib = {}, None
     for line in open(p):
+        c = re.match(r'CALIB calib_sec=([0-9.]+)', line)
+        if c:
+            calib = float(c.group(1))
         m = re.match(r'TIMING (\S+)\s+([0-9.]+) s\s+rows=(-?\d+)', line)
         if m:
             out[m.group(1)] = (float(m.group(2)), int(m.group(3)))
-    return out
-a, b = load('/tmp/scale_gate_base.txt'), load('/tmp/scale_gate_10x.txt')
+    # clamp like Bench: calibration deflates a contended run toward its
+    # quiet-box equivalent, never inflates a quiet one
+    factor = min(1.0, CALIB_REF / calib) if calib else 1.0
+    return out, factor
+(a, fa), (b, fb) = load('/tmp/scale_gate_base.txt'), load('/tmp/scale_gate_10x.txt')
+print(f"\ncalib factors: sf0.1 {fa:.3f}, 10x {fb:.3f} "
+      f"(walls below are calibrated; raw ratio would be off by {fb/fa:.2f}x)")
 print(f"\n{'query':24s} {'sf0.1':>8s} {'10x':>8s} {'wall':>6s} {'rows0.1':>10s} {'rows10x':>11s} {'outx':>6s}")
 worst = []
 for q in sorted(a):
     if q not in b:
         print(f"{q:24s} MISSING at 10x"); continue
     (t0, r0), (t1, r1) = a[q], b[q]
+    t0, t1 = t0 * fa, t1 * fb
     wall = t1 / t0 if t0 > 0 else float('inf')
     outx = (r1 / r0) if r0 > 0 else float('nan')
     print(f"{q:24s} {t0:8.2f} {t1:8.2f} {wall:5.1f}x {r0:10d} {r1:11d} {outx:5.1f}x")
