@@ -35,15 +35,34 @@ object EmdJoins {
     * right side replicates into the 3x3 neighbor bands (9 copies), cutting
     * candidates multiplicatively while keeping perfect recall. */
   /** K-key generalization of [[bandedSelfPairs2]]: each key bands at
-    * its OWN radius and the 3^K neighbor offsets join on the band
-    * tuple. Multiplying independent 1-Lipschitz keys is the density
-    * lever of a fixed-radius banded join — per key the candidate slab
-    * has fixed width, so pair volume is quadratic in density until
-    * enough keys intersect the slabs down to the answer's neighborhood
-    * (measured at sf1: 2 keys = 6.8G band pairs, 5 keys = the melody-
-    * comparable regime). Right-side replication is 3^K rows; keep K
-    * small (<= 5). Recall contract: every key must satisfy
-    * |key(a) - key(b)| <= its radius for every answer pair. */
+    * its OWN radius and the HALF-SPACE neighbor offsets join on the
+    * band tuple. Multiplying independent 1-Lipschitz keys is the
+    * density lever of a fixed-radius banded join — per key the
+    * candidate slab has fixed width, so pair volume is quadratic in
+    * density until enough keys intersect the slabs down to the
+    * answer's neighborhood (measured at sf1: 2 keys = 6.8G band pairs,
+    * 5 keys = the melody-comparable regime).
+    *
+    * Symmetric-offset halving (round 16): an unordered pair with band
+    * delta d is reachable through d or -d, so only the (3^K + 1) / 2
+    * offsets whose first nonzero component is +1 (plus the all-zero
+    * one) are replicated — HALF the right-side shuffle volume of the
+    * full 3^K set (122 vs 243 at K = 5). The all-zero offset keeps the
+    * id< join condition (same-cell pairs would otherwise appear twice);
+    * nonzero offsets take the pair in whichever orientation the kept
+    * half-offset produces.
+    *
+    * ORIENTATION CONTRACT: every unordered pair appears exactly once,
+    * but cross-cell pairs arrive in half-offset order — id_a may exceed
+    * id_b. Callers that care about the lower-id-first convention (the
+    * exact kernels' FP-path rule) canonicalize imperatively in their
+    * consumer kernel — a Catalyst when()-swap of every _a/_b column here
+    * was measured 3.5x SLOWER end-to-end (it balloons the generated
+    * stage past janino's limits and the whole band-filter cascade drops
+    * to interpreted mode; ProfQ 3.9s -> 13.9s on q_treeexact3d_pairs).
+    *
+    * Recall contract: every key must satisfy |key(a) - key(b)| <= its
+    * radius for every answer pair. */
   def bandedSelfPairsK(df: DataFrame, idCol: String,
                        keys: Seq[(String, Double)]): DataFrame = {
     require(keys.nonEmpty && keys.forall(_._2 > 0), "radii must be positive")
@@ -54,17 +73,22 @@ object EmdJoins {
     val left = banded.select(banded.columns.map(c => col(c).as(c + "_a")): _*)
     val offsets = keys.indices.foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
       acc.flatMap(o => Seq(-1, 0, 1).map(d => o :+ d)))
+    val halfOffsets = offsets.filter(o =>
+      o.dropWhile(_ == 0).headOption.forall(_ > 0))
     // neighbor replication via a broadcast offsets table, NOT an
     // explode over a 3^K-struct array literal — the latter's generated
     // consume method exceeds janino's limits at K = 5 (243 structs)
-    // and silently drops the whole stage to interpreted mode
+    // and silently drops the whole stage to interpreted mode. The
+    // `_z` flag marks the all-zero offset for the id< condition below.
     val spark0 = df.sparkSession
     val offsetsDf = spark0.createDataFrame(
-      spark0.sparkContext.parallelize(offsets.map(o =>
-        org.apache.spark.sql.Row.fromSeq(o)), 1),
+      spark0.sparkContext.parallelize(halfOffsets.map(o =>
+        org.apache.spark.sql.Row.fromSeq(o :+ o.forall(_ == 0))), 1),
       org.apache.spark.sql.types.StructType(keys.indices.map(i =>
         org.apache.spark.sql.types.StructField(s"_d$i",
-          org.apache.spark.sql.types.IntegerType, nullable = false))))
+          org.apache.spark.sql.types.IntegerType, nullable = false)) :+
+        org.apache.spark.sql.types.StructField("_z",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
     val rightShift = keys.indices.foldLeft(
         banded.crossJoin(broadcast(offsetsDf)))((d, i) =>
         d.withColumn(s"_band$i", col(s"_band$i") + col(s"_d$i")))
@@ -73,8 +97,13 @@ object EmdJoins {
       rightShift.columns.map(c => col(c).as(c + "_b")): _*)
     val joinCond = keys.indices
       .map(i => col(s"_band${i}_a") === col(s"_band${i}_b"))
-      .reduce(_ && _) && col(idCol + "_a") < col(idCol + "_b")
-    val filtered = keys.foldLeft(left.join(rightR, joinCond)) {
+      .reduce(_ && _) &&
+      (col(idCol + "_a") =!= col(idCol + "_b")) &&
+      (!col("_z_b") || col(idCol + "_a") < col(idCol + "_b"))
+    val joined = left.join(rightR, joinCond).drop("_z_b")
+    // symmetric |key| filters only — orientation is the caller's
+    // (see the orientation contract in the scaladoc)
+    val filtered = keys.foldLeft(joined) {
       case (d, (k, r)) => d.filter(abs(col(k + "_a") - col(k + "_b")) <= lit(r))
     }
     filtered.drop(keys.indices.flatMap(i =>
@@ -307,7 +336,14 @@ object EmdJoins {
         graft.sources.Fixtures.Bins3d, graft.sources.Fixtures.Dim3,
         graft.core.GroundDist.L2)
       val diff = new Array[Double](8)
-      it.flatMap { case (ra, wa, rb, wb) =>
+      it.flatMap { case (ra0, wa0, rb0, wb0) =>
+        // canonical lower-id-first orientation: bandedSelfPairsK's
+        // half-offset enumeration delivers cross-cell pairs in offset
+        // order (its orientation contract) — swap here, imperatively,
+        // where it costs two reference moves per candidate instead of a
+        // codegen-breaking when()-projection over every joined column
+        val (ra, wa, rb, wb) =
+          if (ra0 < rb0) (ra0, wa0, rb0, wb0) else (rb0, wb0, ra0, wa0)
         // 24-vertex KR lower bound: maxes a SUBSET of the dots the full
         // evaluator maxes, so lb <= exact holds bitwise — a reject here
         // is one the solver stage would also make. Kills ~90% of the
