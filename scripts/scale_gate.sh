@@ -123,9 +123,13 @@ run_scale() {  # $1 = sfDir, $2 = outFile
   env SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench --calib" 2>&1 \
     | sed -n 's/^.*\(calib_sec=[0-9.]* loadavg=[0-9.]*\).*/CALIB \1/p' | tee "$2"
-  env SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
+  # BENCH_CLEAR: free session caches between queries — a 21-row list at
+  # 10x otherwise accumulates persisted results until a row dies of
+  # memory pressure (and each row's cost stays honest in isolation).
+  # Keep ERR lines visible: a dead row must not masquerade as a fast one.
+  env SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_CLEAR=1 \
     sbt -batch "runMain graft.BenchEach ${QUERIES[*]}" 2>&1 \
-    | sed -n 's/^.*TIMING /TIMING /p' | tee -a "$2"
+    | sed -n -e 's/^.*TIMING /TIMING /p' -e 's/^.*ERR /ERR /p' | tee -a "$2"
 }
 
 echo "== BenchEach at $BASE =="
@@ -158,6 +162,9 @@ for q in sorted(a):
     if q not in b:
         print(f"{q:24s} MISSING at 10x"); continue
     (t0, r0), (t1, r1) = a[q], b[q]
+    if r0 < 0 or r1 < 0:
+        print(f"{q:24s} ERRORED (rows=-1) — rerun; a dead row is not a timing")
+        continue
     t0, t1 = t0 * fa, t1 * fb
     wall = t1 / t0 if t0 > 0 else float('inf')
     outx = (r1 / r0) if r0 > 0 else float('nan')

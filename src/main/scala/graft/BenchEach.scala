@@ -18,11 +18,25 @@ object BenchEach {
     // timings measure one engine; the 3-D witness assertion runs in Verify
     System.setProperty("graft.crosscheck", "off")
     val only = args.toSet
+    // SPARK_GRAFT_BENCH_CLEAR=1: free every session cache after each
+    // query. Long multi-query lists at 10x scale otherwise accumulate
+    // the persisted materializeAndFree results (52M-pair frames each)
+    // until a later query dies of memory pressure — the round-16 scale
+    // gate lost 11 rows that way. Also makes each row's cost honest in
+    // isolation (no cross-row prep sharing), which is what a ratio
+    // table wants.
+    val clear = sys.env.get("SPARK_GRAFT_BENCH_CLEAR").contains("1")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch { case e: Throwable => println(s"ERR $name ${e.getMessage}"); -1L }
         println(f"TIMING $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+        if (clear) {
+          graft.sources.Fixtures.clearCache(spark)
+          graft.operators.MelodyJoin.clearPrepCache(spark)
+          SparkEntry.clearEdgeCache(spark)
+          spark.sharedState.cacheManager.clearCache()
+        }
       }
     }
     spark.stop()
