@@ -55,9 +55,17 @@ gate, base = os.environ['GATE_DIR'], os.environ['BASE_DIR']
 os.makedirs(gate, exist_ok=True)
 con = duckdb.connect()
 t0 = time.time()
-mp, mo = con.execute(
-    f"SELECT max(l_partkey), max(l_orderkey) FROM '{base}/lineitem.parquet'"
-).fetchone()
+# shift constants must be shared by BOTH sides of each key's join AND
+# exceed both sides' maxima: a part key above the lineitem max (possible
+# if the testdata generator drifts — it has, across rounds) would
+# otherwise make replica key ranges overlap and silently duplicate
+# p_partkey rows, faking a quadratic in every part-joining gate row
+mp, mo = con.execute(f"""
+    SELECT greatest((SELECT max(l_partkey) FROM '{base}/lineitem.parquet'),
+                    (SELECT max(p_partkey) FROM '{base}/part.parquet')),
+           greatest((SELECT max(l_orderkey) FROM '{base}/lineitem.parquet'),
+                    (SELECT max(o_orderkey) FROM '{base}/orders.parquet'))
+""").fetchone()
 con.execute(f"""
 COPY (
   SELECT li.* REPLACE (li.l_partkey + k.k * {mp + 1} AS l_partkey,
@@ -122,7 +130,7 @@ run_scale() {  # $1 = sfDir, $2 = outFile
   # on zero matches (a bare grep under pipefail would abort the script)
   env SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench --calib" 2>&1 \
-    | sed -n 's/^.*\(calib_sec=[0-9.]* loadavg=[0-9.]*\).*/CALIB \1/p' | tee "$2"
+    | sed -n 's/^.*\(calib_sec=[0-9.]* calib_ref=[0-9.]* loadavg=[0-9.]*\).*/CALIB \1/p' | tee "$2"
   # BENCH_CLEAR: free session caches between queries — a 21-row list at
   # 10x otherwise accumulates persisted results until a row dies of
   # memory pressure (and each row's cost stays honest in isolation).
@@ -139,20 +147,27 @@ run_scale "$GATE" /tmp/scale_gate_10x.txt
 
 python3 - <<'PYEOF'
 import re
-CALIB_REF = 0.369  # Bench.CalibRefSec — the quiet-box floor
 def load(p):
-    out, calib = {}, None
+    # calib_ref is parsed from Bench's own --calib line (the one source
+    # of truth for CalibRefSec) — no hardcoded copy to drift
+    out, calib, ref = {}, None, None
     for line in open(p):
-        c = re.match(r'CALIB calib_sec=([0-9.]+)', line)
+        c = re.match(r'CALIB calib_sec=([0-9.]+) calib_ref=([0-9.]+)', line)
         if c:
-            calib = float(c.group(1))
+            calib, ref = float(c.group(1)), float(c.group(2))
         m = re.match(r'TIMING (\S+)\s+([0-9.]+) s\s+rows=(-?\d+)', line)
         if m:
             out[m.group(1)] = (float(m.group(2)), int(m.group(3)))
     # clamp like Bench: calibration deflates a contended run toward its
     # quiet-box equivalent, never inflates a quiet one
-    factor = min(1.0, CALIB_REF / calib) if calib else 1.0
-    return out, factor
+    if calib is None or ref is None:
+        # a silent 1.0 here would print raw walls under a header claiming
+        # calibration — the exact across-process skew the calibration
+        # exists to remove. Be loud instead.
+        print(f"WARNING: CALIB line missing in {p} — that side's walls "
+              f"are RAW, ratios may carry ambient contention skew")
+        return out, 1.0
+    return out, min(1.0, ref / calib)
 (a, fa), (b, fb) = load('/tmp/scale_gate_base.txt'), load('/tmp/scale_gate_10x.txt')
 print(f"\ncalib factors: sf0.1 {fa:.3f}, 10x {fb:.3f} "
       f"(walls below are calibrated; raw ratio would be off by {fb/fa:.2f}x)")

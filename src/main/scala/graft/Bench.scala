@@ -61,7 +61,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     if (args.contains("--calib")) {
-      println(f"calib_sec=${calibrate()}%.4f loadavg=${loadavg1m()}%.2f")
+      // calib_ref ships alongside so consumers (scripts/scale_gate.sh)
+      // read CalibRefSec from the one source of truth instead of
+      // hardcoding a copy that drifts when the floor is next updated
+      println(f"calib_sec=${calibrate()}%.4f calib_ref=$CalibRefSec%.4f " +
+        f"loadavg=${loadavg1m()}%.2f")
       return
     }
     val loadStart = loadavg1m()
@@ -93,17 +97,7 @@ object Bench {
     // later pass would otherwise skip histogram derivation and engine
     // preparation entirely and the per-query minimum would stop
     // covering them (a regression there would be invisible)
-    def clearSessionCaches(): Unit = {
-      graft.sources.Fixtures.clearCache(spark)
-      graft.operators.MelodyJoin.clearPrepCache(spark)
-      SparkEntry.clearEdgeCache(spark)
-      // drop EVERY cached plan, not just the known session caches:
-      // operators that return a persisted result (materializeAndFree
-      // pattern) leave plan-cache entries a later pass of the same
-      // pure-Catalyst query would silently hit, recording a min that
-      // measured the cache, not the query
-      spark.sharedState.cacheManager.clearCache()
-    }
+    def clearSessionCaches(): Unit = SparkEntry.clearSessionCaches(spark)
     def timeOne(name: String): Unit = {
       val t0 = System.nanoTime()
       try {

@@ -31,12 +31,7 @@ object BenchEach {
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch { case e: Throwable => println(s"ERR $name ${e.getMessage}"); -1L }
         println(f"TIMING $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-        if (clear) {
-          graft.sources.Fixtures.clearCache(spark)
-          graft.operators.MelodyJoin.clearPrepCache(spark)
-          SparkEntry.clearEdgeCache(spark)
-          spark.sharedState.cacheManager.clearCache()
-        }
+        if (clear) SparkEntry.clearSessionCaches(spark)
       }
     }
     spark.stop()

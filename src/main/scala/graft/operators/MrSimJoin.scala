@@ -181,8 +181,8 @@ object MrSimJoin {
             solveAcc.add(nP)
             val base = dists.indices.minBy(i => (dists(i), i))
             dists.indices.flatMap { q =>
-              if (q == base) Some((q, id, w, true))
-              else if ((dists(q) - dists(base)) / 2.0 <= theta) Some((q, id, w, false))
+              if (q == base) Some((q, id, w, true, 0.0))
+              else if ((dists(q) - dists(base)) / 2.0 <= theta) Some((q, id, w, false, 0.0))
               else None
             }
           } else {
@@ -212,17 +212,22 @@ object MrSimJoin {
               if (dp < best || (dp == best && p < bestIdx)) { best = dp; bestIdx = p }
               oi += 1
             }
-            // pass 2: window membership, exact only where the lb admits it
+            // pass 2: window membership, exact only where the lb admits
+            // it. The routing stage already computed the full Rubner
+            // vector — carry its first coordinate through as the group
+            // kernel's band-sort key instead of recomputing an O(bins)
+            // rubnerValue per (window copy x block-pair copy) downstream
+            val band = rc(0)
             val windowHi = best + 2.0 * theta
-            val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Double], Boolean)]()
+            val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Double], Boolean, Double)]()
             q = 0
             while (q < nP) {
-              if (q == bestIdx) out += ((q, id, w, true))
+              if (q == bestIdx) out += ((q, id, w, true, band))
               else if (lb(q) <= windowHi) {
                 val dq =
                   if (dists(q).isNaN) { solves += 1; pivotDist(w, q) }
                   else dists(q)
-                if ((dq - best) / 2.0 <= theta) out += ((q, id, w, false))
+                if ((dq - best) / 2.0 <= theta) out += ((q, id, w, false, band))
               }
               q += 1
             }
@@ -230,7 +235,7 @@ object MrSimJoin {
             out
           }
         }
-      }.toDF("pivot", "id", "weights", "isBase")
+      }.toDF("pivot", "id", "weights", "isBase", "band")
       .persistOnce()
 
     // per-pivot sizes (window copies included) -> sub-block counts.
@@ -247,19 +252,19 @@ object MrSimJoin {
 
     // key = pivot << 42 | loBlock << 21 | hiBlock; side 0 = loBlock rows.
     // Unsplit pivots (m == 1) pay zero extra copies.
-    val keyed = routed.as[(Int, Long, Array[Double], Boolean)]
+    val keyed = routed.as[(Int, Long, Array[Double], Boolean, Double)]
       .mapPartitions { it =>
         val subs = subB.value
-        it.flatMap { case (pv, id, w, isBase) =>
+        it.flatMap { case (pv, id, w, isBase, band) =>
           val m = subs(pv)
-          if (m == 1) Iterator.single(((pv.toLong << 42), 0, id, w, isBase))
+          if (m == 1) Iterator.single(((pv.toLong << 42), 0, id, w, isBase, band))
           else {
             val mine = ((scala.util.hashing.byteswap64(id) % m).toInt + m) % m
             (0 until m).iterator.map { other =>
               val lo = math.min(mine, other)
               val hi = math.max(mine, other)
               ((pv.toLong << 42) | (lo.toLong << 21) | hi.toLong,
-                if (mine == lo) 0 else 1, id, w, isBase)
+                if (mine == lo) 0 else 1, id, w, isBase, band)
             }
           }
         }
@@ -283,16 +288,13 @@ object MrSimJoin {
     val bandable = cfg.groundDist == GroundDist.L2
     val result = keyed
       .groupByKey(_._1)
-      .flatMapGroups { (key: Long, rows: Iterator[(Long, Int, Long, Array[Double], Boolean)]) =>
+      .flatMapGroups { (key: Long, rows: Iterator[(Long, Int, Long, Array[Double], Boolean, Double)]) =>
         val casc = cascadeB.value
-        val c = cfgB.value
         val loBlk = ((key >> 21) & 0x1fffffL).toInt
         val hiBlk = (key & 0x1fffffL).toInt
         val a = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Boolean, Double)]()
         val b = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Boolean, Double)]()
-        rows.foreach { case (_, side, id, w, isBase) =>
-          val bandKey = if (bandable)
-            HistOps.rubnerValue(w, c.dimension, c.bins)(0) else 0.0
+        rows.foreach { case (_, side, id, w, isBase, bandKey) =>
           if (side == 0) a += ((id, w, isBase, bandKey))
           else b += ((id, w, isBase, bandKey))
         }
