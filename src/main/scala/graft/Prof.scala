@@ -44,12 +44,29 @@ object Prof {
     val gridsB = spark.sparkContext.broadcast(grids)
     val dualsB = spark.sparkContext.broadcast(duals)
     val sumB = spark.sparkContext.broadcast(summaries)
-    val nGuests = time("guestEnum") {
+    println("enriched partitions " + enriched.rdd.getNumPartitions)
+    val envB = spark.sparkContext.broadcast(
+      MelodyJoin.cellEnvelopesPublic(summaries, cfg))
+    val idxB = spark.sparkContext.broadcast(
+      new MelodyJoin.SummaryIndex(summaries))
+    // paired A/B (same JVM, interleaved, min of 2): flat pre-filter vs
+    // object scan — across-process comparisons drown in ambient noise
+    def enumOnce(withIdx: Boolean): Long =
       enriched.mapPartitions { it =>
         val c = cfgB.value
-        it.map { r => MelodyJoin.guestCombosPublic(r, c, gridsB.value, dualsB.value, sumB.value, theta, gapLimit).length.toLong }
+        val ix = if (withIdx) idxB.value else null
+        it.map { r => MelodyJoin.guestCombosPublic(r, c, gridsB.value, dualsB.value, sumB.value, envB.value, theta, gapLimit, ix).length.toLong }
       }.reduce(_ + _)
+    var nGuests = 0L
+    val (tFlat, tObj) = {
+      def t(f: => Long): Double = {
+        val t0 = System.nanoTime(); nGuests = f; (System.nanoTime() - t0) / 1e9
+      }
+      enumOnce(true) // warm both code paths + cache
+      val xs = (1 to 2).map(_ => (t(enumOnce(true)), t(enumOnce(false))))
+      (xs.map(_._1).min, xs.map(_._2).min)
     }
+    println(f"STAGE guestEnum   flat $tFlat%5.2f s  objScan $tObj%5.2f s")
     println("guest copies " + nGuests)
     // native x native pair count
     val comboCounts = summaries.map(s => (s.count * (s.count - 1)) / 2).sum

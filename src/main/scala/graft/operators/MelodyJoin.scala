@@ -491,11 +491,58 @@ object MelodyJoin {
   /** Candidate-cell enumeration for one record against all cell summaries
     * (reference: Grid.getGuestWithDual:352-457). Returns combos > own combo
     * that survive dual-range, EMD_BR and Rubner-box pruning. */
+  /** Flat column-major copy of the summaries' cheapest reject keys,
+    * built once per prepared join and broadcast beside the summaries.
+    * Guest enumeration scans EVERY cell summary per record — an
+    * O(records x combos) scan (336M cell visits at sf0.1 side 8) that is
+    * MEMORY-bound, not compute-bound: each visit pointer-chases through a
+    * scattered CellSummary and its key arrays (~160ns/visit measured; a
+    * sorted-prefix variant that cut visits to 35% measured NEUTRAL
+    * because the surviving visits became random-access). The fix that
+    * matches the bottleneck is layout: the combo ids, per-dual key
+    * ranges, and rubner coordinate-0 bounds live in primitive
+    * natural-order columns (~0.7MB at side 8 — L2-resident across the
+    * whole record loop), and the hot loop pre-filters on those before
+    * dereferencing a summary. Soundness: the flat checks are the SAME
+    * comparisons the loop body makes (combo ordering, dual ranges) plus
+    * a slackened rubner coordinate-0 band that only skips cells whose
+    * full rubnerBox (>= its coord-0 clamp gap) the body would reject —
+    * the emitted combo set is identical; survivors still run the body's
+    * complete check chain. */
+  final class SummaryIndex(summaries: Array[CellSummary]) extends Serializable {
+    val n: Int = summaries.length
+    val nD: Int = if (n == 0) 0 else summaries(0).dualKeyMin.length
+    val comboF: Array[Long] = summaries.map(_.combo)
+    val minF: Array[Array[Double]] =
+      Array.tabulate(nD)(k => summaries.map(_.dualKeyMin(k)))
+    val maxF: Array[Array[Double]] =
+      Array.tabulate(nD)(k => summaries.map(_.dualKeyMax(k)))
+    val rubLo0: Array[Double] = summaries.map(_.rubnerLo(0))
+    val rubHi0: Array[Double] = summaries.map(_.rubnerHi(0))
+  }
+
   def guestCombosPublic(rec: Row, cfg: Config, grids: Array[SkewedGrid],
       duals: Array[DualBound], summaries: Array[CellSummary], theta: Double,
       treeGapLimit: Double = -1.0): Array[Long] =
     guestCombos(rec, cfg, grids, duals, summaries,
-      vectorCellEnvelopes(summaries, cfg), theta, treeGapLimit)
+      vectorCellEnvelopes(summaries, cfg), theta, treeGapLimit, null)
+
+  /** [[guestCombosPublic]] with the per-vector-cell envelopes and summary
+    * index precomputed by the caller — the shape the join path actually
+    * runs (both are built once per prepare, not once per record).
+    * Diagnostics that loop over records (Prof) must use this or they
+    * time envelope construction, not enumeration. */
+  def guestCombosPublic(rec: Row, cfg: Config, grids: Array[SkewedGrid],
+      duals: Array[DualBound], summaries: Array[CellSummary],
+      env: Array[Array[Array[Double]]], theta: Double,
+      treeGapLimit: Double, idx: SummaryIndex): Array[Long] =
+    guestCombos(rec, cfg, grids, duals, summaries, env, theta,
+      treeGapLimit, idx)
+
+  /** Precomputed envelopes for the overload above (driver-side, once). */
+  def cellEnvelopesPublic(summaries: Array[CellSummary],
+      cfg: Config): Array[Array[Array[Double]]] =
+    vectorCellEnvelopes(summaries, cfg)
 
   private def guestCombos(
       rec: Row, cfg: Config, grids: Array[SkewedGrid],
@@ -507,7 +554,10 @@ object MelodyJoin {
         * |f_rec(i) - f_m(i)| >= gap(f_rec(i), [treeLo(i), treeHi(i)]), so
         * sum(gaps) <= EMD_T(rec, m) <= distortion * EMD(rec, m) — a cell
         * whose gap sum exceeds distortion * theta cannot hold a partner. */
-      treeGapLimit: Double = -1.0): Array[Long] = {
+      treeGapLimit: Double = -1.0,
+      /** sorted-prefix index ([[SummaryIndex]] scaladoc); null = full
+        * scan (spec/diagnostic paths), answer identical either way. */
+      idx: SummaryIndex = null): Array[Long] = {
     val ownCombo = rec.getLong(2)
     val mb = rec.getSeq[Double](3).toArray
     val errors = rec.getSeq[Double](4).toArray
@@ -573,8 +623,35 @@ object MelodyJoin {
       memo(cellId)
     }
     val out = scala.collection.mutable.ArrayBuffer[Long]()
+    // Flat pre-filter (SummaryIndex scaladoc): the same combo/dual-range
+    // comparisons the body makes, plus a slackened rubner coordinate-0
+    // band (1e-9 slack because r0 +- theta is a NEW rounded quantity —
+    // without it a boundary cell the body's rubnerBox would KEEP could
+    // be skipped; a skip only happens when the coord-0 clamp gap alone
+    // strictly exceeds theta, which forces rubnerBox > theta). Cells
+    // passing the flat stage dereference the summary and run the body's
+    // complete chain — the emitted combo set is identical to a full
+    // object scan.
+    val useIdx = idx != null && idx.n == summaries.length
+    val r0Hi = rubner(0) + theta + 1e-9
+    val r0Lo = rubner(0) - theta - 1e-9
     var s = 0
-    while (s < summaries.length) {
+    val until = summaries.length
+    while (s < until) {
+      var take = true
+      if (useIdx) {
+        if (idx.comboF(s) <= ownCombo) take = false
+        var k = 0
+        while (take && k < duals.length) {
+          if (idx.minF(k)(s) > rangeHi(k) || idx.maxF(k)(s) < rangeLo(k))
+            take = false
+          k += 1
+        }
+        if (take && (idx.rubLo0(s) > r0Hi || idx.rubHi0(s) < r0Lo))
+          take = false
+      }
+      if (!take) { s += 1 }
+      else {
       val cs = summaries(s)
       if (cs.combo > ownCombo) {
         var ok = true
@@ -588,16 +665,12 @@ object MelodyJoin {
         // normal-CDF integrals, so it runs before them (cheapest-first
         // cascade ordering, same answer)
         if (ok && Emd.rubnerBox(rubner, cs.rubnerLo, cs.rubnerHi) > theta) ok = false
-        // EMD_BR per vector — memoized on the per-vector-cell relaxed
-        // envelope (still a valid lower bound; see above)
-        j = 0
-        while (ok && j < cfg.numVectors) {
-          if (brFor(j, cs.cells(j)) > theta) ok = false
-          j += 1
-        }
-        // tree-feature gap prune — runs LAST so it only pays its
-        // O(numFeatures) loop on the survivors of the cheaper prunes,
-        // where it cuts the guest replication volume directly
+        // tree-feature gap prune — O(numFeatures) flat adds, far cheaper
+        // than EMD_BR's normal-CDF integrals, so it runs BEFORE them
+        // (cheapest-first; both are pure filters, answer order-invariant).
+        // This ordering was measured, not assumed: the BR memo caps
+        // evaluations at numVectors x side^2 per record, and those
+        // evaluations — not the cell scan — dominate enumeration wall.
         if (ok && treeFeats != null && cs.treeLo.length > 0) {
           var g = 0.0
           var i = 0
@@ -611,9 +684,17 @@ object MelodyJoin {
             i += 1
           }
         }
+        // EMD_BR per vector — memoized on the per-vector-cell relaxed
+        // envelope (still a valid lower bound; see above)
+        j = 0
+        while (ok && j < cfg.numVectors) {
+          if (brFor(j, cs.cells(j)) > theta) ok = false
+          j += 1
+        }
         if (ok) out += cs.combo
       }
       s += 1
+      }
     }
     out.toArray
   }
@@ -762,6 +843,7 @@ object MelodyJoin {
     val dualsB = spark.sparkContext.broadcast(duals)
     val sumB = spark.sparkContext.broadcast(summaries)
     val envB = spark.sparkContext.broadcast(vectorCellEnvelopes(summaries, cfg))
+    val idxB = spark.sparkContext.broadcast(new SummaryIndex(summaries))
     val treeGapLimit = tree.map(_.distortion * theta).getOrElse(-1.0)
 
     // guest replication: explode candidate combos per record
@@ -769,7 +851,7 @@ object MelodyJoin {
       val c = cfgB.value
       it.flatMap { r =>
         guestCombos(r, c, gridsB.value, dualsB.value, sumB.value, envB.value,
-          theta, treeGapLimit).map { combo =>
+          theta, treeGapLimit, idxB.value).map { combo =>
           (r.getLong(0), r.getSeq[Double](1).toArray, combo)
         }
       }
