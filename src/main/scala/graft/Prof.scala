@@ -62,7 +62,7 @@ object Prof {
       def t(f: => Long): Double = {
         val t0 = System.nanoTime(); nGuests = f; (System.nanoTime() - t0) / 1e9
       }
-      enumOnce(true) // warm both code paths + cache
+      enumOnce(true); enumOnce(false) // warm BOTH branches + cache
       val xs = (1 to 2).map(_ => (t(enumOnce(true)), t(enumOnce(false))))
       (xs.map(_._1).min, xs.map(_._2).min)
     }

@@ -40,12 +40,19 @@ object Prof1d {
     val gridsB = spark.sparkContext.broadcast(grids)
     val dualsB = spark.sparkContext.broadcast(duals)
     val sumB = spark.sparkContext.broadcast(summaries)
+    // precomputed envelopes + flat index: the per-record arity rebuilds
+    // the envelopes per row and would time THAT, not enumeration
+    val envB = spark.sparkContext.broadcast(
+      MelodyJoin.cellEnvelopesPublic(summaries, cfg))
+    val idxB = spark.sparkContext.broadcast(
+      new MelodyJoin.SummaryIndex(summaries))
     import spark.implicits._
     val nGuests = time("guestEnum") {
       enriched.mapPartitions { it =>
         val c = cfgB.value
         it.map { r => MelodyJoin.guestCombosPublic(r, c, gridsB.value,
-          dualsB.value, sumB.value, theta, gapLimit).length.toLong }
+          dualsB.value, sumB.value, envB.value, theta, gapLimit,
+          idxB.value).length.toLong }
       }.reduce(_ + _)
     }
     println("guest copies " + nGuests)

@@ -488,9 +488,6 @@ object MelodyJoin {
     }
   }
 
-  /** Candidate-cell enumeration for one record against all cell summaries
-    * (reference: Grid.getGuestWithDual:352-457). Returns combos > own combo
-    * that survive dual-range, EMD_BR and Rubner-box pruning. */
   /** Flat column-major copy of the summaries' cheapest reject keys,
     * built once per prepared join and broadcast beside the summaries.
     * Guest enumeration scans EVERY cell summary per record — an
@@ -521,6 +518,11 @@ object MelodyJoin {
     val rubHi0: Array[Double] = summaries.map(_.rubnerHi(0))
   }
 
+  /** Candidate-cell enumeration for one record against all cell summaries
+    * (reference: Grid.getGuestWithDual:352-457). Returns combos > own combo
+    * that survive dual-range, EMD_BR and Rubner-box pruning. This arity
+    * rebuilds the envelopes PER CALL — per-record loops must use the
+    * precomputed overload below. */
   def guestCombosPublic(rec: Row, cfg: Config, grids: Array[SkewedGrid],
       duals: Array[DualBound], summaries: Array[CellSummary], theta: Double,
       treeGapLimit: Double = -1.0): Array[Long] =
@@ -555,8 +557,9 @@ object MelodyJoin {
         * sum(gaps) <= EMD_T(rec, m) <= distortion * EMD(rec, m) — a cell
         * whose gap sum exceeds distortion * theta cannot hold a partner. */
       treeGapLimit: Double = -1.0,
-      /** sorted-prefix index ([[SummaryIndex]] scaladoc); null = full
-        * scan (spec/diagnostic paths), answer identical either way. */
+      /** flat pre-filter index ([[SummaryIndex]] scaladoc); null = full
+        * object scan (spec/diagnostic paths), answer identical either
+        * way. */
       idx: SummaryIndex = null): Array[Long] = {
     val ownCombo = rec.getLong(2)
     val mb = rec.getSeq[Double](3).toArray
@@ -742,6 +745,27 @@ object MelodyJoin {
       enriched: DataFrame,
       summaries: Array[CellSummary],
       tree: Option[TreeEmd]) {
+    /** Theta-independent guest-enumeration structures (per-vector-cell
+      * envelopes + flat [[SummaryIndex]]), built and broadcast on the
+      * FIRST join over this engine state and reused across repeated
+      * radius probes (the top-k path calls thresholdJoinPrepared several
+      * times per Prepared). Functions of the summaries this Prepared
+      * owns and the cfg it was prepared with — the existing caller
+      * contract (passing a different cfg with someone else's Prepared
+      * was always wrong). Broadcasts live until the context GCs them;
+      * Prepared itself is session-scoped (prepCache). */
+    @transient private var guestB: (
+        org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+        org.apache.spark.broadcast.Broadcast[SummaryIndex]) = null
+    private[operators] def guestStructures(spark: SparkSession, cfg: Config): (
+        org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+        org.apache.spark.broadcast.Broadcast[SummaryIndex]) = synchronized {
+      if (guestB == null)
+        guestB = (
+          spark.sparkContext.broadcast(vectorCellEnvelopes(summaries, cfg)),
+          spark.sparkContext.broadcast(new SummaryIndex(summaries)))
+      guestB
+    }
     /** Free the persisted enrichment once every join at every radius has
       * been materialized (callers holding a Prepared own its lifetime). */
     def unpersist(): Unit = enriched.unpersist(false)
@@ -842,8 +866,7 @@ object MelodyJoin {
     val gridsB = spark.sparkContext.broadcast(grids)
     val dualsB = spark.sparkContext.broadcast(duals)
     val sumB = spark.sparkContext.broadcast(summaries)
-    val envB = spark.sparkContext.broadcast(vectorCellEnvelopes(summaries, cfg))
-    val idxB = spark.sparkContext.broadcast(new SummaryIndex(summaries))
+    val (envB, idxB) = prep.guestStructures(spark, cfg)
     val treeGapLimit = tree.map(_.distortion * theta).getOrElse(-1.0)
 
     // guest replication: explode candidate combos per record

@@ -37,6 +37,10 @@ object ScalingStats {
     val gridsB = spark.sparkContext.broadcast(grids)
     val dualsB = spark.sparkContext.broadcast(duals)
     val sumB = spark.sparkContext.broadcast(summaries)
+    val envB = spark.sparkContext.broadcast(
+      MelodyJoin.cellEnvelopesPublic(summaries, cfg))
+    val idxB = spark.sparkContext.broadcast(
+      new MelodyJoin.SummaryIndex(summaries))
     // guest rows and native-x-guest candidate pairs in one pass: each
     // record contributes |targets| replicas and sum(count(target))
     // cascade pairs
@@ -44,7 +48,8 @@ object ScalingStats {
       val countByCombo = sumB.value.map(s => s.combo -> s.count).toMap
       it.map { r =>
         val targets = MelodyJoin.guestCombosPublic(r, cfgB.value,
-          gridsB.value, dualsB.value, sumB.value, theta, gapLimit)
+          gridsB.value, dualsB.value, sumB.value, envB.value, theta,
+          gapLimit, idxB.value)
         (targets.length.toLong,
           targets.map(t => countByCombo.getOrElse(t, 0L)).sum)
       }
