@@ -48,6 +48,34 @@ class MelodyJoinSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"melody emitted ${extra.size} non-pairs: ${extra.take(5)}")
   }
 
+  test("flat pre-filter enumeration == full object scan per record") {
+    // the SummaryIndex skips only cells whose combo ordering / dual
+    // ranges / rubner coord-0 band the body would reject — assert the
+    // per-record combo ARRAYS (not just the pair set) are identical
+    // between the indexed path and the null-index full scan
+    val hists = randomHists(150, 8, seed = 23)
+    val cfg = cfg3d
+    val theta = 0.35
+    val prep = MelodyJoin.prepare(spark, hists, cfg)
+    val env = MelodyJoin.cellEnvelopesPublic(prep.summaries, cfg)
+    val idx = new MelodyJoin.SummaryIndex(prep.summaries)
+    val gap = prep.tree.map(_.distortion * theta).getOrElse(-1.0)
+    val rows = prep.enriched.collect()
+    assert(rows.nonEmpty)
+    var nonEmpty = 0
+    rows.foreach { r =>
+      val flat = MelodyJoin.guestCombosPublic(r, cfg, prep.grids,
+        prep.duals, prep.summaries, env, theta, gap, idx)
+      val full = MelodyJoin.guestCombosPublic(r, cfg, prep.grids,
+        prep.duals, prep.summaries, env, theta, gap, null)
+      assert(flat.sameElements(full),
+        s"record ${r.getLong(0)}: flat ${flat.length} vs full ${full.length}")
+      if (flat.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 0, "no record produced guest combos - vacuous test")
+    prep.unpersist()
+  }
+
   test("KR-potential cascade stage prunes only, never changes the answer") {
     // the cube fixture's Config carries CubeKR's 24 dual vertices as a
     // caller-supplied Lipschitz lower-bound stage; answers with and
