@@ -17,6 +17,15 @@ object BenchEach {
     spark.sparkContext.setLogLevel("WARN")
     // timings measure one engine; the 3-D witness assertion runs in Verify
     System.setProperty("graft.crosscheck", "off")
+    // A/B probe hook: SPARK_GRAFT_SQLCONF="k=v;k=v" sets session confs
+    // before any query runs (e.g. join-strategy preferences), so config
+    // candidates are MEASURED here before any main adopts them
+    sys.env.get("SPARK_GRAFT_SQLCONF").foreach(_.split(';').iterator
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_SQLCONF entry '$kv' is not k=v")
+        spark.conf.set(kv.take(i), kv.drop(i + 1))
+      })
     val only = args.toSet
     // SPARK_GRAFT_BENCH_CLEAR=1: free every session cache after each
     // query. Long multi-query lists at 10x scale otherwise accumulate
