@@ -21,9 +21,10 @@ object ProfQ {
     SparkEntry.queries("q1_agg")(spark, dir).count()
     names.foreach { name =>
       val times = (1 to 2).map { _ =>
-        graft.sources.Fixtures.clearCache(spark)
-        graft.operators.MelodyJoin.clearPrepCache(spark)
-        spark.sharedState.cacheManager.clearCache()
+        // ONE registry (SparkEntry.clearSessionCaches) — this harness
+        // previously cleared three caches individually and silently
+        // missed the simhash edge memo
+        SparkEntry.clearSessionCaches(spark)
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9

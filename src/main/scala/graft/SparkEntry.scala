@@ -403,6 +403,7 @@ object SparkEntry {
     * keep covering the edge build. */
   private final class EdgeMemo(s: SparkSession, dir: String) {
     @volatile private var built: DataFrame = null
+    @volatile private var builtCc: DataFrame = null
     // per-key monitor: same-(session, dir) callers serialize here, but a
     // concurrent session building a DIFFERENT corpus never waits behind
     // this multi-job simhash build (the cache map's lock only guards
@@ -412,25 +413,46 @@ object SparkEntry {
         built = Dedup.simhashDedup(s, Fixtures.documents(s, dir), maxHamming = 7)
       built
     }
+    /** Connected-components labels over [[df]] — memoized for the same
+      * reason the edge set is: q_dedup_clusters, q_keep_best and
+      * q_leak_split all run the SAME contraction over the same edges,
+      * so within a session the fixed-point rounds execute once (the
+      * result frame is already persisted by connectedComponents'
+      * materializeAndFree). Bench clears this between repeat passes so
+      * pass minimums keep covering the contraction. */
+    def cc: DataFrame = synchronized {
+      if (builtCc == null)
+        builtCc = Dedup.connectedComponents(s,
+          df.select(col("rid"), col("sid")),
+          Fixtures.documents(s, dir).select(col("doc_id")))
+      builtCc
+    }
     def unpersistIfBuilt(): Unit = {
       val b = built
+      val c = builtCc
       // Try: unpersist on an already-stopped session throws, and the
       // blocks die with the session anyway — eviction symmetry only
       if (b != null) scala.util.Try(b.unpersist(false))
+      if (c != null) scala.util.Try(c.unpersist(false))
     }
   }
 
   private val edgeCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), EdgeMemo]
 
-  private def simhashEdges(s: SparkSession, dir: String): DataFrame = {
-    val memo = edgeCache.synchronized {
+  private def edgeMemo(s: SparkSession, dir: String): EdgeMemo =
+    edgeCache.synchronized {
       edgeCache.filterInPlace { case ((ss, _), m) =>
         !ss.sparkContext.isStopped || { m.unpersistIfBuilt(); false } }
       edgeCache.getOrElseUpdate((s, dir), new EdgeMemo(s, dir))
     }
-    memo.df
-  }
+
+  private def simhashEdges(s: SparkSession, dir: String): DataFrame =
+    edgeMemo(s, dir).df
+
+  /** Session-memoized near-dup clustering (see [[EdgeMemo.cc]]). */
+  private def simhashClusters(s: SparkSession, dir: String): DataFrame =
+    edgeMemo(s, dir).cc
 
   def clearEdgeCache(spark: SparkSession): Unit = edgeCache.synchronized {
     val dead = edgeCache.keys.filter(_._1 eq spark).toSeq
@@ -1845,9 +1867,7 @@ object SparkEntry {
     // --- near-dup clustering: simhash pairs -> connected components,
     //     cluster = min doc_id reachable (canonical keeper per cluster) ---
     "q_dedup_clusters" -> ((s, dir) => {
-      val docs = Fixtures.documents(s, dir)
-      val edges = simhashEdges(s, dir).select(col("rid"), col("sid"))
-      Dedup.connectedComponents(s, edges, docs.select(col("doc_id")))
+      simhashClusters(s, dir)
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
@@ -1856,10 +1876,8 @@ object SparkEntry {
     //     straddle train/test (the doc-keyed split's silent
     //     contamination); shares the session-cached edge set ---
     "q_leak_split" -> ((s, dir) => {
-      val docs = Fixtures.documents(s, dir)
-      val edges = simhashEdges(s, dir).select(col("rid"), col("sid"))
       CorpusOps.leakSafeSplit(
-        Dedup.connectedComponents(s, edges, docs.select(col("doc_id")))
+        simhashClusters(s, dir)
           .select(col("id").as("doc_id"), col("cluster")))
     }),
 
@@ -1870,7 +1888,8 @@ object SparkEntry {
     "q_keep_best" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       val edges = simhashEdges(s, dir).select(col("rid"), col("sid"))
-      Dedup.keepBest(s, docs, edges)
+      Dedup.keepBest(s, docs, edges,
+        clusters = Some(simhashClusters(s, dir)))
     }),
 
     // --- COMPOSED pretraining-data pipeline: quality gate -> exact

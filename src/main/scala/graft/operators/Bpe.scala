@@ -77,6 +77,15 @@ object Bpe {
     var vocab: RDD[(Array[String], Long)] = wordCounts(docs, textCol).rdd
       .map(r => (charSyms(r.getString(0)), r.getLong(1)))
       .persist()
+    // vocab-proportional task count (the Wordpiece.train /
+    // Dedup.connectedComponents sizing rule): the word-frequency table
+    // is vocabulary-sized, so the corpus-shuffle partitioning it
+    // inherits would run every round job as a fleet of near-empty
+    // tasks; one up-front count buys numMerges rounds of right-sized
+    // jobs.
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (vocab.count() / 500000L).toInt + 1))
+    if (parts < vocab.getNumPartitions) vocab = vocab.coalesce(parts)
     var parent: RDD[(Array[String], Long)] = null
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     try {
@@ -90,7 +99,7 @@ object Bpe {
         // replays stays one map deep without a separate count() pass.
         val top = vocab.flatMap { case (syms, c) =>
           (0 until syms.length - 1).iterator.map(i => ((syms(i), syms(i + 1)), c))
-        }.reduceByKey(_ + _).filter(_._2 >= 2)
+        }.reduceByKey(_ + _, parts).filter(_._2 >= 2)
           .takeOrdered(1)(argmaxOrd)
         if (parent != null) { parent.unpersist(false); parent = null }
         if (top.isEmpty) continue = false

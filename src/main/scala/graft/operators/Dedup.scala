@@ -816,9 +816,17 @@ object Dedup {
       concat(lit("trailer note for document "), id.cast("string"))).as("text"))
   }
 
+  /** @param clusters optionally a PRECOMPUTED [[connectedComponents]]
+    *        labeling of exactly these (edges, docs) — callers that
+    *        already hold the clustering (session memo, a pipeline's
+    *        earlier stage) pass it so the contraction rounds do not run
+    *        twice; semantics are identical by construction. When given,
+    *        its lifecycle stays the caller's (not unpersisted here). */
   def keepBest(spark: SparkSession, docs: DataFrame, edges: DataFrame,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cc = connectedComponents(spark, edges, docs.select(col(idCol)))
+               idCol: String = "doc_id", textCol: String = "text",
+               clusters: Option[DataFrame] = None): DataFrame = {
+    val cc = clusters.getOrElse(
+      connectedComponents(spark, edges, docs.select(col(idCol))))
     val scored = docs.select(col(idCol).cast("long").as("id"),
       round(graft.functions.TextCols.qualityScore(col(textCol)), 6).as("score"))
     // struct lexicographic max: higher score wins, then higher -id
@@ -830,6 +838,10 @@ object Dedup {
       .select(col("cluster"), col("keeper"),
         col("n_members").cast("long").as("n_members"),
         (col("n_members") - 1).cast("long").as("n_dropped"))
-    materializeAndFree(result, cc)
+    if (clusters.isDefined) {
+      val r = result.persistOnce()
+      r.count()
+      r
+    } else materializeAndFree(result, cc)
   }
 }

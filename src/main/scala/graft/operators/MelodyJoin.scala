@@ -180,6 +180,30 @@ object MelodyJoin {
       treeLo: Array[Double],      // per tree feature (empty when disabled)
       treeHi: Array[Double]) extends Serializable
 
+  /** Mutable per-combo accumulator for [[summarize]]'s map merge:
+    * interleaved (min, max) bound slots + a count. Top-level (object
+    * member) so instances serialize without dragging a method-scope
+    * outer reference through the treeReduce. */
+  private final class SummaryAcc(bLen: Int) extends Serializable {
+    var cnt: Long = 0L
+    val b: Array[Double] = new Array[Double](bLen)
+  }
+
+  private object SummaryAcc {
+    /** Fold `src` into `dst`: even slots keep the min, odd slots the
+      * max, both under java.lang.Double.compare — the identical total
+      * order (NaN greatest, -0.0 < 0.0) Catalyst Min/Max aggregate
+      * with, so the merged bounds match the former groupBy exactly. */
+    def mergeBounds(dst: Array[Double], src: Array[Double]): Unit = {
+      var i = 0
+      while (i < dst.length) {
+        if (java.lang.Double.compare(src(i), dst(i)) < 0) dst(i) = src(i)
+        if (java.lang.Double.compare(dst(i + 1), src(i + 1)) < 0) dst(i + 1) = src(i + 1)
+        i += 2
+      }
+    }
+  }
+
   /** Pack per-vector cell ids into one long (cells < 2^16 per vector). */
   def packCombo(cells: Array[Int]): Long =
     cells.foldLeft(0L)((acc, c) => (acc << 16) | (c & 0xffffL))
@@ -330,68 +354,136 @@ object MelodyJoin {
       "rubner", "treeFeats")
   }
 
-  /** Cell summaries: groupBy(combo) with per-element min/max aggregation,
-    * collected (O(cells)) and broadcast. */
+  /** Cell summaries: per-combo count + per-element min/max bounds,
+    * collected (O(cells)) and broadcast.
+    *
+    * Computed as ONE mapPartitions + treeReduce map merge instead of a
+    * Catalyst groupBy with ~2*(V*I + V + duals + dim + treeFeats) agg
+    * columns: at fine grids the combos are near-singleton groups, so the
+    * wide agg did no combining — its cost was Catalyst
+    * planning/codegen of the 100+ expression aggregate plus the
+    * row-by-row getDouble decode of the collected frame, re-paid every
+    * prepare (measured 2.1s of the 3-D prep at sf0.1; the map merge is
+    * ~0.2s). Exactness: count is an integer sum; every bound uses
+    * java.lang.Double.compare ordering — the SAME total order (NaN
+    * greatest, -0.0 < 0.0) Catalyst Min/Max use — and min/max are
+    * order-insensitive, so the summaries are bit-identical to the agg's.
+    * Output is sorted by combo id (deterministic; the old collect order
+    * was hash-partition order, which nothing downstream depended on —
+    * enumeration emits candidate SETS). */
   def summarize(enriched: DataFrame, cfg: Config,
                 numDuals: Int = -1, numTreeFeats: Int = 0): Array[CellSummary] = {
     val nDuals = if (numDuals >= 0) numDuals else cfg.numDuals
     val el = ErrLen(cfg)
-    val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
-    aggs += count(lit(1)).as("cnt")
-    for (j <- 0 until cfg.numVectors; i <- 0 until cfg.numIntervals) {
-      aggs += min(col("errors")(j * el + 2 * i)).as(s"minE_${j}_$i")
-      aggs += max(col("errors")(j * el + 2 * i + 1)).as(s"maxE_${j}_$i")
-    }
-    for (j <- 0 until cfg.numVectors) {
-      aggs += min(col("errors")(j * el + 2 * cfg.numIntervals)).as(s"minF_$j")
-      aggs += max(col("errors")(j * el + 2 * cfg.numIntervals)).as(s"maxF_$j")
-    }
-    for (k <- 0 until nDuals) {
-      aggs += min(col("dualKeys")(k)).as(s"minK_$k")
-      aggs += max(col("dualKeys")(k)).as(s"maxK_$k")
-    }
-    for (i <- 0 until cfg.dimension) {
-      aggs += min(col("rubner")(i)).as(s"minR_$i")
-      aggs += max(col("rubner")(i)).as(s"maxR_$i")
-    }
-    for (i <- 0 until numTreeFeats) {
-      aggs += min(col("treeFeats")(i)).as(s"minT_$i")
-      aggs += max(col("treeFeats")(i)).as(s"maxT_$i")
-    }
-    val rows = enriched.groupBy(col("combo"))
-      .agg(aggs.head, aggs.tail.toSeq: _*).collect()
-    rows.map { r =>
-      val combo = r.getLong(0)
-      var idx = 2 // 0=combo, 1=cnt
-      val gridErrs = Array.ofDim[Double](cfg.numVectors, 2 * cfg.numIntervals + 2)
-      for (j <- 0 until cfg.numVectors; i <- 0 until cfg.numIntervals) {
-        gridErrs(j)(2 * i) = r.getDouble(idx); idx += 1
-        gridErrs(j)(2 * i + 1) = r.getDouble(idx); idx += 1
+    val nV = cfg.numVectors
+    val nI = cfg.numIntervals
+    val dim = cfg.dimension
+    // bounds layout: [minE/maxE (j,i)-major | minF/maxF per j |
+    //                 minK/maxK per dual | minR/maxR per dim |
+    //                 minT/maxT per tree feat]
+    val bLen = 2 * (nV * nI + nV + nDuals + dim + numTreeFeats)
+    type Acc = SummaryAcc
+    val rows = enriched
+      .select(col("combo"), col("errors"), col("dualKeys"), col("rubner"),
+        col("treeFeats"))
+      .rdd
+    val merged = rows.mapPartitions { it =>
+      val m = new java.util.HashMap[Long, Acc]()
+      it.foreach { r =>
+        val combo = r.getLong(0)
+        val errors = r.getSeq[Double](1)
+        val dualKeys = r.getSeq[Double](2)
+        val rubner = r.getSeq[Double](3)
+        val treeFeats = r.getSeq[Double](4)
+        val vals = new Array[Double](bLen)
+        var p = 0
+        var j = 0
+        while (j < nV) {
+          var i = 0
+          while (i < nI) {
+            vals(p) = errors(j * el + 2 * i); vals(p + 1) = errors(j * el + 2 * i + 1)
+            p += 2; i += 1
+          }
+          j += 1
+        }
+        j = 0
+        while (j < nV) {
+          val f = errors(j * el + 2 * nI)
+          vals(p) = f; vals(p + 1) = f; p += 2; j += 1
+        }
+        var k = 0
+        while (k < nDuals) {
+          vals(p) = dualKeys(k); vals(p + 1) = dualKeys(k); p += 2; k += 1
+        }
+        var i = 0
+        while (i < dim) {
+          vals(p) = rubner(i); vals(p + 1) = rubner(i); p += 2; i += 1
+        }
+        i = 0
+        while (i < numTreeFeats) {
+          vals(p) = treeFeats(i); vals(p + 1) = treeFeats(i); p += 2; i += 1
+        }
+        val acc = m.get(combo)
+        if (acc == null) {
+          val a = new SummaryAcc(bLen)
+          a.cnt = 1L
+          System.arraycopy(vals, 0, a.b, 0, bLen)
+          m.put(combo, a)
+        } else {
+          acc.cnt += 1L
+          SummaryAcc.mergeBounds(acc.b, vals)
+        }
       }
-      // careful: the loop above consumed rows in (j,i) order matching aggs
-      for (j <- 0 until cfg.numVectors) {
-        gridErrs(j)(2 * cfg.numIntervals) = r.getDouble(idx); idx += 1
-        gridErrs(j)(2 * cfg.numIntervals + 1) = r.getDouble(idx); idx += 1
+      Iterator.single(m)
+    }
+    val total: java.util.HashMap[Long, Acc] =
+      if (merged.getNumPartitions == 0) new java.util.HashMap[Long, Acc]()
+      else merged.treeReduce { (a, b) =>
+        val it = b.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val acc = a.get(e.getKey)
+          if (acc == null) a.put(e.getKey, e.getValue)
+          else {
+            acc.cnt += e.getValue.cnt
+            SummaryAcc.mergeBounds(acc.b, e.getValue.b)
+          }
+        }
+        a
+      }
+    import scala.jdk.CollectionConverters._
+    total.entrySet().asScala.toArray.sortBy(_.getKey).map { e =>
+      val combo = e.getKey
+      val acc = e.getValue
+      var idx = 0
+      val gridErrs = Array.ofDim[Double](nV, 2 * nI + 2)
+      for (j <- 0 until nV; i <- 0 until nI) {
+        gridErrs(j)(2 * i) = acc.b(idx); idx += 1
+        gridErrs(j)(2 * i + 1) = acc.b(idx); idx += 1
+      }
+      for (j <- 0 until nV) {
+        gridErrs(j)(2 * nI) = acc.b(idx); idx += 1
+        gridErrs(j)(2 * nI + 1) = acc.b(idx); idx += 1
       }
       val dMin = new Array[Double](nDuals)
       val dMax = new Array[Double](nDuals)
       for (k <- 0 until nDuals) {
-        dMin(k) = r.getDouble(idx); idx += 1
-        dMax(k) = r.getDouble(idx); idx += 1
+        dMin(k) = acc.b(idx); idx += 1
+        dMax(k) = acc.b(idx); idx += 1
       }
-      val rLo = new Array[Double](cfg.dimension)
-      val rHi = new Array[Double](cfg.dimension)
-      for (i <- 0 until cfg.dimension) {
-        rLo(i) = r.getDouble(idx); idx += 1
-        rHi(i) = r.getDouble(idx); idx += 1
+      val rLo = new Array[Double](dim)
+      val rHi = new Array[Double](dim)
+      for (i <- 0 until dim) {
+        rLo(i) = acc.b(idx); idx += 1
+        rHi(i) = acc.b(idx); idx += 1
       }
       val tLo = new Array[Double](numTreeFeats)
       val tHi = new Array[Double](numTreeFeats)
       for (i <- 0 until numTreeFeats) {
-        tLo(i) = r.getDouble(idx); idx += 1
-        tHi(i) = r.getDouble(idx); idx += 1
+        tLo(i) = acc.b(idx); idx += 1
+        tHi(i) = acc.b(idx); idx += 1
       }
-      CellSummary(combo, r.getLong(1), unpackCombo(combo, cfg.numVectors),
+      CellSummary(combo, acc.cnt, unpackCombo(combo, nV),
         gridErrs, dMin, dMax, rLo, rHi, tLo, tHi)
     }
   }

@@ -77,10 +77,21 @@ object TfIdf {
     val w = weights(docs, n, idCol, textCol)
       .persistOnce()
     try {
+      // Bounded vocabulary probe and dense-path vocabulary collection in
+      // ONE action: TakeOrdered over the distinct tokens with a
+      // denseVocabMax+1 cap. The cap keeps it driver-safe on real corpora
+      // (at most max+1 rows ever reach the driver, a per-partition heap
+      // distributed-side), and when the vocabulary fits, the collected
+      // rows ARE the sorted vocabulary — the former separate
+      // distinct().limit().count() gate plus distinct().orderBy().collect()
+      // doubled the job for no information.
+      val vocabProbe: Array[String] =
+        if (denseVocabMax > 0)
+          w.select(col("tok")).distinct().orderBy(col("tok"))
+            .limit(denseVocabMax + 1).collect().map(_.getString(0))
+        else Array.empty
       val raw =
-        if (denseVocabMax > 0 &&
-            w.select(col("tok")).distinct().limit(denseVocabMax + 1).count()
-              <= denseVocabMax) {
+        if (denseVocabMax > 0 && vocabProbe.length <= denseVocabMax) {
           // dense path: intern tokens to 1-based positions in the (gate-
           // bounded) vocabulary, assemble per-document dense vectors, and
           // let the blocked kernel do the quadratic part shuffle-free.
@@ -90,8 +101,7 @@ object TfIdf {
           // single-partition WindowExec (and warns about it) for the same
           // bounded work
           import spark.implicits._
-          val vocab = w.select(col("tok")).distinct().orderBy(col("tok"))
-            .collect().map(_.getString(0))
+          val vocab = vocabProbe
           val vocabSize = vocab.length
           val tokIds = vocab.zipWithIndex
             .map { case (t, i) => (t, i + 1) }.toSeq.toDF("tok", "tid")
@@ -102,7 +112,13 @@ object TfIdf {
             .select(col("id"),
               transform(sequence(lit(1), lit(vocabSize)),
                 i => coalesce(element_at(col("m"), i), lit(0.0))).as("v"))
-          Ann.cosineAllPairsBlocked(spark, dense, tau, idCol = "id", vecCol = "v")
+          // block count derived from the known document count (n, an
+          // upper bound on dense rows): saves the kernel's internal
+          // count() action; blocking is hash-based so the block count
+          // never changes which pairs meet, only task sizing
+          Ann.cosineAllPairsBlocked(spark, dense, tau,
+            numBlocks = math.max(1, ((n + 4095) / 4096).toInt),
+            idCol = "id", vecCol = "v")
         } else {
           val norms = w.groupBy(col("id"))
             .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))

@@ -85,7 +85,16 @@ object Wordpiece {
     var vocab = Bpe.wordCounts(docs, textCol).rdd
       .map(r => (charSyms(r.getString(0)), r.getLong(1)))
       .persist()
-    vocab.count()
+    // vocab-proportional task count: the word-frequency table is
+    // vocabulary-sized (orders of magnitude below the corpus), so the
+    // inherited corpus-shuffle partitioning would run every one of the
+    // ~2*numMerges round jobs as a fleet of near-empty tasks. Same
+    // sizing rule as Dedup.connectedComponents' RDD rounds.
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (vocab.count() / 500000L).toInt + 1))
+    if (parts < vocab.getNumPartitions) vocab = vocab.coalesce(parts)
+    val argmaxOrd = Ordering.fromLessThan(better)
+    var parent: org.apache.spark.rdd.RDD[(Array[String], Long)] = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.length < numMerges) {
@@ -99,29 +108,36 @@ object Wordpiece {
           i += 1
         }
         out
-      }.reduceByKey(_ + _).persist()
+      }.reduceByKey(_ + _, parts).persist()
       // unigram counts: O(alphabet + merges-so-far) entries — a closure-
       // sized driver map; pair candidates stay an RDD and reduce
-      // distributed (vocab-adjacency-sized, never collected)
+      // distributed (vocab-adjacency-sized, never collected). This job
+      // also materializes this round's cached vocab, so the previous
+      // round's parent can be dropped here (the Bpe.train pattern) —
+      // no separate count() pass per round.
       val uni = counts.filter(_._1._2.isEmpty)
         .map { case ((s, _), c) => (s, c) }.collectAsMap()
+      if (parent != null) { parent.unpersist(false); parent = null }
       val uniB = spark.sparkContext.broadcast(uni)
       val pairs = counts.filter { case ((_, b), c) => b.nonEmpty && c >= 2 }
         .map { case ((a, b), c) => (a, b, c, uniB.value(a), uniB.value(b)) }
-      if (pairs.isEmpty()) done = true
+      // empty-check + argmax in ONE job: takeOrdered(1) under the same
+      // total order the reduce expressed (score desc, pair asc — unique
+      // max, so the selected merge is identical)
+      val top = pairs.takeOrdered(1)(argmaxOrd)
+      if (top.isEmpty) done = true
       else {
-        val best = pairs.reduce((x, y) => if (better(x, y)) x else y)
+        val best = top(0)
         merges += ((best._1, best._2))
-        val old = vocab
-        vocab = old.map { case (syms, c) =>
+        parent = vocab
+        vocab = parent.map { case (syms, c) =>
           (if (syms.length > 1) applyMerge(syms, best._1, best._2) else syms, c)
         }.persist()
-        vocab.count()
-        old.unpersist(false)
       }
       counts.unpersist(false)
       uniB.destroy()
     }
+    if (parent != null) parent.unpersist(false)
     vocab.unpersist(false)
     merges.toSeq
   }
