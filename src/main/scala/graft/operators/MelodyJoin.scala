@@ -222,6 +222,7 @@ object MelodyJoin {
     * QNEPreReducer.java:112-189, with Spark's exact `percentile` replacing
     * the in-memory Percentile over a single reducer's spill). */
   def buildGrids(spark: SparkSession, hists: DataFrame, cfg: Config): Array[SkewedGrid] = {
+    if (cfg.exactQuantiles) return buildGridsExactRdd(spark, hists, cfg)
     import spark.implicits._
     val cfgB = spark.sparkContext.broadcast(cfg)
     // consumed TWICE below (domain agg + projection-distance percentiles)
@@ -292,6 +293,124 @@ object MelodyJoin {
         q.getSeq[Double](6 * j + 5).toArray :+ (q.getDouble(6 * j + 4) + 1e-9)
       SkewedGrid.quantile(base.domain, base.slopes, cfg.sideNum, sw, se)
     }.toArray
+  }
+
+  /** The exact-quantiles grid build as two plain RDD passes (fit +
+    * domain, then projection distances + percentiles) instead of two
+    * wide Catalyst aggregates — the [[summarize]] argument: at prepare
+    * time the planner/codegen cost of the 6*numVectors-column agg (with
+    * exact `percentile` over array literals) dominated the arithmetic,
+    * re-paid every prepare (~1-1.5s of the 3-D prep at sf0.1).
+    *
+    * Exactness posture: grid boundaries steer PRUNING only — every
+    * bound in the cascade is admissible for any grid, so answers are
+    * invariant (the property q_engine_equiv's exact-vs-approx-grid
+    * engine hash-checks). The percentile here still replicates
+    * Catalyst's exact Percentile formula (sorted values, rank
+    * p*(n-1), two-sided linear interpolation) and min/max use
+    * java.lang.Double.compare, so the boundaries match the former agg
+    * bit-for-bit on NaN-free data. Driver holds the per-vector distance
+    * multisets — the SAME multiset Spark's own exact Percentile buffers
+    * in its final single aggregation buffer, so this moves no new
+    * scale class onto the driver; the 100 TB path is
+    * exactQuantiles=false (percentile_approx), which keeps the
+    * Catalyst branch below. */
+  private def buildGridsExactRdd(spark: SparkSession, hists: DataFrame,
+                                 cfg: Config): Array[SkewedGrid] = {
+    val cfgB = spark.sparkContext.broadcast(cfg)
+    val mbRdd = hists.select("id", "weights").rdd
+      .map { r =>
+        val c = cfgB.value
+        val w = HistOps.normalize(r.getSeq[Double](1).toArray)
+        val mb = new Array[Double](2 * c.numVectors)
+        var j = 0
+        while (j < c.numVectors) {
+          val (mu, sig) = HistOps.fitNormal(w, c.projBins(j))
+          mb(2 * j) = 1.0 / sig
+          mb(2 * j + 1) = -mu / sig
+          j += 1
+        }
+        mb
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nV = cfg.numVectors
+      @inline def cmin(a: Double, b: Double): Double =
+        if (java.lang.Double.compare(a, b) <= 0) a else b
+      @inline def cmax(a: Double, b: Double): Double =
+        if (java.lang.Double.compare(a, b) >= 0) a else b
+      // pass 1: Hough domain per vector (interleaved min/max slots)
+      val domInit = Array.tabulate(4 * nV)(i =>
+        if (i % 2 == 0) Double.PositiveInfinity else Double.NegativeInfinity)
+      val dom = mbRdd.treeAggregate(domInit)(
+        seqOp = (acc, mb) => {
+          var j = 0
+          while (j < nV) {
+            acc(4 * j) = cmin(acc(4 * j), mb(2 * j))
+            acc(4 * j + 1) = cmax(acc(4 * j + 1), mb(2 * j))
+            acc(4 * j + 2) = cmin(acc(4 * j + 2), mb(2 * j + 1))
+            acc(4 * j + 3) = cmax(acc(4 * j + 3), mb(2 * j + 1))
+            j += 1
+          }
+          acc
+        },
+        combOp = (a, b) => {
+          var i = 0
+          while (i < a.length) {
+            a(i) = if (i % 2 == 0) cmin(a(i), b(i)) else cmax(a(i), b(i))
+            i += 1
+          }
+          a
+        })
+      val uniformGrids = (0 until nV).map { j =>
+        val domain = Array(dom(4 * j), dom(4 * j + 1), dom(4 * j + 2), dom(4 * j + 3))
+        val slopes = Array(-cfg.tRange(j)._2, -cfg.tRange(j)._1)
+        SkewedGrid.uniform(domain, slopes, cfg.sideNum)
+      }.toArray
+      val gridsB = spark.sparkContext.broadcast(uniformGrids)
+      // pass 2: per-vector SW/SE projection-distance multisets (the
+      // multiset exact Percentile needs whole anyway — see scaladoc)
+      val dists = mbRdd.mapPartitions { it =>
+        val gs = gridsB.value
+        val bufs = Array.fill(2 * gs.length)(Array.newBuilder[Double])
+        it.foreach { mb =>
+          var j = 0
+          while (j < gs.length) {
+            val (dsw, dse) = gs(j).projectionDistances(Array(mb(2 * j), mb(2 * j + 1)))
+            bufs(2 * j) += dsw
+            bufs(2 * j + 1) += dse
+            j += 1
+          }
+        }
+        Iterator.single(bufs.map(_.result()))
+      }.reduce { (a, b) =>
+        Array.tabulate(a.length)(i => a(i) ++ b(i))
+      }
+      val pcts = (1 until cfg.sideNum).map(_.toDouble / cfg.sideNum)
+      // Catalyst Percentile's exact formula on the ascending multiset
+      def percentilesOf(values: Array[Double]): (Double, Double, Array[Double]) = {
+        val v = values.clone()
+        java.util.Arrays.sort(v)
+        val qs = pcts.map { p =>
+          val pos = p * (v.length - 1)
+          val lo = math.floor(pos).toInt
+          val hi = math.ceil(pos).toInt
+          if (lo == hi) v(lo)
+          else (hi - pos) * v(lo) + (pos - lo) * v(hi)
+        }.toArray
+        (v.head, v.last, qs)
+      }
+      (0 until nV).map { j =>
+        val base = uniformGrids(j)
+        val (minSW, maxSW, pSW) = percentilesOf(dists(2 * j))
+        val (minSE, maxSE, pSE) = percentilesOf(dists(2 * j + 1))
+        val sw = (minSW - 1e-9) +: pSW :+ (maxSW + 1e-9)
+        val se = (minSE - 1e-9) +: pSE :+ (maxSE + 1e-9)
+        SkewedGrid.quantile(base.domain, base.slopes, cfg.sideNum, sw, se)
+      }.toArray
+    } finally {
+      mbRdd.unpersist(false)
+    }
   }
 
   /** Deterministic dual-bound construction from the lowest-id sample
