@@ -437,6 +437,51 @@ object SparkEntry {
     }
   }
 
+  /** Session-memoized decontamination postings (train side, eval side) —
+    * q_contamination and q_contamination_capped run the SAME two
+    * (id, gram)-distinct shingle derivations and differ only in the
+    * hot-gram cap applied at the join, so within a session the four
+    * explode+distinct passes collapse to two (the EdgeMemo precedent;
+    * Bench clears this between repeat passes through
+    * [[clearSessionCaches]], so pass minimums keep covering the
+    * derivation). */
+  private final class ContamMemo(s: SparkSession, dir: String) {
+    @volatile private var built: (DataFrame, DataFrame) = null
+    def dfs: (DataFrame, DataFrame) = synchronized {
+      if (built == null) {
+        val d = Fixtures.documents(s, dir)
+        built = (
+          CorpusOps.contaminationPostings(
+            d.filter(col("source") =!= "src0"), 3, "train_id").persistOnce(),
+          CorpusOps.contaminationPostings(
+            d.filter(col("source") === "src0"), 3, "eval_id").persistOnce())
+      }
+      built
+    }
+    def unpersistIfBuilt(): Unit = {
+      val b = built
+      if (b != null) {
+        scala.util.Try(b._1.unpersist(false))
+        scala.util.Try(b._2.unpersist(false))
+      }
+    }
+  }
+
+  private val contamCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ContamMemo]
+
+  private def contamPostings(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    contamCache.synchronized {
+      contamCache.filterInPlace { case ((ss, _), m) =>
+        !ss.sparkContext.isStopped || { m.unpersistIfBuilt(); false } }
+      contamCache.getOrElseUpdate((s, dir), new ContamMemo(s, dir))
+    }.dfs
+
+  def clearContamCache(spark: SparkSession): Unit = contamCache.synchronized {
+    val dead = contamCache.keys.filter(_._1 eq spark).toSeq
+    dead.foreach { k => contamCache.remove(k).foreach(_.unpersistIfBuilt()) }
+  }
+
   private val edgeCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), EdgeMemo]
 
@@ -471,6 +516,7 @@ object SparkEntry {
     graft.sources.Fixtures.clearCache(spark)
     graft.operators.MelodyJoin.clearPrepCache(spark)
     clearEdgeCache(spark)
+    clearContamCache(spark)
     spark.sharedState.cacheManager.clearCache()
   }
 
@@ -1298,10 +1344,8 @@ object SparkEntry {
     // --- benchmark decontamination: distinct 3-token-shingle collisions
     //     between the src0 "eval" split and the rest of the corpus ---
     "q_contamination" -> ((s, dir) => {
-      val d = Fixtures.documents(s, dir)
-      CorpusOps.decontaminationJoin(
-        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
-        n = 3)
+      val (tp, ep) = contamPostings(s, dir)
+      CorpusOps.decontaminationJoinOnPostings(tp, ep)
         .select(col("eval_id"), col("train_id"),
           col("n_shared").cast("long").as("n_shared"))
     }),
@@ -1311,10 +1355,8 @@ object SparkEntry {
     //     join) — drives the capped path end-to-end against a DuckDB
     //     replay of the same rule ---
     "q_contamination_capped" -> ((s, dir) => {
-      val d = Fixtures.documents(s, dir)
-      CorpusOps.decontaminationJoin(
-        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
-        n = 3, maxTrainDf = 2)
+      val (tp, ep) = contamPostings(s, dir)
+      CorpusOps.decontaminationJoinOnPostings(tp, ep, maxTrainDf = 2)
         .select(col("eval_id"), col("train_id"),
           col("n_shared").cast("long").as("n_shared"))
     }),

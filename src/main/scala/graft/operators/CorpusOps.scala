@@ -1609,15 +1609,33 @@ object CorpusOps {
   def decontaminationJoin(train: DataFrame, eval: DataFrame, n: Int,
                           idCol: String = "doc_id",
                           textCol: String = "text",
-                          maxTrainDf: Int = 0): DataFrame = {
-    def postings(df: DataFrame, out: String) = widen(df)
+                          maxTrainDf: Int = 0): DataFrame =
+    decontaminationJoinOnPostings(
+      contaminationPostings(train, n, "train_id", idCol, textCol),
+      contaminationPostings(eval, n, "eval_id", idCol, textCol),
+      maxTrainDf)
+
+  /** One side's (id, gram)-distinct shingle postings — the
+    * [[decontaminationJoin]] per-side derivation, exposed so a caller
+    * running several cap variants over the SAME corpus (the
+    * q_contamination / q_contamination_capped pairing) can derive and
+    * cache each side once; the join is unchanged either way. */
+  def contaminationPostings(df: DataFrame, n: Int, out: String,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame =
+    widen(df)
       .select(col(idCol).as(out), explode(shingles(col(textCol), n)).as("gram"))
       .distinct()
-    capHotGrams(postings(train, "train_id"), maxTrainDf)
-      .join(postings(eval, "eval_id"), "gram")
+
+  /** [[decontaminationJoin]] over pre-derived postings (columns
+    * (train_id, gram) / (eval_id, gram), each (id, gram)-distinct). */
+  def decontaminationJoinOnPostings(trainPostings: DataFrame,
+                                    evalPostings: DataFrame,
+                                    maxTrainDf: Int = 0): DataFrame =
+    capHotGrams(trainPostings, maxTrainDf)
+      .join(evalPostings, "gram")
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("n_shared"))
-  }
 
   /** Shared hot-gram df-cap: drop grams present in more than `maxDf`
     * input rows' documents (0 = no-op). The hot set is the boilerplate
