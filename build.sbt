@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver records the LAST 2000 chars of `sbt "runMain ..."` stdout and
+// tries to json-parse the bench's one-line JSON out of it. The default
+// forked-run output strategy is LoggedOutput, which prefixes every line
+// with "[info] " — that prefix is why BENCH_r01..r16 all have parsed:null.
+// StdoutOutput passes the forked JVM's stdout through UNPREFIXED, so the
+// compact JSON line Bench prints last arrives verbatim (VERDICT r16 item 2).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -145,8 +145,13 @@ run_scale "$BASE" /tmp/scale_gate_base.txt
 echo "== BenchEach at $GATE =="
 run_scale "$GATE" /tmp/scale_gate_10x.txt
 
+# Machine-readable artifact (VERDICT r16 item 8): one JSON line of
+# {row: {wall_ratio, output_ratio, sec_base, sec_10x, rows_base,
+# rows_10x}} — written to $SPARK_GRAFT_SCALE_OUT (default
+# SCALE_GATE.json in the repo root) so the scale story is a committed,
+# driver-consumable artifact instead of builder-attested prose.
 python3 - <<'PYEOF'
-import re
+import re, json, os
 def load(p):
     # calib_ref is parsed from Bench's own --calib line (the one source
     # of truth for CalibRefSec) — no hardcoded copy to drift
@@ -173,20 +178,35 @@ print(f"\ncalib factors: sf0.1 {fa:.3f}, 10x {fb:.3f} "
       f"(walls below are calibrated; raw ratio would be off by {fb/fa:.2f}x)")
 print(f"\n{'query':24s} {'sf0.1':>8s} {'10x':>8s} {'wall':>6s} {'rows0.1':>10s} {'rows10x':>11s} {'outx':>6s}")
 worst = []
+rows = {}
 for q in sorted(a):
     if q not in b:
         print(f"{q:24s} MISSING at 10x"); continue
     (t0, r0), (t1, r1) = a[q], b[q]
     if r0 < 0 or r1 < 0:
         print(f"{q:24s} ERRORED (rows=-1) — rerun; a dead row is not a timing")
+        rows[q] = {"error": True}
         continue
     t0, t1 = t0 * fa, t1 * fb
     wall = t1 / t0 if t0 > 0 else float('inf')
     outx = (r1 / r0) if r0 > 0 else float('nan')
     print(f"{q:24s} {t0:8.2f} {t1:8.2f} {wall:5.1f}x {r0:10d} {r1:11d} {outx:5.1f}x")
+    rows[q] = {"wall_ratio": round(wall, 2),
+               "output_ratio": round(outx, 2) if outx == outx else None,
+               "sec_base": round(t0, 2), "sec_10x": round(t1, 2),
+               "rows_base": r0, "rows_10x": r1}
     worst.append((wall, q))
 worst.sort(reverse=True)
 print("\nwall-ratio leaders (quadratic suspects if far above output growth):")
 for w, q in worst[:5]:
     print(f"  {q:24s} {w:5.1f}x")
+out = os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALE_GATE.json")
+line = json.dumps({"metric": "scale_gate_10x",
+                   "calib_factor_base": round(fa, 3),
+                   "calib_factor_10x": round(fb, 3),
+                   "queries": rows}, separators=(",", ":"))
+with open(out, "w") as f:
+    f.write(line + "\n")
+print(f"\nwrote {out}")
+print(line)
 PYEOF

@@ -467,6 +467,105 @@ object SparkEntry {
     }
   }
 
+  /** Session-memoized melody 3-D THRESHOLD PAIR SET at [[Theta3d]] —
+    * the engine's exact answer {(rid, sid, emd) : emd <= Theta3d} over
+    * the (session-cached) prepared state. Two consumers run the
+    * identical fetch: q_emd3d_pairs IS this set, and q_emd3d_topk's
+    * complete-fetch tie fallback needs {emd <= cutoff + 4e-6} — a pure
+    * FILTER of this set whenever cutoff + 4e-6 <= Theta3d, because
+    * membership is decided by the exact solver's `emd <= theta` compare
+    * on the canonically-oriented pair (MelodyJoin.Cascade.emdIfCandidate;
+    * every pre-filter rejects with admissible slack only), so
+    * thresholdJoin(th) == thresholdJoin(Theta3d).filter(dist <= th) for
+    * th <= Theta3d, double-for-double. Before this memo the fallback
+    * re-ran the whole enumeration+cascade every sf0.1 run (>= 40
+    * zero-distance duplicate-histogram pairs keep the pad-margin proof
+    * failing — VERDICT r16 item 3, driver row 2.47 -> 3.69s). The
+    * EdgeMemo conventions apply: keyed (session, dir), cleared between
+    * bench passes via [[clearSessionCaches]], dies with the session. */
+  private final class Cube3dMemo(s: SparkSession, dir: String) {
+    @volatile private var built: DataFrame = null
+    def pairs: DataFrame = synchronized {
+      if (built == null) {
+        val hists = Fixtures.tripleHists(s, dir)
+        val cfg3 = melodyCfg3dFor(s, dir)
+        val prep = MelodyJoin.prepareCached(s, hists, cfg3)
+        // LAZY persist (no count): the first consumer's own action
+        // materializes the cache as a side effect of its pipeline — an
+        // eager count here was measured as a pure materialization
+        // barrier on q_emd3d_pairs (the union output can no longer
+        // pipeline into the canonicalization join)
+        built = MelodyJoin.thresholdJoinPrepared(s, prep, Theta3d, cfg3)
+          .persistOnce()
+      }
+      built
+    }
+    def unpersistIfBuilt(): Unit = {
+      val b = built
+      if (b != null) scala.util.Try(b.unpersist(false))
+    }
+  }
+
+  private val cube3dCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Cube3dMemo]
+
+  private def cube3dPairs(s: SparkSession, dir: String): DataFrame =
+    cube3dCache.synchronized {
+      cube3dCache.filterInPlace { case ((ss, _), m) =>
+        !ss.sparkContext.isStopped || { m.unpersistIfBuilt(); false } }
+      cube3dCache.getOrElseUpdate((s, dir), new Cube3dMemo(s, dir))
+    }.pairs
+
+  def clearCube3dCache(spark: SparkSession): Unit = cube3dCache.synchronized {
+    val dead = cube3dCache.keys.filter(_._1 eq spark).toSeq
+    dead.foreach { k => cube3dCache.remove(k).foreach(_.unpersistIfBuilt()) }
+  }
+
+  /** Session-memoized residual IVF-PQ engine state — the q_ivfpq_topk /
+    * q_ivfpq_rerank / q_ivfpq_recall rows train the IDENTICAL two-level
+    * index (same corpus `rest` = embeddings minus the min vec_id, same
+    * kCoarse/numSub/ksub/iters/scale) plus the same min-id probe query;
+    * training is deterministic (Cluster.lloydCentroids / pqTrain are
+    * spec-pinned bit-identical), so within a session the three trainings
+    * collapse to one (guide §2.1 don't-recompute; the EdgeMemo/
+    * prepareCached precedent — engine state shared across query types
+    * over one corpus). Cleared between bench passes via
+    * [[clearSessionCaches]] so pass minimums keep covering training. */
+  private final class IvfPqMemo(s: SparkSession, dir: String) {
+    @volatile private var built: (Long, Array[Long], Ann.IvfPqIndex) = null
+    def state: (Long, Array[Long], Ann.IvfPqIndex) = synchronized {
+      if (built == null) {
+        val embs = Fixtures.embeddings(s, dir)
+        val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
+        val qq = Cluster.quantize(embs.filter(col("vec_id") === minId), 1000)
+          .select(col("v")).head().getSeq[Long](0).toArray
+        val idx = Ann.buildIvfPqIndex(s, embs.filter(col("vec_id") =!= minId),
+          kCoarse = 4, numSub = 4, ksub = 8)
+        built = (minId, qq, idx)
+      }
+      built
+    }
+    def unpersistIfBuilt(): Unit = {
+      val b = built
+      if (b != null) scala.util.Try(b._3.close())
+    }
+  }
+
+  private val ivfPqCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), IvfPqMemo]
+
+  private def ivfPqState(s: SparkSession, dir: String): (Long, Array[Long], Ann.IvfPqIndex) =
+    ivfPqCache.synchronized {
+      ivfPqCache.filterInPlace { case ((ss, _), m) =>
+        !ss.sparkContext.isStopped || { m.unpersistIfBuilt(); false } }
+      ivfPqCache.getOrElseUpdate((s, dir), new IvfPqMemo(s, dir))
+    }.state
+
+  def clearIvfPqCache(spark: SparkSession): Unit = ivfPqCache.synchronized {
+    val dead = ivfPqCache.keys.filter(_._1 eq spark).toSeq
+    dead.foreach { k => ivfPqCache.remove(k).foreach(_.unpersistIfBuilt()) }
+  }
+
   private val contamCache =
     scala.collection.mutable.Map.empty[(SparkSession, String), ContamMemo]
 
@@ -517,6 +616,9 @@ object SparkEntry {
     graft.operators.MelodyJoin.clearPrepCache(spark)
     clearEdgeCache(spark)
     clearContamCache(spark)
+    clearCube3dCache(spark)
+    clearIvfPqCache(spark)
+    graft.streaming.StreamOps.clearFeedCache(spark)
     spark.sharedState.cacheManager.clearCache()
   }
 
@@ -772,10 +874,10 @@ object SparkEntry {
     //     pays the grid/enrichment once ---
     "q_emd3d_pairs" -> ((s, dir) => {
       val hists = Fixtures.tripleHists(s, dir)
-      val cfg3 = melodyCfg3dFor(s, dir)
-      val prep = MelodyJoin.prepareCached(s, hists, cfg3)
+      // the Theta3d pair set is the session-shared Cube3dMemo (its other
+      // consumer is q_emd3d_topk's tie fallback — see the memo scaladoc)
       cubeCanonicalDist(s, dir)(crossCheckPairs(
-        MelodyJoin.thresholdJoinPrepared(s, prep, Theta3d, cfg3)
+        cube3dPairs(s, dir)
           .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
         EmdJoins.treeExact3dThresholdJoin(hists, Theta3d),
         "q_emd3d_pairs",
@@ -862,7 +964,14 @@ object SparkEntry {
         canonicalTopK(
           MelodyJoin.topKJoinPrepared(s, prep, TopK + CanonPad, cfg3)
             .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
-          th => MelodyJoin.thresholdJoinPrepared(s, prep, th, cfg3)
+          // tie fallback: {emd <= th} is a pure filter of the memoized
+          // Theta3d pair set whenever th <= Theta3d (exact-solver
+          // membership — see Cube3dMemo), so the every-sf0.1-run
+          // complete fetch stops re-running enumeration + cascade
+          // (VERDICT r16 item 3); a cutoff past Theta3d (never seen at
+          // the declared scales) still takes the live engine fetch
+          th => (if (th <= Theta3d) cube3dPairs(s, dir).filter(col("dist") <= th)
+                 else MelodyJoin.thresholdJoinPrepared(s, prep, th, cfg3))
             .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist"))),
         canonicalTopK(EmdJoins.treeExact3dTopK(hists, TopK + CanonPad)
             .select(col("rid"), col("sid"), round(col("dist"), 6).as("dist")),
@@ -978,7 +1087,8 @@ object SparkEntry {
       // state serves batch-2 lookups) at half the per-batch commit
       // cost; the 4-batch feed stays in StreamOpsSpec
       graft.streaming.StreamOps.replayExactDedup(s,
-        Fixtures.documents(s, dir), numBatches = 2)
+        Fixtures.documents(s, dir), numBatches = 2,
+        feedKey = Some(s"docs:$dir"))
     }),
 
     // --- STREAMING near-dup, driver-visible: the corpus replays through
@@ -988,7 +1098,7 @@ object SparkEntry {
     //     actual streaming bucket-state execution ---
     "q_stream_neardup" -> ((s, dir) => {
       graft.streaming.StreamOps.replayNearDup(s, Fixtures.documents(s, dir),
-        maxHamming = 7, numBatches = 2)
+        maxHamming = 7, numBatches = 2, feedKey = Some(s"docs:$dir"))
     }),
 
     // --- STREAMING heavy hitters, driver-visible: per micro-batch
@@ -1000,7 +1110,8 @@ object SparkEntry {
     //     dropped/replayed batch is a driver-visible hash mismatch ---
     "q_stream_heavy" -> ((s, dir) => {
       graft.streaming.StreamOps.replayHeavyHitters(s,
-        Fixtures.documents(s, dir), phiDen = 1000L, numBatches = 2)
+        Fixtures.documents(s, dir), phiDen = 1000L, numBatches = 2,
+        feedKey = Some(s"docs:$dir"))
     }),
 
     // --- token counting + lexical stats ---
@@ -1484,7 +1595,7 @@ object SparkEntry {
     "q_stream_ingest" -> ((s, dir) => {
       graft.streaming.StreamOps.replayIngest(s,
         CorpusOps.jsonWrap(CorpusOps.cardWrap(Fixtures.documents(s, dir))),
-        numBatches = 2)
+        numBatches = 2, feedKey = Some(s"records:$dir"))
     }),
 
     // --- STREAMING blocklist matching: documents stream in, the
@@ -1494,7 +1605,8 @@ object SparkEntry {
     //     blocklist oracle replays it in full ---
     "q_stream_blocklist" -> ((s, dir) => {
       graft.streaming.StreamOps.replayBlocklist(s,
-        Fixtures.documents(s, dir), blockPatterns, numBatches = 2)
+        Fixtures.documents(s, dir), blockPatterns, numBatches = 2,
+        feedKey = Some(s"docs0:$dir"))
     }),
 
     // --- checksum-validated card scrubbing: 13-19 digit runs redact
@@ -1663,7 +1775,8 @@ object SparkEntry {
     "q_stream_incrdedup" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       graft.streaming.StreamOps.replayContentDedup(s,
-        Snapshot.rehostWrap(docs), docs, numBatches = 2)
+        Snapshot.rehostWrap(docs), docs, numBatches = 2,
+        feedKey = Some(s"rehost:$dir"))
     }),
 
     // --- cross-snapshot CONTENT dedup: arriving docs whose content
@@ -1695,7 +1808,7 @@ object SparkEntry {
     "q_arrival_pipeline" -> ((s, dir) => {
       graft.streaming.StreamOps.replayArrival(s,
         CorpusOps.jsonWrap(CorpusOps.cardWrap(Fixtures.documents(s, dir))),
-        blockPatterns, numBatches = 2)
+        blockPatterns, numBatches = 2, feedKey = Some(s"records:$dir"))
     }),
 
     // --- STREAMING classifier inference: the hashed-ngram quality gate
@@ -1704,7 +1817,8 @@ object SparkEntry {
     //     append == batch, same engine-exact oracle ---
     "q_stream_classify" -> ((s, dir) => {
       graft.streaming.StreamOps.replayClassify(s,
-        Fixtures.documents(s, dir), numBatches = 2)
+        Fixtures.documents(s, dir), numBatches = 2,
+        feedKey = Some(s"docs0:$dir"))
     }),
 
     // --- STREAMING snapshot diff: the next crawl's docs stream against
@@ -1715,7 +1829,8 @@ object SparkEntry {
     "q_stream_snapshot" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
       graft.streaming.StreamOps.replaySnapshotDiff(s,
-        Snapshot.nextSnapshot(docs), docs, numBatches = 2)
+        Snapshot.nextSnapshot(docs), docs, numBatches = 2,
+        feedKey = Some(s"nextsnap:$dir"))
     }),
 
     // --- WARC container parsing (the Common Crawl wire format): files
@@ -1734,7 +1849,8 @@ object SparkEntry {
     //     recursive-CTE oracle checks the streamed record set ---
     "q_stream_warc" -> ((s, dir) => {
       graft.streaming.StreamOps.replayWarc(s,
-        Warc.warcWrap(Fixtures.documents(s, dir)), numBatches = 2)
+        Warc.warcWrap(Fixtures.documents(s, dir)), numBatches = 2,
+        feedKey = Some(s"warc:$dir"))
     }),
 
     // --- int8 scalar-quantized ANN (SQ8): per-dimension affine codes
@@ -2065,27 +2181,24 @@ object SparkEntry {
     //     per-cell lookup tables. Coarse training, residuals, PQ rounds,
     //     probe order and scoring are all integer — the oracle replays
     //     the entire two-level pipeline ---
+    //     The three q_ivfpq_* rows share the trained index through the
+    //     session IvfPqMemo (identical corpus + params, deterministic
+    //     training — see the memo scaladoc); each row runs its own read
+    //     path over it. First row alphabetically (q_ivfpq_recall)
+    //     absorbs training within a bench pass.
     "q_ivfpq_topk" -> ((s, dir) => {
-      val embs = Fixtures.embeddings(s, dir)
-      val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
-      val rest = embs.filter(col("vec_id") =!= minId)
-      val qq = Cluster.quantize(embs.filter(col("vec_id") === minId), 1000)
-        .select(col("v")).head().getSeq[Long](0).toArray
-      Ann.ivfPqTopK(s, rest, qq, kCoarse = 4, nProbe = 2,
-        numSub = 4, ksub = 8, k = 20)
+      val (_, qq, idx) = ivfPqState(s, dir)
+      Ann.ivfPqTopKOnIndex(idx, qq, nProbe = 2, k = 20)
     }),
     // --- the same two-level layout with the exact-rerank tail: ADC
     //     top-100 shortlist fetched by broadcast semi-join, ranked by
     //     exact integer L2 — approximation bounds recall only, the
     //     returned order is exact ---
     "q_ivfpq_rerank" -> ((s, dir) => {
-      val embs = Fixtures.embeddings(s, dir)
-      val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
-      val rest = embs.filter(col("vec_id") =!= minId)
-      val qq = Cluster.quantize(embs.filter(col("vec_id") === minId), 1000)
-        .select(col("v")).head().getSeq[Long](0).toArray
-      Ann.ivfPqTopKRerank(s, rest, qq, kCoarse = 4, nProbe = 2,
-        numSub = 4, ksub = 8, k = 20, shortlist = 100)
+      val (minId, qq, idx) = ivfPqState(s, dir)
+      val rest = Fixtures.embeddings(s, dir).filter(col("vec_id") =!= minId)
+      Ann.ivfPqTopKRerankOnIndex(rest, idx, qq, nProbe = 2,
+        k = 20, shortlist = 100)
     }),
     // --- IVF-PQ recall audit: |reranked top-20 ∩ exact integer-L2
     //     top-20| under the shared (d2, id) total order — the same
@@ -2097,13 +2210,10 @@ object SparkEntry {
     //     the quantization-quality contract of the production read
     //     path ---
     "q_ivfpq_recall" -> ((s, dir) => {
-      val embs = Fixtures.embeddings(s, dir)
-      val minId = embs.agg(min(col("vec_id"))).head().getLong(0)
-      val rest = embs.filter(col("vec_id") =!= minId)
-      val qq = Cluster.quantize(embs.filter(col("vec_id") === minId), 1000)
-        .select(col("v")).head().getSeq[Long](0).toArray
-      val approx = Ann.ivfPqTopKRerank(s, rest, qq, kCoarse = 4, nProbe = 2,
-        numSub = 4, ksub = 8, k = 20, shortlist = 100).select(col("id"))
+      val (minId, qq, idx) = ivfPqState(s, dir)
+      val rest = Fixtures.embeddings(s, dir).filter(col("vec_id") =!= minId)
+      val approx = Ann.ivfPqTopKRerankOnIndex(rest, idx, qq, nProbe = 2,
+        k = 20, shortlist = 100).select(col("id"))
       val exact = Cluster.quantize(rest, 1000)
         .select(col("id"),
           aggregate(zip_with(col("v"), lit(qq), (a, b) => (a - b) * (a - b)),
@@ -2319,7 +2429,8 @@ object SparkEntry {
     //     actual streaming state splits/carries/timeout flushes ---
     "q_stream_sessionize" -> ((s, dir) => {
       graft.streaming.StreamOps.replaySessionize(s, Fixtures.events(s, dir),
-        gapUs = 86400000000L, numBatches = 2)
+        gapUs = 86400000000L, numBatches = 2,
+        feedKey = Some(s"events_sess:$dir"))
     }),
 
     // --- cohort retention (integer epoch-day arithmetic, no calendar
@@ -2334,7 +2445,8 @@ object SparkEntry {
     //     the same chained-window oracle as the batch twin ---
     "q_stream_funnel" -> ((s, dir) => {
       graft.streaming.StreamOps.replayFunnel(s, Fixtures.events(s, dir),
-        Seq("view", "click", "purchase"), numBatches = 2)
+        Seq("view", "click", "purchase"), numBatches = 2,
+        feedKey = Some(s"events_funnel:$dir"))
     }),
 
     // --- JSON property extraction over the event stream ---
@@ -2439,7 +2551,8 @@ object SparkEntry {
       graft.streaming.StreamOps.replayAsOf(s,
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
-        keyCol = "user_id", tsCol = "ts", idCol = "event_id")
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        feedKey = Some(s"events_asof:$dir"))
     }),
 
     // --- banded range join: (click, purchase) pairs of one user within
@@ -2464,7 +2577,8 @@ object SparkEntry {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
         keyCol = "user_id", tsCol = "ts", idCol = "event_id",
-        deltaSec = 7200L, numBatches = 2)
+        deltaSec = 7200L, numBatches = 2,
+        feedKey = Some(s"events_rj:$dir"))
     }),
 
     // --- STREAMING tumbling-window aggregation, driver-visible: events
@@ -2474,7 +2588,7 @@ object SparkEntry {
     //     equals the q_events_window batch groupBy row-for-row ---
     "q_stream_window" -> ((s, dir) => {
       graft.streaming.StreamOps.replayWindowAgg(s, Fixtures.events(s, dir),
-          numBatches = 2)
+          numBatches = 2, feedKey = Some(s"events_window:$dir"))
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
             .as("window_start"),
           col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
@@ -2497,7 +2611,8 @@ object SparkEntry {
         .limit(StreamEmdRefCap)
       graft.streaming.StreamOps.replayEmdMatch(s,
           hists.filter(col("id") % 10 =!= 0), refs, melodyCfg1d, Theta,
-          maxRefs = StreamEmdRefCap, numBatches = 2)
+          maxRefs = StreamEmdRefCap, numBatches = 2,
+          feedKey = Some(s"hists_emd:$dir"))
         .select(col("stream_id"), col("ref_id"),
           round(col("dist"), 6).as("dist"))
     }),
@@ -2517,7 +2632,8 @@ object SparkEntry {
         .limit(StreamEditRefCap)
       graft.streaming.StreamOps.replayEditMatch(s,
         d.filter(col("doc_id") % 10 =!= 0), refs, d = 4,
-        maxRefs = StreamEditRefCap, numBatches = 2)
+        maxRefs = StreamEditRefCap, numBatches = 2,
+        feedKey = Some(s"docsmod10:$dir"))
     }),
 
     // --- STREAMING stream-static ANN, driver-visible: every 20th
@@ -2535,7 +2651,7 @@ object SparkEntry {
         .select(col("id").as("qid"), col("v"))
       graft.streaming.StreamOps.replayAnnTopK(s, queries, embs,
         kCoarse = 4, nProbe = 2, numSub = 4, ksub = 8, k = 5,
-        numBatches = 2)
+        numBatches = 2, feedKey = Some(s"ann_q:$dir"))
     }),
 
     // --- normal fit + Hough + uniform grid cell id (P4/P5/P8/A1) ---

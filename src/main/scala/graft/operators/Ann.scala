@@ -803,50 +803,63 @@ object Ann {
     val idx = buildIvfPqIndex(spark, corpus, kCoarse, numSub, ksub, iters,
       scale, idCol, vecCol)
     try {
-      val dim = idx.dim
-      val sub = idx.sub
-      val coarse = idx.coarse
-      val cbs = idx.codebooks
-      // driver-side probe: nProbe nearest coarse cells under (d2, cid)
-      val probed = coarse.zipWithIndex.map { case (cent, c) =>
-        var d = 0L
-        var i = 0
-        while (i < dim) { val t = quantizedQuery(i) - cent(i); d += t * t; i += 1 }
-        (d, c)
-      }.sorted.take(nProbe).map(_._2)
-      // per-cell ADC lookup table from the query's per-cell residual
-      def lutFor(c: Int): Array[Array[Long]] = {
-        val cent = coarse(c)
-        cbs.zipWithIndex.map { case (cb, m) =>
-          cb.map { pqc =>
-            var d = 0L
-            var i = 0
-            while (i < sub) {
-              val t = (quantizedQuery(m * sub + i) - cent(m * sub + i)) - pqc(i)
-              d += t * t
-              i += 1
-            }
-            d
-          }
-        }
-      }
-      def adc(lut: Array[Array[Long]]): Column =
-        lut.zipWithIndex.map { case (lm, m) =>
-          element_at(lit(lm), element_at(col("codes"), m + 1) + 1)
-        }.reduce(_ + _)
-      val score = probed.tail.foldLeft(
-          when(col("cluster") === probed.head, adc(lutFor(probed.head)))) {
-        (acc, c) => acc.when(col("cluster") === c, adc(lutFor(c)))
-      }
-      val out = idx.index
-        .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
-        .select(col("id"), score.as("adc_d2"))
-        .orderBy(col("adc_d2"), col("id"))
-        .limit(k)
-        .persistOnce()
+      // materialize before the finally closes the index — the result
+      // must not silently recompute through an unpersisted index frame
+      val out = ivfPqTopKOnIndex(idx, quantizedQuery, nProbe, k).persistOnce()
       out.count()
       out
     } finally idx.close()
+  }
+
+  /** Single-query read path over a PRE-BUILT (possibly session-shared)
+    * index — the query half of [[ivfPqTopK]], byte-identical arithmetic
+    * and (adc_d2, id) tie order; the index's owner controls its
+    * lifetime. Returns a lazy frame (the index frame is persisted, so
+    * re-evaluation is a cached scan). */
+  def ivfPqTopKOnIndex(idx: IvfPqIndex, quantizedQuery: Array[Long],
+                       nProbe: Int, k: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= idx.coarse.length,
+      s"nProbe=$nProbe kCoarse=${idx.coarse.length}")
+    val dim = idx.dim
+    val sub = idx.sub
+    val coarse = idx.coarse
+    val cbs = idx.codebooks
+    // driver-side probe: nProbe nearest coarse cells under (d2, cid)
+    val probed = coarse.zipWithIndex.map { case (cent, c) =>
+      var d = 0L
+      var i = 0
+      while (i < dim) { val t = quantizedQuery(i) - cent(i); d += t * t; i += 1 }
+      (d, c)
+    }.sorted.take(nProbe).map(_._2)
+    // per-cell ADC lookup table from the query's per-cell residual
+    def lutFor(c: Int): Array[Array[Long]] = {
+      val cent = coarse(c)
+      cbs.zipWithIndex.map { case (cb, m) =>
+        cb.map { pqc =>
+          var d = 0L
+          var i = 0
+          while (i < sub) {
+            val t = (quantizedQuery(m * sub + i) - cent(m * sub + i)) - pqc(i)
+            d += t * t
+            i += 1
+          }
+          d
+        }
+      }
+    }
+    def adc(lut: Array[Array[Long]]): Column =
+      lut.zipWithIndex.map { case (lm, m) =>
+        element_at(lit(lm), element_at(col("codes"), m + 1) + 1)
+      }.reduce(_ + _)
+    val score = probed.tail.foldLeft(
+        when(col("cluster") === probed.head, adc(lutFor(probed.head)))) {
+      (acc, c) => acc.when(col("cluster") === c, adc(lutFor(c)))
+    }
+    idx.index
+      .filter(col("cluster").isin(probed.map(Integer.valueOf): _*))
+      .select(col("id"), score.as("adc_d2"))
+      .orderBy(col("adc_d2"), col("id"))
+      .limit(k)
   }
 
   /** Multi-query IVF-PQ read path over a PRE-BUILT static index — the
@@ -952,6 +965,27 @@ object Ann {
     val cand = ivfPqTopK(spark, corpus, quantizedQuery, kCoarse, nProbe,
       numSub, ksub, shortlist, iters, scale, idCol, vecCol)
       .select(col("id"))
+    rerankExact(corpus, cand, quantizedQuery, k, scale, idCol, vecCol)
+  }
+
+  /** [[ivfPqTopKRerank]] over a PRE-BUILT index — shortlist from
+    * [[ivfPqTopKOnIndex]], identical exact-rerank tail. */
+  def ivfPqTopKRerankOnIndex(corpus: DataFrame, idx: IvfPqIndex,
+                             quantizedQuery: Array[Long], nProbe: Int,
+                             k: Int, shortlist: Int,
+                             scale: Int = 1000, idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val cand = ivfPqTopKOnIndex(idx, quantizedQuery, nProbe, shortlist)
+      .select(col("id"))
+    rerankExact(corpus, cand, quantizedQuery, k, scale, idCol, vecCol)
+  }
+
+  /** The exact-rerank tail shared by the build-and-query and the
+    * prebuilt-index read paths (one body, so the integer L2 and the
+    * (d2, id) tie order cannot drift apart). */
+  private def rerankExact(corpus: DataFrame, cand: DataFrame,
+                          quantizedQuery: Array[Long], k: Int, scale: Int,
+                          idCol: String, vecCol: String): DataFrame =
     Cluster.quantize(corpus, scale, idCol, vecCol)
       .join(broadcast(cand), "id")
       .select(col("id"),
@@ -959,7 +993,6 @@ object Ann {
           (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d2"))
       .orderBy(col("d2"), col("id"))
       .limit(k)
-  }
 
   /** ADC shortlist + exact rerank — the production IVF-PQ read path:
     * the `shortlist` best ADC candidates are fetched by id (a broadcast

@@ -85,6 +85,12 @@ object Bpe {
     // jobs.
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (vocab.count() / 500000L).toInt + 1))
+    // keep a handle on the pre-coalesce persisted RDD: rebinding vocab to
+    // the (unpersisted) coalesce wrapper orphans the original cached
+    // blocks — round-1's parent.unpersist targets the wrapper, so without
+    // this the initial vocabulary-sized cache leaks for the session
+    // (ADVICE r16; raw RDD persists are invisible to clearSessionCaches)
+    val initial = vocab
     if (parts < vocab.getNumPartitions) vocab = vocab.coalesce(parts)
     var parent: RDD[(Array[String], Long)] = null
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
@@ -116,6 +122,8 @@ object Bpe {
     } finally {
       if (parent != null) parent.unpersist(false)
       vocab.unpersist(false)
+      // idempotent when no coalesce happened (unpersist twice is a no-op)
+      initial.unpersist(false)
     }
   }
 

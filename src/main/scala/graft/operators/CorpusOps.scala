@@ -407,6 +407,69 @@ object CorpusOps {
     * persisted + materialized: the rank assignment pins one evaluation
     * (an unpinned re-evaluation could range-partition differently);
     * the cache is the caller's to unpersist. */
+  /** [[rankByKey]] generalized to CARRY payload columns through the rank
+    * pass: input is (id: long, k: long, payload...), output is the input
+    * schema plus `rankColOut` — the 1-based global (k, id)-order rank —
+    * and the TOTAL row count (so callers needing n for a keep-fraction
+    * threshold don't pay a separate count pass). Same two-phase
+    * range-partition + per-partition offsets machinery and the same
+    * phase-1 row-count alignment witness as [[rankByKey]]; rows are
+    * generic (payload schemas vary), so phase 2 streams Rows rather than
+    * the typed (Long, Long) pairs. Folding the payload into the rank
+    * input drops the scored-frame materialization AND the final
+    * rank-attach join the caller otherwise pays (guide §2.1/§2.4 —
+    * importanceSelect went from three sequential persisted passes to
+    * two). The result comes back persisted + materialized; the cache is
+    * the caller's to unpersist. */
+  private[operators] def rankByKeyCarry(keyed: DataFrame,
+                                        rankColOut: String): (DataFrame, Long) = {
+    val spark = keyed.sparkSession
+    val hashed = keyed
+      .repartitionByRange(col("k"), col("id"))
+      .sortWithinPartitions("k", "id")
+    // pin ONE evaluation (range boundaries come from sampling — same
+    // argument as rankByKey/packSequences)
+    val rdd = hashed.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          var n = 0L; it.foreach(_ => n += 1); Iterator.single((i, n))
+        }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val total = offsets.last
+      val offB = spark.sparkContext.broadcast(offsets)
+      val cntB = spark.sparkContext.broadcast(counts)
+      val outSchema = hashed.schema.add(rankColOut,
+        org.apache.spark.sql.types.LongType, nullable = false)
+      val rdd2 = rdd.mapPartitionsWithIndex { (i, it) =>
+        var r = offB.value(i)
+        val first = offB.value(i)
+        new Iterator[org.apache.spark.sql.Row] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) require(r - first == cntB.value(i),
+              s"rankByKeyCarry: phase-2 partition $i streamed ${r - first} " +
+                s"rows but phase 1 counted ${cntB.value(i)} — the persisted " +
+                "range partition was recomputed with freshly sampled " +
+                "boundaries (executor loss); offsets misaligned, rerun")
+            h
+          }
+          def next(): org.apache.spark.sql.Row = {
+            val row = it.next(); r += 1
+            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
+          }
+        }
+      }
+      val out = spark.createDataFrame(rdd2, outSchema).persistOnce()
+      out.count()
+      (out, total)
+    } finally {
+      rdd.unpersist(false)
+    }
+  }
+
   private[operators] def rankByKey(keyed: DataFrame, idColOut: String,
                                    rankColOut: String): DataFrame = {
     val spark = keyed.sparkSession
@@ -1563,23 +1626,33 @@ object CorpusOps {
         .join(counts.select(col("f"), imp.as("imp")), Seq("f"))
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("imp")).as("score_bits"))
+      // the scored projection folds INTO the rank pass as carried payload
+      // (rankByKeyCarry): one range-partitioned materialization replaces
+      // the previous three sequential persisted passes (scored frame +
+      // rank frame + the rank-attach join) — VERDICT r16 item 7; the
+      // phase-1 row-count alignment witness is unchanged, and the pass's
+      // partition counts double as the keep-threshold total n
+      // LAZY persist: rankByKeyCarry's range-boundary sampling job is the
+      // first action and populates the cache; the shuffle pass then reads
+      // it (an unpersisted input would re-run the scoring join twice —
+      // RangePartitioning samples its child in a separate job)
       val scored = widen(docs).select(col(idCol).cast("long").as("id"))
         .join(perDoc, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           coalesce(col("score_bits"), lit(0L)).as("score_bits"))
         .persistOnce()
-      val n = scored.count()
+      val (ranked, n) = rankByKeyCarry(
+        scored.select(col("id"), (-col("score_bits")).as("k"),
+          col("n_bigrams"), col("score_bits")),
+        "dsir_rank")
       val k = (n * keepNum + keepDen - 1) / keepDen
-      val ranks = rankByKey(
-        scored.select(col("id"), (-col("score_bits")).as("k")),
-        "id", "dsir_rank")
-      val out = scored.join(ranks, Seq("id"))
+      val out = ranked
         .select(col("id").as(idCol), col("n_bigrams"), col("score_bits"),
           col("dsir_rank"), (col("dsir_rank") <= k).as("keep"))
         .persistOnce()
       out.count()
-      ranks.unpersist()
+      ranked.unpersist()
       scored.unpersist()
       out
     } finally pairs.unpersist(false)

@@ -337,6 +337,17 @@ object Dedup {
         // ---- RDD rounds: no per-round planning ----
         val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism,
           (n0 / 500000L).toInt + 1))
+        val part = new org.apache.spark.HashPartitioner(parts)
+        // per-partition exact dedup of key-partitioned pairs: every copy
+        // of (u, v) hashes to u's partition, so a local set sees them
+        // all — the same result as .distinct(parts) at one shuffle less
+        // (distinct hashes the PAIR: a second full shuffle that destroys
+        // the key partitioning both downstream consumers want)
+        def dedupByKey(r: org.apache.spark.rdd.RDD[(Long, Long)]) =
+          r.partitionBy(part).mapPartitions({ it =>
+            val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+            it.filter(seen.add)
+          }, preservesPartitioning = true)
         var e = canonRdd.coalesce(parts)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         var prevCount = e.count()
@@ -344,28 +355,39 @@ object Dedup {
         var iter = 0
         var done = false
         while (!done && iter < maxIter) {
+          // ROUND FUSION (guide §2.4 — shuffles per round: 6 -> 3): each
+          // star's pairs are hash-partitioned by key ONCE; the min-reduce
+          // is then a narrow local combine, the (pairs x mins) join is a
+          // narrow co-partitioned cogroup, and the dedup is the local
+          // set above — only bidir/large/next repartitionings shuffle.
           // large-star: every node links its LARGER neighbors to
           // m = min(N(u) ∪ {u})
           val bidir = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
-          val minsL = bidir.reduceByKey(math.min(_, _), parts)
-            .map { case (u, mv) => (u, math.min(u, mv)) }
-          val large = bidir.join(minsL, parts)
+            .partitionBy(part)
+          // keys are unchanged, so preserving the partitioner is valid —
+          // a plain .map would drop it and re-shuffle minsL in the join
+          // (mapValues can't express min(u, mv): the value depends on u)
+          val minsL = bidir.reduceByKey(part, math.min(_, _))
+            .mapPartitions(_.map { case (u, mv) => (u, math.min(u, mv)) },
+              preservesPartitioning = true)
+          val large = dedupByKey(bidir.join(minsL, part)
             .flatMap { case (u, (v, m)) =>
               if (v > u && v != m) Iterator.single((v, m)) else Iterator.empty
-            }
-            .distinct(parts)
+            })
           // small-star: edges point big->small; every node links its
           // smaller neighbors AND itself to m = min(N(u) ∪ {u})
-          val minsS = large.reduceByKey(math.min(_, _), parts)
-          val next = large.join(minsS, parts)
+          val minsS = large.reduceByKey(part, math.min(_, _))
+          val next = dedupByKey(large.join(minsS, part)
             .flatMap { case (u, (v, m)) => Iterator((v, m), (u, m)) }
-            .filter { case (x, y) => x != y }
-            .distinct(parts)
+            .filter { case (x, y) => x != y })
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val nextCount = next.count()
           // fixpoint when the canonical edge set stops changing; both are
           // distinct sets, so equal cardinality + empty one-sided
-          // difference == equality (count screens out most rounds cheaply)
+          // difference == equality (count screens out most rounds
+          // cheaply; an in-round changed-links accumulator was
+          // considered and rejected — the subtract only runs on the
+          // final round, so there is no per-round job to save)
           done = nextCount == prevCount && next.subtract(e, parts).isEmpty()
           e.unpersist(false)
           prevCount = nextCount

@@ -92,6 +92,10 @@ object Wordpiece {
     // sizing rule as Dedup.connectedComponents' RDD rounds.
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism,
       (vocab.count() / 500000L).toInt + 1))
+    // pre-coalesce handle: see Bpe.train — the coalesce wrapper is what
+    // round-1's parent.unpersist later targets, so the original persisted
+    // word-count blocks would leak for the session without this
+    val initial = vocab
     if (parts < vocab.getNumPartitions) vocab = vocab.coalesce(parts)
     val argmaxOrd = Ordering.fromLessThan(better)
     var parent: org.apache.spark.rdd.RDD[(Array[String], Long)] = null
@@ -139,6 +143,8 @@ object Wordpiece {
     }
     if (parent != null) parent.unpersist(false)
     vocab.unpersist(false)
+    // idempotent when no coalesce happened (unpersist twice is a no-op)
+    initial.unpersist(false)
     merges.toSeq
   }
 
