@@ -11,7 +11,10 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cfg = SparkEntry.melodyCfg3d.copy(sideNum = sys.env.getOrElse("PROF_SIDE", "6").toInt)
-    val hists = graft.sources.Fixtures.tripleHists(spark, "/root/testdata/sf0.1")
+    // SPARK_GRAFT_SF_DIR so the r17 grid sweep (VERDICT item 10) can run
+    // the same stage profile at the sf1 gate corpus
+    val hists = graft.sources.Fixtures.tripleHists(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println("hists " + hists.count())
     def time[T](name: String)(f: => T): T = {

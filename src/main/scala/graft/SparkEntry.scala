@@ -1208,9 +1208,12 @@ object SparkEntry {
     //     prefix length is (1-tau)*|set|+1, so low taus degrade toward
     //     exploding candidates ---
     "q_ngram_jaccard" -> ((s, dir) => {
-      val docs = Fixtures.documents(s, dir)
-        .select(col("doc_id"), concat_ws(" ", TextCols.shingles(col("text"), 3)).as("shtext"))
-      Dedup.jaccardJoin(docs, NgramTau, textCol = "shtext")
+      // the shingle ARRAY feeds the join directly (tokenExpr): building a
+      // ~3x-document-sized '_'-shingle string per row only to re-split it
+      // inside setTokens was pure per-row string churn — round-trip
+      // equality argued at Dedup.setTokens (oracle hashes unchanged)
+      Dedup.jaccardJoin(Fixtures.documents(s, dir), NgramTau,
+          tokenExpr = Some(TextCols.shingles(col("text"), 3)))
         .select(col("rid"), col("sid"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
@@ -2060,17 +2063,28 @@ object SparkEntry {
     //     CTE generators composed over the same staged corpus ---
     "q_pipeline" -> ((s, dir) => {
       val docs = Fixtures.documents(s, dir)
+      // gated is consumed twice (the dedup grouping and the ddocs join);
+      // the gate's per-row kernels live in the gatedIds subtree, so an
+      // unpersisted gatedIds re-ran them per consumer — pin the tiny id
+      // list instead (ids only, freed after the result materializes)
       val gatedIds = CorpusOps.qualityGate(docs)
         .filter(col("keep")).select(col("doc_id"))
+        .persistOnce()
       val gated = docs.join(gatedIds, "doc_id")
       val keeperIds = Dedup.exactDedup(gated)
         .select(col("keeper").as("doc_id"))
       // ddocs feeds FOUR consumers (minhash banding, its exact-verify
       // re-read, keep-best scoring, survivor packing) — unpersisted,
       // each would re-run the gate + dedup lineage; a real pipeline
-      // materializes between stages (checkpoint-to-parquet), persist is
-      // the in-session analog
-      val ddocs = gated.join(keeperIds, "doc_id").persist()
+      // materializes between stages (checkpoint-to-parquet).
+      // localCheckpoint is the in-session analog that ALSO truncates the
+      // logical plan: with plain persist every downstream action
+      // re-analyzes the whole gate+dedup tree (~2s of driver-side
+      // planning across the stage chain's ~45 AQE jobs, measured with
+      // ProfJobs); the checkpoint keeps rows in Tungsten format (no
+      // .rdd round-trip) and the stage results themselves are
+      // action-pinned, so answers are unchanged
+      val ddocs = gated.join(keeperIds, "doc_id").localCheckpoint()
       val edges = Dedup.minhashLsh(s, ddocs, 0.5, numHashes = 32, bands = 16)
         .select(col("rid"), col("sid"))
       val bestIds = Dedup.keepBest(s, ddocs, edges)
@@ -2084,7 +2098,10 @@ object SparkEntry {
       val packed = CorpusOps.packSequences(survivors, maxLen = 512)
         .persistOnce()
       packed.count()
-      ddocs.unpersist(false)
+      gatedIds.unpersist(false)
+      // the localCheckpoint's blocks are freed by the ContextCleaner once
+      // ddocs is unreferenced (Dataset.unpersist only covers cacheManager
+      // entries, so there is nothing to unpersist here)
       packed
     }),
 

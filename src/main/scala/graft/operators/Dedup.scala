@@ -64,7 +64,8 @@ object Dedup {
     */
   def jaccardJoin(docs: DataFrame, tau: Double, idCol: String = "doc_id",
                   textCol: String = "text",
-                  maxBitmaskSets: Int = 100000): DataFrame = {
+                  maxBitmaskSets: Int = 100000,
+                  tokenExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // Dedup-first: identical token SETS collapse to one representative, so
     // all pairwise similarity math runs on distinct sets (training corpora
     // are duplicate-heavy — that is the point of this operator); qualifying
@@ -80,7 +81,12 @@ object Dedup {
     // representative's array rides along as a first() VALUE — partial
     // aggregation keeps one copy per distinct set per map partition, which
     // is never more array bytes than the old array-as-key exchange moved.
-    val toks = setTokens(docs, idCol, textCol)
+    // toks is consumed TWICE (the distinct-set groupBy AND the (id, fp)
+    // assignment join) — unpersisted, the whole tokenize + sort + md5
+    // chain ran twice per call; for the shingle variant that chain is
+    // the row-dominant cost. Lazily persisted; freed with the other
+    // intermediates once the result materializes (guide §2.1).
+    val toks = setTokens(docs, idCol, textCol, tokenExpr).persistOnce()
     // One row per DISTINCT set, with the representative's token array
     // riding as a first() value — bounded by DOCUMENT size. No state here
     // scales with duplicate-family size: member ids live as (id, gid)
@@ -91,7 +97,7 @@ object Dedup {
     // every persist below registers in `pinned`; the catch frees them if
     // any action throws mid-call (the success paths free their own via
     // materializeAndFree; unpersist is idempotent so double-free is safe)
-    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](groups)
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame](toks, groups)
     try {
       // (id, gid) assignment rows — the connectedComponents output shape.
       // Used three times (intra pairs + both expansion joins): persist.
@@ -157,7 +163,7 @@ object Dedup {
           .filter(col("jaccard") >= tau)
           .select(col("gid").as("ga"), col("gb"), col("jaccard"))
         return materializeAndFree(expandGroupPairs(intra, interSets, assign),
-          groups, assign, dfreq)
+          toks, groups, assign, dfreq)
       }
       val tokRanks = rankSets(sets, dfreq).persistOnce()
       pinned += tokRanks
@@ -174,7 +180,7 @@ object Dedup {
         .select(col("ga"), col("gb"), col("jaccard"))
 
       materializeAndFree(expandGroupPairs(intra, interSets, assign),
-        groups, assign, tokRanks, dfreq)
+        toks, groups, assign, tokRanks, dfreq)
     } catch {
       case t: Throwable =>
         pinned.foreach(_.unpersist(false))
@@ -184,11 +190,23 @@ object Dedup {
 
   /** (id, key, fp) canonical sorted-token-set rows — the jaccardJoin
     * dedup-first stage's input shape. Package-private so ScalingStats
-    * measures the SAME derivation the join executes. */
+    * measures the SAME derivation the join executes.
+    *
+    * `tokenExpr` (when given) supplies the token ARRAY directly and
+    * replaces split(textCol). Equivalence with the textual route when
+    * the caller would otherwise concat_ws(" ")-join that same array into
+    * textCol: concat_ws(" ", xs) round-trips through split(" ") exactly
+    * when no element contains a space and xs is non-empty — both hold
+    * for shingles ('_'-joined space-split tokens; the short-text lane
+    * emits one whole-text shingle, never an empty array), so the n-gram
+    * caller skips building and re-splitting a ~3x-document-sized string
+    * per row per pass (guide §1.2 per-task work). */
   private[operators] def setTokens(docs: DataFrame, idCol: String,
-                                   textCol: String): DataFrame =
+                                   textCol: String,
+                                   tokenExpr: Option[org.apache.spark.sql.Column] = None): DataFrame =
     CorpusOps.widen(docs).select(col(idCol).as("id"),
-      sort_array(TextCols.distinctTokens(col(textCol))).as("key"))
+      sort_array(tokenExpr.map(array_distinct)
+        .getOrElse(TextCols.distinctTokens(col(textCol)))).as("key"))
       .withColumn("fp", md5(concat_ws(" ", col("key"))))
 
   /** One row per DISTINCT set (fp, gid, key), representative array as a
