@@ -47,10 +47,24 @@ object MelodyJoin {
     * network, not a single-box bench) 2.2x. The JOIN RESULT is
     * grid-invariant — cell bounds only prune, soundly — so this tunes
     * cost, never answers (pair/top-k sets verified identical at side
-    * 6 vs 10 at sf0.01 and sf0.1). hi=24 keeps packCombo's 16-bit
-    * per-vector cell budget (24^2 = 576) comfortable. */
+    * 6 vs 10 at sf0.01 and sf0.1).
+    *
+    * hi=12 is the round-17 grid sweep's measured SATURATION KNEE at the
+    * 10x (200k-record) gate corpus: past side ~12 the occupied-combo
+    * count and guest replication PLATEAU (side 12/16/20/24 -> combos
+    * 19171/19455/19494/19505, guest copies 3.87M/3.52M/3.46M/3.46M)
+    * while the per-record side^2 envelope scan keeps growing, so the
+    * sqrt law's side-24 pick measured 28.6s against side 12's 23.8s
+    * full-join wall — extra cells past the knee are pure enumeration
+    * loss at ANY cluster width (the 11% replication gap 12 -> 24 is the
+    * whole shuffle-side upside, and both scan and shuffle distribute).
+    * The knee is data-shape-driven (occupied-combo diversity bounds
+    * out, not row count): re-sweep before raising hi for corpora whose
+    * combos still grow past 19.5k. (packCombo's 16-bit per-vector cell
+    * budget allowed up to 24; the cap is now the measured knee, not the
+    * encoding limit.) */
   def sideNumFor(n: Long, targetPerCell: Int = 300,
-                 lo: Int = 6, hi: Int = 24): Int =
+                 lo: Int = 6, hi: Int = 12): Int =
     math.max(lo, math.min(hi,
       math.round(math.sqrt(n.toDouble / targetPerCell)).toInt))
 
