@@ -48,11 +48,16 @@ class ScalingSpec extends AnyFunSuite {
     .map(s => s"/root/testdata/$s")
     .filter(d => new java.io.File(d).isDirectory)
 
-  test("sideNumFor engages with density and respects the packing cap") {
+  test("sideNumFor engages with density and respects the saturation cap") {
     assert(MelodyJoin.sideNumFor(200) == 6)     // floor at gate scales
     assert(MelodyJoin.sideNumFor(2000) == 6)
     assert(MelodyJoin.sideNumFor(20000) == 8)   // engages at sf0.1
-    assert(MelodyJoin.sideNumFor(200000) == 24) // ceiling (16-bit cells)
+    // ceiling = the r17 sweep's measured saturation knee (combos and
+    // guest replication plateau past side ~12 while the side^2 envelope
+    // scan keeps growing — see sideNumFor's scaladoc), no longer the
+    // 16-bit packCombo encoding limit (24)
+    assert(MelodyJoin.sideNumFor(200000) == 12)
+    assert(MelodyJoin.sideNumFor(20000000L) == 12)
   }
 
   test("melody 3-D join: candidate pairs and guest replication stay output-proportional") {
